@@ -1,0 +1,434 @@
+"""The fixture case corpus (FIXTURES.md §2): one case per kernel feature,
+each a (pdf_bytes, expected_text, expected_error) triple under the pinned
+linearization policy (pdfspark/kernel/extract.py docstring).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import List
+
+from pdfspark.fixtures import (
+    BASE14,
+    Case,
+    MACROMAN,
+    PdfBuilder,
+    WINANSI,
+    append_update,
+    build_minimal_ttf,
+    lzw_encode,
+    make_doc,
+    png_predict_encode,
+    runlength_encode,
+    tounicode_stream,
+    _simple_show,
+)
+
+
+def _doc_with_filtered_content(content: bytes, filter_src: str,
+                               data: bytes) -> bytes:
+    """One-page doc whose content stream carries an explicit filter."""
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    c = b.add(
+        f"<< {filter_src} /Length {len(data)} >>\nstream\n".encode("latin-1")
+        + data
+        + b"\nendstream"
+    )
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    return b.build(root)
+
+
+def all_cases() -> List[Case]:
+    cases: List[Case] = []
+    add = cases.append
+
+    # ---- t01: classic xref, uncompressed, Tj, base-14 Standard encoding
+    add(Case("t01_hello_classic_xref",
+             make_doc(_simple_show("Hello World"), fonts={"F1": BASE14}),
+             "Hello World", None, 1))
+
+    # ---- t02: FlateDecode (predictor Unused)
+    content = _simple_show("Hello Flate").encode()
+    add(Case("t02_flate",
+             _doc_with_filtered_content(content, "/Filter /FlateDecode",
+                                        zlib.compress(content)),
+             "Hello Flate", None, 1))
+
+    # ---- t03: PNG predictor Up (the one the reference completes)
+    content = _simple_show("Predictor Up").encode()
+    cols = 16
+    pred = png_predict_encode(content, cols, ftype=2)
+    add(Case("t03_flate_predictor_up",
+             _doc_with_filtered_content(
+                 content,
+                 "/Filter /FlateDecode /DecodeParms "
+                 f"<< /Predictor 12 /Columns {cols} >>",
+                 zlib.compress(pred)),
+             "Predictor Up", None, 1))
+
+    # ---- t03b: Sub/Average/Paeth rows (ref-todo!(); spec-derived goldens)
+    for ftype, name in ((1, "sub"), (3, "avg"), (4, "paeth")):
+        content = _simple_show(f"Pred {name}").encode()
+        pred = png_predict_encode(content, cols, ftype=ftype)
+        add(Case(f"t03b_pred_{name}",
+                 _doc_with_filtered_content(
+                     content,
+                     "/Filter /FlateDecode /DecodeParms "
+                     f"<< /Predictor 12 /Columns {cols} >>",
+                     zlib.compress(pred)),
+                 f"Pred {name}", None, 1))
+
+    # ---- t04: ASCIIHexDecode
+    content = _simple_show("Hex!").encode()
+    add(Case("t04_asciihex",
+             _doc_with_filtered_content(
+                 content, "/Filter /ASCIIHexDecode",
+                 content.hex().encode() + b">"),
+             "Hex!", None, 1))
+
+    # ---- t05: cascade [/ASCII85Decode /FlateDecode]
+    import base64
+
+    content = _simple_show("Cascade85").encode()
+    a85 = base64.a85encode(zlib.compress(content)) + b"~>"
+    add(Case("t05_ascii85_cascade",
+             _doc_with_filtered_content(
+                 content, "/Filter [/ASCII85Decode /FlateDecode]", a85),
+             "Cascade85", None, 1))
+
+    # ---- t06: LZWDecode (ref-todo!())
+    content = _simple_show("LZW works").encode()
+    add(Case("t06_lzw",
+             _doc_with_filtered_content(content, "/Filter /LZWDecode",
+                                        lzw_encode(content)),
+             "LZW works", None, 1))
+
+    # ---- t06b: RunLengthDecode (ref-todo!())
+    content = _simple_show("RLE aaaaaabbb").encode()
+    add(Case("t06b_runlength",
+             _doc_with_filtered_content(content, "/Filter /RunLengthDecode",
+                                        runlength_encode(content)),
+             "RLE aaaaaabbb", None, 1))
+
+    # ---- t07: xref stream
+    add(Case("t07_xref_stream",
+             make_doc(_simple_show("XrefStream"), fonts={"F1": BASE14},
+                      use_xref_stream=True),
+             "XrefStream", None, 1))
+
+    # ---- t08: object streams (type-2 entries)
+    add(Case("t08_objstm",
+             make_doc(_simple_show("ObjStm"), fonts={"F1": BASE14},
+                      objstm_page_objs=True),
+             "ObjStm", None, 1))
+
+    # ---- t09: incremental update shadows the content object
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    old = _simple_show("Old text").encode()
+    c = b.add_stream("<< >>", old)
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    base = b.build(root)
+    new = _simple_show("New text").encode()
+    newbody = (f"<< /Length {len(new)} >>\nstream\n".encode() + new
+               + b"\nendstream")
+    add(Case("t09_incremental_update",
+             append_update(base, {c: newbody}, root),
+             "New text", None, 1))
+
+    # ---- t10: Contents array; operands/operator split across streams
+    add(Case("t10_multi_content_streams",
+             make_doc([[b"BT /F1 12 Tf 72 720 Td (Hello multi)",
+                        b"Tj ET"]],
+                      fonts={"F1": BASE14}, content_is_array=True),
+             "Hello multi", None, 1))
+
+    # ---- t11: full text state: Td/TD/Tm/T*/TL/Tc/Tw/Tz/Ts/'/"
+    t11 = (
+        "BT /F1 12 Tf 14 TL 72 720 Td (Line1) Tj "
+        "T* (Line2) Tj "
+        "0 -14 Td (Line3) Tj "
+        "1 0 0 1 72 600 Tm (Line4) Tj "
+        "(Line5) ' "
+        '2 1 (Line6) " '
+        "100 Tz 0.5 Ts (Line6b) Tj "
+        "ET"
+    )
+    add(Case("t11_text_state",
+             make_doc(t11, fonts={"F1": BASE14}),
+             "Line1\nLine2\nLine3\nLine4\nLine5\nLine6Line6b", None, 1))
+
+    # ---- t12: TJ kerning inserts NOTHING (pinned policy #3)
+    t12 = "BT /F1 12 Tf 72 720 Td [(A) -120 (B) 500 (C) (D)] TJ ET"
+    add(Case("t12_tj_kerning",
+             make_doc(t12, fonts={"F1": BASE14}),
+             "ABCD", None, 1))
+
+    # ---- t13: /Differences → AGL names
+    diff_font = (
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding "
+        "<< /Type /Encoding /Differences [65 /eacute /bullet 97 /Euro] >> >>"
+    )
+    add(Case("t13_differences_encoding",
+             make_doc("BT /F1 12 Tf 72 720 Td (ABa) Tj ET",
+                      fonts={"F1": diff_font}),
+             "é•€", None, 1))
+
+    # ---- t14: WinAnsi + MacRoman high codes
+    t14 = (
+        "BT /F1 12 Tf 72 720 Td (\\223\\351) Tj ET "
+        "BT /F2 12 Tf 120 720 Td (\\216) Tj ET"
+    )
+    add(Case("t14_winansi_macroman",
+             make_doc(t14, fonts={"F1": WINANSI, "F2": MACROMAN}),
+             "“éé", None, 1))
+
+    # ---- t15: ToUnicode bfchar
+    tu = tounicode_stream(
+        "<00> <FF>",
+        "2 beginbfchar\n<41> <0394>\n<42> <05D0>\nendbfchar",
+    )
+    tu_font = (
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        "/ToUnicode 60 0 R >>"
+    )
+    add(Case("t15_tounicode_bfchar",
+             make_doc("BT /F1 12 Tf 72 720 Td (AB) Tj ET",
+                      fonts={"F1": tu_font},
+                      font_streams={60: ("<< >>", tu)}),
+             "Δא", None, 1))
+
+    # ---- t15b: bfrange incl. array form, multi-char + surrogate-pair dst
+    tu = tounicode_stream(
+        "<00> <FF>",
+        "2 beginbfrange\n"
+        "<41> <43> <03B1>\n"
+        "<44> <45> [<D835DC00> <00660066>]\n"
+        "endbfrange",
+    )
+    add(Case("t15b_tounicode_bfrange",
+             make_doc("BT /F1 12 Tf 72 720 Td (ABCDE) Tj ET",
+                      fonts={"F1": tu_font},
+                      font_streams={60: ("<< >>", tu)}),
+             "αβγ\U0001D400ff", None, 1))
+
+    # ---- t16: Type0 Identity-H, 2-byte codes, CID widths
+    tu2 = tounicode_stream(
+        "<0000> <FFFF>",
+        "1 beginbfrange\n<0041> <005A> <0041>\nendbfrange",
+    )
+    type0 = (
+        "<< /Type /Font /Subtype /Type0 /BaseFont /Test-Identity-H "
+        "/Encoding /Identity-H /DescendantFonts [62 0 R] /ToUnicode 60 0 R >>"
+    )
+    cid_font = (
+        "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Test "
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        "/Supplement 0 >> /DW 1000 /W [65 [600 600 600]] "
+        "/CIDToGIDMap /Identity >>"
+    )
+    b = PdfBuilder()
+    b.add_stream("<< >>", tu2, num=60)
+    b.add(cid_font, num=62)
+    f1 = b.add(type0)
+    c = b.add_stream("<< >>", b"BT /F1 12 Tf 72 720 Td <004100420043> Tj ET")
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    add(Case("t16_type0_identity_h", b.build(root), "ABC", None, 1))
+
+    # ---- t17: embedded TTF cmap fallback (no ToUnicode, no usable Encoding)
+    ttf = build_minimal_ttf({0x48: 5, 0x69: 6}, sym_to_gid={0x01: 5, 0x02: 6})
+    ttf_font = (
+        "<< /Type /Font /Subtype /TrueType /BaseFont /TestTTF "
+        "/FontDescriptor 63 0 R >>"
+    )
+    descr = (
+        "<< /Type /FontDescriptor /FontName /TestTTF /Flags 4 "
+        "/FontFile2 64 0 R >>"
+    )
+    b = PdfBuilder()
+    b.add(descr, num=63)
+    b.add_stream("<< >>", ttf, num=64)
+    f1 = b.add(ttf_font)
+    c = b.add_stream("<< >>", b"BT /F1 12 Tf 72 720 Td (\x01\x02) Tj ET")
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    add(Case("t17_ttf_cmap_fallback", b.build(root), "Hi", None, 1))
+
+    # ---- t18: Form XObject with own Resources + Matrix (recursion)
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    f2 = b.add(WINANSI)
+    inner = b"BT /F2 12 Tf 0 0 Td (In) Tj ET"
+    xo = b.add_stream(
+        "<< /Type /XObject /Subtype /Form /BBox [0 0 200 50] "
+        f"/Matrix [1 0 0 1 72 700] /Resources << /Font << /F2 {f2} 0 R >> >> >>",
+        inner,
+    )
+    c = b.add_stream("<< >>", b"BT /F1 12 Tf 72 720 Td (Out) Tj ET /Fx Do")
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] /Resources "
+        f"<< /Font << /F1 {f1} 0 R >> /XObject << /Fx {xo} 0 R >> >> "
+        f"/Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    add(Case("t18_form_xobject", b.build(root), "Out\nIn", None, 1))
+
+    # ---- t19: marked content incl. /Artifact is KEPT (pinned policy #5)
+    t19 = (
+        "BT /F1 12 Tf 72 720 Td (A) Tj ET "
+        "/Artifact BMC BT /F1 12 Tf 100 720 Td (B) Tj ET EMC "
+        "/Span << /ActualText (ignored) >> BDC "
+        "BT /F1 12 Tf 120 720 Td (C) Tj ET EMC"
+    )
+    add(Case("t19_marked_content",
+             make_doc(t19, fonts={"F1": BASE14}), "ABC", None, 1))
+
+    # ---- t20: unknown operator inside BX…EX (and outside) ignored
+    t20 = (
+        "BX /Foo 1 2 newop EX "
+        "BT /F1 12 Tf 72 720 Td (Compat) Tj 3 alsounknown ET"
+    )
+    add(Case("t20_bx_ex_compat",
+             make_doc(t20, fonts={"F1": BASE14}), "Compat", None, 1))
+
+    # ---- t21: inline image skipped without desync (binary contains 'EI')
+    img = bytes(range(48)) + b"xEIx" + bytes(48)  # embedded fake EI
+    t21 = (
+        b"BT /F1 12 Tf 72 720 Td (Before) Tj ET "
+        b"BI /W 4 /H 8 /BPC 8 /CS /G /L " + str(len(img)).encode() +
+        b" ID " + img + b" EI "
+        b"BT /F1 12 Tf 150 720 Td (After) Tj ET"
+    )
+    add(Case("t21_inline_image",
+             make_doc(t21, fonts={"F1": BASE14}), "BeforeAfter", None, 1))
+
+    # ---- t21b: inline image without /L (boundary-scan path)
+    img2 = bytes(b % 251 for b in range(64))
+    t21b = (
+        b"BT /F1 12 Tf 72 720 Td (Pre) Tj ET "
+        b"BI /W 8 /H 8 /BPC 8 /CS /G ID " + img2 + b" EI "
+        b"BT /F1 12 Tf 150 720 Td (Post) Tj ET"
+    )
+    add(Case("t21b_inline_image_noL",
+             make_doc(t21b, fonts={"F1": BASE14}), "PrePost", None, 1))
+
+    # ---- t22: literal string escapes (ports of `src/lex.rs:602-631`)
+    t22 = (
+        "BT /F1 12 Tf 72 720 Td "
+        "(\\110i \\(nested\\) \\\\ oct\\101l \\x) Tj ET"
+    )
+    add(Case("t22_literal_string_escapes",
+             make_doc(t22, fonts={"F1": BASE14}),
+             "Hi (nested) \\ octAl x", None, 1))
+
+    # ---- t23: hex-string operands, whitespace + odd length
+    t23 = "BT /F1 12 Tf 72 720 Td <48 65 6C6C 6F> Tj <486> Tj ET"
+    add(Case("t23_hex_strings",
+             make_doc(t23, fonts={"F1": WINANSI}),
+             "HelloH`", None, 1))
+
+    # ---- t24: empty page / no text
+    add(Case("t24_empty_page", make_doc([None]), "", None, 1))
+    add(Case("t24b_no_text",
+             make_doc("72 72 m 100 100 l S 0 0 50 50 re f W n",
+                      fonts={"F1": BASE14}),
+             "", None, 1))
+
+    # ---- t25: multi-page giant-ish doc (skew fixture; also spans)
+    npages = 40
+    pages = [
+        _simple_show(f"Page {i} " + "lorem " * 50) for i in range(npages)
+    ]
+    add(Case("t25_giant_doc",
+             make_doc(pages, fonts={"F1": BASE14}),
+             "\f".join(f"Page {i} " + "lorem " * 50 for i in range(npages)),
+             None, npages))
+
+    # ---- t26: malformed startxref → recovery scan (ref would panic)
+    good = make_doc(_simple_show("Recovered"), fonts={"F1": BASE14})
+    broken = good.replace(b"startxref\n", b"startxref\n9999999 %", 1)
+    add(Case("t26_malformed_xref", broken, "Recovered", None, 1))
+
+    # ---- t26b: lying /Length → endstream-scan recovery
+    good2 = make_doc(_simple_show("BadLength"), fonts={"F1": BASE14})
+    import re as _re
+
+    broken2 = _re.sub(rb"/Length (\d+)", b"/Length 999999", good2, count=1)
+    # the Length edit changes offsets → also breaks xref → recovery path
+    add(Case("t26b_bad_length", broken2, "BadLength", None, 1))
+
+    # ---- t27: encrypted → stable error, no text (phase-4: real decrypt)
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    c = b.add_stream("<< >>", _simple_show("secret").encode())
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    enc = b.add(
+        "<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        "/CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF /StrF /StdCF "
+        "/O (0000000000000000000000000000000) "
+        "/U (0000000000000000000000000000000) /P -44 >>"
+    )
+    add(Case("t27_encrypted_aesv2",
+             b.build(root, trailer_extra=f" /Encrypt {enc} 0 R"),
+             None, "encrypted", 0))
+
+    # ---- t28: Type3 font via Differences + ToUnicode
+    tu3 = tounicode_stream(
+        "<00> <FF>", "1 beginbfchar\n<41> <2605>\nendbfchar"
+    )
+    b = PdfBuilder()
+    b.add_stream("<< >>", tu3, num=60)
+    glyph = b.add_stream("<< >>", b"0 0 m 10 10 l f")
+    t3_font = (
+        "<< /Type /Font /Subtype /Type3 /FontBBox [0 0 10 10] "
+        "/FontMatrix [0.001 0 0 0.001 0 0] "
+        f"/CharProcs << /star {glyph} 0 R >> "
+        "/Encoding << /Differences [65 /star] >> "
+        "/FirstChar 65 /LastChar 65 /Widths [500] /ToUnicode 60 0 R >>"
+    )
+    f1 = b.add(t3_font)
+    c = b.add_stream("<< >>", b"BT /F1 12 Tf 72 720 Td (A) Tj ET")
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    add(Case("t28_type3_font", b.build(root), "★", None, 1))
+
+    # ---- non-PDF rows (magic-byte filter + error paths)
+    add(Case("h01_html_passthrough",
+             b"<!doctype html><html><body>hello web</body></html>",
+             None, "not-pdf", 0))
+    add(Case("h02_empty", b"", None, "not-pdf", 0))
+    add(Case("h03_pdf_prefix_garbage",
+             b"%PDF-1.4\n\x00\x01garbage without any objects at all",
+             None, "xref", 0))
+
+    return cases

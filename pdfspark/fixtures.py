@@ -1,0 +1,389 @@
+"""Deterministic synthetic PDF corpus (FIXTURES.md §2).
+
+Every case is a minimal PDF assembled byte-by-byte (no PDF library), with
+its expected extracted text fixed alongside — the corpus-regression suite
+the reference lacks in-tree (SURVEY.md §5). Generation is pure-functional:
+same inputs ⇒ same bytes, no randomness, no clocks.
+
+Also provides encoders for the filters we decode (PNG predictors, LZW,
+RunLength, ASCIIHex/85) so the decoders are tested against independently
+produced data, and a minimal sfnt/TTF builder for the cmap-fallback case.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+
+class Case(NamedTuple):
+    case_id: str
+    pdf: bytes
+    expected_text: Optional[str]
+    expected_error: Optional[str]
+    expected_pages: int
+
+
+# ------------------------------------------------------------------ builder
+
+class PdfBuilder:
+    """Assemble a PDF from numbered object bodies.
+
+    Supports classic xref tables, xref streams (W=[1 4 2]), object
+    streams, and incremental updates — the S2-S8 surface of SURVEY.md.
+    """
+
+    def __init__(self) -> None:
+        self.objects: Dict[int, bytes] = {}
+        self._next = 1
+
+    def add(self, body, num: Optional[int] = None) -> int:
+        if isinstance(body, str):
+            body = body.encode("latin-1")
+        if num is None:
+            num = self._next
+        self.objects[num] = body
+        self._next = max(self._next, num + 1)
+        return num
+
+    def add_stream(self, dict_src: str, data: bytes,
+                   num: Optional[int] = None) -> int:
+        d = dict_src.strip()
+        assert d.startswith("<<") and d.endswith(">>")
+        body = (
+            d[:-2].rstrip().encode("latin-1")
+            + b" /Length " + str(len(data)).encode()
+            + b" >>\nstream\n" + data + b"\nendstream"
+        )
+        return self.add(body, num)
+
+    def build(self, root: int, use_xref_stream: bool = False,
+              objstm: Optional[List[int]] = None,
+              trailer_extra: str = "") -> bytes:
+        """objstm: object numbers to pack into an object stream (forces
+        xref-stream mode, since classic tables cannot express type-2
+        entries)."""
+        out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+        offsets: Dict[int, int] = {}
+        compressed: Dict[int, Tuple[int, int]] = {}
+        objstm = objstm or []
+        if objstm:
+            use_xref_stream = True
+            container_num = max(self._next, max(self.objects) + 1)
+            header = bytearray()
+            payload = bytearray()
+            for idx, onum in enumerate(objstm):
+                header += f"{onum} {len(payload)} ".encode()
+                payload += self.objects[onum] + b"\n"
+                compressed[onum] = (container_num, idx)
+            stm_data = zlib.compress(bytes(header) + bytes(payload))
+            container_body = (
+                b"<< /Type /ObjStm /N " + str(len(objstm)).encode()
+                + b" /First " + str(len(header)).encode()
+                + b" /Filter /FlateDecode /Length " + str(len(stm_data)).encode()
+                + b" >>\nstream\n" + stm_data + b"\nendstream"
+            )
+            emit_nums = [n for n in sorted(self.objects) if n not in compressed]
+            emit = [(n, self.objects[n]) for n in emit_nums]
+            emit.append((container_num, container_body))
+        else:
+            emit = [(n, self.objects[n]) for n in sorted(self.objects)]
+        for num, body in emit:
+            offsets[num] = len(out)
+            out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+        if use_xref_stream:
+            xref_num = max(list(offsets) + list(compressed)) + 1
+            size = xref_num + 1
+            rows = bytearray()
+            index: List[int] = []
+            entries = {}
+            for n, off in offsets.items():
+                entries[n] = (1, off, 0)
+            for n, (cnum, idx) in compressed.items():
+                entries[n] = (2, cnum, idx)
+            entries[xref_num] = (1, len(out), 0)
+            entries[0] = (0, 0, 65535)
+            for n in sorted(entries):
+                t, a, b = entries[n]
+                index += [n, 1]
+                rows += struct.pack(">B", t) + struct.pack(">I", a) + struct.pack(">H", b)
+            data = zlib.compress(bytes(rows))
+            idx_str = " ".join(str(i) for i in index)
+            xref_off = len(out)
+            out += (
+                f"{xref_num} 0 obj\n<< /Type /XRef /W [1 4 2] /Index [{idx_str}]"
+                f" /Size {size} /Root {root} 0 R{trailer_extra}"
+                f" /Filter /FlateDecode /Length {len(data)} >>\nstream\n"
+            ).encode() + data + b"\nendstream\nendobj\n"
+            out += f"startxref\n{xref_off}\n%%EOF\n".encode()
+        else:
+            size = max(offsets) + 1
+            xref_off = len(out)
+            out += b"xref\n"
+            out += f"0 {size}\n".encode()
+            out += b"0000000000 65535 f \n"
+            for n in range(1, size):
+                if n in offsets:
+                    out += f"{offsets[n]:010d} 00000 n \n".encode()
+                else:
+                    out += b"0000000000 65535 f \n"
+            out += (
+                f"trailer\n<< /Size {size} /Root {root} 0 R{trailer_extra} >>\n"
+                f"startxref\n{xref_off}\n%%EOF\n"
+            ).encode()
+        return bytes(out)
+
+
+def append_update(base: bytes, objects: Dict[int, bytes], root: int) -> bytes:
+    """Incremental update: append objects + a classic xref with /Prev
+    (fixture t09; reference merge: `src/xref/mod.rs:57-62`)."""
+    prev_off = int(base[base.rfind(b"startxref") + 9 :].split()[0])
+    out = bytearray(base)
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        body = objects[num]
+        if isinstance(body, str):
+            body = body.encode("latin-1")
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n"
+    for num in sorted(offsets):
+        out += f"{num} 1\n".encode()
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    size = max(offsets) + 1
+    out += (
+        f"trailer\n<< /Size {size} /Root {root} 0 R /Prev {prev_off} >>\n"
+        f"startxref\n{xref_off}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+# ----------------------------------------------------------------- encoders
+
+def png_predict_encode(data: bytes, columns: int, ftype: int = 2) -> bytes:
+    """Apply a PNG row filter (encoder side) so the decoder's predictor
+    undo is exercised; rows of ``columns`` bytes, bpp=1."""
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(data), columns):
+        row = data[r : r + columns].ljust(columns, b"\x00")
+        out.append(ftype)
+        for i in range(columns):
+            left = row[i - 1] if i > 0 else 0
+            up = prev[i]
+            ul = prev[i - 1] if i > 0 else 0
+            if ftype == 0:
+                out.append(row[i])
+            elif ftype == 1:
+                out.append((row[i] - left) & 0xFF)
+            elif ftype == 2:
+                out.append((row[i] - up) & 0xFF)
+            elif ftype == 3:
+                out.append((row[i] - ((left + up) >> 1)) & 0xFF)
+            elif ftype == 4:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                out.append((row[i] - pred) & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """Independent PDF-LZW encoder (EarlyChange=1) for decoder tests."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    bits: List[Tuple[int, int]] = [(256, 9)]  # start with Clear
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+        else:
+            bits.append((table[w], width))
+            table[wc] = next_code
+            next_code += 1
+            # EarlyChange=1: widen one code early
+            if next_code + 1 - 1 >= (1 << width) and width < 12:
+                width += 1
+            w = bytes([ch])
+    if w:
+        bits.append((table[w], width))
+    bits.append((257, width))
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    for code, wdt in bits:
+        bitbuf = (bitbuf << wdt) | code
+        nbits += wdt
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def runlength_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 127:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while (
+                j < n
+                and (j + 1 >= n or data[j] != data[j + 1])
+                and j - i < 127
+            ):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    out.append(128)
+    return bytes(out)
+
+
+def build_minimal_ttf(uni_to_gid: Dict[int, int],
+                      sym_to_gid: Optional[Dict[int, int]] = None) -> bytes:
+    """Minimal sfnt with only a 'cmap' table: a (3,1) format-4 subtable for
+    ``uni_to_gid`` and optionally a (3,0) format-6 symbol subtable. Enough
+    for the FN4 fallback path (fixture t17)."""
+    # format 4 for (3,1): one segment per code + terminator
+    codes = sorted(uni_to_gid)
+    segs = [(c, c, uni_to_gid[c]) for c in codes] + [(0xFFFF, 0xFFFF, 0)]
+    seg_count = len(segs)
+    f4 = bytearray()
+    f4 += struct.pack(">HHH", 4, 0, 0)  # format, length (patched), language
+    f4 += struct.pack(">HHHH", seg_count * 2, 0, 0, 0)
+    f4 += b"".join(struct.pack(">H", e) for _, e, _ in [(s, e, g) for s, e, g in segs])
+    f4 += struct.pack(">H", 0)  # reservedPad
+    f4 += b"".join(struct.pack(">H", s) for s, _, _ in segs)
+    f4 += b"".join(
+        struct.pack(">H", (g - s) & 0xFFFF if g else 1) for s, _, g in segs
+    )
+    f4 += b"".join(struct.pack(">H", 0) for _ in segs)  # idRangeOffset
+    struct.pack_into(">H", f4, 2, len(f4))
+    subtables = [(3, 1, bytes(f4))]
+    if sym_to_gid:
+        first = min(sym_to_gid)
+        count = max(sym_to_gid) - first + 1
+        f6 = struct.pack(">HHHHH", 6, 10 + 2 * count, 0, first, count)
+        f6 += b"".join(
+            struct.pack(">H", sym_to_gid.get(first + k, 0)) for k in range(count)
+        )
+        subtables.append((3, 0, f6))
+    cmap = bytearray(struct.pack(">HH", 0, len(subtables)))
+    sub_off = 4 + 8 * len(subtables)
+    blobs = bytearray()
+    for plat, enc, blob in subtables:
+        cmap += struct.pack(">HHI", plat, enc, sub_off + len(blobs))
+        blobs += blob
+    cmap += blobs
+    font = bytearray(struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 0))
+    font += struct.pack(">4sIII", b"cmap", 0, 12 + 16, len(cmap))
+    font += cmap
+    return bytes(font)
+
+
+# --------------------------------------------------------------- doc helper
+
+_PAGE_RES_FONT = "<< /Font << {fonts} >> {extra} >>"
+
+
+def make_doc(
+    contents,
+    fonts: Optional[Dict[str, str]] = None,
+    font_streams: Optional[Dict[int, Tuple[str, bytes]]] = None,
+    use_xref_stream: bool = False,
+    objstm_page_objs: bool = False,
+    res_extra: str = "",
+    trailer_extra: str = "",
+    content_is_array: bool = False,
+) -> bytes:
+    """Build an n-page doc. ``contents``: list of content-stream byte
+    strings (or, with content_is_array, a list of lists). ``fonts``: map
+    resource name -> font dict source (may reference ``font_streams`` by
+    object number; those are added as numbered stream objects 50+)."""
+    b = PdfBuilder()
+    for num, (dsrc, data) in (font_streams or {}).items():
+        b.add_stream(dsrc, data, num=num)
+    font_entries = " ".join(
+        f"/{name} {b.add(src)} 0 R" for name, src in (fonts or {}).items()
+    )
+    res = _PAGE_RES_FONT.format(fonts=font_entries, extra=res_extra)
+    page_nums = []
+    pages_num = 90  # fixed object number for the pages root
+    if not isinstance(contents, list):
+        contents = [contents]
+    for content in contents:
+        if content_is_array:
+            cnums = [
+                b.add_stream("<< >>", c if isinstance(c, bytes) else c.encode())
+                for c in content
+            ]
+            cref = "[" + " ".join(f"{n} 0 R" for n in cnums) + "]"
+        elif content is None:
+            cref = None
+        else:
+            data = content if isinstance(content, bytes) else content.encode("latin-1")
+            cref = f"{b.add_stream('<< >>', data)} 0 R"
+        page_src = (
+            f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] "
+            f"/Resources {res} "
+            + (f"/Contents {cref} " if cref else "")
+            + ">>"
+        )
+        page_nums.append(b.add(page_src))
+    kids = " ".join(f"{n} 0 R" for n in page_nums)
+    b.add(
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(page_nums)} >>",
+        num=pages_num,
+    )
+    root = b.add(f"<< /Type /Catalog /Pages {pages_num} 0 R >>", num=91)
+    objstm = page_nums if objstm_page_objs else None
+    return b.build(root, use_xref_stream=use_xref_stream, objstm=objstm,
+                   trailer_extra=trailer_extra)
+
+
+BASE14 = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+WINANSI = (
+    "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+    "/Encoding /WinAnsiEncoding >>"
+)
+MACROMAN = (
+    "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+    "/Encoding /MacRomanEncoding >>"
+)
+
+TOUNICODE_TEMPLATE = """/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CMapName /Custom def
+/CMapType 2 def
+1 begincodespacerange
+{codespace}
+endcodespacerange
+{body}
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end"""
+
+
+def tounicode_stream(codespace: str, body: str) -> bytes:
+    return TOUNICODE_TEMPLATE.format(codespace=codespace, body=body).encode(
+        "latin-1"
+    )
+
+
+def _simple_show(text: str, font: str = "F1", x: int = 72, y: int = 720) -> str:
+    esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    return f"BT /{font} 12 Tf {x} {y} Td ({esc}) Tj ET"

@@ -1,0 +1,328 @@
+"""Per-document text extraction: the content-stream interpreter
+(SURVEY.md §2A.5, §3.3).
+
+Behavioral model: the reference's dispatch loop (`src/render/mod.rs:216-298`)
+restricted to text-relevant state; rasterization (`src/render/canvas.rs`)
+is dropped — our sink is DataFrame columns.
+
+PINNED LINEARIZATION POLICY (SURVEY.md §7 hard part 1 — the reference
+renders glyphs at positions and never linearizes, so these choices define
+the oracle; goldens in tests/test_golden.py pin them):
+
+1. Text accumulates in operator order (Tj/TJ/'/" as encountered).
+2. A newline is inserted before a show whose text-space baseline y
+   (translation of Tm∘CTM) differs from the previous show's by more than
+   ``NEWLINE_EPS`` — so Td/TD/T*/Tm used as same-line kerning do NOT break
+   lines, and '/"/T* line advances DO.
+3. TJ kern numbers adjust Tm only; they NEVER insert spaces (matches the
+   reference, which draws nothing for kerns — `src/render/mod.rs:1258-1269`).
+   Spaces come only from actual space glyphs.
+4. Pages are joined with "\\f"; spans are [start,end) char offsets of each
+   page's text within the document string.
+5. Marked-content /Artifact sections are KEPT (the reference does not
+   filter them — `src/render/mod.rs:1486-1520`).
+6. Unknown operators are ignored (operand stack cleared) everywhere, not
+   just inside BX…EX — crash-tolerance inverts the reference's panic.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+from pdfspark.kernel.content import tokenize_content
+from pdfspark.kernel.document import PdfDocument
+from pdfspark.kernel.fonts import Font, default_font, load_font
+from pdfspark.kernel.objects import Name, PdfError, PdfString, Reference, Stream
+from pdfspark.kernel.textstate import (
+    GraphicsState,
+    IDENTITY,
+    Matrix,
+    TextState,
+    apply,
+    mat_mul,
+)
+
+NEWLINE_EPS = 0.1
+_MAX_FORM_DEPTH = 16
+
+
+class Span(NamedTuple):
+    page: int
+    start: int
+    end: int
+
+
+class ExtractResult(NamedTuple):
+    text: Optional[str]
+    spans: List[Span]
+    n_pages: int
+    error: Optional[str]
+    lang: Optional[str]
+
+
+def extract_text(buf: bytes) -> ExtractResult:
+    """Extract text from one PDF byte buffer. Never raises: failures land
+    in ``error`` (stable codes: not-pdf, encrypted, xref, catalog, pages,
+    filter, lex, too-large, predefined-cmap, internal)."""
+    try:
+        doc = PdfDocument(buf)
+        pages = doc.pages()
+        page_texts: List[str] = []
+        soft_error: Optional[str] = None
+        for page in pages:
+            try:
+                txt, err = _extract_page(doc, page)
+            except PdfError as e:
+                txt, err = "", e.code
+            except RecursionError:
+                txt, err = "", "recursion"
+            page_texts.append(txt)
+            if err and not soft_error:
+                soft_error = err
+        text = "\f".join(page_texts)
+        spans: List[Span] = []
+        off = 0
+        for i, t in enumerate(page_texts):
+            spans.append(Span(i, off, off + len(t)))
+            off += len(t) + 1  # the \f separator
+        return ExtractResult(text, spans, len(pages), soft_error, doc.lang())
+    except PdfError as e:
+        return ExtractResult(None, [], 0, e.code, None)
+    except RecursionError:
+        return ExtractResult(None, [], 0, "recursion", None)
+    except MemoryError:
+        return ExtractResult(None, [], 0, "too-large", None)
+    except Exception:  # one bad PDF must not kill the job
+        return ExtractResult(None, [], 0, "internal", None)
+
+
+class _PageInterp:
+    """Interpreter state for one page (+ nested Form XObjects)."""
+
+    def __init__(self, doc: PdfDocument) -> None:
+        self.doc = doc
+        self.out: List[str] = []
+        self.out_len = 0
+        self.last_y: Optional[float] = None
+        self.gs = GraphicsState()
+        self.gs_stack: List[GraphicsState] = []
+        self.ts = TextState()
+        self.font_cache: Dict[int, Font] = {}
+        self.soft_error: Optional[str] = None
+
+    # ------------------------------------------------------------ emission
+
+    def _emit(self, s: str) -> None:
+        if s:
+            self.out.append(s)
+            self.out_len += len(s)
+
+    def _maybe_newline(self) -> None:
+        x, y = apply(mat_mul(self.ts.tm, self.gs.ctm), 0.0, 0.0)
+        if (
+            self.last_y is not None
+            and abs(y - self.last_y) > NEWLINE_EPS
+            and self.out_len
+            and (not self.out or not self.out[-1].endswith("\n"))
+        ):
+            self._emit("\n")
+        self.last_y = y
+
+    # ---------------------------------------------------------- text shows
+
+    def _font(self) -> Font:
+        f = self.ts.font
+        return f if f is not None else default_font()
+
+    def _show(self, raw) -> None:
+        if not isinstance(raw, (bytes, PdfString)):
+            return
+        font = self._font()
+        if font.error and not self.soft_error:
+            self.soft_error = font.error
+        self._maybe_newline()
+        glyphs = font.decode(bytes(raw))
+        parts = []
+        for g in glyphs:
+            parts.append(g.text)
+            # T12 advance: (w/1000·size + Tc + Tw·is_space) · Th
+            tx = (
+                g.advance / 1000.0 * self.ts.font_size
+                + self.ts.char_spacing
+                + (self.ts.word_spacing if g.is_space else 0.0)
+            ) * self.ts.h_scale
+            self.ts.advance(tx)
+        self._emit("".join(parts))
+        # update last_y to post-show baseline (rises don't move the baseline)
+        _, self.last_y = apply(mat_mul(self.ts.tm, self.gs.ctm), 0.0, 0.0)
+
+    def _show_tj_array(self, arr) -> None:
+        if not isinstance(arr, list):
+            return
+        for item in arr:
+            if isinstance(item, (bytes, PdfString)):
+                self._show(item)
+            elif isinstance(item, (int, float)):
+                # kern: Tm ← translate(−n/1000·size·Th, 0)·Tm; NO space
+                tx = -float(item) / 1000.0 * self.ts.font_size * self.ts.h_scale
+                self.ts.advance(tx)
+
+    # ------------------------------------------------------------ operators
+
+    def run(self, content: bytes, resources: Optional[dict], depth: int = 0,
+            seen_forms: Optional[set] = None) -> None:
+        res = resources or {}
+        seen_forms = seen_forms if seen_forms is not None else set()
+        for operands, op in tokenize_content(content):
+            try:
+                self._dispatch(operands, op, res, depth, seen_forms)
+            except PdfError as e:
+                if not self.soft_error:
+                    self.soft_error = e.code
+            except (ValueError, TypeError, IndexError, KeyError):
+                continue  # malformed operands: skip the operator
+
+    def _dispatch(self, o: list, op: str, res: dict, depth: int,
+                  seen_forms: set) -> None:
+        ts = self.ts
+        doc = self.doc
+        if op == "BT":
+            ts.begin_text()
+        elif op == "ET":
+            pass  # Tm/Tlm are discarded at next BT
+        elif op == "Tf" and len(o) >= 2:
+            ts.font = self._load_font_cached(res, o[-2])
+            ts.font_size = float(o[-1])
+        elif op == "Td" and len(o) >= 2:
+            ts.td(float(o[-2]), float(o[-1]))
+        elif op == "TD" and len(o) >= 2:
+            ts.leading = -float(o[-1])
+            ts.td(float(o[-2]), float(o[-1]))
+        elif op == "Tm" and len(o) >= 6:
+            ts.set_tm([float(x) for x in o[-6:]])
+        elif op == "T*":
+            ts.next_line()
+        elif op == "TL" and o:
+            ts.leading = float(o[-1])
+        elif op == "Tc" and o:
+            ts.char_spacing = float(o[-1])
+        elif op == "Tw" and o:
+            ts.word_spacing = float(o[-1])
+        elif op == "Tz" and o:
+            ts.h_scale = float(o[-1]) / 100.0
+        elif op == "Ts" and o:
+            ts.rise = float(o[-1])
+        elif op == "Tr" and o:
+            ts.render_mode = int(o[-1])
+        elif op == "Tj" and o:
+            self._show(o[-1])
+        elif op == "TJ" and o:
+            self._show_tj_array(o[-1])
+        elif op == "'" and o:
+            # T* + Tj (dispatch is todo!() in the reference — spec §9.4.3)
+            ts.next_line()
+            self._show(o[-1])
+        elif op == '"' and len(o) >= 3:
+            ts.word_spacing = float(o[-3])
+            ts.char_spacing = float(o[-2])
+            ts.next_line()
+            self._show(o[-1])
+        elif op == "q":
+            self.gs_stack.append(self.gs.copy())
+        elif op == "Q":
+            if self.gs_stack:
+                self.gs = self.gs_stack.pop()
+        elif op == "cm" and len(o) >= 6:
+            m: Matrix = tuple(float(x) for x in o[-6:])  # type: ignore
+            self.gs.ctm = mat_mul(m, self.gs.ctm)
+        elif op == "gs" and o:
+            self._apply_extgstate(res, o[-1])
+        elif op == "Do" and o:
+            self._do_xobject(res, o[-1], depth, seen_forms)
+        # all other operators (paths, color, clip, marked content, images,
+        # line params) carry no text: operands were already popped
+
+
+    def _load_font_cached(self, res: dict, name) -> Font:
+        doc = self.doc
+        fonts = doc.get(res, "Font") if isinstance(res, dict) else None
+        if not isinstance(fonts, dict):
+            return default_font()
+        ref = fonts.get(str(name))
+        key = (
+            ref.object_number
+            if isinstance(ref, Reference)
+            else id(ref)
+        )
+        cached = self.font_cache.get(key)
+        if cached is not None:
+            return cached
+        fd = doc.resolve(ref)
+        font = load_font(doc, fd) if isinstance(fd, dict) else default_font()
+        self.font_cache[key] = font
+        return font
+
+    def _apply_extgstate(self, res: dict, name) -> None:
+        """G3: honor the /Font entry of an ExtGState dict
+        (`src/render/mod.rs:825-840`); other params are paint-only."""
+        doc = self.doc
+        egs = doc.get(res, "ExtGState")
+        if not isinstance(egs, dict):
+            return
+        g = doc.resolve(egs.get(str(name)))
+        if isinstance(g, dict):
+            fent = doc.resolve(g.get("Font"))
+            if isinstance(fent, list) and len(fent) == 2:
+                fd = doc.resolve(fent[0])
+                if isinstance(fd, dict):
+                    self.ts.font = load_font(doc, fd)
+                    self.ts.font_size = float(doc.resolve(fent[1]) or 0)
+
+    def _do_xobject(self, res: dict, name, depth: int, seen_forms: set) -> None:
+        """G4: Form XObject recursion with own Resources/Matrix, state
+        saved around, depth cap + cycle guard
+        (`src/render/mod.rs:178-202,1389-1413`)."""
+        if depth >= _MAX_FORM_DEPTH:
+            return
+        doc = self.doc
+        xobjs = doc.get(res, "XObject")
+        if not isinstance(xobjs, dict):
+            return
+        ref = xobjs.get(str(name))
+        key = (
+            (ref.object_number, ref.generation)
+            if isinstance(ref, Reference)
+            else id(ref)
+        )
+        if key in seen_forms:
+            return
+        xo = doc.resolve(ref)
+        if not isinstance(xo, Stream):
+            return
+        if str(doc.get(xo.dict, "Subtype") or "") != "Form":
+            return  # images draw no text
+        seen_forms.add(key)
+        saved_gs, saved_stack = self.gs, list(self.gs_stack)
+        saved_ts_font, saved_ts_size = self.ts.font, self.ts.font_size
+        mtx = doc.get(xo.dict, "Matrix")
+        if isinstance(mtx, list) and len(mtx) >= 6:
+            m: Matrix = tuple(float(doc.resolve(x)) for x in mtx[:6])  # type: ignore
+            self.gs = GraphicsState(mat_mul(m, self.gs.ctm))
+        else:
+            self.gs = self.gs.copy()
+        inner_res = doc.get(xo.dict, "Resources") or res
+        try:
+            data = doc.decode(xo)
+            self.run(data, inner_res, depth + 1, seen_forms)
+        finally:
+            seen_forms.discard(key)
+            self.gs, self.gs_stack = saved_gs, saved_stack
+            self.ts.font, self.ts.font_size = saved_ts_font, saved_ts_size
+
+
+def _extract_page(doc: PdfDocument, page: dict) -> Tuple[str, Optional[str]]:
+    content = doc.page_content(page)
+    interp = _PageInterp(doc)
+    resources = doc.get(page, "Resources")
+    interp.run(content, resources if isinstance(resources, dict) else {})
+    return "".join(interp.out), interp.soft_error

@@ -1,0 +1,563 @@
+"""Fonts & glyph→Unicode mapping (SURVEY.md §2A.6 FN1-FN5, FN10-FN12).
+
+Behavioral model + divergences:
+- FN1 ToUnicode CMaps: the reference only stores the raw stream
+  (`src/font/cmap.rs:5-11`); we implement the full bfchar/bfrange
+  interpreter per PDF 32000 §9.10.3 — it is our PRIMARY code→Unicode path
+  (named in the north star).
+- FN2 simple-font encodings: BaseEncoding + /Differences exactly as the
+  reference parses them (`src/font/encoding.rs:56-121`), resolved to
+  Unicode through AGL-style name lookup (encodings_data.py).
+- FN3 Type0/CID: Identity-H/V two-byte decode + embedded CMap streams
+  (`src/font/type0.rs:35-81`); predefined CJK CMaps without ToUnicode
+  surface ``error='predefined-cmap'`` (the reference cannot render those
+  either).
+- FN4 TrueType cmap: subtable formats 0/4/6 (same coverage as the
+  reference's lookup, `src/font/true_type/table/cmap.rs:84-143`), used as
+  the glyph-id→Unicode inversion fallback when no ToUnicode exists.
+- FN6-FN9 (hinting VM, Type1/CFF charstring VMs) affect pixels, not text —
+  not ported.
+
+Pinned policy (SURVEY.md §7 hard parts): unmapped codes yield U+FFFD;
+text shown with no current font decodes as WinAnsi (identity over ASCII).
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+from typing import Dict, List, Optional, Tuple
+
+from pdfspark.kernel.encodings_data import BASE_ENCODINGS, STANDARD_ENCODING, glyph_name_to_unicode
+from pdfspark.kernel.objects import Name, PdfError, PdfString, Stream
+
+REPLACEMENT = "�"
+
+# ------------------------------------------------------------------ CMaps
+
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+
+
+def _hexbytes(h: bytes) -> bytes:
+    h = re.sub(rb"\s", b"", h)
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode("latin-1"))
+
+
+def _utf16be(b: bytes) -> str:
+    try:
+        return b.decode("utf-16-be")
+    except UnicodeDecodeError:
+        return b.decode("utf-16-be", "replace")
+
+
+class ToUnicodeCMap:
+    """bfchar/bfrange mapping keyed by (code_byte_len, code_int).
+
+    Surrogate pairs inside a bfrange destination and multi-char targets
+    are handled per §9.10.3 (fixtures t15/t15b pin this).
+    """
+
+    __slots__ = ("map", "lengths")
+
+    def __init__(self) -> None:
+        self.map: Dict[Tuple[int, int], str] = {}
+        self.lengths: set = set()
+
+    @classmethod
+    def parse(cls, data: bytes) -> "ToUnicodeCMap":
+        cm = cls()
+        for m in re.finditer(
+            rb"begincodespacerange(.*?)endcodespacerange", data, re.S
+        ):
+            for hx in _HEX_RE.finditer(m.group(1)):
+                cm.lengths.add(len(_hexbytes(hx.group(1))))
+        for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+            toks = [_hexbytes(h.group(1)) for h in _HEX_RE.finditer(m.group(1))]
+            for i in range(0, len(toks) - 1, 2):
+                src, dst = toks[i], toks[i + 1]
+                cm.lengths.add(len(src))
+                cm.map[(len(src), int.from_bytes(src, "big"))] = _utf16be(dst)
+        for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+            cm._parse_bfrange(m.group(1))
+        if not cm.lengths:
+            cm.lengths = {ln for (ln, _) in cm.map} or {1}
+        return cm
+
+    def _parse_bfrange(self, body: bytes) -> None:
+        # entries: <lo> <hi> <dstStart>   |   <lo> <hi> [ <d1> <d2> ... ]
+        from pdfspark.kernel.lexer import Lexer
+
+        lx = Lexer(body)
+        toks: List[object] = []
+        while True:
+            lx.skip_whitespace()
+            if lx.at_end():
+                break
+            c = lx.buf[lx.pos]
+            try:
+                if c == 0x3C:
+                    # raw hex-string bytes (not via PdfString to keep length)
+                    toks.append(lx.lex_hex_string())
+                elif c == 0x5B:
+                    toks.append(lx.lex_array())
+                else:
+                    lx.pos += 1  # stray token
+            except PdfError:
+                break
+        i = 0
+        while i + 3 <= len(toks):
+            lo_b, hi_b, dst = toks[i], toks[i + 1], toks[i + 2]
+            i += 3
+            if not isinstance(lo_b, bytes) or not isinstance(hi_b, bytes):
+                continue
+            nb = len(lo_b)
+            self.lengths.add(nb)
+            lo = int.from_bytes(lo_b, "big")
+            hi = int.from_bytes(hi_b, "big")
+            if hi < lo or hi - lo > 0x10000:
+                continue
+            if isinstance(dst, list):
+                for k, d in enumerate(dst):
+                    if lo + k > hi:
+                        break
+                    if isinstance(d, bytes):
+                        self.map[(nb, lo + k)] = _utf16be(d)
+            elif isinstance(dst, bytes):
+                base = int.from_bytes(dst, "big")
+                dlen = len(dst)
+                for k in range(hi - lo + 1):
+                    enc = (base + k).to_bytes(max(dlen, 2), "big")
+                    self.map[(nb, lo + k)] = _utf16be(enc)
+
+    def get(self, nbytes: int, code: int) -> Optional[str]:
+        return self.map.get((nbytes, code))
+
+
+class CidCMap:
+    """Code→CID CMap (Type0 /Encoding): codespace ranges + cidchar/cidrange
+    (reference plumbing: `src/font/type0.rs:13-28`). Identity-H/V are
+    synthesized without parsing."""
+
+    __slots__ = ("ranges", "cidmap", "identity")
+
+    def __init__(self) -> None:
+        # ranges: list of (nbytes, lo, hi)
+        self.ranges: List[Tuple[int, int, int]] = []
+        self.cidmap: Dict[Tuple[int, int], int] = {}
+        self.identity = False
+
+    @classmethod
+    def identity_2byte(cls) -> "CidCMap":
+        cm = cls()
+        cm.ranges = [(2, 0x0000, 0xFFFF)]
+        cm.identity = True
+        return cm
+
+    @classmethod
+    def parse(cls, data: bytes) -> "CidCMap":
+        cm = cls()
+        for m in re.finditer(
+            rb"begincodespacerange(.*?)endcodespacerange", data, re.S
+        ):
+            hx = [_hexbytes(h.group(1)) for h in _HEX_RE.finditer(m.group(1))]
+            for i in range(0, len(hx) - 1, 2):
+                lo, hi = hx[i], hx[i + 1]
+                cm.ranges.append(
+                    (len(lo), int.from_bytes(lo, "big"), int.from_bytes(hi, "big"))
+                )
+        for m in re.finditer(rb"begincidchar(.*?)endcidchar", data, re.S):
+            body = m.group(1)
+            for cm_m in re.finditer(rb"<([0-9A-Fa-f\s]*)>\s*(\d+)", body):
+                src = _hexbytes(cm_m.group(1))
+                cm.cidmap[(len(src), int.from_bytes(src, "big"))] = int(cm_m.group(2))
+        for m in re.finditer(rb"begincidrange(.*?)endcidrange", data, re.S):
+            body = m.group(1)
+            for r in re.finditer(
+                rb"<([0-9A-Fa-f\s]*)>\s*<([0-9A-Fa-f\s]*)>\s*(\d+)", body
+            ):
+                lo_b = _hexbytes(r.group(1))
+                lo = int.from_bytes(lo_b, "big")
+                hi = int.from_bytes(_hexbytes(r.group(2)), "big")
+                cid0 = int(r.group(3))
+                if hi - lo > 0x10000:
+                    continue
+                for k in range(hi - lo + 1):
+                    cm.cidmap[(len(lo_b), lo + k)] = cid0 + k
+        if not cm.ranges:
+            cm.ranges = [(2, 0x0000, 0xFFFF)]
+        return cm
+
+    def split_codes(self, s: bytes) -> List[Tuple[int, int]]:
+        """Split a string's bytes into (nbytes, code) per the CMap matching
+        algorithm: at each position take the codespace range whose byte
+        length matches a prefix, shortest first; unmatched bytes consume
+        the shortest configured length."""
+        out: List[Tuple[int, int]] = []
+        lens = sorted({r[0] for r in self.ranges})
+        i, n = 0, len(s)
+        while i < n:
+            taken = False
+            for ln in lens:
+                if i + ln > n:
+                    continue
+                code = int.from_bytes(s[i : i + ln], "big")
+                if any(
+                    ln == rl and lo <= code <= hi for rl, lo, hi in self.ranges
+                ):
+                    out.append((ln, code))
+                    i += ln
+                    taken = True
+                    break
+            if not taken:
+                ln = min(lens[0], n - i)
+                out.append((ln, int.from_bytes(s[i : i + ln], "big")))
+                i += ln
+        return out
+
+    def cid(self, nbytes: int, code: int) -> int:
+        if self.identity:
+            return code
+        return self.cidmap.get((nbytes, code), 0)
+
+
+# ------------------------------------------------------------ TrueType cmap
+
+def parse_ttf_cmap_subtables(data: bytes) -> Dict[Tuple[int, int], Dict[int, int]]:
+    """Parse the sfnt 'cmap' table: formats 0/4/6 (the formats whose lookup
+    the reference completes, `src/font/true_type/table/cmap.rs:84-143`).
+    Returns {(platformID, encodingID): {char_code: glyph_id}}."""
+    out: Dict[Tuple[int, int], Dict[int, int]] = {}
+    if len(data) < 12:
+        return out
+    try:
+        num_tables = struct.unpack_from(">H", data, 4)[0]
+        cmap_off = None
+        for i in range(num_tables):
+            tag, _, off, _ = struct.unpack_from(">4sIII", data, 12 + 16 * i)
+            if tag == b"cmap":
+                cmap_off = off
+                break
+        if cmap_off is None:
+            return out
+        n_sub = struct.unpack_from(">H", data, cmap_off + 2)[0]
+        for i in range(n_sub):
+            plat, enc, sub_off = struct.unpack_from(
+                ">HHI", data, cmap_off + 4 + 8 * i
+            )
+            table = _parse_cmap_subtable(data, cmap_off + sub_off)
+            if table:
+                out[(plat, enc)] = table
+    except struct.error:
+        pass
+    return out
+
+
+def _parse_cmap_subtable(data: bytes, off: int) -> Dict[int, int]:
+    fmt = struct.unpack_from(">H", data, off)[0]
+    table: Dict[int, int] = {}
+    if fmt == 0:
+        glyphs = data[off + 6 : off + 6 + 256]
+        for code, gid in enumerate(glyphs):
+            if gid:
+                table[code] = gid
+    elif fmt == 6:
+        first, count = struct.unpack_from(">HH", data, off + 6)
+        for k in range(count):
+            gid = struct.unpack_from(">H", data, off + 10 + 2 * k)[0]
+            if gid:
+                table[first + k] = gid
+    elif fmt == 4:
+        seg_x2 = struct.unpack_from(">H", data, off + 6)[0]
+        segs = seg_x2 // 2
+        ends = struct.unpack_from(f">{segs}H", data, off + 14)
+        starts = struct.unpack_from(f">{segs}H", data, off + 16 + seg_x2)
+        deltas = struct.unpack_from(f">{segs}H", data, off + 16 + 2 * seg_x2)
+        ro_base = off + 16 + 3 * seg_x2
+        range_offsets = struct.unpack_from(f">{segs}H", data, ro_base)
+        for s in range(segs):
+            start, end = starts[s], ends[s]
+            if start == 0xFFFF:
+                continue
+            for code in range(start, min(end, 0xFFFE) + 1):
+                if range_offsets[s] == 0:
+                    gid = (code + deltas[s]) & 0xFFFF
+                else:
+                    addr = ro_base + 2 * s + range_offsets[s] + 2 * (code - start)
+                    if addr + 2 > len(data):
+                        continue
+                    gid = struct.unpack_from(">H", data, addr)[0]
+                    if gid:
+                        gid = (gid + deltas[s]) & 0xFFFF
+                if gid:
+                    table[code] = gid
+    return table
+
+
+# ------------------------------------------------------------------- fonts
+
+_PREDEFINED_CJK = re.compile(
+    r"^(GB|GBK|GBpc|GBT|B5|B5pc|CNS|ETen|ETHK|HK|UniGB|UniCNS|UniJIS|UniKS|"
+    r"90ms|90pv|83pv|Add|EUC|Ext|H|V|Identity|Katakana|Hiragana|KSC|KSCms|"
+    r"KSCpc|Roman|WP)"
+)
+
+
+class Glyph:
+    __slots__ = ("code", "text", "advance", "is_space")
+
+    def __init__(self, code: int, text: str, advance: float, is_space: bool):
+        self.code = code
+        self.text = text
+        self.advance = advance  # glyph-space units (/1000 of text space)
+        self.is_space = is_space
+
+
+class Font:
+    """A resolved font ready for decode(). Built by ``load_font``; cached
+    per (document, resource name) like the reference's lazy font loads
+    (`src/render/mod.rs:1056-1076`)."""
+
+    __slots__ = (
+        "subtype", "is_type0", "tounicode", "encoding_map", "cid_cmap",
+        "widths", "first_char", "default_width", "cid_widths", "gid_to_uni",
+        "code_to_gid", "error",
+    )
+
+    def __init__(self) -> None:
+        self.subtype = ""
+        self.is_type0 = False
+        self.tounicode: Optional[ToUnicodeCMap] = None
+        self.encoding_map: Dict[int, str] = {}
+        self.cid_cmap: Optional[CidCMap] = None
+        self.widths: List[float] = []
+        self.first_char = 0
+        self.default_width = 500.0
+        self.cid_widths: Dict[int, float] = {}
+        self.gid_to_uni: Dict[int, str] = {}
+        self.code_to_gid: Dict[int, int] = {}
+        self.error: Optional[str] = None
+
+    # -------------------------------------------------------------- decode
+
+    def decode(self, s: bytes) -> List[Glyph]:
+        if self.is_type0:
+            return self._decode_cid(s)
+        return self._decode_simple(s)
+
+    def _decode_simple(self, s: bytes) -> List[Glyph]:
+        out = []
+        tu = self.tounicode
+        for code in s:
+            text = None
+            if tu is not None:
+                text = tu.get(1, code)
+            if text is None:
+                text = self.encoding_map.get(code)
+            if text is None and self.code_to_gid:
+                gid = self.code_to_gid.get(code)
+                if gid is not None:
+                    text = self.gid_to_uni.get(gid)
+            if text is None:
+                text = REPLACEMENT
+            out.append(Glyph(code, text, self._simple_width(code), code == 32))
+        return out
+
+    def _decode_cid(self, s: bytes) -> List[Glyph]:
+        out = []
+        cmap = self.cid_cmap or CidCMap.identity_2byte()
+        tu = self.tounicode
+        for nbytes, code in cmap.split_codes(s):
+            text = tu.get(nbytes, code) if tu is not None else None
+            cid = cmap.cid(nbytes, code)
+            if text is None and self.gid_to_uni:
+                # CIDToGIDMap identity ⇒ gid == cid
+                text = self.gid_to_uni.get(self.code_to_gid.get(cid, cid))
+            if text is None:
+                text = REPLACEMENT
+            w = self.cid_widths.get(cid, self.default_width)
+            # word spacing applies only to single-byte code 32 (spec §9.3.3)
+            out.append(Glyph(code, text, w, nbytes == 1 and code == 32))
+        return out
+
+    def _simple_width(self, code: int) -> float:
+        idx = code - self.first_char
+        if 0 <= idx < len(self.widths):
+            return float(self.widths[idx])
+        return self.default_width
+
+
+def default_font() -> Font:
+    """Pinned policy: text shown with no /Tf decodes as WinAnsi."""
+    f = Font()
+    f.subtype = "none"
+    f.encoding_map = dict(BASE_ENCODINGS["WinAnsiEncoding"])
+    return f
+
+
+def load_font(doc, font_dict: dict) -> Font:
+    """Build a Font from its dictionary (dispatch by /Subtype, reference:
+    `src/font/mod.rs:103-122`). ``doc`` is a PdfDocument for resolution."""
+    f = Font()
+    res = doc.resolve
+    f.subtype = str(res(font_dict.get("Subtype")) or "")
+    tu = res(font_dict.get("ToUnicode"))
+    if isinstance(tu, Stream):
+        try:
+            f.tounicode = ToUnicodeCMap.parse(doc.decode(tu))
+        except PdfError:
+            f.tounicode = None
+    if f.subtype == "Type0":
+        f.is_type0 = True
+        _load_type0(doc, font_dict, f)
+    else:
+        _load_simple(doc, font_dict, f)
+    return f
+
+
+def _load_simple(doc, font_dict: dict, f: Font) -> None:
+    res = doc.resolve
+    # base encoding + /Differences (reference: `src/font/encoding.rs:56-121`)
+    enc = res(font_dict.get("Encoding"))
+    base = STANDARD_ENCODING
+    diffs_map: Dict[int, str] = {}
+    if isinstance(enc, (str, Name)):
+        base = BASE_ENCODINGS.get(str(enc), STANDARD_ENCODING)
+    elif isinstance(enc, dict):
+        be = res(enc.get("BaseEncoding"))
+        if isinstance(be, (str, Name)):
+            base = BASE_ENCODINGS.get(str(be), STANDARD_ENCODING)
+        diffs = res(enc.get("Differences"))
+        if isinstance(diffs, list):
+            code = 0
+            for item in diffs:
+                item = res(item)
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                elif isinstance(item, (str, Name)):
+                    uni = glyph_name_to_unicode(str(item))
+                    if uni is not None:
+                        diffs_map[code] = uni
+                    code += 1
+    f.encoding_map = dict(base)
+    f.encoding_map.update(diffs_map)
+    # widths (FN11: `src/font/mod.rs:176-229`)
+    fc = res(font_dict.get("FirstChar"))
+    widths = res(font_dict.get("Widths"))
+    if isinstance(fc, (int, float)) and isinstance(widths, list):
+        f.first_char = int(fc)
+        f.widths = [float(res(w) or 0) for w in widths]
+    desc = res(font_dict.get("FontDescriptor"))
+    if isinstance(desc, dict):
+        mw = res(desc.get("MissingWidth"))
+        if isinstance(mw, (int, float)):
+            f.default_width = float(mw)
+        _load_embedded_ttf(doc, desc, f)
+    # Type3: CharProcs glyphs; the text path is Differences+ToUnicode, and
+    # widths live in glyph space scaled by FontMatrix (`src/font/type3.rs`)
+    if f.subtype == "Type3":
+        fm = res(font_dict.get("FontMatrix"))
+        if isinstance(fm, list) and len(fm) >= 4 and f.widths:
+            scale = float(res(fm[0]) or 0.001) * 1000.0
+            f.widths = [w * scale for w in f.widths]
+
+
+def _load_type0(doc, font_dict: dict, f: Font) -> None:
+    res = doc.resolve
+    enc = res(font_dict.get("Encoding"))
+    if isinstance(enc, (str, Name)):
+        name = str(enc)
+        if name in ("Identity-H", "Identity-V"):
+            f.cid_cmap = CidCMap.identity_2byte()
+        else:
+            # predefined CJK CMap (reference table: `src/font/cjk.rs`):
+            # without ToUnicode we cannot map to text — flag it
+            f.cid_cmap = CidCMap.identity_2byte()
+            if f.tounicode is None:
+                f.error = "predefined-cmap"
+    elif isinstance(enc, Stream):
+        try:
+            f.cid_cmap = CidCMap.parse(doc.decode(enc))
+        except PdfError:
+            f.cid_cmap = CidCMap.identity_2byte()
+    else:
+        f.cid_cmap = CidCMap.identity_2byte()
+    # descendant font: widths + embedded program
+    desc_fonts = res(font_dict.get("DescendantFonts"))
+    f.default_width = 1000.0
+    if isinstance(desc_fonts, list) and desc_fonts:
+        df = res(desc_fonts[0])
+        if isinstance(df, dict):
+            dw = res(df.get("DW"))
+            if isinstance(dw, (int, float)):
+                f.default_width = float(dw)
+            f.cid_widths = _parse_cid_widths(doc, res(df.get("W")))
+            fd = res(df.get("FontDescriptor"))
+            if isinstance(fd, dict):
+                _load_embedded_ttf(doc, fd, f)
+
+
+def _parse_cid_widths(doc, w) -> Dict[int, float]:
+    """CID /W array: ``c [w1 w2 …]`` or ``cfirst clast w``
+    (reference: `src/font/cid.rs:130-182`)."""
+    out: Dict[int, float] = {}
+    if not isinstance(w, list):
+        return out
+    res = doc.resolve
+    i = 0
+    while i < len(w):
+        c = res(w[i])
+        if not isinstance(c, (int, float)):
+            break
+        if i + 1 < len(w):
+            nxt = res(w[i + 1])
+            if isinstance(nxt, list):
+                for k, wid in enumerate(nxt):
+                    wid = res(wid)
+                    if isinstance(wid, (int, float)):
+                        out[int(c) + k] = float(wid)
+                i += 2
+                continue
+            if isinstance(nxt, (int, float)) and i + 2 < len(w):
+                wid = res(w[i + 2])
+                if isinstance(wid, (int, float)) and int(nxt) - int(c) <= 0x10000:
+                    for cid in range(int(c), int(nxt) + 1):
+                        out[cid] = float(wid)
+                i += 3
+                continue
+        break
+    return out
+
+
+def _load_embedded_ttf(doc, descriptor: dict, f: Font) -> None:
+    """FN4/FN5-lite: parse only the cmap table of an embedded TrueType
+    program, build code→gid and the gid→unicode inversion used when no
+    ToUnicode exists (SURVEY.md FN4 mapping)."""
+    res = doc.resolve
+    ff = res(descriptor.get("FontFile2")) or res(descriptor.get("FontFile3"))
+    if not isinstance(ff, Stream):
+        return
+    try:
+        data = doc.decode(ff)
+    except PdfError:
+        return
+    subtables = parse_ttf_cmap_subtables(data)
+    if not subtables:
+        return
+    # unicode source: (3,1) Microsoft BMP, else (0,*) Unicode platform
+    uni_table = subtables.get((3, 1))
+    if uni_table is None:
+        for (plat, _enc), t in subtables.items():
+            if plat == 0:
+                uni_table = t
+                break
+    if uni_table:
+        inv: Dict[int, str] = {}
+        for code, gid in uni_table.items():
+            inv.setdefault(gid, chr(code))
+        f.gid_to_uni = inv
+    # code source for simple symbolic fonts: (1,0) or (3,0)
+    code_table = subtables.get((1, 0)) or subtables.get((3, 0)) or uni_table
+    if code_table:
+        f.code_to_gid = dict(code_table)

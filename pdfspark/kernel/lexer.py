@@ -1,0 +1,365 @@
+"""PDF object lexer (SURVEY.md §2A.2, L1-L9).
+
+Behavioral model: the reference's byte-cursor lexer (`src/lex.rs`), ported
+test-for-test (its 11 inline unit tests are replicated in
+tests/test_lexer.py) but written fresh against PDF 32000-1:2008 §7.2-7.3.
+
+One Lexer instance wraps one immutable byte buffer with a cursor; stream
+bodies are zero-copy memoryview slices (reference: `src/lex.rs:516-533`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pdfspark.kernel.objects import Name, Operator, PdfError, PdfString, Reference, Stream
+
+WHITESPACE = b"\x00\t\n\x0c\r "
+DELIMITERS = b"()<>[]{}/%"
+_IS_WS = bytes(1 if i in WHITESPACE else 0 for i in range(256))
+_IS_DELIM = bytes(1 if i in DELIMITERS else 0 for i in range(256))
+_IS_REGULAR = bytes(
+    0 if (i in WHITESPACE or i in DELIMITERS) else 1 for i in range(256)
+)
+_DIGITS = b"0123456789"
+_NUMBER_START = b"0123456789+-."
+
+
+class Lexer:
+    """Cursor over a PDF byte buffer."""
+
+    __slots__ = ("buf", "view", "pos", "resolve_length")
+
+    def __init__(
+        self,
+        buf: bytes,
+        pos: int = 0,
+        resolve_length: Optional[Callable[[object], Optional[int]]] = None,
+    ) -> None:
+        self.buf = buf
+        self.view = memoryview(buf)
+        self.pos = pos
+        # callback to resolve an indirect /Length when slicing stream bodies
+        self.resolve_length = resolve_length
+
+    # ---------------------------------------------------------------- basics
+
+    def at_end(self) -> bool:
+        return self.pos >= len(self.buf)
+
+    def peek(self) -> int:
+        return self.buf[self.pos] if self.pos < len(self.buf) else -1
+
+    def skip_whitespace(self) -> None:
+        """L1: PDF whitespace classes + ``%`` comments to EOL."""
+        buf, n = self.buf, len(self.buf)
+        while self.pos < n:
+            c = buf[self.pos]
+            if _IS_WS[c]:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment
+                nl = buf.find(b"\n", self.pos)
+                cr = buf.find(b"\r", self.pos)
+                if nl == -1 and cr == -1:
+                    self.pos = n
+                else:
+                    ends = [e for e in (nl, cr) if e != -1]
+                    self.pos = min(ends) + 1
+            else:
+                return
+
+    def _regular_run(self) -> bytes:
+        """Consume a maximal run of regular characters."""
+        start = self.pos
+        buf, n = self.buf, len(self.buf)
+        while self.pos < n and _IS_REGULAR[buf[self.pos]]:
+            self.pos += 1
+        return buf[start : self.pos]
+
+    def expect_keyword(self, kw: bytes) -> None:
+        self.skip_whitespace()
+        got = self._regular_run()
+        if got != kw:
+            raise PdfError("lex", f"expected {kw!r}, got {got!r} at {self.pos}")
+
+    # ----------------------------------------------------------------- atoms
+
+    def lex_name(self) -> Name:
+        """L2: ``/Name`` with ``#xx`` hex escapes."""
+        assert self.buf[self.pos] == 0x2F  # '/'
+        self.pos += 1
+        raw = self._regular_run()
+        if b"#" in raw:
+            out = bytearray()
+            i, n = 0, len(raw)
+            while i < n:
+                if raw[i] == 0x23 and i + 2 < n:
+                    try:
+                        out.append(int(raw[i + 1 : i + 3], 16))
+                        i += 3
+                        continue
+                    except ValueError:
+                        pass
+                out.append(raw[i])
+                i += 1
+            raw = bytes(out)
+        return Name(raw.decode("latin-1"))
+
+    def lex_literal_string(self) -> PdfString:
+        """L3: ``(...)`` with nested parens, escapes, octal, line-wrap."""
+        assert self.buf[self.pos] == 0x28  # '('
+        self.pos += 1
+        buf, n = self.buf, len(self.buf)
+        out = bytearray()
+        depth = 1
+        i = self.pos
+        while i < n:
+            c = buf[i]
+            if c == 0x5C:  # backslash
+                if i + 1 >= n:
+                    break
+                e = buf[i + 1]
+                i += 2
+                if e == 0x6E:
+                    out.append(0x0A)
+                elif e == 0x72:
+                    out.append(0x0D)
+                elif e == 0x74:
+                    out.append(0x09)
+                elif e == 0x62:
+                    out.append(0x08)
+                elif e == 0x66:
+                    out.append(0x0C)
+                elif e in (0x28, 0x29, 0x5C):
+                    out.append(e)
+                elif 0x30 <= e <= 0x37:  # octal \d, \dd, \ddd
+                    val = e - 0x30
+                    for _ in range(2):
+                        if i < n and 0x30 <= buf[i] <= 0x37:
+                            val = (val << 3) | (buf[i] - 0x30)
+                            i += 1
+                        else:
+                            break
+                    out.append(val & 0xFF)
+                elif e == 0x0D:  # line continuation \CR[LF]
+                    if i < n and buf[i] == 0x0A:
+                        i += 1
+                elif e == 0x0A:  # line continuation \LF
+                    pass
+                else:  # unknown escape: backslash dropped
+                    out.append(e)
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                i += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    i += 1
+                    self.pos = i
+                    return PdfString(bytes(out))
+                out.append(c)
+                i += 1
+            elif c == 0x0D:  # raw EOL inside string normalizes to \n
+                out.append(0x0A)
+                i += 1
+                if i < n and buf[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(c)
+                i += 1
+        raise PdfError("lex", "unterminated literal string")
+
+    def lex_hex_string(self) -> PdfString:
+        """L4: ``<hex>``; whitespace-tolerant, odd length pads trailing 0."""
+        assert self.buf[self.pos] == 0x3C  # '<'
+        self.pos += 1
+        end = self.buf.find(b">", self.pos)
+        if end == -1:
+            raise PdfError("lex", "unterminated hex string")
+        raw = bytes(
+            c for c in self.buf[self.pos : end] if not _IS_WS[c]
+        )
+        self.pos = end + 1
+        if len(raw) % 2:
+            raw += b"0"
+        try:
+            return PdfString(bytes.fromhex(raw.decode("latin-1")))
+        except ValueError as e:
+            raise PdfError("lex", f"bad hex string: {e}")
+
+    def lex_number(self):
+        """L5: int/real with sign, leading/trailing dot."""
+        start = self.pos
+        buf, n = self.buf, len(self.buf)
+        if self.pos < n and buf[self.pos] in b"+-":
+            self.pos += 1
+        is_real = False
+        while self.pos < n:
+            c = buf[self.pos]
+            if c in _DIGITS:
+                self.pos += 1
+            elif c == 0x2E and not is_real:
+                is_real = True
+                self.pos += 1
+            else:
+                break
+        text = buf[start : self.pos]
+        if text in (b"", b"+", b"-", b".", b"+.", b"-."):
+            raise PdfError("lex", f"bad number at {start}")
+        if is_real:
+            return float(text)
+        return int(text)
+
+    # ------------------------------------------------------------ composites
+
+    def lex_object(self, in_content: bool = False):
+        """Lex one object. ``in_content``: content streams have no indirect
+        references, so the ``N G R`` 3-token lookahead (L5) is skipped."""
+        self.skip_whitespace()
+        if self.at_end():
+            raise PdfError("lex", "eof")
+        c = self.buf[self.pos]
+        if c == 0x2F:
+            return self.lex_name()
+        if c == 0x28:
+            return self.lex_literal_string()
+        if c == 0x3C:
+            if self.buf[self.pos : self.pos + 2] == b"<<":
+                return self.lex_dict_or_stream()
+            return self.lex_hex_string()
+        if c == 0x5B:  # '['
+            return self.lex_array()
+        if c in _NUMBER_START:
+            num = self.lex_number()
+            if not in_content and isinstance(num, int) and num >= 0:
+                ref = self._try_reference(num)
+                if ref is not None:
+                    return ref
+            return num
+        # keyword: true/false/null (L9)
+        kw = self._regular_run()
+        if kw == b"true":
+            return True
+        if kw == b"false":
+            return False
+        if kw == b"null":
+            return None
+        raise PdfError("lex", f"unexpected token {kw!r} at {self.pos}")
+
+    def _try_reference(self, objnum: int):
+        """3-token lookahead: ``N G R``. The third token must be exactly
+        the keyword ``R`` — ``1 1 1 RG`` in a content stream must NOT lex as
+        a reference (reference test `src/content/mod.rs:166`)."""
+        save = self.pos
+        self.skip_whitespace()
+        if self.at_end() or self.buf[self.pos] not in _DIGITS:
+            self.pos = save
+            return None
+        try:
+            gen = self.lex_number()
+        except PdfError:
+            self.pos = save
+            return None
+        if not isinstance(gen, int) or gen < 0:
+            self.pos = save
+            return None
+        self.skip_whitespace()
+        tok = self._regular_run()
+        if tok == b"R":
+            return Reference(objnum, gen)
+        self.pos = save
+        return None
+
+    def lex_array(self) -> list:
+        """L6: recursive ``[ ... ]``."""
+        assert self.buf[self.pos] == 0x5B
+        self.pos += 1
+        out = []
+        while True:
+            self.skip_whitespace()
+            if self.at_end():
+                raise PdfError("lex", "unterminated array")
+            if self.buf[self.pos] == 0x5D:  # ']'
+                self.pos += 1
+                return out
+            out.append(self.lex_object())
+
+    def lex_dict_or_stream(self):
+        """L7 + L8: ``<< ... >>`` optionally promoted to a Stream when the
+        ``stream`` keyword follows (reference: `src/lib.rs:117-129`)."""
+        d = self.lex_dict()
+        save = self.pos
+        self.skip_whitespace()
+        if self.buf[self.pos : self.pos + 6] == b"stream":
+            self.pos += 6
+            # spec: 'stream' is followed by CRLF or LF (never bare CR)
+            if self.buf[self.pos : self.pos + 2] == b"\r\n":
+                self.pos += 2
+            elif self.buf[self.pos : self.pos + 1] in (b"\n", b"\r"):
+                self.pos += 1
+            return self._slice_stream(d)
+        self.pos = save
+        return d
+
+    def lex_dict(self) -> dict:
+        assert self.buf[self.pos : self.pos + 2] == b"<<"
+        self.pos += 2
+        d: dict = {}
+        while True:
+            self.skip_whitespace()
+            if self.at_end():
+                raise PdfError("lex", "unterminated dict")
+            if self.buf[self.pos : self.pos + 2] == b">>":
+                self.pos += 2
+                return d
+            if self.buf[self.pos] != 0x2F:
+                raise PdfError("lex", f"dict key must be a name at {self.pos}")
+            key = self.lex_name()
+            d[str(key)] = self.lex_object()
+
+    def _slice_stream(self, d: dict) -> Stream:
+        """L8: Length-byte zero-copy slice; falls back to an ``endstream``
+        scan when /Length is indirect/unresolvable or wrong (web-crawl dirt
+        tolerance the reference lacks — it asserts, `src/lex.rs:516-533`)."""
+        length = d.get("Length")
+        if not isinstance(length, int) and self.resolve_length is not None:
+            length = self.resolve_length(length)
+        start = self.pos
+        n = len(self.buf)
+        if isinstance(length, int) and 0 <= length <= n - start:
+            end = start + length
+            tail = self.buf[end : end + 20].lstrip(WHITESPACE)
+            if tail.startswith(b"endstream"):
+                self.pos = self.buf.find(b"endstream", end) + len(b"endstream")
+                return Stream(d, self.view[start:end])
+        # recovery: scan for endstream
+        end = self.buf.find(b"endstream", start)
+        if end == -1:
+            raise PdfError("lex", "unterminated stream")
+        data_end = end
+        # strip one trailing EOL that belongs to the keyword, not the data
+        if self.buf[data_end - 2 : data_end] == b"\r\n":
+            data_end -= 2
+        elif self.buf[data_end - 1 : data_end] in (b"\n", b"\r"):
+            data_end -= 1
+        self.pos = end + len(b"endstream")
+        return Stream(d, self.view[start:data_end])
+
+    # --------------------------------------------------- indirect object body
+
+    def lex_indirect_object(self):
+        """Parse ``N G obj <object> endobj`` at the current position
+        (reference: `src/lib.rs:396-417`). Returns (objnum, gen, obj)."""
+        self.skip_whitespace()
+        objnum = self.lex_number()
+        self.skip_whitespace()
+        gen = self.lex_number()
+        self.expect_keyword(b"obj")
+        obj = self.lex_object()
+        # tolerate a missing endobj (malformed files); don't assert
+        save = self.pos
+        self.skip_whitespace()
+        if self._regular_run() != b"endobj":
+            self.pos = save
+        return objnum, gen, obj
