@@ -207,7 +207,7 @@ def lzw_encode(data: bytes) -> bytes:
             table[wc] = next_code
             next_code += 1
             # EarlyChange=1: widen one code early
-            if next_code + 1 - 1 >= (1 << width) and width < 12:
+            if next_code + 1 >= (1 << width) and width < 12:
                 width += 1
             w = bytes([ch])
     if w:

@@ -176,7 +176,9 @@ def lzw_decode(data: bytes, parms: dict) -> bytes:
                 raise PdfError("filter", f"lzw bad code {code}")
             out += entry
             prev = entry
-            if len(table) + early - 1 >= (1 << width) and width < 12:
+            # EarlyChange=1 widens one code early (PDF 32000 §7.4.4.2);
+            # +1 because the decoder's table lags the encoder's by one entry
+            if len(table) + early + 1 >= (1 << width) and width < 12:
                 width += 1
     return _apply_predictor(bytes(out), parms)
 

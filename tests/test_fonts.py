@@ -1,0 +1,82 @@
+"""Font/encoding layer: ToUnicode CMap interpreter (PDF 32000 §9.10.3),
+base encodings, AGL name resolution, CID CMaps, TTF cmap parsing."""
+
+from pdfspark.fixtures import build_minimal_ttf, tounicode_stream
+from pdfspark.kernel.encodings_data import (
+    MACROMAN_ENCODING,
+    STANDARD_ENCODING,
+    WINANSI_ENCODING,
+    glyph_name_to_unicode,
+)
+from pdfspark.kernel.fonts import CidCMap, ToUnicodeCMap, parse_ttf_cmap_subtables
+
+
+def test_tounicode_bfchar():
+    cm = ToUnicodeCMap.parse(
+        tounicode_stream("<00> <FF>", "2 beginbfchar\n<41> <0394>\n<42> <05D0>\nendbfchar")
+    )
+    assert cm.get(1, 0x41) == "Δ"
+    assert cm.get(1, 0x42) == "א"
+    assert cm.get(1, 0x43) is None
+
+
+def test_tounicode_bfrange_increment_and_array():
+    cm = ToUnicodeCMap.parse(
+        tounicode_stream(
+            "<0000> <FFFF>",
+            "2 beginbfrange\n"
+            "<0041> <0043> <03B1>\n"
+            "<0050> <0051> [<D835DC00> <00660066>]\n"
+            "endbfrange",
+        )
+    )
+    assert cm.get(2, 0x41) == "α"
+    assert cm.get(2, 0x43) == "γ"
+    assert cm.get(2, 0x50) == "\U0001D400"  # surrogate pair target
+    assert cm.get(2, 0x51) == "ff"  # multi-char target
+
+
+def test_cid_cmap_identity_split():
+    cm = CidCMap.identity_2byte()
+    assert cm.split_codes(b"\x00A\x00B") == [(2, 0x41), (2, 0x42)]
+    assert cm.cid(2, 0x41) == 0x41
+
+
+def test_cid_cmap_parse_mixed_codespace():
+    src = (
+        b"2 begincodespacerange\n<00> <7F>\n<8140> <9FFC>\nendcodespacerange\n"
+        b"1 begincidrange\n<8140> <8150> 1000\nendcidrange\n"
+        b"1 begincidchar\n<41> 65\nendcidchar\n"
+    )
+    cm = CidCMap.parse(src)
+    codes = cm.split_codes(b"\x41\x81\x40")
+    assert codes == [(1, 0x41), (2, 0x8140)]
+    assert cm.cid(1, 0x41) == 65
+    assert cm.cid(2, 0x8140) == 1000
+
+
+def test_base_encodings():
+    assert STANDARD_ENCODING[0x41] == "A"
+    assert STANDARD_ENCODING[0x27] == "’"  # quoteright substitution
+    assert WINANSI_ENCODING[0x93] == "“"
+    assert WINANSI_ENCODING[0xE9] == "é"
+    assert MACROMAN_ENCODING[0x8E] == "é"
+    assert 0x81 not in WINANSI_ENCODING  # undefined codes absent
+
+
+def test_glyph_names():
+    assert glyph_name_to_unicode("eacute") == "é"
+    assert glyph_name_to_unicode("bullet") == "•"
+    assert glyph_name_to_unicode("uni0394") == "Δ"
+    assert glyph_name_to_unicode("uni00660066") == "ff"
+    assert glyph_name_to_unicode("u1D400") == "\U0001D400"
+    assert glyph_name_to_unicode("Odieresis") == "Ö"
+    assert glyph_name_to_unicode("a") == "a"
+    assert glyph_name_to_unicode("nosuchglyphname") is None
+
+
+def test_ttf_cmap_formats():
+    ttf = build_minimal_ttf({0x48: 5, 0x69: 6}, sym_to_gid={0x01: 5})
+    subs = parse_ttf_cmap_subtables(ttf)
+    assert subs[(3, 1)] == {0x48: 5, 0x69: 6}
+    assert subs[(3, 0)] == {0x01: 5}
