@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Headline benchmark (driver contract: one JSON line on stdout).
+
+Runs the flagship extraction roundtrip + representative relational /
+dedup / similarity queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Every query is fully materialized via the noop
+sink so nothing is skipped by lazy evaluation.
+
+Scaling-efficiency evidence (N vs 4N cores) lives in scripts/scaling_report.py
+and is recorded in BASELINE.md; this script is the per-round single-level
+measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "pdf_extract_roundtrip",
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "window_running_sum",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "text_token_count",
+]
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    from pdfspark.pipeline import build_session
+    from pdfspark.queries import QUERIES
+
+    spark = build_session(cores=CPUS, shuffle_partitions=CPUS,
+                          app="pdfspark-bench")
+    try:
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        timings = {}
+        # warmup: JVM + python workers (small query, not counted)
+        QUERIES["q1_pricing_summary"](spark, SF_DIR).collect()
+        n_docs = spark.read.parquet(
+            os.path.join(SF_DIR, "documents.parquet")
+        ).count()
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            materialize(QUERIES[name](spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        total = round(sum(timings.values()), 3)
+        extract_s = timings["pdf_extract_roundtrip"]
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total_seconds",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "extra": {
+                        "cores": CPUS,
+                        "extract_docs": n_docs,
+                        "extract_docs_per_sec": round(n_docs / extract_s, 1)
+                        if extract_s > 0
+                        else None,
+                    },
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, decoded/feature-extracted in Arrow-batched
+``mapInPandas`` stages.
+
+The container has no image/audio codecs, so the decode step is STUBBED:
+``_decode_image_stub`` derives deterministic metadata from the payload
+bytes, and ``decode_image_pixels`` raises ``NotImplementedError`` behind an
+import-try for Pillow. Everything Spark-side — schemas, batching,
+partitioning, UDF signatures — is real and tested (tests/test_multimodal.py),
+so swapping in a real codec is a one-function change.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def _decode_image_stub(payload: bytes) -> tuple:
+    """Deterministic fake decode: metadata derived from payload length.
+    A real decoder would parse the container header here."""
+    n = len(payload)
+    return (1 + n % 640, 1 + (n * 7) % 480, 1 + n % 16)
+
+
+def decode_image_pixels(payload: bytes):
+    """Real pixel decode — gated on Pillow, absent in this container."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "image codecs not available in this environment; "
+            "metadata path uses _decode_image_stub"
+        )
+    raise NotImplementedError("wire PIL decode here when available")
+
+
+def decode_image_meta(df: DataFrame) -> DataFrame:
+    """(doc_id, payload:binary) → (doc_id, width, height, n_frames) via an
+    Arrow-batched mapInPandas stage. One batch at a time bounds memory for
+    giant payloads; binary never round-trips through Python rows."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import sys
+
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
+        import pandas as pd
+
+        from pdfspark.multimodal import _decode_image_stub
+
+        for b in batches:
+            metas = [
+                _decode_image_stub(bytes(p) if p is not None else b"")
+                for p in b["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].astype("int64"),
+                    "width": [m[0] for m in metas],
+                    "height": [m[1] for m in metas],
+                    "n_frames": [m[2] for m in metas],
+                }
+            )
+
+    return df.mapInPandas(run, IMAGE_META_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every: int = 4) -> DataFrame:
+    """Frame-sampling plumbing: explode each payload into every-Nth fake
+    'frame' (deterministic byte slices). Shows the 1→N mapInPandas shape a
+    video pipeline needs (output rows ≠ input rows)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import sys
+
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
+        import pandas as pd
+
+        from pdfspark.multimodal import _decode_image_stub
+
+        for b in batches:
+            rows = []
+            for doc_id, p in zip(b["doc_id"], b["payload"]):
+                payload = bytes(p) if p is not None else b""
+                n_frames = _decode_image_stub(payload)[2]
+                for idx in range(0, n_frames, every):
+                    lo = (idx * 17) % max(len(payload), 1)
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": idx,
+                            "frame_bytes": payload[lo : lo + 16],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
+
+    return df.mapInPandas(run, FRAME_SCHEMA)

@@ -1,0 +1,933 @@
+"""The driver-facing query/operator suite (SURVEY.md §2B + the
+training-data-pipeline operators: dedup, similarity search, text analysis,
+multimodal plumbing).
+
+Every entry returns a DataFrame from ``(spark, sf_dir)`` and — unless
+genuinely not SQL-expressible — has a DuckDB oracle twin in ``ORACLES``
+with IDENTICAL output column names and value normalization:
+
+- money is exact integer cents (``CAST(ROUND(x*100) AS BIGINT)``) so sums,
+  ranks and top-k never depend on float summation order;
+- float outputs are ``CAST(ROUND(... ) AS DOUBLE)`` in BOTH engines
+  (DuckDB's ROUND yields DECIMAL otherwise, which would hash differently);
+- cross-engine hashing uses md5 (verified byte-identical between Spark and
+  DuckDB), never engine-specific hash();
+- timestamps are formatted to strings.
+
+Scale notes are in each docstring: at 100 TB the shape of the plan (what
+broadcasts, what shuffles, what prunes) is the point — sizes here are
+sf-scaled but the plans are the ones we'd want on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) \
+            .createOrReplaceTempView(n)
+
+
+# =========================================================================
+# PDF extraction queries (the kernel itself under the correctness gate:
+# extraction is an exact roundtrip of documents.text, so DuckDB can act as
+# oracle without parsing a single PDF)
+# =========================================================================
+
+@register(
+    "pdf_extract_roundtrip",
+    oracle="SELECT doc_id, text FROM documents",
+)
+def pdf_extract_roundtrip(spark, sf_dir):
+    """Flagship: wrap every documents row into a synthetic PDF
+    (distributed), extract with the kernel, emit byte-identical text.
+    Scale: the only Python stage is one mapInPandas; everything else is
+    scan + repartition(salt)."""
+    from pdfspark.pipeline import extract_pages, pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    ext = extract_pages(pages)
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+
+
+@register(
+    "pdf_extract_stats",
+    oracle="SELECT COUNT(*) AS n_docs, CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars"
+           " FROM documents",
+)
+def pdf_extract_stats(spark, sf_dir):
+    from pdfspark.pipeline import extract_pages, pages_from_documents
+
+    ext = extract_pages(pages_from_documents(spark, sf_dir))
+    return ext.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "pdf_magic_filter",
+    oracle="SELECT COUNT(*) AS n_pdf FROM documents WHERE doc_id % 10 <> 0",
+)
+def pdf_magic_filter(spark, sf_dir):
+    """Projection/filter row of §2B: the %PDF- magic-byte prefilter,
+    pushable to the scan. Every 10th row is non-PDF HTML."""
+    from pdfspark.pipeline import filter_pdf_rows, pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir, non_pdf_every=10)
+    return filter_pdf_rows(pages).agg(F.count("*").alias("n_pdf"))
+
+
+@register(
+    "pdf_error_rows",
+    oracle="SELECT CASE WHEN doc_id % 10 = 0 THEN 'not-pdf' ELSE 'ok' END AS status,"
+           " COUNT(*) AS n FROM documents GROUP BY 1",
+)
+def pdf_error_rows(spark, sf_dir):
+    """Error-column policy: one bad document never kills the job; feeding
+    non-PDF rows to the kernel (prefilter off) yields stable error codes."""
+    from pdfspark.pipeline import extract_pages, pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir, non_pdf_every=10)
+    ext = extract_pages(pages, prefilter=False)
+    return ext.groupBy(
+        F.coalesce("error", F.lit("ok")).alias("status")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "pdf_spans",
+    oracle="SELECT doc_id, 0 AS page, CAST(0 AS BIGINT) AS span_start,"
+           " CAST(LENGTH(text) AS BIGINT) AS span_end FROM documents",
+)
+def pdf_spans(spark, sf_dir):
+    """Per-page span offsets, exploded (window/array row of §2B)."""
+    from pdfspark.pipeline import extract_pages, pages_from_documents
+
+    ext = extract_pages(pages_from_documents(spark, sf_dir))
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        F.explode("spans").alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.page").alias("page"),
+        F.col("s.start").alias("span_start"),
+        F.col("s.end").alias("span_end"),
+    )
+
+
+# =========================================================================
+# Relational operators (§2B) over the TPC-H-ish tables
+# =========================================================================
+
+_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+  SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS sum_disc_c4,
+  COUNT(*) AS count_order,
+  CAST(ROUND(AVG(l_quantity), 4) AS DOUBLE) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=_Q1)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy partial aggregation; money exact in
+    integer cents so both engines agree bit-for-bit. At scale this is a
+    pure map-side-combine plan — no join, one shuffle of tiny partials."""
+    _load(spark, sf_dir, "lineitem")
+    return spark.sql(_Q1)
+
+
+_Q3_ORACLE = """
+WITH rev AS (
+  SELECT l_orderkey,
+    SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS revenue_c4
+  FROM lineitem GROUP BY l_orderkey)
+SELECT o.o_orderkey, rev.revenue_c4, o.o_orderpriority
+FROM orders o JOIN rev ON o.o_orderkey = rev.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE o.o_orderstatus = 'O'
+ORDER BY rev.revenue_c4 DESC, o.o_orderkey LIMIT 20
+"""
+
+
+@register("q3_top_open_orders", oracle=_Q3_ORACLE)
+def q3_top_open_orders(spark, sf_dir):
+    """Join + top-k: lineitem⋈orders⋈customer. customer is broadcast
+    (small dim) — at 100 TB lineitem never shuffles for that join; the
+    orders join shuffles on the key both sides already aggregate on."""
+    _load(spark, sf_dir, "lineitem", "orders", "customer")
+    li = spark.table("lineitem")
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("revenue_c4")
+    )
+    orders = spark.table("orders").filter(F.col("o_orderstatus") == "O")
+    cust = spark.table("customer")
+    return (
+        orders.join(rev, orders.o_orderkey == rev.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "revenue_c4", "o_orderpriority")
+        .orderBy(F.desc("revenue_c4"), "o_orderkey")
+        .limit(20)
+    )
+
+
+_Q5 = """
+SELECT r.r_name AS region, n.n_name AS nation,
+  SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) AS revenue_c4,
+  COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+@register("q5_region_revenue", oracle=_Q5)
+def q5_region_revenue(spark, sf_dir):
+    """Star join: two big tables + three broadcast dims. Catalyst picks
+    broadcast automatically under the threshold; explicit broadcast()
+    pins the plan we want at any scale."""
+    _load(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    l, o = spark.table("lineitem"), spark.table("orders")
+    c, n, r = (spark.table(t) for t in ("customer", "nation", "region"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("revenue_c4"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_PUSHDOWN = """
+SELECT COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount >= 0.05
+"""
+
+
+@register("filter_pushdown_scan", oracle=_PUSHDOWN)
+def filter_pushdown_scan(spark, sf_dir):
+    """Predicate pushdown + column pruning: the physical scan must read
+    only 3 columns with PushedFilters (asserted in tests)."""
+    _load(spark, sf_dir, "lineitem")
+    return spark.sql(_PUSHDOWN)
+
+
+_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+       COALESCE(l_linestatus, 'ALL') AS lstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_rollup", oracle=_ROLLUP)
+def agg_rollup(spark, sf_dir):
+    _load(spark, sf_dir, "lineitem")
+    return spark.sql(_ROLLUP)
+
+
+_WINDOW_RUN = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) OVER (
+    PARTITION BY l_suppkey
+    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
+FROM lineitem
+WHERE l_suppkey < 20
+"""
+
+
+@register("window_running_sum", oracle=_WINDOW_RUN)
+def window_running_sum(spark, sf_dir):
+    """Window row of §2B: running per-supplier quantity; total order made
+    deterministic by the (shipdate, orderkey, linenumber) tie-break."""
+    _load(spark, sf_dir, "lineitem")
+    return spark.sql(_WINDOW_RUN)
+
+
+_TOPK_GROUP = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey,
+    CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) t
+WHERE rnk <= 3
+"""
+
+
+@register("window_topk_per_group", oracle=_TOPK_GROUP)
+def window_topk_per_group(spark, sf_dir):
+    _load(spark, sf_dir, "orders")
+    return spark.sql(_TOPK_GROUP)
+
+
+@register(
+    "anti_join_inactive_customers",
+    oracle="SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+           "(SELECT o_custkey FROM orders)",
+)
+def anti_join_inactive_customers(spark, sf_dir):
+    """Left-anti join — the same shape as the pipeline's manifest-based
+    resume (skip already-done partitions)."""
+    _load(spark, sf_dir, "customer", "orders")
+    c, o = spark.table("customer"), spark.table("orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "semi_join_active_customers",
+    oracle="SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
+           "(SELECT o_custkey FROM orders)",
+)
+def semi_join_active_customers(spark, sf_dir):
+    _load(spark, sf_dir, "customer", "orders")
+    c, o = spark.table("customer"), spark.table("orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi") \
+            .select("c_custkey", "c_name")
+
+
+@register(
+    "set_except_custkeys",
+    oracle="SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus='O' "
+           "EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='F'",
+)
+def set_except_custkeys(spark, sf_dir):
+    _load(spark, sf_dir, "orders")
+    o = spark.table("orders")
+    open_c = o.filter("o_orderstatus = 'O'").select(
+        F.col("o_custkey").alias("custkey"))
+    done_c = o.filter("o_orderstatus = 'F'").select(
+        F.col("o_custkey").alias("custkey"))
+    # subtract == EXCEPT (set semantics); exceptAll would bag-subtract
+    return open_c.subtract(done_c)
+
+
+@register(
+    "top_orders_global",
+    oracle="SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS "
+           "price_cents FROM orders ORDER BY o_totalprice DESC, o_orderkey "
+           "LIMIT 10",
+)
+def top_orders_global(spark, sf_dir):
+    """Global top-k: Spark's TakeOrderedAndProject — no full sort at scale."""
+    _load(spark, sf_dir, "orders")
+    return (
+        spark.table("orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        )
+    )
+
+
+@register(
+    "distinct_customers_exact",
+    oracle="SELECT COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders"
+           " FROM orders",
+)
+def distinct_customers_exact(spark, sf_dir):
+    _load(spark, sf_dir, "orders")
+    return spark.table("orders").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register("approx_distinct_urls")  # no oracle: approx is engine-specific
+def approx_distinct_urls(spark, sf_dir):
+    """approx_count_distinct (HLL) — the 10^12-scale dedup-stats path;
+    rows-only check (approximation differs across engines by design)."""
+    _load(spark, sf_dir, "orders")
+    return spark.table("orders").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_cust")
+    )
+
+
+# ---------------------------------------------------------------- events
+
+_EVENTS_DAY = """
+SELECT {datefmt} AS day, event_type,
+  COUNT(*) AS n,
+  CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_daily_rollup",
+    oracle=_EVENTS_DAY.format(datefmt="strftime(date_trunc('day', ts), '%Y-%m-%d')"),
+)
+def events_daily_rollup(spark, sf_dir):
+    """date_trunc partitioning column — at scale this is the warc_ts
+    partition-pruning key of the pages table."""
+    _load(spark, sf_dir, "events")
+    return spark.sql(
+        _EVENTS_DAY.format(datefmt="date_format(date_trunc('day', ts), 'yyyy-MM-dd')")
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle="SELECT event_type, CAST(SUM(CAST(json_extract_string(props,'$.k')"
+           " AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY event_type",
+)
+def events_json_extract(spark, sf_dir):
+    _load(spark, sf_dir, "events")
+    return spark.table("events").groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k")
+    )
+
+
+_SESSIONS_SPARK = """
+WITH g AS (
+  SELECT user_id,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL
+         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+FROM g GROUP BY user_id
+"""
+
+
+@register(
+    "events_sessionization",
+    oracle=_SESSIONS_SPARK.replace("INTERVAL 30 MINUTE", "INTERVAL 30 MINUTES"),
+)
+def events_sessionization(spark, sf_dir):
+    """Gap-based sessionization via lag() — the batch twin of the
+    streaming state operator (see pdfspark/streaming.py)."""
+    _load(spark, sf_dir, "events")
+    return spark.sql(_SESSIONS_SPARK)
+
+
+# =========================================================================
+# Deduplication suite (documents)
+# =========================================================================
+
+@register(
+    "dedup_exact",
+    oracle="SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS canonical_id,"
+           " COUNT(*) AS n_copies FROM documents GROUP BY md5(text)",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content hash. At 100 TB: shuffle is on
+    the 32-byte digest, never the document bodies; map-side combine makes
+    the shuffle ~unique-count sized."""
+    _load(spark, sf_dir, "documents")
+    return spark.table("documents").groupBy(
+        F.md5("text").alias("h")
+    ).agg(
+        F.min("doc_id").cast("long").alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+# Shared CTE text: corpus = documents ∪ mutated near-copies (deterministic),
+# shingled into word 3-grams via lead() windows.
+_NEARDUP_CORPUS = """
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {cap}
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(text, 1, CAST(FLOOR(length(text)*0.8) AS INT)) AS text
+  FROM documents WHERE doc_id < {cap} AND doc_id % 3 = 0),
+words AS (
+  SELECT doc_id, pos, word
+  FROM corpus {posexplode}),
+grams AS (
+  SELECT doc_id, word AS w0,
+    lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+    lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM words),
+shingles AS (
+  SELECT DISTINCT doc_id, w0 || ' ' || w1 || ' ' || w2 AS shingle
+  FROM grams WHERE w2 IS NOT NULL)
+"""
+
+_POSEXPLODE_SPARK = (
+    "LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word"
+)
+_POSEXPLODE_DUCK = (
+    ", LATERAL (SELECT unnest(string_split(text,' ')) AS word,"
+    " generate_subscripts(string_split(text,' '), 1) AS pos) t"
+)
+
+_MINHASH_TAIL = """
+, mh AS (
+  SELECT s.doc_id, seeds.i,
+    MIN(md5(CAST(seeds.i AS {str_t}) || ':' || s.shingle)) AS minhash
+  FROM shingles s CROSS JOIN ({seed_gen}) seeds
+  GROUP BY s.doc_id, seeds.i),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(i / 2.0) AS INT) AS band,
+    {band_sig} AS sig
+  FROM mh
+  GROUP BY doc_id, CAST(FLOOR(i / 2.0) AS INT)),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b FROM cand
+"""
+
+_MINHASH_SPARK = (
+    "WITH " + _NEARDUP_CORPUS.format(cap=300, posexplode=_POSEXPLODE_SPARK)
+    + _MINHASH_TAIL.format(
+        str_t="STRING",
+        seed_gen="SELECT explode(sequence(0, 7)) AS i",
+        band_sig="array_join(sort_array(collect_list(minhash)), ',')",
+    )
+)
+_MINHASH_DUCK = (
+    "WITH " + _NEARDUP_CORPUS.format(cap=300, posexplode=_POSEXPLODE_DUCK)
+    + _MINHASH_TAIL.format(
+        str_t="VARCHAR",
+        seed_gen="SELECT unnest(range(8)) AS i",
+        band_sig="array_to_string(list_sort(list(minhash)), ',')",
+    )
+)
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_DUCK)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: shingle → 8 md5-minhashes → 4 bands of 2 →
+    bucket self-join. Near-copies are synthesized deterministically (80%
+    prefix of every 3rd doc) so recall is verifiable. At 100 TB the band
+    join shuffles only (doc_id, 32B sig) pairs — document bodies stay in
+    the scan stage. md5-as-string minhash keeps the oracle engine-exact."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(_MINHASH_SPARK)
+
+
+_JACCARD_TAIL = """
+, sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT c.doc_a, c.doc_b,
+  CAST(FLOOR(CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common)
+             * 10000 + 0.5) AS BIGINT) AS jaccard_bp
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) >= 0.3
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="WITH "
+    + _NEARDUP_CORPUS.format(cap=200, posexplode=_POSEXPLODE_DUCK)
+    + _JACCARD_TAIL,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard with shingle blocking (no O(n²) cross join):
+    only docs sharing a shingle are compared."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(
+        "WITH "
+        + _NEARDUP_CORPUS.format(cap=200, posexplode=_POSEXPLODE_SPARK)
+        + _JACCARD_TAIL
+    )
+
+
+_SIMHASH_TAIL = """
+, words_d AS (SELECT DISTINCT doc_id, word FROM words),
+tok AS (
+  SELECT doc_id, {hex2int} AS h FROM words_d),
+bits AS (
+  SELECT t.doc_id, b.b,
+    CASE WHEN SUM(CASE WHEN ({bitof}) = 1 THEN 1 ELSE -1 END) > 0
+         THEN 1 ELSE 0 END AS bit
+  FROM tok t CROSS JOIN ({bit_gen}) b
+  GROUP BY t.doc_id, b.b)
+SELECT doc_id,
+  CAST(SUM(bit * CAST(POWER(2, b) AS BIGINT)) AS BIGINT) AS simhash32
+FROM bits GROUP BY doc_id
+"""
+
+_SIMHASH_SPARK = (
+    "WITH "
+    + _NEARDUP_CORPUS.format(cap=300, posexplode=_POSEXPLODE_SPARK)
+    + _SIMHASH_TAIL.format(
+        hex2int="CAST(conv(substr(md5(word), 1, 15), 16, 10) AS BIGINT)",
+        bitof="CAST(shiftright(t.h, b.b) AS BIGINT) % 2",
+        bit_gen="SELECT explode(sequence(0, 31)) AS b",
+    )
+)
+_SIMHASH_DUCK = (
+    "WITH "
+    + _NEARDUP_CORPUS.format(cap=300, posexplode=_POSEXPLODE_DUCK)
+    + _SIMHASH_TAIL.format(
+        hex2int="CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT)",
+        bitof="(t.h >> b.b) & 1",
+        bit_gen="SELECT unnest(range(32)) AS b",
+    )
+)
+
+
+@register("dedup_simhash", oracle=_SIMHASH_DUCK)
+def dedup_simhash(spark, sf_dir):
+    """SimHash fingerprints (32-bit here; 64 at scale): per-token md5→int,
+    bitwise majority vote. Mutated docs land at small Hamming distance from
+    their source. Fully SQL-expressible in both engines."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(_SIMHASH_SPARK)
+
+
+# =========================================================================
+# Similarity search (embeddings)
+# =========================================================================
+
+# Quantize to integer milli-units: dot products and norms become exact
+# integers, so ranking is bit-identical across engines.
+_ANN_SPARK = """
+WITH v AS (
+  SELECT vec_id,
+    transform(embedding, x -> CAST(ROUND(x*1000) AS BIGINT)) AS qv
+  FROM embeddings),
+q AS (SELECT vec_id AS qid, qv AS query_v FROM v WHERE vec_id < 5),
+dots AS (
+  SELECT q.qid, v.vec_id,
+    aggregate(zip_with(q.query_v, v.qv, (a, b) -> a*b), 0L,
+              (acc, x) -> acc + x) AS dot,
+    aggregate(transform(q.query_v, x -> x*x), 0L, (acc, x) -> acc + x) AS qn,
+    aggregate(transform(v.qv, x -> x*x), 0L, (acc, x) -> acc + x) AS vn
+  FROM q CROSS JOIN v WHERE q.qid <> v.vec_id)
+SELECT qid, vec_id AS neighbor_id,
+  CAST(ROUND(dot / (SQRT(qn) * SQRT(vn)), 6) AS DOUBLE) AS cosine, rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY dot / (SQRT(qn) * SQRT(vn)) DESC, vec_id) AS rnk
+  FROM dots) t
+WHERE rnk <= 10
+"""
+
+_ANN_DUCK = """
+WITH v AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(ROUND(x*1000) AS BIGINT)) AS qv
+  FROM embeddings),
+q AS (SELECT vec_id AS qid, qv AS query_v FROM v WHERE vec_id < 5),
+dots AS (
+  SELECT q.qid, v.vec_id,
+    list_sum(list_transform(range(64), i -> q.query_v[i+1] * v.qv[i+1])) AS dot,
+    list_sum(list_transform(q.query_v, x -> x*x)) AS qn,
+    list_sum(list_transform(v.qv, x -> x*x)) AS vn
+  FROM q CROSS JOIN v WHERE q.qid <> v.vec_id)
+SELECT qid, vec_id AS neighbor_id,
+  CAST(ROUND(dot / (SQRT(qn) * SQRT(vn)), 6) AS DOUBLE) AS cosine, rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY dot / (SQRT(qn) * SQRT(vn)) DESC, vec_id) AS rnk
+  FROM dots) t
+WHERE rnk <= 10
+"""
+
+
+@register("ann_bruteforce_topk", oracle=_ANN_DUCK)
+def ann_bruteforce_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the exact baseline): higher-order
+    functions only — JVM-side, no Python. At scale the query side is tiny
+    and broadcast; base vectors stream through one stage."""
+    _load(spark, sf_dir, "embeddings")
+    return spark.sql(_ANN_SPARK)
+
+
+_IVF_TAIL = """
+, seeds AS (SELECT vec_id AS sid, qv AS sv FROM v WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, sid AS bucket FROM (
+    SELECT v.vec_id, s.sid,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY {dot_vs} DESC, s.sid) AS r
+    FROM v CROSS JOIN seeds s) t
+  WHERE r = 1),
+q AS (SELECT vec_id AS qid, qv AS query_v FROM v WHERE vec_id < 5),
+cand AS (
+  SELECT q.qid, v.vec_id, q.query_v, v.qv
+  FROM q
+  JOIN assign qa ON qa.vec_id = q.qid
+  JOIN assign va ON va.bucket = qa.bucket
+  JOIN v ON v.vec_id = va.vec_id
+  WHERE v.vec_id <> q.qid),
+scored AS (
+  SELECT qid, vec_id, {dot_qv} AS dot,
+    {qn} AS qn, {vn} AS vn
+  FROM cand)
+SELECT qid, vec_id AS neighbor_id,
+  CAST(ROUND(dot / (SQRT(qn) * SQRT(vn)), 6) AS DOUBLE) AS cosine, rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY dot / (SQRT(qn) * SQRT(vn)) DESC, vec_id) AS rnk
+      FROM scored) t
+WHERE rnk <= 5
+"""
+
+_V_SPARK = """
+WITH v AS (
+  SELECT vec_id,
+    transform(embedding, x -> CAST(ROUND(x*1000) AS BIGINT)) AS qv
+  FROM embeddings)
+"""
+_V_DUCK = """
+WITH v AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(ROUND(x*1000) AS BIGINT)) AS qv
+  FROM embeddings)
+"""
+
+_IVF_SPARK = _V_SPARK + _IVF_TAIL.format(
+    dot_vs="aggregate(zip_with(v.qv, s.sv, (a,b) -> a*b), 0L, (acc,x) -> acc+x)",
+    dot_qv="aggregate(zip_with(query_v, qv, (a,b) -> a*b), 0L, (acc,x) -> acc+x)",
+    qn="aggregate(transform(query_v, x -> x*x), 0L, (acc,x) -> acc+x)",
+    vn="aggregate(transform(qv, x -> x*x), 0L, (acc,x) -> acc+x)",
+)
+_IVF_DUCK = _V_DUCK + _IVF_TAIL.format(
+    dot_vs="list_sum(list_transform(range(64), i -> v.qv[i+1]*s.sv[i+1]))",
+    dot_qv="list_sum(list_transform(range(64), i -> query_v[i+1]*qv[i+1]))",
+    qn="list_sum(list_transform(query_v, x -> x*x))",
+    vn="list_sum(list_transform(qv, x -> x*x))",
+)
+
+
+@register("ann_ivf_bucketed", oracle=_IVF_DUCK)
+def ann_ivf_bucketed(spark, sf_dir):
+    """IVF-style ANN: assign every vector to its nearest of 8 deterministic
+    seed centroids, search only the query's bucket. The scale path: bucket
+    assignment is one broadcast join; search shuffles only within cells."""
+    _load(spark, sf_dir, "embeddings")
+    return spark.sql(_IVF_SPARK)
+
+
+_NEARDUP_EMB_TAIL = """
+, pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    {dot_ab} AS dot, {na} AS na, {nb} AS nb
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 200 AND b.vec_id < 200)
+SELECT vec_a, vec_b,
+  CAST(ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS DOUBLE) AS cosine
+FROM pairs
+WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.30
+"""
+
+
+@register(
+    "embedding_cosine_neardup",
+    oracle=_V_DUCK + _NEARDUP_EMB_TAIL.format(
+        dot_ab="list_sum(list_transform(range(64), i -> a.qv[i+1]*b.qv[i+1]))",
+        na="list_sum(list_transform(a.qv, x -> x*x))",
+        nb="list_sum(list_transform(b.qv, x -> x*x))",
+    ),
+)
+def embedding_cosine_neardup(spark, sf_dir):
+    """Embedding near-dup pairs above a cosine threshold (capped block —
+    at scale this runs per-LSH/IVF bucket, never globally)."""
+    _load(spark, sf_dir, "embeddings")
+    return spark.sql(
+        _V_SPARK + _NEARDUP_EMB_TAIL.format(
+            dot_ab="aggregate(zip_with(a.qv, b.qv, (x,y) -> x*y), 0L,"
+                   " (acc,x) -> acc+x)",
+            na="aggregate(transform(a.qv, x -> x*x), 0L, (acc,x) -> acc+x)",
+            nb="aggregate(transform(b.qv, x -> x*x), 0L, (acc,x) -> acc+x)",
+        )
+    )
+
+
+# =========================================================================
+# Text analysis (documents)
+# =========================================================================
+
+_LANGID_TAIL = """
+, w AS (SELECT doc_id, word FROM words),
+scores AS (
+  SELECT doc_id,
+    COUNT(CASE WHEN word IN ('the','a','of','and','to','is') THEN 1 END) AS en_hits,
+    COUNT(CASE WHEN word IN ('der','die','das','und','ist') THEN 1 END) AS de_hits,
+    COUNT(CASE WHEN word IN ('el','la','de','y','es') THEN 1 END) AS es_hits,
+    COUNT(*) AS n_words
+  FROM w GROUP BY doc_id)
+SELECT doc_id,
+  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+       WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+       WHEN es_hits > 0 THEN 'es'
+       ELSE 'und' END AS pred_lang,
+  CAST(en_hits AS BIGINT) AS en_hits,
+  CAST(FLOOR(CAST(en_hits AS DOUBLE) / n_words * 10000 + 0.5) AS BIGINT)
+    AS en_ratio_bp
+FROM scores
+"""
+
+_LANG_CORPUS = """
+corpus AS (SELECT doc_id, text FROM documents),
+words AS (
+  SELECT doc_id, pos, word
+  FROM corpus {posexplode})
+"""
+
+
+@register(
+    "text_lang_id",
+    oracle="WITH " + _LANG_CORPUS.format(posexplode=_POSEXPLODE_DUCK) + _LANGID_TAIL,
+)
+def text_lang_id(spark, sf_dir):
+    """n-gram/stopword language-ID heuristic — pure SQL, one pass."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(
+        "WITH " + _LANG_CORPUS.format(posexplode=_POSEXPLODE_SPARK) + _LANGID_TAIL
+    )
+
+
+_QUALITY = """
+WITH base AS (
+  SELECT doc_id,
+    {nwords} AS n_words,
+    {ndistinct} AS n_distinct,
+    LENGTH(text) AS n_chars
+  FROM documents)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+  -- integer-exact basis points: 0.4·len-ratio + 0.3·diversity + 0.3·chars
+  CAST(40 * LEAST(n_words, 100)
+     + FLOOR(CAST(6000 * n_distinct + n_words AS DOUBLE) / (2 * n_words))
+     + 6 * LEAST(n_chars, 500) AS BIGINT) AS quality_bp
+FROM base
+"""
+
+
+@register(
+    "text_quality_score",
+    oracle=_QUALITY.format(
+        nwords="len(string_split(trim(text), ' '))",
+        ndistinct="len(list_distinct(string_split(trim(text), ' ')))",
+    ),
+)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring: length/diversity ratios (no punctuation in the
+    synthetic corpus, so the punct term is dropped by construction)."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(
+        _QUALITY.format(
+            nwords="size(split(trim(text), ' '))",
+            ndistinct="size(array_distinct(split(trim(text), ' ')))",
+        )
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="SELECT doc_id,"
+           " CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+           " AS ws_tokens,"
+           " CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))"
+           " AS BIGINT) AS bpe_ish_tokens"
+           " FROM documents",
+)
+def text_token_count(spark, sf_dir):
+    """Token counting: whitespace split + a BPE-ish regex segmentation."""
+    _load(spark, sf_dir, "documents")
+    return spark.table("documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(
+            F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+        ).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ',"
+           " 'g'))) AS fingerprint FROM documents",
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over whitespace-normalized lowercased
+    text (the winnowing/rolling-hash variant runs kernel-side at scale)."""
+    _load(spark, sf_dir, "documents")
+    return spark.table("documents").select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
+        .alias("fingerprint"),
+    )
+
+
+# =========================================================================
+# Multimodal plumbing (binary columns + Arrow batch UDFs; decode stubbed)
+# =========================================================================
+
+@register(
+    "multimodal_meta",
+    oracle="SELECT doc_id,"
+           " CAST(1 + LENGTH(text) % 640 AS INT) AS width,"
+           " CAST(1 + (LENGTH(text) * 7) % 480 AS INT) AS height,"
+           " CAST(1 + LENGTH(text) % 16 AS INT) AS n_frames"
+           " FROM documents",
+)
+def multimodal_meta(spark, sf_dir):
+    """Opaque-binary modality plumbing: text→bytes stands in for image
+    payloads; the Arrow-batched 'decode' is a deterministic stub (real
+    codecs aren't in this container — see pdfspark/multimodal.py)."""
+    from pdfspark.multimodal import decode_image_meta
+
+    _load(spark, sf_dir, "documents")
+    binary = spark.table("documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return decode_image_meta(binary)

@@ -1,0 +1,82 @@
+"""Structured Streaming ingestion variant (SURVEY.md §2B streaming row).
+
+The north rule's resume path is batch + manifest (pipeline.py); streaming
+is the optional continuous-ingest mode: a file-source ``readStream`` over
+the pages table directory, the SAME extraction kernel (mapInPandas works
+unchanged on streaming DataFrames), watermarked tumbling-window metrics,
+and a checkpointed sink.
+
+At scale: maxFilesPerTrigger bounds per-micro-batch work; the checkpoint
+directory carries source offsets so a killed job resumes exactly where it
+stopped — the streaming twin of the batch manifest.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pdfspark.pipeline import EXTRACT_SCHEMA, PAGES_SCHEMA, _extract_batches, filter_pdf_rows
+
+
+def read_pages_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def extract_stream(pages: DataFrame) -> DataFrame:
+    """Same kernel, streaming source: filter → mapInPandas."""
+    return filter_pdf_rows(pages).select("url", "html").mapInPandas(
+        _extract_batches, EXTRACT_SCHEMA
+    )
+
+
+def windowed_metrics(pages: DataFrame, extracted: DataFrame) -> DataFrame:
+    """Watermarked tumbling-window doc counts keyed on warc_ts (late rows
+    beyond 1 day are dropped deterministically)."""
+    joined = extracted.join(pages.select("url", "warc_ts"), "url")
+    return (
+        joined.withWatermark("warc_ts", "1 day")
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_err"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_docs",
+            "n_err",
+        )
+    )
+
+
+def run_stream_once(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    timeout_s: Optional[int] = 120,
+) -> None:
+    """Drain all available input once (Trigger.AvailableNow) with exactly-
+    once file-sink semantics, then stop — the batch-compatible way to run
+    the streaming pipeline in tests and cron-style ingest."""
+    pages = read_pages_stream(spark, input_dir)
+    extracted = extract_stream(pages)
+    q = (
+        extracted.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()

@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Two-parallelism scaling evidence for the north rule (BASELINE.md
+protocol): run the identical extraction job at local[N] and local[4N] in
+separate processes, report both throughputs + scaling efficiency, and
+append the row to BASELINE.md's results table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cores: int, sf_dir: str, runs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "scripts", "scale_run.py"),
+         "--cores", str(cores), "--sf-dir", sf_dir, "--runs", str(runs)],
+        capture_output=True, text=True, check=True, cwd=REPO_ROOT,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n = int(os.environ.get("SCALE_N", "8"))
+    runs = int(os.environ.get("SCALE_RUNS", "3"))
+    lo = run_level(n, sf_dir, runs)
+    hi = run_level(4 * n, sf_dir, runs)
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
+    report = {
+        "sf_dir": sf_dir,
+        "low": lo,
+        "high": hi,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(report, indent=2))
+    row = (
+        f"| local[{n}]→local[{4*n}] | {lo['docs']} | {lo['docs_per_sec']} "
+        f"| {hi['docs_per_sec']} | {report['scaling_efficiency']} |\n"
+    )
+    with open(os.path.join(REPO_ROOT, "BASELINE.md"), "a") as f:
+        f.write(row)
+
+
+if __name__ == "__main__":
+    main()

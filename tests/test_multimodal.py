@@ -1,0 +1,57 @@
+"""Multimodal plumbing: Arrow-batched decode stubs over binary columns —
+schemas, batch shapes, 1→N frame explosion (decode itself is stubbed,
+pdfspark/multimodal.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdfspark.multimodal import (
+    _decode_image_stub,
+    decode_image_meta,
+    decode_image_pixels,
+    sample_frames,
+)
+
+
+def _binary_df(spark, n=20):
+    rows = [(i, bytes([i % 251]) * (10 + i * 7)) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_meta_schema_and_determinism(spark):
+    df = _binary_df(spark)
+    out = decode_image_meta(df)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "width", "height", "n_frames",
+    ]
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 20
+    for i in range(20):
+        n = 10 + i * 7
+        assert rows[i].width == 1 + n % 640
+        assert rows[i].height == 1 + (n * 7) % 480
+        assert rows[i].n_frames == 1 + n % 16
+
+
+def test_frame_sampling_one_to_many(spark):
+    df = _binary_df(spark, n=10)
+    frames = sample_frames(df, every=4)
+    got = frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    for r in got:
+        n_payload = 10 + r.doc_id * 7
+        n_frames = 1 + n_payload % 16
+        expected = (n_frames + 3) // 4
+        assert r.n == expected, r.doc_id
+    one = frames.filter("doc_id = 3 AND frame_idx = 0").collect()[0]
+    assert isinstance(one.frame_bytes, (bytes, bytearray))
+    assert len(one.frame_bytes) <= 16
+
+
+def test_pixel_decode_is_gated():
+    with pytest.raises(NotImplementedError):
+        decode_image_pixels(b"\x89PNG...")
+
+
+def test_stub_is_deterministic():
+    assert _decode_image_stub(b"abc") == _decode_image_stub(b"abc")
+    assert _decode_image_stub(b"") == (1, 1, 1)

@@ -1,0 +1,99 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() twin on DuckDB over the same parquet,
+compare row count, column names, and order-insensitive values."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, int):
+        return int(v)
+    try:  # Decimal
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 9)
+    except ImportError:
+        pass
+    return str(v)
+
+
+def _rows_to_set(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm(r[i]) for i in order) for r in rows
+    )
+
+
+def test_every_query_has_callable():
+    assert QUERIES, "no queries registered"
+    for name, fn in QUERIES.items():
+        assert callable(fn), name
+
+
+def test_oracle_coverage():
+    missing = [n for n in QUERIES if n not in ORACLES]
+    # only genuinely non-SQL-expressible ops may omit the oracle
+    assert set(missing) <= {"approx_distinct_urls"}, missing
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_vs_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF_DIR)
+    spark_cols = [c.lower() for c in df.columns]
+    spark_rows = [tuple(r) for r in df.collect()]
+    if name not in ORACLES:
+        assert len(spark_rows) >= 0  # rows-only check
+        return
+    rel = duck.sql(ORACLES[name])
+    duck_cols = [c.lower() for c in rel.columns]
+    duck_rows = rel.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: columns {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: rowcount {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    a = _rows_to_set(spark_cols, spark_rows)
+    b = _rows_to_set(duck_cols, duck_rows)
+    if a != b:
+        diff_a = [r for r in a if r not in set(b)][:5]
+        diff_b = [r for r in b if r not in set(a)][:5]
+        raise AssertionError(
+            f"{name}: value mismatch\n spark-only: {diff_a}\n duck-only: {diff_b}"
+        )
