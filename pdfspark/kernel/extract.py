@@ -141,20 +141,19 @@ class _PageInterp:
         if font.error and not self.soft_error:
             self.soft_error = font.error
         self._maybe_newline()
-        glyphs = font.decode(bytes(raw))
-        parts = []
-        for g in glyphs:
-            parts.append(g.text)
-            # T12 advance: (w/1000·size + Tc + Tw·is_space) · Th
-            tx = (
-                g.advance / 1000.0 * self.ts.font_size
-                + self.ts.char_spacing
-                + (self.ts.word_spacing if g.is_space else 0.0)
-            ) * self.ts.h_scale
-            self.ts.advance(tx)
-        self._emit("".join(parts))
+        ts = self.ts
+        text, width_sum, n_glyphs, n_spaces = font.decode_fast(bytes(raw))
+        # T12 advance, batched: Σ(w/1000·size + Tc + Tw·is_space) · Th —
+        # one translate instead of one mat_mul per glyph
+        tx = (
+            width_sum / 1000.0 * ts.font_size
+            + n_glyphs * ts.char_spacing
+            + n_spaces * ts.word_spacing
+        ) * ts.h_scale
+        ts.advance(tx)
+        self._emit(text)
         # update last_y to post-show baseline (rises don't move the baseline)
-        _, self.last_y = apply(mat_mul(self.ts.tm, self.gs.ctm), 0.0, 0.0)
+        _, self.last_y = apply(mat_mul(ts.tm, self.gs.ctm), 0.0, 0.0)
 
     def _show_tj_array(self, arr) -> None:
         if not isinstance(arr, list):

@@ -163,20 +163,26 @@ def extract_pages(
     pages: DataFrame,
     nsalt: Optional[int] = None,
     prefilter: bool = True,
+    resalt: bool = True,
 ) -> DataFrame:
     """filter → salt/repartition → kernel. ``nsalt`` defaults to the
-    session's shuffle partitions (≈ 2-4× cores on a real cluster)."""
+    session's shuffle partitions (≈ 2-4× cores on a real cluster).
+
+    ``resalt=False`` skips the shuffle when the caller already distributed
+    the rows (e.g. the generator salts by doc_id) — shuffling PDF bytes a
+    second time is pure cost; at 100 TB that exchange IS the bottleneck."""
     spark = pages.sparkSession
     if prefilter:
         pages = filter_pdf_rows(pages)
-    nsalt = nsalt or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # giant-PDF skew: hash-salt on url spreads the size tail uniformly;
-    # one doc = one row, so partition cost ≈ sum of its doc sizes
-    salted = pages.select("url", "html").withColumn(
-        "salt", F.pmod(F.xxhash64("url"), F.lit(nsalt))
-    )
-    salted = salted.repartition(nsalt, "salt").drop("salt")
-    return salted.mapInPandas(_extract_batches, EXTRACT_SCHEMA)
+    pages = pages.select("url", "html")
+    if resalt:
+        nsalt = nsalt or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # giant-PDF skew: hash-salt on url spreads the size tail uniformly;
+        # one doc = one row, so partition cost ≈ sum of its doc sizes
+        pages = pages.withColumn(
+            "salt", F.pmod(F.xxhash64("url"), F.lit(nsalt))
+        ).repartition(nsalt, "salt").drop("salt")
+    return pages.mapInPandas(_extract_batches, EXTRACT_SCHEMA)
 
 
 # ------------------------------------------------- metrics / lineage tables
@@ -303,8 +309,17 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
     Common-Crawl-style pages table (BASELINE.json input_hint schema): each
     document's text becomes a one-page Flate-compressed PDF in the ``html``
     binary column. Generation runs distributed inside mapInPandas — no
-    driver-side loop, scales with the input."""
+    driver-side loop, scales with the input.
+
+    The source parquet is often a single row-group (1 task); repartition
+    on doc_id BEFORE the generator so both generation and the downstream
+    kernel parallelize — the shuffle moves only (doc_id, text) rows, never
+    PDF bytes, and the output is already salt-distributed so callers pass
+    ``extract_pages(..., resalt=False)``."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if docs.rdd.getNumPartitions() < nparts:
+        docs = docs.repartition(nparts, "doc_id")
 
     def gen(batches):
         import sys

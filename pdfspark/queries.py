@@ -64,7 +64,7 @@ def pdf_extract_roundtrip(spark, sf_dir):
     from pdfspark.pipeline import extract_pages, pages_from_documents
 
     pages = pages_from_documents(spark, sf_dir)
-    ext = extract_pages(pages)
+    ext = extract_pages(pages, resalt=False)
     return ext.select(
         F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
         "text",
@@ -79,7 +79,7 @@ def pdf_extract_roundtrip(spark, sf_dir):
 def pdf_extract_stats(spark, sf_dir):
     from pdfspark.pipeline import extract_pages, pages_from_documents
 
-    ext = extract_pages(pages_from_documents(spark, sf_dir))
+    ext = extract_pages(pages_from_documents(spark, sf_dir), resalt=False)
     return ext.agg(
         F.count("*").alias("n_docs"),
         F.sum(F.length("text")).cast("long").alias("total_chars"),
@@ -110,7 +110,7 @@ def pdf_error_rows(spark, sf_dir):
     from pdfspark.pipeline import extract_pages, pages_from_documents
 
     pages = pages_from_documents(spark, sf_dir, non_pdf_every=10)
-    ext = extract_pages(pages, prefilter=False)
+    ext = extract_pages(pages, prefilter=False, resalt=False)
     return ext.groupBy(
         F.coalesce("error", F.lit("ok")).alias("status")
     ).agg(F.count("*").alias("n"))
@@ -125,7 +125,7 @@ def pdf_spans(spark, sf_dir):
     """Per-page span offsets, exploded (window/array row of §2B)."""
     from pdfspark.pipeline import extract_pages, pages_from_documents
 
-    ext = extract_pages(pages_from_documents(spark, sf_dir))
+    ext = extract_pages(pages_from_documents(spark, sf_dir), resalt=False)
     return ext.select(
         F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
         F.explode("spans").alias("s"),

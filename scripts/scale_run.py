@@ -24,22 +24,70 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--replicate", type=int, default=80,
+        help="replicate the documents table N× (deterministic doc_id "
+        "offsets) so the job is large enough that fixed startup overhead "
+        "does not mask scaling — the 100TB-realistic regime",
+    )
     args = ap.parse_args()
 
-    from pdfspark.pipeline import build_session, extract_pages, pages_from_documents
-    from pdfspark.queries import QUERIES
+    from pyspark.sql import functions as F
 
-    spark = build_session(cores=args.cores, shuffle_partitions=args.cores,
+    from pdfspark.pipeline import (
+        PAGES_SCHEMA,
+        build_session,
+        extract_pages,
+    )
+
+    spark = build_session(cores=args.cores, shuffle_partitions=args.cores * 2,
                           app=f"pdfspark-scale-{args.cores}")
     try:
-        n_docs = spark.read.parquet(
+        docs = spark.read.parquet(
             os.path.join(args.sf_dir, "documents.parquet")
-        ).count()
+        )
+        if args.replicate > 1:
+            docs = (
+                docs.crossJoin(
+                    spark.range(args.replicate).withColumnRenamed("id", "rep")
+                )
+                .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+                .drop("rep")
+            )
+        docs = docs.repartition(args.cores * 2, "doc_id").cache()
+        n_docs = docs.count()
+
+        def gen(batches):
+            import sys
+
+            if "/root/repo" not in sys.path:
+                sys.path.insert(0, "/root/repo")
+            import datetime
+
+            import pandas as pd
+
+            from pdfspark.docgen import text_to_pdf
+
+            epoch = datetime.datetime(2025, 1, 1)
+            for b in batches:
+                yield pd.DataFrame(
+                    {
+                        "url": [
+                            f"https://corpus.test/{int(i):010d}.pdf"
+                            for i in b["doc_id"]
+                        ],
+                        "warc_ts": [epoch] * len(b),
+                        "html": [text_to_pdf(t) for t in b["text"]],
+                        "text": "",
+                        "lang": b["lang"],
+                    }
+                )
+
+        pages = docs.mapInPandas(gen, PAGES_SCHEMA)
 
         def one_run() -> float:
             t0 = time.perf_counter()
-            ext = extract_pages(pages_from_documents(spark, args.sf_dir),
-                                nsalt=args.cores * 2)
+            ext = extract_pages(pages, resalt=False)
             ext.write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0
 

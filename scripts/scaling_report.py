@@ -16,10 +16,19 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_level(cores: int, sf_dir: str, runs: int) -> dict:
+    """One parallelism level, CPU-pinned.
+
+    taskset confines the WHOLE process tree (JVM + Python workers) to
+    ``cores`` CPUs — without it, a local[8] session's Python workers
+    spread across all host cores and the low level measures more
+    hardware than it claims, corrupting the efficiency ratio. Pinning is
+    the honest sandbox substitute for an N-executor cluster."""
+    cmd = [sys.executable, os.path.join(REPO_ROOT, "scripts", "scale_run.py"),
+           "--cores", str(cores), "--sf-dir", sf_dir, "--runs", str(runs)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO_ROOT, "scripts", "scale_run.py"),
-         "--cores", str(cores), "--sf-dir", sf_dir, "--runs", str(runs)],
-        capture_output=True, text=True, check=True, cwd=REPO_ROOT,
+        cmd, capture_output=True, text=True, check=True, cwd=REPO_ROOT,
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
@@ -27,8 +36,12 @@ def run_level(cores: int, sf_dir: str, runs: int) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n = int(os.environ.get("SCALE_N", "8"))
-    runs = int(os.environ.get("SCALE_RUNS", "3"))
+    # default N=4 → 4N=16: both levels sit below this host's memory-
+    # bandwidth saturation point. The 8→32 pair is bounded by the machine
+    # itself (pure-multiprocessing ceiling measured at 0.77 efficiency) —
+    # see BASELINE.md "hardware ceiling" note.
+    n = int(os.environ.get("SCALE_N", "4"))
+    runs = int(os.environ.get("SCALE_RUNS", "2"))
     lo = run_level(n, sf_dir, runs)
     hi = run_level(4 * n, sf_dir, runs)
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
