@@ -378,24 +378,21 @@ def all_cases() -> List[Case]:
     # the Length edit changes offsets → also breaks xref → recovery path
     add(Case("t26b_bad_length", broken2, "BadLength", None, 1))
 
-    # ---- t27: encrypted → stable error, no text (phase-4: real decrypt)
-    b = PdfBuilder()
-    f1 = b.add(BASE14)
-    c = b.add_stream("<< >>", _simple_show("secret").encode())
-    page = b.add(
-        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
-        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    # ---- t27: real decryption — RC4 (V2/R3) + AESV2 (V4/R4), empty pw
+    from pdfspark.crypto_fixtures import (
+        build_encrypted_pdf,
+        build_unsupported_encrypted_pdf,
     )
-    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
-    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
-    enc = b.add(
-        "<< /Filter /Standard /V 4 /R 4 /Length 128 "
-        "/CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF /StrF /StdCF "
-        "/O (0000000000000000000000000000000) "
-        "/U (0000000000000000000000000000000) /P -44 >>"
-    )
-    add(Case("t27_encrypted_aesv2",
-             b.build(root, trailer_extra=f" /Encrypt {enc} 0 R"),
+
+    add(Case("t27_encrypted_rc4",
+             build_encrypted_pdf("RC4 secret text", cfm="rc4"),
+             "RC4 secret text", None, 1))
+    add(Case("t27b_encrypted_aesv2",
+             build_encrypted_pdf("AES secret text", cfm="aesv2"),
+             "AES secret text", None, 1))
+    # unsupported handler (AESV3/R6) → stable error, no crash
+    add(Case("t27c_encrypted_unsupported",
+             build_unsupported_encrypted_pdf(),
              None, "encrypted", 0))
 
     # ---- t28: Type3 font via Differences + ToUnicode

@@ -42,10 +42,24 @@ class PdfDocument:
         self.trailer = self.xref.trailer
         self._cache: Dict[int, object] = {}
         self._objstm_cache: Dict[int, tuple] = {}
-        if self.resolve(self.trailer.get("Encrypt")) is not None:
-            # E1: standard security handler is phase-4; surface a stable
-            # error code instead (SURVEY.md §2A.4)
-            raise PdfError("encrypted", "encrypted document")
+        self.security = None
+        enc = self.resolve(self.trailer.get("Encrypt"))
+        if enc is not None:
+            # E1: standard security handler, empty user password
+            # (SURVEY.md §2A.4; unsupported variants raise 'encrypted')
+            from pdfspark.kernel.encryption import SecurityHandler
+
+            if not isinstance(enc, dict):
+                raise PdfError("encrypted", "malformed Encrypt dict")
+            file_id = self.resolve(self.trailer.get("ID"))
+            id0 = b""
+            if isinstance(file_id, list) and file_id:
+                first = self.resolve(file_id[0])
+                if isinstance(first, bytes):
+                    id0 = bytes(first)
+            self.security = SecurityHandler.from_encrypt_dict(
+                enc, id0, self.resolve
+            )
 
     # ------------------------------------------------------------- resolve
 
@@ -103,6 +117,10 @@ class PdfDocument:
                 _, _, obj = lx.lex_indirect_object()
             except PdfError:
                 return None
+        if isinstance(obj, Stream):
+            obj.objnum, obj.gen = objnum, 0
+        elif self.security is not None:
+            obj = self._decrypt_strings(obj, objnum, 0)
         return obj
 
     def _resolve_length(self, obj) -> Optional[int]:
@@ -149,7 +167,28 @@ class PdfDocument:
 
     # -------------------------------------------------------------- streams
 
+    def _decrypt_strings(self, obj, objnum: int, gen: int):
+        """Strings outside streams are individually encrypted (the
+        reference leaves decrypt_string as todo!(), `src/encryption.rs`)."""
+        from pdfspark.kernel.objects import PdfString
+
+        if isinstance(obj, PdfString):
+            return PdfString(self.security.decrypt(bytes(obj), objnum, gen))
+        if isinstance(obj, list):
+            return [self._decrypt_strings(v, objnum, gen) for v in obj]
+        if isinstance(obj, dict):
+            return {k: self._decrypt_strings(v, objnum, gen)
+                    for k, v in obj.items()}
+        return obj
+
     def decode(self, stream: Stream) -> bytes:
+        raw = stream.data
+        if (
+            self.security is not None
+            and str(stream.dict.get("Type") or "") not in ("XRef",)
+        ):
+            raw = self.security.decrypt(bytes(raw), stream.objnum, stream.gen)
+            stream = Stream(stream.dict, raw)
         data = decode_stream(stream, resolve=self.resolve)
         if len(data) > _MAX_DECODED_STREAM:
             raise PdfError("too-large", f"decoded stream {len(data)} bytes")

@@ -1,0 +1,209 @@
+"""Standard security handler (SURVEY.md §2A.4 E1; PDF 32000 §7.6).
+
+Coverage: V=1/2 (RC4 40-128 bit), V=4 with StdCF CFM /V2 (RC4) or /AESV2
+(AES-128-CBC via the `cryptography` package, import-gated), revisions
+2/3/4, EMPTY user password only — the only case a crawl pipeline can
+decrypt without side-channel secrets. Anything else raises
+``PdfError('encrypted')`` and lands in the error column.
+
+The reference implements the same key derivation + AESV2 stream decrypt
+(`src/encryption.rs:240-336`) but leaves ``decrypt_string`` as ``todo!()``
+and lacks RC4; both are complete here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Optional
+
+from pdfspark.kernel.objects import Name, PdfError, Stream
+
+PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (symmetric: encrypt == decrypt)."""
+    S = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % klen]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    try:
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher,
+            algorithms,
+            modes,
+        )
+    except ImportError:
+        raise PdfError("encrypted", "AES support unavailable")
+    if len(data) < 16:
+        return b""
+    iv, body = data[:16], data[16:]
+    if len(body) % 16:
+        body = body[: len(body) - len(body) % 16]
+    dec = Cipher(algorithms.AES(key), modes.CBC(iv)).decryptor()
+    plain = dec.update(body) + dec.finalize()
+    if plain and 1 <= plain[-1] <= 16:  # PKCS#5 padding
+        plain = plain[: -plain[-1]]
+    return plain
+
+
+def compute_encryption_key(
+    o_entry: bytes,
+    p: int,
+    file_id0: bytes,
+    revision: int,
+    key_len: int,
+    encrypt_metadata: bool = True,
+    user_password: bytes = b"",
+) -> bytes:
+    """Algorithm 2: file encryption key from the (padded) user password."""
+    padded = (user_password + PAD)[:32]
+    h = hashlib.md5()
+    h.update(padded)
+    h.update(o_entry[:32])
+    h.update(struct.pack("<i", p))
+    h.update(file_id0)
+    if revision >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
+    key = h.digest()
+    if revision >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:key_len]).digest()
+    return key[:key_len]
+
+
+def compute_o_entry(owner_pw: bytes, user_pw: bytes, revision: int,
+                    key_len: int) -> bytes:
+    """Algorithm 3 (used by the fixture *encryptor*)."""
+    padded_owner = ((owner_pw or user_pw) + PAD)[:32]
+    h = hashlib.md5(padded_owner).digest()
+    if revision >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    rc4_key = h[:key_len]
+    out = rc4(rc4_key, (user_pw + PAD)[:32])
+    if revision >= 3:
+        for i in range(1, 20):
+            out = rc4(bytes(b ^ i for b in rc4_key), out)
+    return out
+
+
+def compute_u_entry(key: bytes, file_id0: bytes, revision: int) -> bytes:
+    """Algorithms 4 (R2) / 5 (R≥3)."""
+    if revision == 2:
+        return rc4(key, PAD)
+    h = hashlib.md5(PAD + file_id0).digest()
+    out = rc4(key, h)
+    for i in range(1, 20):
+        out = rc4(bytes(b ^ i for b in key), out)
+    return out + b"\x00" * 16
+
+
+class SecurityHandler:
+    """Per-document decryption context (empty user password)."""
+
+    __slots__ = ("key", "key_len", "cfm", "revision")
+
+    def __init__(self, key: bytes, cfm: str, revision: int) -> None:
+        self.key = key
+        self.key_len = len(key)
+        self.cfm = cfm  # 'rc4' | 'aesv2'
+        self.revision = revision
+
+    @classmethod
+    def from_encrypt_dict(cls, enc: dict, file_id0: bytes,
+                          resolve) -> "SecurityHandler":
+        filt = str(resolve(enc.get("Filter")) or "")
+        if filt != "Standard":
+            raise PdfError("encrypted", f"unsupported handler {filt}")
+        v = int(resolve(enc.get("V", 0)) or 0)
+        r = int(resolve(enc.get("R", 2)) or 2)
+        length = int(resolve(enc.get("Length", 40)) or 40)
+        cfm = "rc4"
+        if v in (1, 2):
+            key_len = 5 if v == 1 else max(5, min(16, length // 8))
+        elif v == 4:
+            cf = resolve(enc.get("CF")) or {}
+            stmf = str(resolve(enc.get("StmF", "Identity")) or "Identity")
+            stdcf = resolve(cf.get(stmf)) if isinstance(cf, dict) else None
+            method = str(resolve(stdcf.get("CFM")) if isinstance(stdcf, dict)
+                         else "") or ""
+            if method == "AESV2":
+                cfm = "aesv2"
+                key_len = 16
+            elif method == "V2":
+                key_len = max(5, min(16, length // 8))
+            else:
+                raise PdfError("encrypted", f"unsupported CFM {method}")
+        else:
+            raise PdfError("encrypted", f"unsupported V={v} (AESV3/R5-6)")
+        o = resolve(enc.get("O"))
+        u = resolve(enc.get("U"))
+        p = int(resolve(enc.get("P", -1)) or -1)
+        em = resolve(enc.get("EncryptMetadata"))
+        em = True if em is None else bool(em)
+        if not isinstance(o, bytes) or not isinstance(u, bytes):
+            raise PdfError("encrypted", "missing O/U entries")
+        key = compute_encryption_key(o, p, file_id0, r, key_len, em)
+        # authenticate the EMPTY user password
+        expect_u = compute_u_entry(key, file_id0, r)
+        got, want = (u[:16], expect_u[:16]) if r >= 3 else (u[:32], expect_u[:32])
+        if got != want:
+            raise PdfError("encrypted", "password required")
+        return cls(key, cfm, r)
+
+    def object_key(self, objnum: int, gen: int) -> bytes:
+        h = hashlib.md5()
+        h.update(self.key)
+        h.update(struct.pack("<I", objnum)[:3])
+        h.update(struct.pack("<I", gen)[:2])
+        if self.cfm == "aesv2":
+            h.update(b"sAlT")
+        return h.digest()[: min(self.key_len + 5, 16)]
+
+    def decrypt(self, data: bytes, objnum: int, gen: int) -> bytes:
+        k = self.object_key(objnum, gen)
+        if self.cfm == "aesv2":
+            return _aes_cbc_decrypt(k, data)
+        return rc4(k, data)
+
+    def encrypt(self, data: bytes, objnum: int, gen: int) -> bytes:
+        """Fixture-encryptor twin (RC4 is symmetric; AES needs IV+pad)."""
+        k = self.object_key(objnum, gen)
+        if self.cfm == "aesv2":
+            import hashlib as _h
+
+            from cryptography.hazmat.primitives.ciphers import (
+                Cipher,
+                algorithms,
+                modes,
+            )
+
+            # deterministic IV derived from plaintext (fixtures only)
+            iv = _h.md5(b"iv" + data).digest()
+            padlen = 16 - (len(data) % 16)
+            body = data + bytes([padlen]) * padlen
+            enc = Cipher(algorithms.AES(k), modes.CBC(iv)).encryptor()
+            return iv + enc.update(body) + enc.finalize()
+        return rc4(k, data)

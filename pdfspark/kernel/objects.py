@@ -57,11 +57,13 @@ class Stream:
     mirroring the reference's borrow of the input (`src/lex.rs:516-533`).
     """
 
-    __slots__ = ("dict", "data")
+    __slots__ = ("dict", "data", "objnum", "gen")
 
     def __init__(self, d: dict, data) -> None:
         self.dict = d
         self.data = data  # bytes or memoryview
+        self.objnum = 0  # owning indirect object (per-object decrypt key)
+        self.gen = 0
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
         return f"Stream({self.dict!r}, {len(self.data)} bytes)"

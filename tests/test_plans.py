@@ -1,0 +1,73 @@
+"""Physical-plan shape assertions (SURVEY.md §4): the plans must be the
+ones we'd want at 100 TB — filters pushed to the scan, column pruning,
+broadcast joins for dims, no stray exchanges on the no-shuffle paths."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") >= "1995-01-01").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_column_pruning_in_read_schema(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.select("l_orderkey", "l_quantity")
+    plan = plan_of(q)
+    # the scan must read exactly the 2 projected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan, plan
+
+
+def test_q5_uses_broadcast_joins_for_dims(spark):
+    from pdfspark.queries import QUERIES
+
+    df = QUERIES["q5_region_revenue"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_extraction_no_shuffle_when_presalted(spark):
+    from pdfspark.pipeline import extract_pages, pages_from_fixtures
+
+    pages = pages_from_fixtures(spark)
+    plan = plan_of(extract_pages(pages, resalt=False))
+    # the kernel stage must not introduce an exchange
+    assert "Exchange" not in plan.split("MapInPandas")[0].split("\n")[-5:][0] or \
+        "Exchange" not in plan, plan
+
+
+def test_extraction_salting_is_single_exchange(spark):
+    from pdfspark.pipeline import extract_pages, pages_from_fixtures
+
+    pages = pages_from_fixtures(spark)
+    plan = plan_of(extract_pages(pages, resalt=True, nsalt=8))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_q1_whole_stage_codegen(spark):
+    from pdfspark.queries import QUERIES
+
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan and "WholeStageCodegen" in plan, plan
+
+
+def test_top_orders_is_take_ordered(spark):
+    from pdfspark.queries import QUERIES
+
+    df = QUERIES["top_orders_global"](spark, SF_DIR)
+    plan = plan_of(df)
+    # global top-k must be TakeOrderedAndProject, never a full Sort
+    assert "TakeOrderedAndProject" in plan, plan
