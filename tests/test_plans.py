@@ -61,7 +61,10 @@ def test_q1_whole_stage_codegen(spark):
     df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
     df.collect()  # AQE finalizes the plan only on execution
     plan = plan_of(df)
-    assert "isFinalPlan=true" in plan and "WholeStageCodegen" in plan, plan
+    # '*(n)' is the WholeStageCodegen marker in plan toString; the partial
+    # aggregate must sit inside a codegen stage (map-side combine)
+    assert "isFinalPlan=true" in plan, plan
+    assert "*(1) HashAggregate" in plan and "partial" in plan, plan
 
 
 def test_top_orders_is_take_ordered(spark):
