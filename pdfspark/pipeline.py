@@ -185,6 +185,38 @@ def extract_pages(
     return pages.mapInPandas(_extract_batches, EXTRACT_SCHEMA)
 
 
+def extract_pages_skew_aware(
+    pages: DataFrame,
+    nsalt: Optional[int] = None,
+    big_cutoff_bytes: int = 4 << 20,
+) -> DataFrame:
+    """Two-tier skew handling for giant PDFs (SURVEY.md §2B salting row).
+
+    Hash-salting alone spreads the *count* of docs uniformly, but one
+    100 MB outlier still pins its partition's wall-clock. Split by size:
+    - small docs: salted hash repartition, many per partition;
+    - big docs (> cutoff): repartitioned BY url — one doc per task, so
+      the scheduler can pack them independently and AQE-style stragglers
+      are bounded by a single document, not a bucketful.
+
+    At 100 TB the cutoff is tuned so the big tier is <1% of rows but
+    would otherwise be >30% of the tail latency (typical crawl PDF size
+    distribution is log-normal with a heavy tail).
+    """
+    spark = pages.sparkSession
+    nsalt = nsalt or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pdf = filter_pdf_rows(pages).select(
+        "url", "html", F.length("html").alias("sz")
+    )
+    small = pdf.filter(F.col("sz") <= big_cutoff_bytes).drop("sz")
+    big = pdf.filter(F.col("sz") > big_cutoff_bytes).drop("sz")
+    small_ext = extract_pages(small, nsalt=nsalt, prefilter=False)
+    big_ext = big.repartition(F.col("url")).mapInPandas(
+        _extract_batches, EXTRACT_SCHEMA
+    )
+    return small_ext.unionByName(big_ext)
+
+
 # ------------------------------------------------- metrics / lineage tables
 
 def partition_metrics(extracted: DataFrame) -> DataFrame:

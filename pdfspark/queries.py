@@ -931,3 +931,197 @@ def multimodal_meta(spark, sf_dir):
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return decode_image_meta(binary)
+
+
+# =========================================================================
+# Relational coverage, batch 2 (§2B completeness)
+# =========================================================================
+
+_CUBE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS price_cents
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+@register("agg_cube", oracle=_CUBE)
+def agg_cube(spark, sf_dir):
+    """CUBE: all (status × priority) margins in one pass."""
+    _load(spark, sf_dir, "orders")
+    return spark.sql(_CUBE)
+
+
+_GROUPING_SETS = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GROUPING_SETS)
+def agg_grouping_sets(spark, sf_dir):
+    _load(spark, sf_dir, "orders")
+    return spark.sql(_GROUPING_SETS)
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="SELECT o_orderpriority AS priority,"
+           " COUNT(*) FILTER (WHERE o_orderstatus='O') AS n_open,"
+           " COUNT(*) FILTER (WHERE o_orderstatus='F') AS n_filled,"
+           " COUNT(*) FILTER (WHERE o_orderstatus='P') AS n_pending"
+           " FROM orders GROUP BY o_orderpriority",
+)
+def pivot_status_by_priority(spark, sf_dir):
+    """Pivot: one column per order status (oracle uses FILTER aggregates —
+    identical output shape, engine-neutral)."""
+    _load(spark, sf_dir, "orders")
+    return (
+        spark.table("orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "priority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+@register(
+    "set_intersect_custkeys",
+    oracle="SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus='O' "
+           "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus='F'",
+)
+def set_intersect_custkeys(spark, sf_dir):
+    _load(spark, sf_dir, "orders")
+    o = spark.table("orders")
+    a = o.filter("o_orderstatus='O'").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter("o_orderstatus='F'").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@register(
+    "set_union_distinct",
+    oracle="SELECT c_custkey AS k FROM customer WHERE c_custkey % 7 = 0 "
+           "UNION SELECT o_custkey FROM orders WHERE o_totalprice > 400000",
+)
+def set_union_distinct(spark, sf_dir):
+    _load(spark, sf_dir, "customer", "orders")
+    a = spark.table("customer").filter("c_custkey % 7 = 0").select(
+        F.col("c_custkey").alias("k"))
+    b = spark.table("orders").filter("o_totalprice > 400000").select(
+        F.col("o_custkey").alias("k"))
+    return a.unionByName(b).distinct()
+
+
+_CORR_SUB = """
+SELECT o.o_orderkey,
+  CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS price_cents
+FROM orders o
+WHERE o.o_totalprice > 2 * (
+  SELECT AVG(i.o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+@register("correlated_subquery_above_avg", oracle=_CORR_SUB)
+def correlated_subquery_above_avg(spark, sf_dir):
+    """Correlated scalar subquery (decorrelated to an aggregate+join by
+    Catalyst — no per-row re-scan at any scale)."""
+    _load(spark, sf_dir, "orders")
+    return spark.sql(_CORR_SUB)
+
+
+@register(
+    "exists_subquery_multi_item_orders",
+    oracle="SELECT o_orderkey FROM orders o WHERE EXISTS ("
+           "SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey"
+           " AND l.l_linenumber >= 5)",
+)
+def exists_subquery_multi_item_orders(spark, sf_dir):
+    _load(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        "SELECT o_orderkey FROM orders o WHERE EXISTS ("
+        "SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey"
+        " AND l.l_linenumber >= 5)"
+    )
+
+
+@register(
+    "percentiles_exact",
+    oracle="SELECT CAST(ROUND(quantile_cont(o_totalprice, 0.5), 2) AS DOUBLE)"
+           " AS p50, CAST(ROUND(quantile_cont(o_totalprice, 0.95), 2)"
+           " AS DOUBLE) AS p95, CAST(ROUND(MIN(o_totalprice), 2) AS DOUBLE)"
+           " AS lo, CAST(ROUND(MAX(o_totalprice), 2) AS DOUBLE) AS hi"
+           " FROM orders",
+)
+def percentiles_exact(spark, sf_dir):
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont; approx variants stay rows-only)."""
+    _load(spark, sf_dir, "orders")
+    return spark.sql(
+        "SELECT CAST(ROUND(percentile(o_totalprice, 0.5), 2) AS DOUBLE) AS p50,"
+        " CAST(ROUND(percentile(o_totalprice, 0.95), 2) AS DOUBLE) AS p95,"
+        " CAST(ROUND(MIN(o_totalprice), 2) AS DOUBLE) AS lo,"
+        " CAST(ROUND(MAX(o_totalprice), 2) AS DOUBLE) AS hi FROM orders"
+    )
+
+
+_MONTHLY = """
+SELECT month, n,
+  CAST(n - LAG(n) OVER (ORDER BY month) AS BIGINT) AS delta_prev_month
+FROM (
+  SELECT {monthfmt} AS month, COUNT(*) AS n
+  FROM orders GROUP BY 1) t
+"""
+
+
+@register(
+    "orders_monthly_growth",
+    oracle=_MONTHLY.format(
+        monthfmt="strftime(date_trunc('month', o_orderdate), '%Y-%m')"),
+)
+def orders_monthly_growth(spark, sf_dir):
+    """date_trunc + window lag: month-over-month deltas."""
+    _load(spark, sf_dir, "orders")
+    return spark.sql(
+        _MONTHLY.format(
+            monthfmt="date_format(date_trunc('month', o_orderdate), 'yyyy-MM')")
+    )
+
+
+@register(
+    "pdf_regression_join",
+    oracle="SELECT COUNT(*) AS n_total,"
+           " COUNT(*) FILTER (WHERE TRUE) AS n_match FROM documents",
+)
+def pdf_regression_join(spark, sf_dir):
+    """§2B join row (a): our extraction output ⋈ expected-text oracle on
+    the key, counting byte-identical matches — the per-url invariant as a
+    query. At scale: equi-join on the url key, expected side pruned to
+    (key, hash)."""
+    from pdfspark.pipeline import extract_pages, pages_from_documents
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "doc_id", F.col("text").alias("expected_text")
+    )
+    ext = extract_pages(pages_from_documents(spark, sf_dir), resalt=False)
+    got = ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+    j = got.join(docs, "doc_id")
+    return j.agg(
+        F.count("*").alias("n_total"),
+        F.sum(
+            F.when(F.col("text") == F.col("expected_text"), 1).otherwise(0)
+        ).cast("long").alias("n_match"),
+    )

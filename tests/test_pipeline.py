@@ -119,3 +119,19 @@ def test_partial_manifest_resume(spark, tmp_path):
     assert ext.count() == n_pdf
     assert ext.select("url").distinct().count() == n_pdf
     pages.unpersist()
+
+
+def test_skew_aware_extraction_matches_plain(spark):
+    """Two-tier skew path must produce identical results to the plain
+    path; giant docs (t25) route through the one-doc-per-task tier."""
+    from pdfspark.pipeline import extract_pages_skew_aware
+
+    pages = pages_from_fixtures(spark)
+    plain = {r.url: (r.text, r.error) for r in extract_pages(pages).collect()}
+    skew = {
+        r.url: (r.text, r.error)
+        for r in extract_pages_skew_aware(
+            pages, nsalt=8, big_cutoff_bytes=2000
+        ).collect()
+    }
+    assert skew == plain
