@@ -419,6 +419,64 @@ def all_cases() -> List[Case]:
     root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
     add(Case("t28_type3_font", b.build(root), "★", None, 1))
 
+    # ---- t29: ExtGState /Font entry (gs operator sets the font)
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    gs_dict = b.add(f"<< /Type /ExtGState /Font [{f1} 0 R 12] >>")
+    c = b.add_stream(
+        "<< >>", b"/GS1 gs BT 72 720 Td (ViaGS) Tj ET"
+    )
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] /Resources "
+        f"<< /Font << /F1 {f1} 0 R >> /ExtGState << /GS1 {gs_dict} 0 R >> >> "
+        f"/Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    add(Case("t29_extgstate_font", b.build(root), "ViaGS", None, 1))
+
+    # ---- t30: predefined CJK CMap without ToUnicode → stable soft error
+    b = PdfBuilder()
+    cid_font2 = (
+        "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Fake-GBK "
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) "
+        "/Supplement 2 >> >>"
+    )
+    df_num = b.add(cid_font2)
+    f1 = b.add(
+        "<< /Type /Font /Subtype /Type0 /BaseFont /Fake-GBK "
+        f"/Encoding /GBK-EUC-H /DescendantFonts [{df_num} 0 R] >>"
+    )
+    c = b.add_stream("<< >>", b"BT /F1 12 Tf 72 720 Td <00410042> Tj ET")
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    add(Case("t30_predefined_cjk_cmap", b.build(root),
+             "��", "predefined-cmap", 1))
+
+    # ---- t31: hybrid-reference file (classic xref + /XRefStm pointer)
+    # Build: objstm-backed doc (xref stream), then wrap a classic xref
+    # that lists nothing but points at the xref stream via /XRefStm.
+    inner = make_doc(_simple_show("Hybrid"), fonts={"F1": BASE14},
+                     objstm_page_objs=True)
+    sx = inner.rfind(b"startxref")
+    stream_xref_off = int(inner[sx + 9:].split()[0])
+    body = inner[:sx]
+    classic = bytearray(body)
+    xref_off = len(classic)
+    classic += (
+        b"xref\n0 1\n0000000000 65535 f \n"
+        b"trailer\n<< /Size 95 /Root 91 0 R /XRefStm "
+        + str(stream_xref_off).encode()
+        + b" >>\nstartxref\n"
+        + str(xref_off).encode()
+        + b"\n%%EOF\n"
+    )
+    add(Case("t31_hybrid_xrefstm", bytes(classic), "Hybrid", None, 1))
+
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",
              b"<!doctype html><html><body>hello web</body></html>",

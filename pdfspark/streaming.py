@@ -58,6 +58,39 @@ def windowed_metrics(pages: DataFrame, extracted: DataFrame) -> DataFrame:
     )
 
 
+def stateful_url_counts(extracted: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    running per-lang document/char counter that survives across
+    micro-batches through the state store — the pattern a streaming
+    dedup/quota operator at 10^12 scale needs (state is per-key,
+    checkpointed, replayed exactly-once on recovery)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n_docs, n_chars = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n_docs += len(pdf)
+            n_chars += int(pdf["n_chars"].fillna(0).sum())
+        state.update((n_docs, n_chars))
+        yield pd.DataFrame(
+            {"doc_lang": [key[0]], "n_docs": [n_docs], "n_chars": [n_chars]}
+        )
+
+    return (
+        extracted.fillna({"doc_lang": "und"})
+        .groupBy("doc_lang")
+        .applyInPandasWithState(
+            update,
+            outputStructType="doc_lang string, n_docs bigint, n_chars bigint",
+            stateStructType="n_docs bigint, n_chars bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_once(
     spark: SparkSession,
     input_dir: str,

@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis): roundtrips and invariants the
+example-based suites can't sweep (SURVEY.md §5 plan — the reference has
+no property tests at all)."""
+
+import zlib
+
+from hypothesis import given, settings, strategies as st
+
+from pdfspark.docgen import text_to_pdf
+from pdfspark.fixtures import lzw_encode, png_predict_encode, runlength_encode
+from pdfspark.kernel.extract import extract_text
+from pdfspark.kernel.filters import flate_decode, lzw_decode, runlength_decode
+from pdfspark.kernel.lexer import Lexer
+from pdfspark.kernel.objects import PdfString
+
+
+# text the WinAnsi generator can represent faithfully: latin-1 minus the
+# C1 block (0x7F-0x9F), where cp1252 assigns typographic glyphs — a
+# generator precondition, not a kernel limitation
+_text = st.text(
+    alphabet=st.characters(
+        min_codepoint=0x20,
+        max_codepoint=0xFF,
+        blacklist_categories=("Cc",),
+        blacklist_characters="\x85\xa0\xad",
+    ),
+    max_size=600,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_text)
+def test_pdf_roundtrip_any_latin1_text(text):
+    """text → synthetic PDF → kernel == identity (WinAnsi-encodable
+    subset; undefined WinAnsi codes map to their cp1252 fallback)."""
+    enc = text.encode("latin-1")
+    # WinAnsi has 5 undefined codes; docgen texts never contain them
+    if any(b in (0x81, 0x8D, 0x8F, 0x90, 0x9D) for b in enc):
+        return
+    r = extract_text(text_to_pdf(text))
+    assert r.error is None
+    assert r.text == text
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=4096))
+def test_lzw_roundtrip(data):
+    assert lzw_decode(lzw_encode(data), {}) == data
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=4096))
+def test_runlength_roundtrip(data):
+    assert runlength_decode(runlength_encode(data), {}) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=1, max_size=2048),
+       st.integers(min_value=1, max_value=64),
+       st.sampled_from([0, 1, 2, 3, 4]))
+def test_png_predictor_roundtrip(data, columns, ftype):
+    # pad to whole rows: the codec pair is defined on full rows
+    if len(data) % columns:
+        data = data + bytes(columns - len(data) % columns)
+    enc = png_predict_encode(data, columns, ftype=ftype)
+    out = flate_decode(zlib.compress(enc),
+                       {"Predictor": 12, "Columns": columns})
+    assert out == data
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=256))
+def test_literal_string_escape_roundtrip(data):
+    """Any byte string survives PDF literal-string escaping + lexing."""
+    esc = bytearray()
+    for b in data:
+        if b in b"\\()":
+            esc += b"\\" + bytes([b])
+        elif b in b"\r\n":
+            esc += ("\\%03o" % b).encode()
+        else:
+            esc.append(b)
+    src = b"(" + bytes(esc) + b")"
+    assert Lexer(src).lex_object() == PdfString(data)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=256))
+def test_hex_string_roundtrip(data):
+    src = b"<" + data.hex().encode() + b">"
+    assert Lexer(src).lex_object() == PdfString(data)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=512))
+def test_kernel_never_raises_on_garbage(data):
+    """Crash-tolerance: arbitrary bytes (with or without the magic) must
+    produce an ExtractResult, never an exception."""
+    r1 = extract_text(data)
+    r2 = extract_text(b"%PDF-1.4\n" + data)
+    assert r1 == extract_text(data)  # deterministic too
+    assert r2.text is None or isinstance(r2.text, str)

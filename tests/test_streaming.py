@@ -34,3 +34,52 @@ def test_stream_extracts_and_resumes(spark, tmp_path):
     got2 = spark.read.parquet(out_dir)
     assert got2.count() == 2 * n_pdf
     assert got2.select("url").distinct().count() == 2 * n_pdf
+
+
+def test_stateful_counts_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-key state survives micro-batches via
+    the checkpointed state store."""
+    from pdfspark.streaming import extract_stream, read_pages_stream, stateful_url_counts
+
+    in_dir = str(tmp_path / "sin")
+    ckpt = str(tmp_path / "sckpt")
+
+    first = pages_from_fixtures(spark)
+    first.write.mode("overwrite").parquet(in_dir)
+
+    sink = str(tmp_path / "scounts")
+
+    def drain():
+        pages = read_pages_stream(spark, in_dir)
+        counts = stateful_url_counts(extract_stream(pages))
+        q = (
+            counts.writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+
+    drain()
+    rows1 = {}
+    for r in spark.read.parquet(sink).collect():
+        rows1[r.doc_lang] = max(rows1.get(r.doc_lang, 0), r.n_docs)
+    total1 = sum(rows1.values())
+    n_pdf = sum(1 for c in all_cases() if c.pdf.startswith(b"%PDF-"))
+    assert total1 == n_pdf
+
+    # second file batch: state must ACCUMULATE, not reset
+    pages_from_fixtures(spark, copies=2).filter(
+        "url LIKE '%/000001.pdf'"
+    ).write.mode("append").parquet(in_dir)
+    drain()
+    rows2 = {}
+    for r in spark.read.parquet(sink).collect():
+        rows2[r.doc_lang] = max(rows2.get(r.doc_lang, 0), r.n_docs)
+    assert sum(rows2.values()) == 2 * n_pdf
+    assert any(rows2[k] > rows1.get(k, 0) for k in rows2)
