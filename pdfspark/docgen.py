@@ -18,7 +18,33 @@ def _escape(chunk: str) -> str:
     return chunk.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def text_to_pdf(text: str, chunk: int = 120) -> bytes:
+def text_to_html(text: str, doc_id: int = 0, lang: str = "en") -> bytes:
+    """Deterministic Common-Crawl-style page: the document text inside
+    <main>, surrounded by boilerplate (head/nav/header/footer/aside/
+    script) that the HTML extractor must strip. Roundtrip-exact under the
+    pinned policy because the text is a single block with collapsed
+    whitespace (the synthetic corpus has none to collapse)."""
+    import html as _html
+
+    body = _html.escape(text)
+    page = (
+        f'<!DOCTYPE html>\n<html lang="{lang}">\n<head>\n'
+        f"<meta charset=\"utf-8\">\n<title>doc {doc_id}</title>\n"
+        f"<style>body {{ color: #222 }}</style>\n"
+        f"<script>var tracking = {doc_id};</script>\n"
+        f"</head>\n<body>\n"
+        f'<nav><ul><li><a href="/">Home</a></li><li>About</li></ul></nav>\n'
+        f"<header><h1>Site {doc_id % 7}</h1></header>\n"
+        f'<aside>Related link {doc_id % 13}</aside>\n'
+        f"<main><p>{body}</p></main>\n"
+        f"<footer>&copy; 2025 fixture corp &middot; terms</footer>\n"
+        f"<script>console.log('bye')</script>\n"
+        f"</body>\n</html>\n"
+    )
+    return page.encode("utf-8")
+
+
+def text_to_pdf(text: str, chunk: int = 120, meta_id: int = 0) -> bytes:
     shows = "".join(
         f"({_escape(text[i : i + chunk])}) Tj "
         for i in range(0, max(len(text), 1), chunk)
@@ -52,12 +78,17 @@ def text_to_pdf(text: str, chunk: int = 120) -> bytes:
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
         b"/Encoding /WinAnsiEncoding >>",
     )
+    emit(
+        6,
+        b"<< /Title (doc %d) /CreationDate (D:20250101000000Z) "
+        b"/Producer (pdfspark-docgen) >>" % meta_id,
+    )
     xref_off = len(out)
-    out.extend(b"xref\n0 6\n0000000000 65535 f \n")
-    for n in range(1, 6):
+    out.extend(b"xref\n0 7\n0000000000 65535 f \n")
+    for n in range(1, 7):
         out.extend(b"%010d 00000 n \n" % offsets[n])
     out.extend(
-        b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % xref_off
+        b"trailer\n<< /Size 7 /Root 1 0 R /Info 6 0 R >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % xref_off
     )
     return bytes(out)

@@ -58,6 +58,8 @@ class ExtractResult(NamedTuple):
     n_pages: int
     error: Optional[str]
     lang: Optional[str]
+    title: Optional[str] = None
+    created: Optional[str] = None  # ISO-ish string from the PDF date
 
 
 def extract_text(buf: bytes) -> ExtractResult:
@@ -85,7 +87,10 @@ def extract_text(buf: bytes) -> ExtractResult:
         for i, t in enumerate(page_texts):
             spans.append(Span(i, off, off + len(t)))
             off += len(t) + 1  # the \f separator
-        return ExtractResult(text, spans, len(pages), soft_error, doc.lang())
+        title, created = _doc_metadata(doc)
+        return ExtractResult(
+            text, spans, len(pages), soft_error, doc.lang(), title, created
+        )
     except PdfError as e:
         return ExtractResult(None, [], 0, e.code, None)
     except RecursionError:
@@ -94,6 +99,56 @@ def extract_text(buf: bytes) -> ExtractResult:
         return ExtractResult(None, [], 0, "too-large", None)
     except Exception:  # one bad PDF must not kill the job
         return ExtractResult(None, [], 0, "internal", None)
+
+
+def decode_text_string(raw) -> Optional[str]:
+    """PDF text string: UTF-16BE with BOM, else PDFDocEncoding (≈latin-1
+    over the printable range — the divergent code points are rare in
+    metadata and map acceptably)."""
+    if not isinstance(raw, (bytes, PdfString)):
+        return None
+    b = bytes(raw)
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", "replace")
+    return b.decode("latin-1", "replace")
+
+
+def _doc_metadata(doc: PdfDocument):
+    """Info dictionary surface (`src/catalog.rs:212-240`): Title +
+    CreationDate (via the D: date parser, `src/date.rs`)."""
+    try:
+        info = doc.resolve(doc.trailer.get("Info"))
+        if not isinstance(info, dict):
+            return None, None
+        title = decode_text_string(doc.resolve(info.get("Title")))
+        created = None
+        from pdfspark.kernel.dates import parse_pdf_date
+
+        d = parse_pdf_date(doc.resolve(info.get("CreationDate")))
+        if d and d["year"]:
+            created = "%04d-%02d-%02dT%02d:%02d:%02d" % (
+                d["year"], d["month"] or 1, d["day"] or 1,
+                d["hour"] or 0, d["minute"] or 0, d["second"] or 0,
+            )
+        return title, created
+    except PdfError:
+        return None, None
+
+
+def extract_document(buf: bytes) -> ExtractResult:
+    """Modality dispatch (the pipeline kernel entry): %PDF- magic → PDF
+    kernel; HTML hints → boilerplate-stripping HTML extractor; anything
+    else → error='unknown-format'. Never raises."""
+    if buf is None:
+        return ExtractResult(None, [], 0, "unknown-format", None)
+    head = bytes(buf[:1024])
+    if head.startswith(b"%PDF-") or b"%PDF-" in head:
+        return extract_text(bytes(buf))
+    from pdfspark.kernel.html_extract import extract_html, looks_like_html
+
+    if looks_like_html(head):
+        return extract_html(bytes(buf))
+    return ExtractResult(None, [], 0, "unknown-format", None)
 
 
 class _PageInterp:

@@ -1,0 +1,151 @@
+"""HTML main-content extraction (the north rule's second modality:
+"HTML boilerplate strip, DOM heuristics").
+
+Pure stdlib (html.parser) — no external deps, fully deterministic.
+
+PINNED POLICY (goldens in tests/test_html.py define the oracle):
+1. Dropped subtrees (boilerplate): script, style, noscript, template,
+   head, nav, header, footer, aside, iframe, svg, form, button, select,
+   option, datalist, canvas, audio, video.
+2. Block-level tags start a new block; blocks are joined by "\\n".
+3. Inside a block, whitespace runs collapse to a single space and block
+   edges are trimmed; empty blocks are dropped.
+4. Character/entity references are decoded (convert_charrefs).
+5. <title> (inside the dropped <head>) is captured as document title;
+   <html lang=…> as language. <br> splits blocks.
+6. Malformed markup never raises: html.parser is forgiving by design;
+   unclosed drop-tags drop to end of input (documented).
+
+Output reuses the PDF kernel's ExtractResult: text, one page-0 span over
+the whole text, n_pages=1, error=None, lang.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import List, Optional
+
+from pdfspark.kernel.extract import ExtractResult, Span
+
+DROP_TAGS = frozenset(
+    """script style noscript template head nav header footer aside iframe
+    svg form button select option datalist canvas audio video""".split()
+)
+
+BLOCK_TAGS = frozenset(
+    """p div br li ul ol dl dt dd h1 h2 h3 h4 h5 h6 tr td th table thead
+    tbody section article main blockquote pre hr figure figcaption
+    address details summary""".split()
+)
+
+# void elements never push onto the open-tag stack
+_VOID = frozenset("br hr img input meta link area base col embed source track wbr".split())
+
+_WS = re.compile(r"[ \t\r\n\f\v ]+")
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: List[str] = []
+        self._cur: List[str] = []
+        self._drop_depth = 0
+        self._in_title = False
+        self.title: Optional[str] = None
+        self._title_parts: List[str] = []
+        self.lang: Optional[str] = None
+
+    # ------------------------------------------------------------- helpers
+
+    def _flush_block(self) -> None:
+        text = _WS.sub(" ", "".join(self._cur)).strip()
+        self._cur = []
+        if text:
+            self.blocks.append(text)
+
+    # ------------------------------------------------------------ handlers
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "html" and self.lang is None:
+            for k, v in attrs:
+                if k == "lang" and v:
+                    self.lang = v
+        if tag == "title":
+            self._in_title = True
+        if tag in DROP_TAGS:
+            if tag not in _VOID:
+                self._drop_depth += 1
+            return
+        if tag in BLOCK_TAGS:
+            self._flush_block()
+
+    def handle_endtag(self, tag):
+        if tag == "title":
+            self._in_title = False
+            if self.title is None:
+                t = _WS.sub(" ", "".join(self._title_parts)).strip()
+                self.title = t or None
+        if tag in DROP_TAGS and tag not in _VOID:
+            if self._drop_depth > 0:
+                self._drop_depth -= 1
+            return
+        if tag in BLOCK_TAGS:
+            self._flush_block()
+
+    def handle_startendtag(self, tag, attrs):
+        if tag in BLOCK_TAGS:
+            self._flush_block()
+
+    def handle_data(self, data):
+        if self._in_title:
+            self._title_parts.append(data)
+        if self._drop_depth == 0:
+            self._cur.append(data)
+
+    def close(self):
+        super().close()
+        self._flush_block()
+
+
+_ENC_RE = re.compile(rb"charset=[\"']?([A-Za-z0-9_\-]+)", re.I)
+
+
+def _decode(buf: bytes) -> str:
+    """utf-8 first (the web default), then a declared charset, then
+    latin-1 (never fails)."""
+    try:
+        return buf.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    m = _ENC_RE.search(buf[:2048])
+    if m:
+        try:
+            return buf.decode(m.group(1).decode("ascii"), "replace")
+        except (LookupError, UnicodeDecodeError):
+            pass
+    return buf.decode("latin-1", "replace")
+
+
+def extract_html(buf: bytes) -> ExtractResult:
+    """Extract main-content text from one HTML byte buffer. Never raises."""
+    try:
+        parser = _Extractor()
+        parser.feed(_decode(buf))
+        parser.close()
+        text = "\n".join(parser.blocks)
+        return ExtractResult(
+            text, [Span(0, 0, len(text))], 1, None, parser.lang,
+            parser.title, None,
+        )
+    except Exception:
+        return ExtractResult(None, [], 0, "html-parse", None)
+
+
+_HTML_HINT = re.compile(
+    rb"^\s*(?:<!doctype\s+html|<html|<head|<body|<\?xml|<!--)", re.I
+)
+
+
+def looks_like_html(buf: bytes) -> bool:
+    return bool(_HTML_HINT.match(buf[:256])) or b"<html" in buf[:1024].lower()

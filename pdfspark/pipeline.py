@@ -85,6 +85,8 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("n_pages", T.IntegerType()),
         T.StructField("error", T.StringType()),
         T.StructField("doc_lang", T.StringType()),
+        T.StructField("doc_title", T.StringType()),
+        T.StructField("created", T.StringType()),
         T.StructField("n_chars", T.LongType()),
         T.StructField("pdf_bytes", T.LongType()),
         T.StructField("kernel_ms", T.DoubleType()),
@@ -116,7 +118,7 @@ def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
     import pandas as pd
     from pyspark import TaskContext
 
-    from pdfspark.kernel.extract import extract_text
+    from pdfspark.kernel.extract import extract_document
 
     tc = TaskContext.get()
     part_id = tc.partitionId() if tc is not None else -1
@@ -125,7 +127,7 @@ def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
         for url, html in zip(pdf_batch["url"], pdf_batch["html"]):
             t0 = time.perf_counter()
             buf = bytes(html) if html is not None else b""
-            r = extract_text(buf)
+            r = extract_document(buf)
             elapsed = (time.perf_counter() - t0) * 1000.0
             rows.append(
                 {
@@ -138,6 +140,8 @@ def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
                     "n_pages": r.n_pages,
                     "error": r.error,
                     "doc_lang": r.lang,
+                    "doc_title": r.title,
+                    "created": r.created,
                     "n_chars": len(r.text) if r.text is not None else 0,
                     "pdf_bytes": len(buf),
                     "kernel_ms": elapsed,
@@ -336,7 +340,8 @@ def _extract_batches_with_key(batches):
 # -------------------------------------------- synthetic pages-table sources
 
 def pages_from_documents(spark: SparkSession, sf_dir: str,
-                         non_pdf_every: int = 0) -> DataFrame:
+                         non_pdf_every: int = 0,
+                         fmt: str = "pdf") -> DataFrame:
     """Deterministically wrap the driver's ``documents`` table into a
     Common-Crawl-style pages table (BASELINE.json input_hint schema): each
     document's text becomes a one-page Flate-compressed PDF in the ``html``
@@ -362,7 +367,7 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
 
         import pandas as pd
 
-        from pdfspark.docgen import text_to_pdf
+        from pdfspark.docgen import text_to_html, text_to_pdf
 
         epoch = datetime.datetime(2025, 1, 1)
         for b in batches:
@@ -370,9 +375,12 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
             for doc_id, text, lang in zip(b["doc_id"], b["text"], b["lang"]):
                 i = int(doc_id)
                 if non_pdf_every and i % non_pdf_every == 0:
-                    html = b"<!doctype html><html><body>%d</body></html>" % i
+                    # undecodable junk: exercises error='unknown-format'
+                    html = b"\x00\x01JUNK:%d\xff\xfe" % i
+                elif fmt == "html" or (fmt == "mixed" and i % 2 == 1):
+                    html = text_to_html(text, i, lang or "en")
                 else:
-                    html = text_to_pdf(text)
+                    html = text_to_pdf(text, meta_id=i)
                 rows.append(
                     {
                         "url": f"https://corpus.test/{i:08d}.pdf",

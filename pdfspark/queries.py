@@ -101,12 +101,12 @@ def pdf_magic_filter(spark, sf_dir):
 
 @register(
     "pdf_error_rows",
-    oracle="SELECT CASE WHEN doc_id % 10 = 0 THEN 'not-pdf' ELSE 'ok' END AS status,"
-           " COUNT(*) AS n FROM documents GROUP BY 1",
+    oracle="SELECT CASE WHEN doc_id % 10 = 0 THEN 'unknown-format' ELSE 'ok'"
+           " END AS status, COUNT(*) AS n FROM documents GROUP BY 1",
 )
 def pdf_error_rows(spark, sf_dir):
-    """Error-column policy: one bad document never kills the job; feeding
-    non-PDF rows to the kernel (prefilter off) yields stable error codes."""
+    """Error-column policy: one bad document never kills the job; junk
+    rows (prefilter off) yield the stable 'unknown-format' code."""
     from pdfspark.pipeline import extract_pages, pages_from_documents
 
     pages = pages_from_documents(spark, sf_dir, non_pdf_every=10)
@@ -1124,4 +1124,74 @@ def pdf_regression_join(spark, sf_dir):
         F.sum(
             F.when(F.col("text") == F.col("expected_text"), 1).otherwise(0)
         ).cast("long").alias("n_match"),
+    )
+
+
+# =========================================================================
+# HTML main-content extraction (north-rule second modality)
+# =========================================================================
+
+@register(
+    "html_extract_roundtrip",
+    oracle="SELECT doc_id, text FROM documents",
+)
+def html_extract_roundtrip(spark, sf_dir):
+    """Boilerplate strip: every document wrapped in a Common-Crawl-style
+    page (head/nav/header/aside/footer/scripts) — the extractor must
+    return exactly the main-content text (pinned policy in
+    kernel/html_extract.py)."""
+    from pdfspark.pipeline import extract_pages, pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir, fmt="html")
+    ext = extract_pages(pages, prefilter=False, resalt=False)
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+
+
+@register(
+    "mixed_corpus_extract",
+    oracle="SELECT CASE WHEN doc_id % 2 = 1 THEN 'html' ELSE 'pdf' END AS"
+           " fmt, COUNT(*) AS n_docs, CAST(SUM(LENGTH(text)) AS BIGINT) AS"
+           " total_chars FROM documents GROUP BY 1",
+)
+def mixed_corpus_extract(spark, sf_dir):
+    """Mixed-modality corpus (PDF + HTML in one pages table): the kernel
+    dispatches per document; both modalities roundtrip byte-identically,
+    so per-format char totals match the source table."""
+    from pdfspark.pipeline import extract_pages, pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir, fmt="mixed")
+    ext = extract_pages(pages, prefilter=False, resalt=False)
+    return (
+        ext.withColumn(
+            "doc_id",
+            F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long"),
+        )
+        .groupBy(
+            F.when(F.col("doc_id") % 2 == 1, "html").otherwise("pdf").alias("fmt")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "pdf_doc_metadata",
+    oracle="SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) AS doc_title,"
+           " '2025-01-01T00:00:00' AS created FROM documents",
+)
+def pdf_doc_metadata(spark, sf_dir):
+    """Info-dictionary surface: /Title (PDFDoc/UTF-16 text strings) and
+    /CreationDate (D:-format parser) as output columns."""
+    from pdfspark.pipeline import extract_pages, pages_from_documents
+
+    ext = extract_pages(pages_from_documents(spark, sf_dir), resalt=False)
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        "doc_title",
+        "created",
     )

@@ -1,0 +1,87 @@
+"""HTML main-content extraction goldens (pinned policy in
+kernel/html_extract.py) + modality dispatch."""
+
+from pdfspark.docgen import text_to_html, text_to_pdf
+from pdfspark.kernel.extract import extract_document
+from pdfspark.kernel.html_extract import extract_html, looks_like_html
+
+
+def test_boilerplate_stripped_roundtrip():
+    text = "the quick brown fox jumps over the lazy dog"
+    r = extract_html(text_to_html(text, 42, "de"))
+    assert r.text == text
+    assert r.error is None
+    assert r.lang == "de"
+    assert r.n_pages == 1
+    assert r.spans[0] == (0, 0, len(text))
+
+
+def test_blocks_join_with_newlines():
+    html = b"<body><p>one</p><p>two</p><div>three <b>bold</b></div></body>"
+    assert extract_html(html).text == "one\ntwo\nthree bold"
+
+
+def test_br_splits_blocks():
+    assert extract_html(b"<p>a<br>b</p>").text == "a\nb"
+
+
+def test_whitespace_collapses_within_block():
+    assert extract_html(b"<p>  a \n\t b  </p>").text == "a b"
+
+
+def test_entities_decoded():
+    assert extract_html(b"<p>a &amp; b &lt;c&gt; &#8212; d</p>").text == \
+        "a & b <c> — d"
+
+
+def test_script_style_nav_dropped():
+    html = (b"<head><title>T</title><style>p{}</style></head>"
+            b"<body><script>var x='<p>fake</p>';</script>"
+            b"<nav>menu</nav><header>hdr</header>"
+            b"<p>real</p><footer>ftr</footer><aside>ads</aside></body>")
+    r = extract_html(html)
+    assert r.text == "real"
+
+
+def test_nested_drop_subtrees():
+    html = b"<body><nav><div><p>deep menu</p></div></nav><p>kept</p></body>"
+    assert extract_html(html).text == "kept"
+
+
+def test_malformed_never_raises():
+    for junk in (b"<p>unclosed", b"<<<>>>", b"<body><div></span></p>",
+                 b"\xff\xfe<html>", b"<p>" + b"<div>" * 200 + b"x"):
+        r = extract_html(junk)
+        assert r.error is None or r.error == "html-parse"
+
+
+def test_latin1_charset_declared():
+    html = ('<html><head><meta charset="iso-8859-1"></head>'
+            "<body><p>caf\xe9</p></body></html>").encode("latin-1")
+    assert extract_html(html).text == "café"
+
+
+def test_dispatch_routes_by_magic():
+    assert extract_document(text_to_pdf("pdf text")).text == "pdf text"
+    assert extract_document(text_to_html("html text", 1)).text == "html text"
+    assert extract_document(b"\x00\x01binary junk").error == "unknown-format"
+    assert extract_document(b"").error == "unknown-format"
+    assert extract_document(None).error == "unknown-format"
+
+
+def test_looks_like_html_hints():
+    assert looks_like_html(b"<!DOCTYPE html><html>")
+    assert looks_like_html(b"  \n<html lang='en'>")
+    assert looks_like_html(b"<!-- comment --><html>")
+    assert not looks_like_html(b"%PDF-1.7")
+    assert not looks_like_html(b"plain text file")
+
+
+def test_title_captured():
+    html = b"<head><title> My  Page </title></head><body><p>x</p></body>"
+    from pdfspark.kernel.html_extract import _Extractor
+
+    p = _Extractor()
+    p.feed(html.decode())
+    p.close()
+    assert p.title == "My Page"
