@@ -477,6 +477,40 @@ def all_cases() -> List[Case]:
     )
     add(Case("t31_hybrid_xrefstm", bytes(classic), "Hybrid", None, 1))
 
+    # ---- t33: embedded Type1 built-in encoding (cleartext /Encoding)
+    t1_program = (
+        b"%!PS-AdobeFont-1.0: TestT1\n"
+        b"/FontName /TestT1 def\n"
+        b"/Encoding 256 array\n"
+        b"0 1 255 {1 index exch /.notdef put} for\n"
+        b"dup 65 /eacute put\n"
+        b"dup 66 /bullet put\n"
+        b"readonly def\n"
+        b"currentdict end\ncurrentfile eexec\n"
+        + bytes(range(64))  # fake encrypted portion
+    )
+    b = PdfBuilder()
+    b.add_stream("<< /Length1 200 /Length2 64 /Length3 0 >>", t1_program,
+                 num=64)
+    b.add(
+        "<< /Type /FontDescriptor /FontName /TestT1 /Flags 4 "
+        "/FontFile 64 0 R >>",
+        num=63,
+    )
+    t1_font = (
+        "<< /Type /Font /Subtype /Type1 /BaseFont /TestT1 "
+        "/FontDescriptor 63 0 R >>"
+    )
+    f1 = b.add(t1_font)
+    c = b.add_stream("<< >>", b"BT /F1 12 Tf 72 720 Td (AB) Tj ET")
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    add(Case("t33_type1_builtin_encoding", b.build(root), "é•", None, 1))
+
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",
              b"<!doctype html><html><body>hello web</body></html>",

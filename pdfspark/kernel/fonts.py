@@ -489,6 +489,14 @@ def _load_simple(doc, font_dict: dict, f: Font) -> None:
     enc = res(font_dict.get("Encoding"))
     base = STANDARD_ENCODING
     diffs_map: Dict[int, str] = {}
+    if enc is None:
+        # no /Encoding ⇒ the font's BUILT-IN encoding applies: for
+        # embedded Type1 programs, parse the cleartext /Encoding section
+        # (FN7-lite — the full PostScript VM is pixels-only, SURVEY §2A.6)
+        builtin = _type1_builtin_encoding(doc, res(font_dict.get("FontDescriptor")))
+        if builtin:
+            base = dict(STANDARD_ENCODING)
+            base.update(builtin)
     if isinstance(enc, (str, Name)):
         base = BASE_ENCODINGS.get(str(enc), STANDARD_ENCODING)
     elif isinstance(enc, dict):
@@ -528,6 +536,36 @@ def _load_simple(doc, font_dict: dict, f: Font) -> None:
         if isinstance(fm, list) and len(fm) >= 4 and f.widths:
             scale = float(res(fm[0]) or 0.001) * 1000.0
             f.widths = [w * scale for w in f.widths]
+
+
+_T1_ENC_ENTRY = re.compile(rb"dup\s+(\d+)\s*/([^\s/{}\[\]()<>]+)\s+put")
+
+
+def _type1_builtin_encoding(doc, descriptor) -> Dict[int, str]:
+    """FN7-lite: read ``dup <code> /<name> put`` entries from the
+    cleartext portion (before ``eexec``) of an embedded Type1 program —
+    enough to recover custom built-in encodings without the PostScript
+    interpreter (reference runs the full VM, `src/postscript/*`)."""
+    out: Dict[int, str] = {}
+    if not isinstance(descriptor, dict):
+        return out
+    ff = doc.resolve(descriptor.get("FontFile"))
+    if not isinstance(ff, Stream):
+        return out
+    try:
+        data = doc.decode(ff)
+    except PdfError:
+        return out
+    cleartext = data.split(b"eexec", 1)[0]
+    enc_idx = cleartext.find(b"/Encoding")
+    if enc_idx == -1:
+        return out
+    for m in _T1_ENC_ENTRY.finditer(cleartext, enc_idx):
+        code = int(m.group(1))
+        uni = glyph_name_to_unicode(m.group(2).decode("latin-1"))
+        if 0 <= code < 256 and uni is not None:
+            out[code] = uni
+    return out
 
 
 def _load_type0(doc, font_dict: dict, f: Font) -> None:

@@ -1195,3 +1195,130 @@ def pdf_doc_metadata(spark, sf_dir):
         "doc_title",
         "created",
     )
+
+
+# =========================================================================
+# Kernel-side text/vector operators (not SQL-expressible → rows-only gate)
+# =========================================================================
+
+@register("text_winnowing_neardup")  # winnowing isn't SQL-expressible
+def text_winnowing_neardup(spark, sf_dir):
+    """Winnowing fingerprints (SIGMOD'03) via mapInPandas, then a plain
+    SQL self-join on fingerprint values: docs sharing ≥ 20 fingerprints.
+    Scale: fingerprints are ~2/w per char, shuffled as (hash, doc_id)
+    longs — the document bodies never leave the kernel stage."""
+    from pyspark.sql import types as T
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    # deterministic near-copies, same construction as the SQL dedup suite
+    mutated = docs.filter("doc_id % 3 = 0 AND doc_id < 300").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substr(text, 1, CAST(FLOOR(length(text)*0.8) AS INT))").alias("text"),
+    )
+    corpus = docs.filter("doc_id < 300").unionByName(mutated)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fp", T.LongType()),
+    ])
+
+    def fingerprints(batches):
+        import sys
+
+        if "/root/repo" not in sys.path:
+            sys.path.insert(0, "/root/repo")
+        import pandas as pd
+
+        from pdfspark.textops import winnow
+
+        for b in batches:
+            rows = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                for fp in set(winnow(text or "", k=8, w=6)):
+                    rows.append({"doc_id": int(doc_id), "fp": fp})
+            yield pd.DataFrame(rows, columns=["doc_id", "fp"])
+
+    fps = corpus.mapInPandas(fingerprints, schema)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 20)
+    )
+
+
+@register("ann_numpy_topk", oracle=_ANN_DUCK)
+def ann_numpy_topk(spark, sf_dir):
+    """Same ANN contract as ann_bruteforce_topk but through the vectorized
+    NumPy path: base matrix broadcast to workers, one matmul per Arrow
+    batch of queries. Integer quantization keeps it bit-identical to the
+    SQL/DuckDB oracle. At scale: queries shard across tasks; the base is
+    a broadcast (or an IVF cell per task)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    base_rows = emb.collect()  # driver-side: the base is the broadcast side
+    base_ids = np.array([r.vec_id for r in base_rows], dtype=np.int64)
+    base_mat = np.rint(
+        np.array([r.embedding for r in base_rows], dtype=np.float64) * 1000
+    )
+    sc = spark.sparkContext
+    b_ids = sc.broadcast(base_ids)
+    b_mat = sc.broadcast(base_mat)
+
+    schema = T.StructType([
+        T.StructField("qid", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+        T.StructField("rnk", T.IntegerType()),
+    ])
+
+    def topk(batches):
+        import sys
+
+        if "/root/repo" not in sys.path:
+            sys.path.insert(0, "/root/repo")
+        import numpy as _np
+        import pandas as pd
+
+        from pdfspark.textops import numpy_topk_cosine
+
+        ids = b_ids.value
+        mat = b_mat.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            qids = batch["vec_id"].to_numpy()
+            qmat = _np.rint(
+                _np.array(list(batch["embedding"]), dtype=_np.float64) * 1000
+            )
+            cos = numpy_topk_cosine(qmat, mat)
+            rows = []
+            for qi, qid in enumerate(qids):
+                scores = cos[qi]
+                order = _np.lexsort((ids, -scores))
+                rank = 0
+                for j in order:
+                    if ids[j] == qid:
+                        continue
+                    rank += 1
+                    if rank > 10:
+                        break
+                    rows.append({
+                        "qid": int(qid),
+                        "neighbor_id": int(ids[j]),
+                        "cosine": float(round(scores[j], 6)),
+                        "rnk": rank,
+                    })
+            yield pd.DataFrame(rows, columns=["qid", "neighbor_id",
+                                              "cosine", "rnk"])
+
+    queries_df = emb.filter("vec_id < 5").repartition(2)
+    return queries_df.mapInPandas(topk, schema)

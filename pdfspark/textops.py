@@ -1,0 +1,66 @@
+"""Kernel-side text/vector operators that aren't SQL-expressible:
+winnowing fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing: Local
+Algorithms for Document Fingerprinting", SIGMOD 2003) and a NumPy
+brute-force ANN over a broadcast matrix (the vectorized-Pandas-UDF path
+the SQL higher-order version trades against).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+_MOD = (1 << 61) - 1
+_BASE = 257
+
+
+def kgram_hashes(text: str, k: int = 5) -> List[int]:
+    """Polynomial rolling hashes of every k-gram (O(n))."""
+    n = len(text)
+    if n < k:
+        return []
+    h = 0
+    pow_k = pow(_BASE, k - 1, _MOD)
+    out = []
+    for i, ch in enumerate(text):
+        h = (h * _BASE + ord(ch)) % _MOD
+        if i >= k - 1:
+            out.append(h)
+            h = (h - ord(text[i - k + 1]) * pow_k) % _MOD
+    return out
+
+
+def winnow(text: str, k: int = 5, w: int = 4) -> List[int]:
+    """Winnowing: in every window of w consecutive k-gram hashes keep the
+    minimum (rightmost on ties), dedup consecutive selections. Guarantees
+    any match of length ≥ w+k-1 shares a fingerprint."""
+    hs = kgram_hashes(text, k)
+    if not hs:
+        return []
+    if len(hs) <= w:
+        return [min(hs)]
+    out = []
+    last_idx = -1
+    for start in range(len(hs) - w + 1):
+        window = hs[start : start + w]
+        m = min(window)
+        # rightmost minimum
+        idx = start + max(i for i, v in enumerate(window) if v == m)
+        if idx != last_idx:
+            out.append(m)
+            last_idx = idx
+    return out
+
+
+def numpy_topk_cosine(query_mat, base_mat, k: int = 10):
+    """Vectorized brute-force cosine top-k: (Q, D) @ (D, N) one matmul.
+    Inputs are integer-quantized (milli-units) so scores are exact and
+    ranking matches the SQL/DuckDB formulation bit-for-bit."""
+    import numpy as np
+
+    q = query_mat.astype(np.float64)
+    b = base_mat.astype(np.float64)
+    dots = q @ b.T
+    qn = np.sqrt((q * q).sum(axis=1))[:, None]
+    bn = np.sqrt((b * b).sum(axis=1))[None, :]
+    cos = dots / (qn * bn)
+    return cos

@@ -100,3 +100,23 @@ def test_kernel_never_raises_on_garbage(data):
     r2 = extract_text(b"%PDF-1.4\n" + data)
     assert r1 == extract_text(data)  # deterministic too
     assert r2.text is None or isinstance(r2.text, str)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.data())
+def test_kernel_survives_mutated_valid_pdfs(data):
+    """Crash-tolerance under structured corruption: flip bytes inside a
+    VALID fixture PDF — the kernel must always return an ExtractResult
+    (web-crawl dirt is mostly near-valid, not random noise)."""
+    from pdfspark.corpus import all_cases
+
+    cases = [c for c in all_cases() if c.pdf.startswith(b"%PDF-")]
+    case = data.draw(st.sampled_from(cases))
+    buf = bytearray(case.pdf)
+    n_flips = data.draw(st.integers(min_value=1, max_value=8))
+    for _ in range(n_flips):
+        pos = data.draw(st.integers(min_value=0, max_value=len(buf) - 1))
+        buf[pos] = data.draw(st.integers(min_value=0, max_value=255))
+    r = extract_text(bytes(buf))
+    assert r.text is None or isinstance(r.text, str)
+    assert r == extract_text(bytes(buf))  # and deterministic
