@@ -26,6 +26,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
     "pdf_extract_roundtrip",
+    "html_extract_roundtrip",
     "q1_pricing_summary",
     "q5_region_revenue",
     "window_running_sum",

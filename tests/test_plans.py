@@ -74,3 +74,41 @@ def test_top_orders_is_take_ordered(spark):
     plan = plan_of(df)
     # global top-k must be TakeOrderedAndProject, never a full Sort
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Bucketing (SURVEY §2B salting/bucketing row): pre-bucketing both
+    join sides on the key removes the shuffle entirely — the co-location
+    strategy for repeated joins at 100 TB."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").saveAsTable("li_b"))
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable("ord_b"))
+    # disable auto-broadcast so the plan shows the big-big join shape the
+    # bucketing is for (at 100 TB neither side broadcasts)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("li_b").hint("merge").join(
+            spark.table("ord_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+        j.collect()
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan, plan
+        # everything below the join must be scan-only: bucket co-location
+        # means NO exchange feeds either join side
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "Exchange" not in join_part, plan
+        assert "Bucketed: true" in join_part, plan
+        # sanity: result matches the unbucketed join
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey) \
+            .groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+        assert sorted(map(tuple, j.collect())) == \
+            sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
