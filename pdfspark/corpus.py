@@ -511,6 +511,30 @@ def all_cases() -> List[Case]:
     root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
     add(Case("t33_type1_builtin_encoding", b.build(root), "é•", None, 1))
 
+    # ---- t33b: built-in encoding is the base under a Differences-only
+    # /Encoding dict (PDF 32000 §9.6.6.1)
+    b = PdfBuilder()
+    b.add_stream("<< /Length1 200 /Length2 64 /Length3 0 >>", t1_program,
+                 num=64)
+    b.add(
+        "<< /Type /FontDescriptor /FontName /TestT1 /Flags 4 "
+        "/FontFile 64 0 R >>",
+        num=63,
+    )
+    f1 = b.add(
+        "<< /Type /Font /Subtype /Type1 /BaseFont /TestT1 "
+        "/FontDescriptor 63 0 R "
+        "/Encoding << /Type /Encoding /Differences [200 /Euro] >> >>"
+    )
+    c = b.add_stream("<< >>", b"BT /F1 12 Tf 72 720 Td (A\xc8) Tj ET")
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    add(Case("t33b_builtin_plus_differences", b.build(root), "é€", None, 1))
+
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",
              b"<!doctype html><html><body>hello web</body></html>",

@@ -489,8 +489,11 @@ def _load_simple(doc, font_dict: dict, f: Font) -> None:
     enc = res(font_dict.get("Encoding"))
     base = STANDARD_ENCODING
     diffs_map: Dict[int, str] = {}
-    if enc is None:
-        # no /Encoding ⇒ the font's BUILT-IN encoding applies: for
+    if enc is None or (
+        isinstance(enc, dict) and res(enc.get("BaseEncoding")) is None
+    ):
+        # §9.6.6.1: with no /Encoding OR an /Encoding dict lacking
+        # /BaseEncoding, the font's BUILT-IN encoding is the base: for
         # embedded Type1 programs, parse the cleartext /Encoding section
         # (FN7-lite — the full PostScript VM is pixels-only, SURVEY §2A.6)
         builtin = _type1_builtin_encoding(doc, res(font_dict.get("FontDescriptor")))
@@ -538,33 +541,50 @@ def _load_simple(doc, font_dict: dict, f: Font) -> None:
             f.widths = [w * scale for w in f.widths]
 
 
-_T1_ENC_ENTRY = re.compile(rb"dup\s+(\d+)\s*/([^\s/{}\[\]()<>]+)\s+put")
+_T1_ENC_ENTRY = re.compile(rb"dup\s+(\d{1,3})\s*/([^\s/{}\[\]()<>]+)\s+put")
 
 
 def _type1_builtin_encoding(doc, descriptor) -> Dict[int, str]:
     """FN7-lite: read ``dup <code> /<name> put`` entries from the
     cleartext portion (before ``eexec``) of an embedded Type1 program —
     enough to recover custom built-in encodings without the PostScript
-    interpreter (reference runs the full VM, `src/postscript/*`)."""
-    out: Dict[int, str] = {}
+    interpreter (reference runs the full VM, `src/postscript/*`).
+
+    The scan stops at the Encoding array's terminating ``def`` so later
+    dup/put constructs in the cleartext aren't misattributed; parse
+    results are memoized per (doc, FontFile objnum) — multi-page docs
+    must not re-inflate the font program per page."""
     if not isinstance(descriptor, dict):
-        return out
+        return {}
     ff = doc.resolve(descriptor.get("FontFile"))
     if not isinstance(ff, Stream):
-        return out
+        return {}
+    cache = getattr(doc, "_t1enc_cache", None)
+    if cache is None:
+        cache = doc._t1enc_cache = {}
+    key = ff.objnum
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    out: Dict[int, str] = {}
     try:
         data = doc.decode(ff)
     except PdfError:
+        cache[key] = out
         return out
     cleartext = data.split(b"eexec", 1)[0]
     enc_idx = cleartext.find(b"/Encoding")
-    if enc_idx == -1:
-        return out
-    for m in _T1_ENC_ENTRY.finditer(cleartext, enc_idx):
-        code = int(m.group(1))
-        uni = glyph_name_to_unicode(m.group(2).decode("latin-1"))
-        if 0 <= code < 256 and uni is not None:
-            out[code] = uni
+    if enc_idx != -1:
+        # standalone 'def' token ends the array ('.notdef' must not match)
+        m_end = re.search(rb"(?<![A-Za-z.])def\b", cleartext[enc_idx:])
+        end = enc_idx + m_end.start() if m_end else len(cleartext)
+        section = cleartext[enc_idx:end]
+        for m in _T1_ENC_ENTRY.finditer(section):
+            code = int(m.group(1))
+            uni = glyph_name_to_unicode(m.group(2).decode("latin-1"))
+            if 0 <= code < 256 and uni is not None:
+                out[code] = uni
+    cache[key] = out
     return out
 
 

@@ -26,6 +26,8 @@ from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from pdfspark.pipeline import REPO_ROOT
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: Dict[str, str] = {}
 
@@ -1226,8 +1228,8 @@ def text_winnowing_neardup(spark, sf_dir):
     def fingerprints(batches):
         import sys
 
-        if "/root/repo" not in sys.path:
-            sys.path.insert(0, "/root/repo")
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
         import pandas as pd
 
         from pdfspark.textops import winnow
@@ -1266,8 +1268,10 @@ def ann_numpy_topk(spark, sf_dir):
     emb = spark.table("embeddings").select("vec_id", "embedding")
     base_rows = emb.collect()  # driver-side: the base is the broadcast side
     base_ids = np.array([r.vec_id for r in base_rows], dtype=np.int64)
-    base_mat = np.rint(
-        np.array([r.embedding for r in base_rows], dtype=np.float64) * 1000
+    from pdfspark.textops import quantize_milli
+
+    base_mat = quantize_milli(
+        np.array([r.embedding for r in base_rows], dtype=np.float64)
     )
     sc = spark.sparkContext
     b_ids = sc.broadcast(base_ids)
@@ -1283,12 +1287,12 @@ def ann_numpy_topk(spark, sf_dir):
     def topk(batches):
         import sys
 
-        if "/root/repo" not in sys.path:
-            sys.path.insert(0, "/root/repo")
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
         import numpy as _np
         import pandas as pd
 
-        from pdfspark.textops import numpy_topk_cosine
+        from pdfspark.textops import cosine_matrix, quantize_milli, round_half_up
 
         ids = b_ids.value
         mat = b_mat.value
@@ -1296,10 +1300,10 @@ def ann_numpy_topk(spark, sf_dir):
             if not len(batch):
                 continue
             qids = batch["vec_id"].to_numpy()
-            qmat = _np.rint(
-                _np.array(list(batch["embedding"]), dtype=_np.float64) * 1000
+            qmat = quantize_milli(
+                _np.array(list(batch["embedding"]), dtype=_np.float64)
             )
-            cos = numpy_topk_cosine(qmat, mat)
+            cos = cosine_matrix(qmat, mat)
             rows = []
             for qi, qid in enumerate(qids):
                 scores = cos[qi]
@@ -1314,7 +1318,7 @@ def ann_numpy_topk(spark, sf_dir):
                     rows.append({
                         "qid": int(qid),
                         "neighbor_id": int(ids[j]),
-                        "cosine": float(round(scores[j], 6)),
+                        "cosine": round_half_up(float(scores[j]), 6),
                         "rnk": rank,
                     })
             yield pd.DataFrame(rows, columns=["qid", "neighbor_id",

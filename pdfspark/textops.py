@@ -51,10 +51,29 @@ def winnow(text: str, k: int = 5, w: int = 4) -> List[int]:
     return out
 
 
-def numpy_topk_cosine(query_mat, base_mat, k: int = 10):
-    """Vectorized brute-force cosine top-k: (Q, D) @ (D, N) one matmul.
-    Inputs are integer-quantized (milli-units) so scores are exact and
-    ranking matches the SQL/DuckDB formulation bit-for-bit."""
+def quantize_milli(x):
+    """Half-away-from-zero rounding to integer milli-units — matches SQL
+    ROUND(x*1000) in both Spark and DuckDB (np.rint would round half to
+    even and silently diverge on exact .5 components)."""
+    import numpy as np
+
+    arr = np.asarray(x, dtype=np.float64) * 1000.0
+    return np.sign(arr) * np.floor(np.abs(arr) + 0.5)
+
+
+def round_half_up(x: float, digits: int = 6) -> float:
+    """SQL-compatible ROUND (half away from zero); Python's built-in
+    round() is half-to-even."""
+    import math
+
+    scale = 10 ** digits
+    return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+
+
+def cosine_matrix(query_mat, base_mat):
+    """Dense pairwise cosine: one (Q, D) @ (D, N) matmul. Inputs are
+    integer-quantized (quantize_milli) so scores are exact and ranking
+    matches the SQL/DuckDB formulation bit-for-bit. Callers rank/truncate."""
     import numpy as np
 
     q = query_mat.astype(np.float64)
@@ -62,5 +81,4 @@ def numpy_topk_cosine(query_mat, base_mat, k: int = 10):
     dots = q @ b.T
     qn = np.sqrt((q * q).sum(axis=1))[:, None]
     bn = np.sqrt((b * b).sum(axis=1))[None, :]
-    cos = dots / (qn * bn)
-    return cos
+    return dots / (qn * bn)

@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 from hypothesis import given, settings, strategies as st
 
-from pdfspark.textops import kgram_hashes, numpy_topk_cosine, winnow
+from pdfspark.textops import cosine_matrix, kgram_hashes, quantize_milli, round_half_up, winnow
 
 
 def test_kgram_count():
@@ -49,12 +49,26 @@ def test_winnow_never_raises_and_subsets_kgrams(text):
 
 def test_numpy_cosine_matches_scalar():
     rng = np.random.RandomState(42)
-    q = np.rint(rng.randn(3, 16) * 1000)
-    b = np.rint(rng.randn(20, 16) * 1000)
-    cos = numpy_topk_cosine(q, b)
+    q = quantize_milli(rng.randn(3, 16))
+    b = quantize_milli(rng.randn(20, 16))
+    cos = cosine_matrix(q, b)
     for i in range(3):
         for j in range(20):
             expect = float(q[i] @ b[j]) / (
                 np.sqrt(q[i] @ q[i]) * np.sqrt(b[j] @ b[j])
             )
             assert abs(cos[i, j] - expect) < 1e-12
+
+
+def test_quantize_milli_half_away_from_zero():
+    # matches SQL ROUND in Spark AND DuckDB; np.rint would give 0/-0 here
+    assert quantize_milli([0.0005])[0] == 1.0
+    assert quantize_milli([-0.0005])[0] == -1.0
+    assert quantize_milli([0.0015])[0] == 2.0
+    assert quantize_milli([0.6]).dtype == np.float64
+
+
+def test_round_half_up():
+    assert round_half_up(0.1234565, 6) == 0.123457
+    assert round_half_up(-0.1234565, 6) == -0.123457
+    assert round_half_up(1.5, 0) == 2.0
