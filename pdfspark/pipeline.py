@@ -105,6 +105,38 @@ PAGES_SCHEMA = T.StructType(
 )
 
 
+def read_pages(spark: SparkSession, source: str,
+               fmt: str = "parquet") -> DataFrame:
+    """Source abstraction for the pages table (the north rule names
+    Iceberg; this sandbox ships no Iceberg runtime jar, so parquet is the
+    tested path and iceberg resolves through the same format hook when
+    the catalog is configured):
+
+    - fmt='parquet': ``source`` is a path.
+    - fmt='iceberg': ``source`` is a catalog table name
+      (``spark.read.format('iceberg').load(name)``); requires the
+      iceberg-spark-runtime jar + catalog conf on the cluster.
+    Partition pruning on date_trunc(warc_ts) works identically in both.
+    """
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(source)
+    return spark.read.format(fmt).load(source)
+
+
+def write_output(df: DataFrame, target: str, fmt: str = "parquet",
+                 partition_by: Optional[list] = None) -> None:
+    """Sink twin of read_pages: parquet path or ``writeTo`` an Iceberg
+    table (idempotent replace via dynamic overwrite either way)."""
+    if fmt == "iceberg":
+        w = df.writeTo(target)
+        (w.overwritePartitions() if partition_by else w.createOrReplace())
+        return
+    w = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(target)
+
+
 # ------------------------------------------------------------------- kernel
 
 def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

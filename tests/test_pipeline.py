@@ -135,3 +135,19 @@ def test_skew_aware_extraction_matches_plain(spark):
         ).collect()
     }
     assert skew == plain
+
+
+def test_read_write_format_hooks(spark, tmp_path):
+    from pdfspark.pipeline import read_pages, write_output
+
+    pages = pages_from_fixtures(spark)
+    p = str(tmp_path / "fmt_pages")
+    write_output(pages, p, fmt="parquet")
+    back = read_pages(spark, p, fmt="parquet")
+    assert back.count() == pages.count()
+    assert set(back.columns) == set(pages.columns)
+    # partitioned variant
+    p2 = str(tmp_path / "fmt_part")
+    write_output(pages.withColumn("d", F.to_date("warc_ts")), p2,
+                 fmt="parquet", partition_by=["d"])
+    assert read_pages(spark, p2).count() == pages.count()

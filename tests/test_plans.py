@@ -112,3 +112,25 @@ def test_bucketed_join_has_no_exchange(spark):
             sorted(map(tuple, plain.collect()))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partition_pruning_on_date(spark, tmp_path):
+    """warc_ts-derived partition column prunes at the source (the
+    100 TB pages table is date-partitioned; a day's job reads a day)."""
+    from pdfspark.pipeline import pages_from_fixtures, write_output
+
+    pages = pages_from_fixtures(spark, copies=2)
+    p = str(tmp_path / "pruned")
+    write_output(
+        pages.withColumn("day", F.date_format("warc_ts", "yyyy-MM-dd")),
+        p, partition_by=["day"],
+    )
+    df = spark.read.parquet(p).filter(F.col("day") == "2025-01-01")
+    plan = plan_of(df)
+    assert "PartitionFilters: [isnotnull(day" in plan, plan
+    total_days = (
+        pages.select(F.date_format("warc_ts", "yyyy-MM-dd").alias("d"))
+        .distinct().count()
+    )
+    assert total_days > 1
+    assert df.count() < pages.count()
