@@ -535,6 +535,37 @@ def all_cases() -> List[Case]:
     root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
     add(Case("t33b_builtin_plus_differences", b.build(root), "é€", None, 1))
 
+    # ---- t34: CIDToGIDMap stream (ref asserts Identity only)
+    ttf2 = build_minimal_ttf({0x48: 5, 0x69: 6})
+    # cid 0 → gid 0, cid 1 → gid 5 ('H'), cid 2 → gid 6 ('i')
+    c2g = b"\x00\x00\x00\x05\x00\x06"
+    b = PdfBuilder()
+    b.add_stream("<< >>", ttf2, num=64)
+    b.add(
+        "<< /Type /FontDescriptor /FontName /TestCID /Flags 4 "
+        "/FontFile2 64 0 R >>",
+        num=63,
+    )
+    b.add_stream("<< >>", c2g, num=65)
+    b.add(
+        "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /TestCID "
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        "/Supplement 0 >> /FontDescriptor 63 0 R /CIDToGIDMap 65 0 R >>",
+        num=62,
+    )
+    f1 = b.add(
+        "<< /Type /Font /Subtype /Type0 /BaseFont /TestCID "
+        "/Encoding /Identity-H /DescendantFonts [62 0 R] >>"
+    )
+    c = b.add_stream("<< >>", b"BT /F1 12 Tf 72 720 Td <00010002> Tj ET")
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    add(Case("t34_cid_to_gid_stream", b.build(root), "Hi", None, 1))
+
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",
              b"<!doctype html><html><body>hello web</body></html>",

@@ -322,7 +322,7 @@ class Font:
     __slots__ = (
         "subtype", "is_type0", "tounicode", "encoding_map", "cid_cmap",
         "widths", "first_char", "default_width", "cid_widths", "gid_to_uni",
-        "code_to_gid", "error", "_fast",
+        "code_to_gid", "cid_to_gid", "error", "_fast",
     )
 
     def __init__(self) -> None:
@@ -337,6 +337,7 @@ class Font:
         self.cid_widths: Dict[int, float] = {}
         self.gid_to_uni: Dict[int, str] = {}
         self.code_to_gid: Dict[int, int] = {}
+        self.cid_to_gid: Optional[Dict[int, int]] = None  # stream map
         self.error: Optional[str] = None
         self._fast = None  # lazy (chars[256], widths[256]) decode tables
 
@@ -417,8 +418,10 @@ class Font:
             text = tu.get(nbytes, code) if tu is not None else None
             cid = cmap.cid(nbytes, code)
             if text is None and self.gid_to_uni:
-                # CIDToGIDMap identity ⇒ gid == cid
-                text = self.gid_to_uni.get(self.code_to_gid.get(cid, cid))
+                # CIDToGIDMap: explicit stream map, else Identity (gid==cid)
+                gid = (self.cid_to_gid.get(cid, 0)
+                       if self.cid_to_gid is not None else cid)
+                text = self.gid_to_uni.get(gid)
             if text is None:
                 text = REPLACEMENT
             w = self.cid_widths.get(cid, self.default_width)
@@ -608,7 +611,7 @@ def _load_type0(doc, font_dict: dict, f: Font) -> None:
             f.cid_cmap = CidCMap.identity_2byte()
     else:
         f.cid_cmap = CidCMap.identity_2byte()
-    # descendant font: widths + embedded program
+    # descendant font: widths + embedded program + CIDToGIDMap
     desc_fonts = res(font_dict.get("DescendantFonts"))
     f.default_width = 1000.0
     if isinstance(desc_fonts, list) and desc_fonts:
@@ -621,6 +624,18 @@ def _load_type0(doc, font_dict: dict, f: Font) -> None:
             fd = res(df.get("FontDescriptor"))
             if isinstance(fd, dict):
                 _load_embedded_ttf(doc, fd, f)
+            # CIDToGIDMap stream: 2 bytes big-endian per CID (the
+            # reference asserts Identity only, `src/render/mod.rs:1205`)
+            c2g = res(df.get("CIDToGIDMap"))
+            if isinstance(c2g, Stream):
+                try:
+                    data = doc.decode(c2g)
+                    f.cid_to_gid = {
+                        cid: int.from_bytes(data[2 * cid : 2 * cid + 2], "big")
+                        for cid in range(len(data) // 2)
+                    }
+                except PdfError:
+                    pass
 
 
 def _parse_cid_widths(doc, w) -> Dict[int, float]:

@@ -311,6 +311,14 @@ def run_pipeline(
     except Exception:
         pass
     todo = keyed.filter(~F.col("part_key").isin(done_keys)) if done_keys else keyed
+    if len(done_keys) >= npart:
+        # every partition key is in the manifest: nothing to replay —
+        # resume must be O(manifest), not O(corpus)
+        return {
+            "elapsed_s": 0.0,
+            "partitions_done": 0,
+            "partitions_skipped": len(done_keys),
+        }
 
     t0 = time.time()
     filtered = filter_pdf_rows(todo).select("url", "html", "part_key")
@@ -328,9 +336,11 @@ def run_pipeline(
     elapsed = time.time() - t0
 
     written = spark.read.parquet(out_data)
+    # record every ATTEMPTED key (incl. partitions with zero PDF rows) so
+    # resume is exact even for all-filtered partitions
     new_keys = [
         r.part_key
-        for r in filtered.select("part_key").distinct().collect()
+        for r in todo.select("part_key").distinct().collect()
         if r.part_key not in done_keys
     ]
     # lineage manifest: one row per completed partition key
