@@ -321,15 +321,19 @@ def run_pipeline(
         }
 
     t0 = time.time()
-    filtered = filter_pdf_rows(todo).select("url", "html", "part_key")
-    keyed_schema = T.StructType(
-        list(EXTRACT_SCHEMA.fields) + [T.StructField("part_key", T.IntegerType())]
-    )
-    extracted = filtered.repartition("part_key").mapInPandas(
-        _extract_batches_with_key, keyed_schema
+    # ORDER MATTERS AT SCALE: the kernel runs NARROW on the input
+    # partitioning (raw PDF bytes never cross an exchange); only the
+    # extracted text + metrics shuffle on part_key for the partitioned
+    # write — for crawl corpora text is a small fraction of the PDF bytes,
+    # so this exchange is the cheap one.
+    filtered = filter_pdf_rows(todo).select("url", "html")
+    extracted = filtered.mapInPandas(_extract_batches, EXTRACT_SCHEMA)
+    keyed_out = extracted.withColumn(
+        "part_key", F.pmod(F.xxhash64("url"), F.lit(npart)).cast("int")
     )
     (
-        extracted.write.mode("overwrite")
+        keyed_out.repartition("part_key")
+        .write.mode("overwrite")
         .partitionBy("part_key")
         .parquet(out_data)
     )
@@ -360,23 +364,6 @@ def run_pipeline(
         "partitions_done": len(new_keys),
         "partitions_skipped": len(done_keys),
     }
-
-
-def _extract_batches_with_key(batches):
-    """Same kernel, but part_key passes through for partitioned writes."""
-    import sys
-
-    if REPO_ROOT not in sys.path:
-        sys.path.insert(0, REPO_ROOT)
-    import pandas as pd
-
-    from pdfspark.pipeline import _extract_batches
-
-    for pdf_batch in batches:
-        keys = dict(zip(pdf_batch["url"], pdf_batch["part_key"]))
-        for out in _extract_batches(iter([pdf_batch])):
-            out["part_key"] = out["url"].map(keys).astype("int32")
-            yield out
 
 
 # -------------------------------------------- synthetic pages-table sources
