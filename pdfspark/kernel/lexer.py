@@ -10,12 +10,19 @@ bodies are zero-copy memoryview slices (reference: `src/lex.rs:516-533`).
 
 from __future__ import annotations
 
+import re
 from typing import Callable, Optional
 
 from pdfspark.kernel.objects import Name, Operator, PdfError, PdfString, Reference, Stream
 
 WHITESPACE = b"\x00\t\n\x0c\r "
 DELIMITERS = b"()<>[]{}/%"
+
+# C-speed scanners for the three hottest cursor loops (profiled)
+_WS_RUN = re.compile(rb"[\x00\t\n\x0c\r ]+")
+_REGULAR_RUN = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
+_NUMBER_RUN = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_STRING_SPECIAL = re.compile(rb"[\\()\r]")
 _IS_WS = bytes(1 if i in WHITESPACE else 0 for i in range(256))
 _IS_DELIM = bytes(1 if i in DELIMITERS else 0 for i in range(256))
 _IS_REGULAR = bytes(
@@ -53,28 +60,32 @@ class Lexer:
     def skip_whitespace(self) -> None:
         """L1: PDF whitespace classes + ``%`` comments to EOL."""
         buf, n = self.buf, len(self.buf)
-        while self.pos < n:
-            c = buf[self.pos]
+        pos = self.pos
+        while pos < n:
+            c = buf[pos]
             if _IS_WS[c]:
-                self.pos += 1
-            elif c == 0x25:  # '%' comment
-                nl = buf.find(b"\n", self.pos)
-                cr = buf.find(b"\r", self.pos)
-                if nl == -1 and cr == -1:
-                    self.pos = n
-                else:
-                    ends = [e for e in (nl, cr) if e != -1]
-                    self.pos = min(ends) + 1
+                pos += 1
+                m = _WS_RUN.match(buf, pos)  # swallow the rest of the run
+                if m:
+                    pos = m.end()
+                continue
+            if c != 0x25:  # '%'
+                break
+            nl = buf.find(b"\n", pos)
+            cr = buf.find(b"\r", pos)
+            if nl == -1 and cr == -1:
+                pos = n
             else:
-                return
+                pos = min(e for e in (nl, cr) if e != -1) + 1
+        self.pos = pos
 
     def _regular_run(self) -> bytes:
         """Consume a maximal run of regular characters."""
-        start = self.pos
-        buf, n = self.buf, len(self.buf)
-        while self.pos < n and _IS_REGULAR[buf[self.pos]]:
-            self.pos += 1
-        return buf[start : self.pos]
+        m = _REGULAR_RUN.match(self.buf, self.pos)
+        if m is None:
+            return b""
+        self.pos = m.end()
+        return m.group()
 
     def expect_keyword(self, kw: bytes) -> None:
         self.skip_whitespace()
@@ -110,6 +121,12 @@ class Lexer:
         assert self.buf[self.pos] == 0x28  # '('
         self.pos += 1
         buf, n = self.buf, len(self.buf)
+        # fast path: no escape/nesting/CR before the closing paren
+        close = buf.find(b")", self.pos)
+        if close != -1 and _STRING_SPECIAL.search(buf, self.pos, close) is None:
+            out_fast = buf[self.pos : close]
+            self.pos = close + 1
+            return PdfString(out_fast)
         out = bytearray()
         depth = 1
         i = self.pos
@@ -190,24 +207,12 @@ class Lexer:
 
     def lex_number(self):
         """L5: int/real with sign, leading/trailing dot."""
-        start = self.pos
-        buf, n = self.buf, len(self.buf)
-        if self.pos < n and buf[self.pos] in b"+-":
-            self.pos += 1
-        is_real = False
-        while self.pos < n:
-            c = buf[self.pos]
-            if c in _DIGITS:
-                self.pos += 1
-            elif c == 0x2E and not is_real:
-                is_real = True
-                self.pos += 1
-            else:
-                break
-        text = buf[start : self.pos]
-        if text in (b"", b"+", b"-", b".", b"+.", b"-."):
-            raise PdfError("lex", f"bad number at {start}")
-        if is_real:
+        m = _NUMBER_RUN.match(self.buf, self.pos)
+        if m is None:
+            raise PdfError("lex", f"bad number at {self.pos}")
+        text = m.group()
+        self.pos = m.end()
+        if b"." in text:
             return float(text)
         return int(text)
 
