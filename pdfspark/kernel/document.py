@@ -98,29 +98,37 @@ class PdfDocument:
         if offset >= len(self.buf):
             return None
         lx = Lexer(self.buf, offset, resolve_length=self._resolve_length)
+        gen = 0
         try:
-            got_num, _, obj = lx.lex_indirect_object()
+            got_num, gen, obj = lx.lex_indirect_object()
         except PdfError:
-            return None
+            got_num, obj = -1, None
         if got_num != objnum:
-            # stale offset (incremental-update dirt): fall back to scan
+            # stale offset (incremental-update dirt): fall back to a scan;
+            # the LAST definition wins (newest-wins, like recover_xref)
             import re
 
             pat = re.compile(
                 rb"(?m)^[\x00\t\x0c ]*" + str(objnum).encode() + rb"\s+\d+\s+obj\b"
             )
-            m = pat.search(self.buf)
-            if not m:
+            last = None
+            for m in pat.finditer(self.buf):
+                last = m
+            if last is None:
                 return None
-            lx = Lexer(self.buf, m.start(), resolve_length=self._resolve_length)
+            lx = Lexer(self.buf, last.start(), resolve_length=self._resolve_length)
             try:
-                _, _, obj = lx.lex_indirect_object()
+                _, gen, obj = lx.lex_indirect_object()
             except PdfError:
                 return None
+        if not isinstance(gen, int) or gen < 0:
+            gen = 0
         if isinstance(obj, Stream):
-            obj.objnum, obj.gen = objnum, 0
+            # per-object decryption keys hash (objnum, gen) — keep the real
+            # generation from the object header
+            obj.objnum, obj.gen = objnum, gen
         elif self.security is not None:
-            obj = self._decrypt_strings(obj, objnum, 0)
+            obj = self._decrypt_strings(obj, objnum, gen)
         return obj
 
     def _resolve_length(self, obj) -> Optional[int]:

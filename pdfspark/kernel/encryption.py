@@ -82,7 +82,9 @@ def compute_encryption_key(
     h = hashlib.md5()
     h.update(padded)
     h.update(o_entry[:32])
-    h.update(struct.pack("<i", p))
+    # /P is nominally signed but many writers emit the unsigned 32-bit
+    # form; the MD5 input bytes are identical either way
+    h.update(struct.pack("<I", p & 0xFFFFFFFF))
     h.update(file_id0)
     if revision >= 4 and not encrypt_metadata:
         h.update(b"\xff\xff\xff\xff")

@@ -142,7 +142,7 @@ def extract_document(buf: bytes) -> ExtractResult:
     if buf is None:
         return ExtractResult(None, [], 0, "unknown-format", None)
     head = bytes(buf[:1024])
-    if head.startswith(b"%PDF-") or b"%PDF-" in head:
+    if b"%PDF-" in head:
         return extract_text(bytes(buf))
     from pdfspark.kernel.html_extract import extract_html, looks_like_html
 

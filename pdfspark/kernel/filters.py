@@ -25,18 +25,32 @@ _ABBREV = {"Fl": "FlateDecode", "AHx": "ASCIIHexDecode", "A85": "ASCII85Decode",
            "LZW": "LZWDecode", "RL": "RunLengthDecode"}
 
 
+MAX_DECODED = 256 * 1024 * 1024  # decompression-bomb cap (checked mid-stream)
+
+
 def flate_decode(data: bytes, parms: dict) -> bytes:
-    """F1: zlib inflate + predictor undo."""
+    """F1: zlib inflate + predictor undo.
+
+    Inflation is chunked with ``max_length`` so a decompression bomb is
+    rejected at the cap instead of materializing the full output first
+    (one bad PDF must never OOM-kill the executor)."""
+    d = zlib.decompressobj()
+    out = bytearray()
     try:
-        raw = zlib.decompress(data)
-    except zlib.error:
-        # tolerate truncated tails (web-crawl dirt): best-effort inflate
-        d = zlib.decompressobj()
-        try:
-            raw = d.decompress(bytes(data))
-        except zlib.error as e:
+        buf = bytes(data)
+        while True:
+            chunk = d.decompress(buf, 8 << 20)
+            out += chunk
+            if len(out) > MAX_DECODED:
+                raise PdfError("too-large", f"flate output exceeds {MAX_DECODED}")
+            buf = d.unconsumed_tail
+            if not buf:
+                break
+        out += d.flush()
+    except zlib.error as e:
+        if not out:  # tolerate truncated tails (web-crawl dirt)
             raise PdfError("filter", f"flate: {e}")
-    return _apply_predictor(raw, parms)
+    return _apply_predictor(bytes(out), parms)
 
 
 def _apply_predictor(raw: bytes, parms: dict) -> bytes:
@@ -57,35 +71,37 @@ def _apply_predictor(raw: bytes, parms: dict) -> bytes:
         for i in range(bpp, rowlen):
             arr[:, i] = (arr[:, i] + arr[:, i - bpp]) & 0xFF
         return arr.tobytes()
-    # PNG predictors: each row prefixed with a per-row filter-type byte
+    # PNG predictors: each row prefixed with a per-row filter-type byte.
+    # Up/None vectorize across the row (numpy); the sequential recurrences
+    # (Sub/Average/Paeth) run on plain Python ints — ~10× faster than
+    # per-element numpy scalar indexing.
     stride = rowlen + 1
     nrows = len(raw) // stride
-    rows = np.frombuffer(raw, dtype=np.uint8)[: nrows * stride].reshape(
-        nrows, stride
-    )
-    ftypes = rows[:, 0]
-    data = rows[:, 1:].astype(np.int32)
-    prev = np.zeros(rowlen, dtype=np.int32)
-    out = np.empty((nrows, rowlen), dtype=np.uint8)
+    out = bytearray()
+    prev = [0] * rowlen
+    np_prev = np.zeros(rowlen, dtype=np.int32)
     for r in range(nrows):
-        ft = ftypes[r]
-        cur = data[r]
+        base = r * stride
+        ft = raw[base]
+        cur = raw[base + 1 : base + 1 + rowlen]
         if ft == 0:  # None
-            line = cur & 0xFF
+            line = list(cur)
+        elif ft == 2:  # Up (the only one the reference completes)
+            line = (
+                (np.frombuffer(cur, dtype=np.uint8).astype(np.int32) + np_prev)
+                & 0xFF
+            ).tolist()
         elif ft == 1:  # Sub
-            line = cur.copy()
+            line = list(cur)
             for i in range(bpp, rowlen):
                 line[i] = (line[i] + line[i - bpp]) & 0xFF
-            line &= 0xFF
-        elif ft == 2:  # Up (the only one the reference completes)
-            line = (cur + prev) & 0xFF
         elif ft == 3:  # Average
-            line = cur.copy()
+            line = list(cur)
             for i in range(rowlen):
                 left = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
         elif ft == 4:  # Paeth
-            line = cur.copy()
+            line = list(cur)
             for i in range(rowlen):
                 a = line[i - bpp] if i >= bpp else 0
                 b = prev[i]
@@ -101,9 +117,12 @@ def _apply_predictor(raw: bytes, parms: dict) -> bytes:
                 line[i] = (line[i] + pred) & 0xFF
         else:
             raise PdfError("filter", f"png predictor type {ft}")
-        out[r] = line
-        prev = line.astype(np.int32)
-    return out.tobytes()
+        if len(line) < rowlen:
+            line = line + [0] * (rowlen - len(line))
+        out += bytes(line)
+        prev = line
+        np_prev = np.asarray(line, dtype=np.int32)
+    return bytes(out)
 
 
 def asciihex_decode(data: bytes, parms: dict) -> bytes:
@@ -176,6 +195,8 @@ def lzw_decode(data: bytes, parms: dict) -> bytes:
                 raise PdfError("filter", f"lzw bad code {code}")
             out += entry
             prev = entry
+            if len(out) > MAX_DECODED:
+                raise PdfError("too-large", "lzw output exceeds cap")
             # EarlyChange=1 widens one code early (PDF 32000 §7.4.4.2);
             # +1 because the decoder's table lags the encoder's by one entry
             if len(table) + early + 1 >= (1 << width) and width < 12:
@@ -226,9 +247,13 @@ def decode_stream(stream: Stream, resolve=None) -> bytes:
         return data
     if isinstance(filters, (str, Name)):
         filters = [filters]
-        parms = [parms]
-    elif not isinstance(parms, list):
-        parms = [parms] * len(filters)
+    # normalize DecodeParms to exactly len(filters) entries: writers emit
+    # a bare dict for one filter, a 1-list for one filter, or a short
+    # list for a cascade — all must line up, never silently drop
+    if isinstance(parms, list):
+        parms = list(parms) + [None] * (len(filters) - len(parms))
+    else:
+        parms = [parms] + [None] * (len(filters) - 1)
     for f, p in zip(filters, parms):
         fname = _ABBREV.get(str(res(f)), str(res(f)))
         p = res(p) or {}

@@ -126,10 +126,19 @@ class ToUnicodeCMap:
                         self.map[(nb, lo + k)] = _utf16be(d)
             elif isinstance(dst, bytes):
                 base = int.from_bytes(dst, "big")
-                dlen = len(dst)
+                dlen = max(len(dst), 2)
+                dlen += dlen % 2  # UTF-16 needs even byte counts
                 for k in range(hi - lo + 1):
-                    enc = (base + k).to_bytes(max(dlen, 2), "big")
-                    self.map[(nb, lo + k)] = _utf16be(enc)
+                    val = base + k
+                    # widen (in UTF-16 units) if the increment overflows
+                    # the declared width — a malformed but seen-in-the-
+                    # wild CMap shape; must not throw
+                    blen = dlen
+                    while val >= 1 << (8 * blen):
+                        blen += 2
+                    self.map[(nb, lo + k)] = _utf16be(
+                        val.to_bytes(blen, "big")
+                    )
 
     def get(self, nbytes: int, code: int) -> Optional[str]:
         return self.map.get((nbytes, code))

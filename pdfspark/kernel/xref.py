@@ -172,7 +172,9 @@ def parse_xref_chain(buf: bytes, max_sections: int = 64) -> XrefTable:
             section, prev = parse_xref_at(buf, offset)
             table.merge_older(section)
             offset = prev
-    except PdfError:
+    except (PdfError, ValueError, TypeError, OverflowError):
+        # malformed W/Index/Prev values must fall through to recovery —
+        # dirty input is exactly what the recovery scan exists for
         if not table.entries:
             return recover_xref(buf)
     if not table.entries or "Root" not in table.trailer:
