@@ -52,10 +52,13 @@ def main() -> None:
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         timings = {}
         # warmup: JVM codegen + the Python worker pool (not counted);
-        # the roundtrip at sf0.001 spins up the mapInPandas workers so the
-        # timed runs measure throughput, not process startup
+        # a small roundtrip spins up the mapInPandas workers so the timed
+        # runs measure throughput, not process startup
         QUERIES["q1_pricing_summary"](spark, SF_DIR).collect()
-        materialize(QUERIES["pdf_extract_roundtrip"](spark, "/root/testdata/sf0.001"))
+        warm_dir = "/root/testdata/sf0.001"
+        if not os.path.isdir(warm_dir):
+            warm_dir = SF_DIR
+        materialize(QUERIES["pdf_extract_roundtrip"](spark, warm_dir))
         n_docs = spark.read.parquet(
             os.path.join(SF_DIR, "documents.parquet")
         ).count()

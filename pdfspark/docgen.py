@@ -4,9 +4,13 @@ One page, Flate-compressed content, WinAnsi base-14 font. The text is
 emitted as consecutive ``Tj`` chunks on a SINGLE baseline so the pinned
 linearization policy (extract.py) reproduces it byte-identically: no y
 movement ⇒ no inserted newlines, kerns unused ⇒ no inserted spaces.
-Only latin-1-encodable text is supported (the driver's documents table is
-pure ASCII); anything else falls back to a hex-encoded Type0-less subset
-replacement and would not roundtrip — callers should pre-filter.
+
+Roundtrip contract: byte-identical for WinAnsi-representable text
+(printable latin-1 minus DEL/C1). Everything else is normalized to '?'
+up front (normalize_for_pdf) — degraded, deterministic, never a crash;
+the driver's documents table is pure ASCII so the flagship roundtrip is
+exact. CJK-exact generation would use a Type0/Identity-H wrapper (t16
+shows the kernel handles it); out of scope for the ASCII corpus.
 """
 
 from __future__ import annotations
@@ -15,7 +19,29 @@ import zlib
 
 
 def _escape(chunk: str) -> str:
-    return chunk.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    # \r/\n must be escape sequences: raw EOLs inside literal strings are
+    # normalized to \n by the PDF lexer, which would break the roundtrip
+    return (
+        chunk.replace("\\", r"\\")
+        .replace("(", r"\(")
+        .replace(")", r"\)")
+        .replace("\r", r"\r")
+        .replace("\n", r"\n")
+    )
+
+
+# WinAnsi-faithful normalization: chars the (latin-1 byte → WinAnsi
+# decode) roundtrip cannot represent map to '?', never crash the job —
+# C0 controls (no glyphs), DEL, the C1 block (cp1252 reassigns it);
+# line structure in PDFs comes from positioning operators, not control
+# glyphs, so \n in source text degrades like any other control char
+_UNSAFE = {*range(0x00, 0x20), 0x7F, *range(0x80, 0xA0)}
+
+
+def normalize_for_pdf(text: str) -> str:
+    return "".join(
+        "?" if (ord(c) in _UNSAFE or ord(c) > 0xFF) else c for c in text
+    )
 
 
 def text_to_html(text: str, doc_id: int = 0, lang: str = "en") -> bytes:
@@ -45,6 +71,7 @@ def text_to_html(text: str, doc_id: int = 0, lang: str = "en") -> bytes:
 
 
 def text_to_pdf(text: str, chunk: int = 120, meta_id: int = 0) -> bytes:
+    text = normalize_for_pdf(text)
     shows = "".join(
         f"({_escape(text[i : i + chunk])}) Tj "
         for i in range(0, max(len(text), 1), chunk)

@@ -225,32 +225,40 @@ def extract_pages_skew_aware(
     pages: DataFrame,
     nsalt: Optional[int] = None,
     big_cutoff_bytes: int = 4 << 20,
+    big_buckets_factor: int = 8,
 ) -> DataFrame:
-    """Two-tier skew handling for giant PDFs (SURVEY.md §2B salting row).
+    """Size-aware salting for giant PDFs (SURVEY.md §2B salting row).
 
     Hash-salting alone spreads the *count* of docs uniformly, but one
-    100 MB outlier still pins its partition's wall-clock. Split by size:
-    - small docs: salted hash repartition, many per partition;
-    - big docs (> cutoff): repartitioned BY url — one doc per task, so
-      the scheduler can pack them independently and AQE-style stragglers
-      are bounded by a single document, not a bucketful.
+    100 MB outlier still pins its partition's wall-clock. Single-pass
+    scheme (one scan, one exchange — no DataFrame split that would
+    evaluate the source twice):
+
+    - small docs:  salt ∈ [0, nsalt)            (many docs per bucket)
+    - big docs:    salt ∈ [nsalt, nsalt + 8·nsalt)  (a key space 8× wider,
+      so with a realistic <1% big-doc fraction each bucket holds ~one
+      giant doc and a straggler is bounded by a single document)
 
     At 100 TB the cutoff is tuned so the big tier is <1% of rows but
-    would otherwise be >30% of the tail latency (typical crawl PDF size
-    distribution is log-normal with a heavy tail).
+    would otherwise dominate tail latency (crawl PDF sizes are log-normal
+    with a heavy tail).
     """
     spark = pages.sparkSession
     nsalt = nsalt or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    pdf = filter_pdf_rows(pages).select(
-        "url", "html", F.length("html").alias("sz")
+    nbig = nsalt * big_buckets_factor
+    pdf = filter_pdf_rows(pages).select("url", "html")
+    salted = pdf.withColumn(
+        "salt",
+        F.when(
+            F.length("html") <= big_cutoff_bytes,
+            F.pmod(F.xxhash64("url"), F.lit(nsalt)),
+        ).otherwise(nsalt + F.pmod(F.xxhash64("url"), F.lit(nbig))),
     )
-    small = pdf.filter(F.col("sz") <= big_cutoff_bytes).drop("sz")
-    big = pdf.filter(F.col("sz") > big_cutoff_bytes).drop("sz")
-    small_ext = extract_pages(small, nsalt=nsalt, prefilter=False)
-    big_ext = big.repartition(F.col("url")).mapInPandas(
-        _extract_batches, EXTRACT_SCHEMA
+    return (
+        salted.repartition(nsalt + nbig, "salt")
+        .drop("salt")
+        .mapInPandas(_extract_batches, EXTRACT_SCHEMA)
     )
-    return small_ext.unionByName(big_ext)
 
 
 # ------------------------------------------------- metrics / lineage tables
@@ -301,6 +309,11 @@ def run_pipeline(
     out_manifest = os.path.join(output_dir, "manifest")
     out_metrics = os.path.join(output_dir, "metrics")
 
+    # the idempotence scheme REQUIRES dynamic partition overwrite; with the
+    # Spark default (static) a resume would truncate completed output —
+    # enforce it here instead of trusting the caller's session config
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
     keyed = pages.withColumn(
         "part_key", F.pmod(F.xxhash64("url"), F.lit(npart)).cast("int")
     )
@@ -340,13 +353,11 @@ def run_pipeline(
     elapsed = time.time() - t0
 
     written = spark.read.parquet(out_data)
-    # record every ATTEMPTED key (incl. partitions with zero PDF rows) so
-    # resume is exact even for all-filtered partitions
-    new_keys = [
-        r.part_key
-        for r in todo.select("part_key").distinct().collect()
-        if r.part_key not in done_keys
-    ]
+    # every run processes its ENTIRE todo, so afterwards every one of the
+    # npart keys is complete — including keys with zero input rows. Record
+    # them all: that makes the complete-manifest early exit above fire on
+    # the next resume even for sparse corpora (O(manifest), never a scan).
+    new_keys = [k for k in range(npart) if k not in done_keys]
     # lineage manifest: one row per completed partition key
     manifest_rows = spark.createDataFrame(
         [(int(k), elapsed) for k in new_keys] or [],
@@ -358,7 +369,16 @@ def run_pipeline(
         ),
     )
     manifest_rows.write.mode("append").parquet(out_manifest)
-    partition_metrics(written).write.mode("overwrite").parquet(out_metrics)
+    # metrics: ONLY this run's partitions (part_id is a per-run task id —
+    # aggregating across runs would blend unrelated executions), appended
+    # with the run's elapsed time as the run marker
+    this_run = written.filter(F.col("part_key").isin(new_keys))
+    (
+        partition_metrics(this_run)
+        .withColumn("run_elapsed_s", F.lit(elapsed))
+        .write.mode("append")
+        .parquet(out_metrics)
+    )
     return {
         "elapsed_s": elapsed,
         "partitions_done": len(new_keys),

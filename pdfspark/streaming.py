@@ -39,21 +39,29 @@ def extract_stream(pages: DataFrame) -> DataFrame:
     )
 
 
-def windowed_metrics(pages: DataFrame, extracted: DataFrame) -> DataFrame:
-    """Watermarked tumbling-window doc counts keyed on warc_ts (late rows
-    beyond 1 day are dropped deterministically)."""
-    joined = extracted.join(pages.select("url", "warc_ts"), "url")
+def windowed_metrics(pages: DataFrame) -> DataFrame:
+    """Watermarked tumbling-window ingest metrics keyed on warc_ts (late
+    rows beyond 1 day are dropped deterministically).
+
+    Computed from the pages stream DIRECTLY — joining the extraction
+    output back to pages would be an unbounded stream-stream join (no
+    watermark can evict its state); per-document extraction metrics come
+    from the stateful counter (stateful_url_counts) instead."""
     return (
-        joined.withWatermark("warc_ts", "1 day")
+        pages.withWatermark("warc_ts", "1 day")
         .groupBy(F.window("warc_ts", "1 hour").alias("w"))
         .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_err"),
+            F.count("*").alias("n_pages"),
+            F.sum(
+                F.when(
+                    F.expr("substring(html, 1, 5)") == F.lit(b"%PDF-"), 1
+                ).otherwise(0)
+            ).alias("n_pdf"),
         )
         .select(
             F.col("w.start").alias("window_start"),
-            "n_docs",
-            "n_err",
+            "n_pages",
+            "n_pdf",
         )
     )
 
@@ -97,10 +105,14 @@ def run_stream_once(
     output_dir: str,
     checkpoint_dir: str,
     timeout_s: Optional[int] = 120,
-) -> None:
+) -> bool:
     """Drain all available input once (Trigger.AvailableNow) with exactly-
     once file-sink semantics, then stop — the batch-compatible way to run
-    the streaming pipeline in tests and cron-style ingest."""
+    the streaming pipeline in tests and cron-style ingest.
+
+    Returns True iff the drain COMPLETED within timeout_s; False means the
+    query was stopped mid-ingest (remaining files stay pending in the
+    checkpoint and the next call resumes them)."""
     pages = read_pages_stream(spark, input_dir)
     extracted = extract_stream(pages)
     q = (
@@ -110,6 +122,7 @@ def run_stream_once(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
     if q.isActive:
         q.stop()
+    return bool(finished)

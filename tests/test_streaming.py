@@ -83,3 +83,29 @@ def test_stateful_counts_accumulate_across_batches(spark, tmp_path):
         rows2[r.doc_lang] = max(rows2.get(r.doc_lang, 0), r.n_docs)
     assert sum(rows2.values()) == 2 * n_pdf
     assert any(rows2[k] > rows1.get(k, 0) for k in rows2)
+
+
+def test_windowed_metrics_watermarked(spark, tmp_path):
+    """Tumbling-window ingest metrics with a watermark — computed from
+    the pages stream directly (no unbounded stream-stream join)."""
+    from pdfspark.streaming import read_pages_stream, windowed_metrics
+
+    in_dir = str(tmp_path / "win")
+    pages_from_fixtures(spark).write.mode("overwrite").parquet(in_dir)
+    stream = read_pages_stream(spark, in_dir)
+    q = (
+        windowed_metrics(stream)
+        .writeStream.format("memory")
+        .queryName("win_metrics")
+        .outputMode("complete")  # append would hold back the last day
+        .trigger(availableNow=True)  # of windows behind the watermark
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM win_metrics").collect()
+    assert rows
+    total = sum(r.n_pages for r in rows)
+    n_cases = len(all_cases())
+    assert total == n_cases
+    n_pdf = sum(1 for c in all_cases() if c.pdf.startswith(b"%PDF-"))
+    assert sum(r.n_pdf for r in rows) == n_pdf
