@@ -566,6 +566,30 @@ def all_cases() -> List[Case]:
     root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
     add(Case("t34_cid_to_gid_stream", b.build(root), "Hi", None, 1))
 
+    # ---- t35: CFF/Type1C built-in encoding (FontFile3, FN9-lite)
+    from pdfspark.fixtures import build_minimal_cff
+
+    cff = build_minimal_cff({65: "eacute", 66: "bullet"})
+    b = PdfBuilder()
+    b.add_stream("<< /Subtype /Type1C >>", cff, num=64)
+    b.add(
+        "<< /Type /FontDescriptor /FontName /TestCFF /Flags 4 "
+        "/FontFile3 64 0 R >>",
+        num=63,
+    )
+    f1 = b.add(
+        "<< /Type /Font /Subtype /Type1 /BaseFont /TestCFF "
+        "/FontDescriptor 63 0 R >>"
+    )
+    c = b.add_stream("<< >>", b"BT /F1 12 Tf 72 720 Td (AB) Tj ET")
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    add(Case("t35_cff_builtin_encoding", b.build(root), "é•", None, 1))
+
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",
              b"<!doctype html><html><body>hello web</body></html>",

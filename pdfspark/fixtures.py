@@ -387,3 +387,67 @@ def tounicode_stream(codespace: str, body: str) -> bytes:
 def _simple_show(text: str, font: str = "F1", x: int = 72, y: int = 720) -> str:
     esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
     return f"BT /{font} 12 Tf {x} {y} Td ({esc}) Tj ET"
+
+
+def _cff_index(items):
+    """CFF INDEX with offSize=2."""
+    import struct as _s
+
+    if not items:
+        return _s.pack(">H", 0)
+    offs = [1]
+    for it in items:
+        offs.append(offs[-1] + len(it))
+    return (
+        _s.pack(">HB", len(items), 2)
+        + b"".join(_s.pack(">H", o) for o in offs)
+        + b"".join(items)
+    )
+
+
+def build_minimal_cff(code_to_name) -> bytes:
+    """Minimal CFF/Type1C program: Name + TopDICT + String + GSubr
+    INDEXes, a format-0 Encoding, a format-0 charset, and stub
+    charstrings — enough for the FN9-lite code→name path (fixture t35).
+    ``code_to_name``: insertion order defines gid order (gid = i+1)."""
+    import struct as _s
+
+    from pdfspark.kernel.cff import STANDARD_STRINGS
+
+    header = bytes([1, 0, 4, 2])
+    name_idx = _cff_index([b"TestCFF"])
+    string_items = []
+    sids = []
+    for nm in code_to_name.values():
+        if nm in STANDARD_STRINGS:
+            sids.append(STANDARD_STRINGS.index(nm))
+        else:
+            sids.append(391 + len(string_items))
+            string_items.append(nm.encode("latin-1"))
+    string_idx = _cff_index(string_items)
+    gsubr_idx = _cff_index([])
+    charstrings = _cff_index([b"\x0e"] * (1 + len(code_to_name)))
+    encoding = bytes([0, len(code_to_name)]) + bytes(code_to_name.keys())
+    charset = b"\x00" + b"".join(_s.pack(">H", s) for s in sids)
+
+    def op_int32(v, op):
+        return b"\x1d" + _s.pack(">i", v) + bytes([op])
+
+    top_idx_len = (2 + 1 + 2 * 2) + 3 * 6
+    pos0 = len(header) + len(name_idx)
+    string_pos = pos0 + top_idx_len
+    gsubr_pos = string_pos + len(string_idx)
+    enc_pos = gsubr_pos + len(gsubr_idx)
+    charset_pos = enc_pos + len(encoding)
+    cs_pos = charset_pos + len(charset)
+    top = (
+        op_int32(charset_pos, 15)
+        + op_int32(enc_pos, 16)
+        + op_int32(cs_pos, 17)
+    )
+    top_idx = _cff_index([top])
+    assert len(top_idx) == top_idx_len
+    return (
+        header + name_idx + top_idx + string_idx + gsubr_idx
+        + encoding + charset + charstrings
+    )

@@ -505,10 +505,10 @@ def _load_simple(doc, font_dict: dict, f: Font) -> None:
         isinstance(enc, dict) and res(enc.get("BaseEncoding")) is None
     ):
         # §9.6.6.1: with no /Encoding OR an /Encoding dict lacking
-        # /BaseEncoding, the font's BUILT-IN encoding is the base: for
-        # embedded Type1 programs, parse the cleartext /Encoding section
-        # (FN7-lite — the full PostScript VM is pixels-only, SURVEY §2A.6)
-        builtin = _type1_builtin_encoding(doc, res(font_dict.get("FontDescriptor")))
+        # /BaseEncoding, the font's BUILT-IN encoding is the base: parse
+        # it from the embedded program — Type1 cleartext (FN7-lite) or
+        # CFF/Type1C charset+encoding (FN9-lite); both VMs stay unported
+        builtin = _builtin_encoding(doc, res(font_dict.get("FontDescriptor")))
         if builtin:
             base = dict(STANDARD_ENCODING)
             base.update(builtin)
@@ -551,6 +551,39 @@ def _load_simple(doc, font_dict: dict, f: Font) -> None:
         if isinstance(fm, list) and len(fm) >= 4 and f.widths:
             scale = float(res(fm[0]) or 0.001) * 1000.0
             f.widths = [w * scale for w in f.widths]
+
+
+def _builtin_encoding(doc, descriptor) -> Dict[int, str]:
+    """Built-in encoding of the embedded font program: Type1 (FontFile
+    cleartext) or CFF/Type1C (FontFile3), memoized per stream objnum."""
+    if not isinstance(descriptor, dict):
+        return {}
+    t1 = _type1_builtin_encoding(doc, descriptor)
+    if t1:
+        return t1
+    ff3 = doc.resolve(descriptor.get("FontFile3"))
+    if not isinstance(ff3, Stream):
+        return {}
+    cache = getattr(doc, "_t1enc_cache", None)
+    if cache is None:
+        cache = doc._t1enc_cache = {}
+    key = ("cff", ff3.objnum)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    out: Dict[int, str] = {}
+    try:
+        from pdfspark.kernel.cff import parse_cff_code_to_name
+
+        names = parse_cff_code_to_name(doc.decode(ff3))
+        for code, nm in names.items():
+            uni = glyph_name_to_unicode(nm)
+            if uni is not None:
+                out[code] = uni
+    except PdfError:
+        pass
+    cache[key] = out
+    return out
 
 
 _T1_ENC_ENTRY = re.compile(rb"dup\s+(\d{1,3})\s*/([^\s/{}\[\]()<>]+)\s+put")

@@ -80,3 +80,20 @@ def test_ttf_cmap_formats():
     subs = parse_ttf_cmap_subtables(ttf)
     assert subs[(3, 1)] == {0x48: 5, 0x69: 6}
     assert subs[(3, 0)] == {0x01: 5}
+
+
+def test_cff_code_to_name_roundtrip():
+    from pdfspark.fixtures import build_minimal_cff
+    from pdfspark.kernel.cff import parse_cff_code_to_name
+
+    cff = build_minimal_cff({65: "eacute", 66: "bullet", 67: "customname"})
+    got = parse_cff_code_to_name(cff)
+    assert got == {65: "eacute", 66: "bullet", 67: "customname"}
+
+
+def test_cff_garbage_returns_empty():
+    from pdfspark.kernel.cff import parse_cff_code_to_name
+
+    assert parse_cff_code_to_name(b"") == {}
+    assert parse_cff_code_to_name(b"\x01\x00\x04\x02" + bytes(40)) == {}
+    assert parse_cff_code_to_name(bytes(range(256))) == {}
