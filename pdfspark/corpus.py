@@ -147,6 +147,17 @@ def all_cases() -> List[Case]:
              append_update(base, {c: newbody}, root),
              "New text", None, 1))
 
+    # ---- t09b: TWO generations of updates; the newest wins twice over
+    upd1 = append_update(base, {c: newbody}, root)
+    newest = _simple_show("Newest text").encode()
+    upd2 = append_update(
+        upd1,
+        {c: (f"<< /Length {len(newest)} >>\nstream\n".encode() + newest
+             + b"\nendstream")},
+        root,
+    )
+    add(Case("t09b_two_generations", upd2, "Newest text", None, 1))
+
     # ---- t10: Contents array; operands/operator split across streams
     add(Case("t10_multi_content_streams",
              make_doc([[b"BT /F1 12 Tf 72 720 Td (Hello multi)",

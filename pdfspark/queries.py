@@ -1326,3 +1326,23 @@ def ann_numpy_topk(spark, sf_dir):
 
     queries_df = emb.filter("vec_id < 5").repartition(2)
     return queries_df.mapInPandas(topk, schema)
+
+
+@register(
+    "html_doc_titles",
+    oracle="SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) AS doc_title,"
+           " CASE WHEN lang IS NULL OR lang = '' THEN 'en' ELSE lang END"
+           " AS doc_lang FROM documents",  # mirrors the generator default
+)
+def html_doc_titles(spark, sf_dir):
+    """HTML metadata surface: <title> + <html lang=…> captured into
+    columns by the boilerplate-stripping extractor."""
+    from pdfspark.pipeline import extract_pages, pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir, fmt="html")
+    ext = extract_pages(pages, prefilter=False, resalt=False)
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        "doc_title",
+        "doc_lang",
+    )
