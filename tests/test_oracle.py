@@ -100,3 +100,36 @@ def test_query_vs_oracle(spark, duck, name):
         raise AssertionError(
             f"{name}: value mismatch\n spark-only: {diff_a}\n duck-only: {diff_b}"
         )
+
+
+def test_minhash_lsh_recall_of_synthesized_neardups(spark):
+    """The LSH banding must actually FIND the synthesized near-copies
+    (doc_id+1000000 = 80% prefix): recall ≥ 0.9 on mutated pairs, plus
+    parity with the oracle is checked separately."""
+    df = QUERIES["dedup_minhash_lsh"](spark, SF_DIR)
+    pairs = {(r.doc_a, r.doc_b) for r in df.collect()}
+    import duckdb as _d
+
+    con = _d.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')")
+    expected = {
+        (r[0], r[0] + 1000000)
+        for r in con.sql(
+            "SELECT doc_id FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0"
+        ).fetchall()
+    }
+    con.close()
+    found = pairs & expected
+    assert len(found) >= 0.9 * len(expected), (
+        f"LSH recall {len(found)}/{len(expected)}"
+    )
+
+
+def test_jaccard_scores_mutated_pairs_high(spark):
+    df = QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
+    rows = {(r.doc_a, r.doc_b): r.jaccard_bp for r in df.collect()}
+    mutated = {k: v for k, v in rows.items() if k[1] >= 1000000}
+    assert mutated, "mutated near-dups must surface"
+    # 80% prefix of the same text ⇒ high shingle overlap
+    assert all(v >= 3000 for v in mutated.values())
