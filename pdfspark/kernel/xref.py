@@ -92,6 +92,24 @@ def _parse_classic(buf: bytes, lx: Lexer) -> Tuple[XrefTable, Optional[int]]:
         first, count = int(m.group(1)), int(m.group(2))
         lx.pos += m.end()
         lx.skip_whitespace()
+        # fast path: spec-conformant 20-byte fixed-stride entries parsed
+        # by slicing; fall back to per-entry regex on any anomaly
+        block = buf[lx.pos : lx.pos + 20 * count]
+        if (
+            len(block) == 20 * count
+            and all(block[i + 17 : i + 18] in (b"n", b"f")
+                    for i in range(0, len(block), 20))
+        ):
+            setdefault = table.entries.setdefault
+            for i in range(count):
+                o = 20 * i
+                if block[o + 17] == 0x6E:  # 'n'
+                    setdefault(first + i, XrefEntry(1, int(block[o : o + 10])))
+                else:
+                    setdefault(first + i, XrefEntry(0, 0))
+            lx.pos += 20 * count
+            lx.skip_whitespace()
+            continue
         for i in range(count):
             em = _CLASSIC_ENTRY.match(buf, lx.pos)
             if not em:
