@@ -601,6 +601,24 @@ def all_cases() -> List[Case]:
     root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
     add(Case("t35_cff_builtin_encoding", b.build(root), "é•", None, 1))
 
+    # ---- t36: UTF-16BE /Title with BOM (text-string decode path)
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    c = b.add_stream("<< >>", _simple_show("titled").encode())
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R /Lang (de-DE) >>", num=91)
+    title_utf16 = "Grüße 😀".encode("utf-16-be")
+    info = b.add(
+        b"<< /Title <FEFF" + title_utf16.hex().encode() + b"> "
+        b"/CreationDate (D:20240215103000+02'00') >>"
+    )
+    add(Case("t36_utf16_title_lang", b.build(
+        root, trailer_extra=f" /Info {info} 0 R"), "titled", None, 1))
+
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",
              b"<!doctype html><html><body>hello web</body></html>",

@@ -44,3 +44,12 @@ def test_spans_partition_text():
             assert r.text[sp.end] == "\f"
             assert r.spans[i + 1].start == sp.end + 1
     assert r.spans[-1].end == len(r.text)
+
+
+def test_utf16_title_and_lang_metadata():
+    case = next(c for c in CASES if c.case_id == "t36_utf16_title_lang")
+    r = extract_text(case.pdf)
+    assert r.text == "titled"
+    assert r.title == "Grüße 😀"
+    assert r.created == "2024-02-15T10:30:00"
+    assert r.lang == "de-DE"
