@@ -401,9 +401,18 @@ def all_cases() -> List[Case]:
     add(Case("t27b_encrypted_aesv2",
              build_encrypted_pdf("AES secret text", cfm="aesv2"),
              "AES secret text", None, 1))
-    # unsupported handler (AESV3/R6) → stable error, no crash
-    add(Case("t27c_encrypted_unsupported",
+    # malformed V5 entries → stable error, no crash
+    add(Case("t27c_encrypted_malformed_v5",
              build_unsupported_encrypted_pdf(),
+             None, "encrypted", 0))
+    # AESV3/R6 (PDF 2.0 SHA-2 handler), empty password → decrypts
+    add(Case("t27d_encrypted_aesv3",
+             build_encrypted_pdf("AESV3 secret text", cfm="aesv3"),
+             "AESV3 secret text", None, 1))
+    # password-protected (non-empty user pw) → must REJECT cleanly
+    add(Case("t27e_encrypted_password_required",
+             build_encrypted_pdf("locked", cfm="aesv3",
+                                 user_password=b"hunter2"),
              None, "encrypted", 0))
 
     # ---- t28: Type3 font via Differences + ToUnicode

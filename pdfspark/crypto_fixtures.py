@@ -14,18 +14,25 @@ from pdfspark.kernel.encryption import (
 )
 
 
-def build_encrypted_pdf(text: str, cfm: str = "rc4") -> bytes:
-    """One-page doc, empty user+owner passwords, streams+strings encrypted.
+def build_encrypted_pdf(text: str, cfm: str = "rc4",
+                        user_password: bytes = b"") -> bytes:
+    """One-page doc, streams+strings encrypted.
 
-    rc4 → V=2 R=3 Length=128;  aesv2 → V=4 R=4 StdCF/AESV2.
+    rc4 → V=2 R=3 Length=128;  aesv2 → V=4 R=4 StdCF/AESV2;
+    aesv3 → V=5 R=6 StdCF/AESV3 (SHA-2 KDF, 256-bit file key).
+    A non-empty ``user_password`` produces a document the empty-password
+    kernel must REJECT with error='encrypted'.
     """
+    if cfm == "aesv3":
+        return _build_aesv3_pdf(text, user_password)
     revision = 4 if cfm == "aesv2" else 3
     v = 4 if cfm == "aesv2" else 2
     key_len = 16
     file_id0 = hashlib.md5(b"pdfspark-fixture-id").digest()
     p = -44
-    o_entry = compute_o_entry(b"", b"", revision, key_len)
-    key = compute_encryption_key(o_entry, p, file_id0, revision, key_len, True)
+    o_entry = compute_o_entry(user_password, user_password, revision, key_len)
+    key = compute_encryption_key(o_entry, p, file_id0, revision, key_len,
+                                 True, user_password=user_password)
     u_entry = compute_u_entry(key, file_id0, revision)
     handler = SecurityHandler(key, cfm, revision)
 
@@ -66,6 +73,47 @@ def build_encrypted_pdf(text: str, cfm: str = "rc4") -> bytes:
         f" /ID [<{file_id0.hex()}> <{file_id0.hex()}>]"
     )
     return b.build(91, trailer_extra=trailer_extra)
+
+
+def _build_aesv3_pdf(text: str, user_password: bytes = b"") -> bytes:
+    """V=5 R=6 encryptor (Algorithm 2.B KDF, AES-256-CBC body)."""
+    from pdfspark.kernel.encryption import _aes_cbc_nopad, r6_hash
+
+    vsalt = hashlib.md5(b"vsalt").digest()[:8]
+    ksalt = hashlib.md5(b"ksalt").digest()[:8]
+    file_key = hashlib.sha256(b"pdfspark-aesv3-file-key").digest()
+    u_entry = r6_hash(user_password, vsalt) + vsalt + ksalt
+    ue_entry = _aes_cbc_nopad(
+        r6_hash(user_password, ksalt), b"\x00" * 16, file_key, encrypt=True
+    )
+    handler = SecurityHandler(file_key, "aesv3", 6)
+
+    content = _simple_show(text).encode("latin-1")
+    enc_content = handler.encrypt(content, 2, 0)
+    b = PdfBuilder()
+    b.add(BASE14, num=1)
+    b.add(
+        f"<< /Length {len(enc_content)} >>\nstream\n".encode("latin-1")
+        + enc_content + b"\nendstream",
+        num=2,
+    )
+    b.add(
+        "<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 1 0 R >> >> /Contents 2 0 R >>",
+        num=3,
+    )
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>", num=90)
+    b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    enc_num = b.add(
+        "<< /Filter /Standard /V 5 /R 6 /Length 256 "
+        "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen >> >> "
+        "/StmF /StdCF /StrF /StdCF "
+        f"/U <{u_entry.hex()}> /UE <{ue_entry.hex()}> "
+        f"/O <{bytes(48).hex()}> /OE <{bytes(32).hex()}> "
+        f"/Perms <{bytes(16).hex()}> /P -44 >>",
+        num=50,
+    )
+    return b.build(91, trailer_extra=f" /Encrypt {enc_num} 0 R /ID [<00> <00>]")
 
 
 def build_unsupported_encrypted_pdf() -> bytes:

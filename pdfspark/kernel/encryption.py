@@ -122,6 +122,29 @@ def compute_u_entry(key: bytes, file_id0: bytes, revision: int) -> bytes:
     return out + b"\x00" * 16
 
 
+def _aes_cbc_nopad(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    c = Cipher(algorithms.AES(key), modes.CBC(iv))
+    ctx = c.encryptor() if encrypt else c.decryptor()
+    return ctx.update(data) + ctx.finalize()
+
+
+def r6_hash(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Algorithm 2.B (PDF 2.0 / ISO 32000-2): the iterated SHA-2 KDF for
+    revision 6."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_nopad(k[:16], k[16:32], k1, encrypt=True)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 class SecurityHandler:
     """Per-document decryption context (empty user password)."""
 
@@ -143,6 +166,26 @@ class SecurityHandler:
         r = int(resolve(enc.get("R", 2)) or 2)
         length = int(resolve(enc.get("Length", 40)) or 40)
         cfm = "rc4"
+        if v == 5:
+            # AESV3 (PDF 2.0, R5/R6): SHA-2 KDF, 256-bit file key used
+            # directly (no per-object salt)
+            u = resolve(enc.get("U"))
+            ue = resolve(enc.get("UE"))
+            if not isinstance(u, bytes) or not isinstance(ue, bytes) \
+                    or len(u) < 48 or len(ue) < 32:
+                raise PdfError("encrypted", "malformed V5 U/UE entries")
+            vsalt, ksalt = u[32:40], u[40:48]
+            if r >= 6:
+                check = r6_hash(b"", vsalt)
+                ikey = r6_hash(b"", ksalt)
+            else:  # R5 (deprecated Adobe extension): single SHA-256
+                check = hashlib.sha256(b"" + vsalt).digest()
+                ikey = hashlib.sha256(b"" + ksalt).digest()
+            if check != u[:32]:
+                raise PdfError("encrypted", "password required")
+            file_key = _aes_cbc_nopad(ikey, b"\x00" * 16, bytes(ue[:32]),
+                                      encrypt=False)
+            return cls(file_key, "aesv3", r)
         if v in (1, 2):
             key_len = 5 if v == 1 else max(5, min(16, length // 8))
         elif v == 4:
@@ -176,6 +219,8 @@ class SecurityHandler:
         return cls(key, cfm, r)
 
     def object_key(self, objnum: int, gen: int) -> bytes:
+        if self.cfm == "aesv3":
+            return self.key  # V5: the file key is used directly
         h = hashlib.md5()
         h.update(self.key)
         h.update(struct.pack("<I", objnum)[:3])
@@ -186,14 +231,14 @@ class SecurityHandler:
 
     def decrypt(self, data: bytes, objnum: int, gen: int) -> bytes:
         k = self.object_key(objnum, gen)
-        if self.cfm == "aesv2":
+        if self.cfm in ("aesv2", "aesv3"):
             return _aes_cbc_decrypt(k, data)
         return rc4(k, data)
 
     def encrypt(self, data: bytes, objnum: int, gen: int) -> bytes:
         """Fixture-encryptor twin (RC4 is symmetric; AES needs IV+pad)."""
         k = self.object_key(objnum, gen)
-        if self.cfm == "aesv2":
+        if self.cfm in ("aesv2", "aesv3"):
             import hashlib as _h
 
             from cryptography.hazmat.primitives.ciphers import (

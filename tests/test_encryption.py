@@ -67,3 +67,25 @@ def test_aes_stream_is_actually_ciphertext():
     assert b"visible text marker" not in pdf
     pdf2 = build_encrypted_pdf("visible text marker", cfm="rc4")
     assert b"visible text marker" not in pdf2
+
+
+def test_r6_hash_deterministic_and_salt_sensitive():
+    from pdfspark.kernel.encryption import r6_hash
+
+    a = r6_hash(b"", b"saltsalt")
+    assert len(a) == 32
+    assert a == r6_hash(b"", b"saltsalt")
+    assert a != r6_hash(b"", b"othersal")
+    assert a != r6_hash(b"pw", b"saltsalt")
+
+
+def test_aesv3_document_roundtrip_and_rejection():
+    pdf = build_encrypted_pdf("v5 text", cfm="aesv3")
+    r = extract_text(pdf)
+    assert r.text == "v5 text" and r.error is None
+    locked = build_encrypted_pdf("v5 text", cfm="aesv3",
+                                 user_password=b"secret")
+    r2 = extract_text(locked)
+    assert r2.error == "encrypted" and r2.text is None
+    # ciphertext really is opaque
+    assert b"v5 text" not in pdf

@@ -70,7 +70,8 @@ def test_metrics_and_error_breakdown(spark):
     assert m.n == len(cases)
     assert m.e == sum(1 for c in cases if c.expected_error is not None)
     eb = {r.status: r.n for r in error_breakdown(ext).collect()}
-    assert eb.get("encrypted") == 1
+    n_enc = sum(1 for c in cases if c.expected_error == "encrypted")
+    assert eb.get("encrypted") == n_enc
     ext.unpersist()
 
 
