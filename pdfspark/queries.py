@@ -1346,3 +1346,35 @@ def html_doc_titles(spark, sf_dir):
         "doc_title",
         "doc_lang",
     )
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+WITH v AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(ROUND(x*1000) AS BIGINT)) AS qv
+  FROM embeddings)
+SELECT vec_id,
+  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS sq_norm_milli,
+  CAST(FLOOR(SQRT(list_sum(list_transform(qv, x -> x*x))) + 0.5) AS BIGINT)
+    AS norm_milli
+FROM v
+""",
+)
+def embedding_norms(spark, sf_dir):
+    """Vector arithmetic via higher-order functions only (JVM-side):
+    quantized squared norms are exact integers in both engines."""
+    _load(spark, sf_dir, "embeddings")
+    return spark.sql("""
+WITH v AS (
+  SELECT vec_id,
+    transform(embedding, x -> CAST(ROUND(x*1000) AS BIGINT)) AS qv
+  FROM embeddings)
+SELECT vec_id,
+  CAST(aggregate(transform(qv, x -> x*x), 0L, (a, x) -> a + x) AS BIGINT)
+    AS sq_norm_milli,
+  CAST(FLOOR(SQRT(aggregate(transform(qv, x -> x*x), 0L, (a, x) -> a + x))
+       + 0.5) AS BIGINT) AS norm_milli
+FROM v
+""")
