@@ -1378,3 +1378,73 @@ SELECT vec_id,
        + 0.5) AS BIGINT) AS norm_milli
 FROM v
 """)
+
+
+@register(
+    "grouped_stats_apply_in_pandas",
+    oracle="SELECT source, COUNT(*) AS n_docs,"
+           " CAST(FLOOR(quantile_cont(n_chars, 0.5)*10 + 0.5) AS BIGINT)"
+           " AS p50_chars_x10,"
+           " CAST(MAX(n_chars) AS BIGINT) AS max_chars"
+           " FROM documents GROUP BY source",
+)
+def grouped_stats_apply_in_pandas(spark, sf_dir):
+    """Grouped-map applyInPandas: per-source length quantiles computed in
+    pandas (the custom-aggregation escape hatch when built-ins can't
+    express the statistic). At scale: one shuffle on the group key, each
+    group materialized in one worker — groups must fit in memory, which
+    is why built-ins are preferred when they suffice."""
+    import math
+
+    from pyspark.sql import types as T
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("source", "n_chars")
+
+    schema = T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("p50_chars_x10", T.LongType()),
+        T.StructField("max_chars", T.LongType()),
+    ])
+
+    def stats(pdf):
+        import pandas as pd
+
+        # linear-interpolated median == quantile_cont
+        p50 = pdf["n_chars"].quantile(0.5, interpolation="linear")
+        return pd.DataFrame({
+            "source": [pdf["source"].iloc[0]],
+            "n_docs": [len(pdf)],
+            "p50_chars_x10": [math.floor(p50 * 10 + 0.5)],
+            "max_chars": [int(pdf["n_chars"].max())],
+        })
+
+    return docs.groupBy("source").applyInPandas(stats, schema)
+
+
+@register(
+    "token_count_pandas_udf",
+    oracle="SELECT doc_id,"
+           " CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+           " AS ws_tokens FROM documents",
+)
+def token_count_pandas_udf(spark, sf_dir):
+    """Scalar @pandas_udf: Arrow-vectorized whitespace tokenization — the
+    series-at-a-time UDF shape (vs row-at-a-time python udf, which is
+    banned from this codebase's hot paths)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    _load(spark, sf_dir, "documents")
+
+    def _ws_tokens(s: "pd.Series") -> "pd.Series":
+        return s.str.strip().str.split(r"\s+").str.len().astype("int64")
+
+    # annotate via real objects so pandas_udf's hint resolution works
+    _ws_tokens.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    ws_tokens = pandas_udf(_ws_tokens, "long")
+
+    return spark.table("documents").select(
+        "doc_id", ws_tokens(F.col("text")).alias("ws_tokens")
+    )
