@@ -628,6 +628,21 @@ def all_cases() -> List[Case]:
     add(Case("t36_utf16_title_lang", b.build(
         root, trailer_extra=f" /Info {info} 0 R"), "titled", None, 1))
 
+    # ---- t37: large object stream (150 objects in one container)
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    c = b.add_stream("<< >>", _simple_show("BigObjStm").encode())
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    filler = [b.add(f"<< /Filler {i} >>", num=100 + i) for i in range(147)]
+    add(Case("t37_large_objstm",
+             b.build(root, objstm=[page, 90, root] + filler),
+             "BigObjStm", None, 1))
+
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",
              b"<!doctype html><html><body>hello web</body></html>",
