@@ -146,9 +146,11 @@ def pdf_spans(spark, sf_dir):
 _Q1 = """
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
-  SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
-  SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-      * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS sum_disc_c4,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+      AS sum_base_cents,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+      AS sum_disc_c4,
   COUNT(*) AS count_order,
   CAST(ROUND(AVG(l_quantity), 4) AS DOUBLE) AS avg_qty
 FROM lineitem
@@ -169,8 +171,9 @@ def q1_pricing_summary(spark, sf_dir):
 _Q3_ORACLE = """
 WITH rev AS (
   SELECT l_orderkey,
-    SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS revenue_c4
+    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+        AS revenue_c4
   FROM lineitem GROUP BY l_orderkey)
 SELECT o.o_orderkey, rev.revenue_c4, o.o_orderpriority
 FROM orders o JOIN rev ON o.o_orderkey = rev.l_orderkey
@@ -206,8 +209,9 @@ def q3_top_open_orders(spark, sf_dir):
 
 _Q5 = """
 SELECT r.r_name AS region, n.n_name AS nation,
-  SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
-      * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) AS revenue_c4,
+  CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) AS BIGINT)
+      AS revenue_c4,
   COUNT(*) AS n_items
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -943,7 +947,8 @@ _CUBE = """
 SELECT COALESCE(o_orderstatus, 'ALL') AS status,
        COALESCE(o_orderpriority, 'ALL') AS priority,
        COUNT(*) AS n,
-       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS price_cents
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+           AS price_cents
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
