@@ -15,13 +15,19 @@ from pdfspark.kernel.encryption import (
 
 
 def build_encrypted_pdf(text: str, cfm: str = "rc4",
-                        user_password: bytes = b"") -> bytes:
+                        user_password: bytes = b"",
+                        strf_identity: bool = False,
+                        title: str = None) -> bytes:
     """One-page doc, streams+strings encrypted.
 
     rc4 → V=2 R=3 Length=128;  aesv2 → V=4 R=4 StdCF/AESV2;
     aesv3 → V=5 R=6 StdCF/AESV3 (SHA-2 KDF, 256-bit file key).
     A non-empty ``user_password`` produces a document the empty-password
     kernel must REJECT with error='encrypted'.
+
+    ``strf_identity`` (aesv2 only) writes /StrF /Identity so strings stay
+    CLEARTEXT while streams are AES-encrypted (§7.6.5 differing crypt
+    filters); ``title`` adds an /Info /Title string in the string context.
     """
     if cfm == "aesv3":
         return _build_aesv3_pdf(text, user_password)
@@ -56,10 +62,11 @@ def build_encrypted_pdf(text: str, cfm: str = "rc4",
     b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>", num=90)
     b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
     if cfm == "aesv2":
+        strf = "/Identity" if strf_identity else "/StdCF"
         enc_src = (
             "<< /Filter /Standard /V 4 /R 4 /Length 128 "
             "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >> "
-            "/StmF /StdCF /StrF /StdCF "
+            f"/StmF /StdCF /StrF {strf} "
             f"/O <{o_entry.hex()}> /U <{u_entry[:32].hex()}> /P {p} >>"
         )
     else:
@@ -72,7 +79,105 @@ def build_encrypted_pdf(text: str, cfm: str = "rc4",
         f" /Encrypt {enc_num} 0 R"
         f" /ID [<{file_id0.hex()}> <{file_id0.hex()}>]"
     )
+    if title is not None:
+        info_num = 60
+        tb = title.encode("latin-1")
+        enc_tb = tb if strf_identity else handler.encrypt(tb, info_num, 0)
+        b.add(b"<< /Title <" + enc_tb.hex().encode() + b"> >>", num=info_num)
+        trailer_extra += f" /Info {info_num} 0 R"
     return b.build(91, trailer_extra=trailer_extra)
+
+
+def build_crypt_identity_pdf(text: str) -> bytes:
+    """AESV2-encrypted document whose content stream opts OUT of
+    encryption via a /Crypt filter with /Name /Identity (§7.4.10): the
+    stream body is stored cleartext and must be decoded as-is."""
+    revision, key_len = 4, 16
+    file_id0 = hashlib.md5(b"pdfspark-fixture-id").digest()
+    p = -44
+    o_entry = compute_o_entry(b"", b"", revision, key_len)
+    key = compute_encryption_key(o_entry, p, file_id0, revision, key_len, True)
+    u_entry = compute_u_entry(key, file_id0, revision)
+
+    content = _simple_show(text).encode("latin-1")  # NOT encrypted
+    b = PdfBuilder()
+    b.add(BASE14, num=1)
+    b.add(
+        (
+            f"<< /Length {len(content)} /Filter /Crypt "
+            "/DecodeParms << /Type /CryptFilterDecodeParms /Name /Identity >>"
+            " >>\nstream\n"
+        ).encode("latin-1")
+        + content + b"\nendstream",
+        num=2,
+    )
+    b.add(
+        "<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 1 0 R >> >> /Contents 2 0 R >>",
+        num=3,
+    )
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>", num=90)
+    b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    enc_num = b.add(
+        "<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >> "
+        "/StmF /StdCF /StrF /StdCF "
+        f"/O <{o_entry.hex()}> /U <{u_entry[:32].hex()}> /P {p} >>",
+        num=50,
+    )
+    return b.build(91, trailer_extra=(
+        f" /Encrypt {enc_num} 0 R"
+        f" /ID [<{file_id0.hex()}> <{file_id0.hex()}>]"
+    ))
+
+
+def build_encmeta_false_pdf(text: str, xmp: bytes) -> bytes:
+    """V=4 R=4 CFM V2 (RC4) with /EncryptMetadata false: the document XMP
+    metadata stream is stored CLEARTEXT (§7.6.3.2) and must not be
+    'decrypted' into garbage."""
+    revision, key_len = 4, 16
+    file_id0 = hashlib.md5(b"pdfspark-fixture-id").digest()
+    p = -44
+    o_entry = compute_o_entry(b"", b"", revision, key_len)
+    key = compute_encryption_key(o_entry, p, file_id0, revision, key_len,
+                                 False)  # em=False changes the KDF
+    u_entry = compute_u_entry(key, file_id0, revision)
+    handler = SecurityHandler(key, "rc4", revision)
+
+    content = _simple_show(text).encode("latin-1")
+    enc_content = handler.encrypt(content, 2, 0)
+    b = PdfBuilder()
+    b.add(BASE14, num=1)
+    b.add(
+        f"<< /Length {len(enc_content)} >>\nstream\n".encode("latin-1")
+        + enc_content + b"\nendstream",
+        num=2,
+    )
+    b.add(
+        "<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 1 0 R >> >> /Contents 2 0 R >>",
+        num=3,
+    )
+    b.add(  # cleartext XMP stream
+        (
+            f"<< /Type /Metadata /Subtype /XML /Length {len(xmp)} >>"
+            "\nstream\n"
+        ).encode("latin-1") + xmp + b"\nendstream",
+        num=4,
+    )
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>", num=90)
+    b.add("<< /Type /Catalog /Pages 90 0 R /Metadata 4 0 R >>", num=91)
+    enc_num = b.add(
+        "<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        "/CF << /StdCF << /CFM /V2 /AuthEvent /DocOpen >> >> "
+        "/StmF /StdCF /StrF /StdCF /EncryptMetadata false "
+        f"/O <{o_entry.hex()}> /U <{u_entry[:32].hex()}> /P {p} >>",
+        num=50,
+    )
+    return b.build(91, trailer_extra=(
+        f" /Encrypt {enc_num} 0 R"
+        f" /ID [<{file_id0.hex()}> <{file_id0.hex()}>]"
+    ))
 
 
 def _build_aesv3_pdf(text: str, user_password: bytes = b"") -> bytes:

@@ -181,7 +181,8 @@ class PdfDocument:
         from pdfspark.kernel.objects import PdfString
 
         if isinstance(obj, PdfString):
-            return PdfString(self.security.decrypt(bytes(obj), objnum, gen))
+            return PdfString(
+                self.security.decrypt_string(bytes(obj), objnum, gen))
         if isinstance(obj, list):
             return [self._decrypt_strings(v, objnum, gen) for v in obj]
         if isinstance(obj, dict):
@@ -189,12 +190,37 @@ class PdfDocument:
                     for k, v in obj.items()}
         return obj
 
+    def _crypt_identity(self, sdict: dict) -> bool:
+        """True when the stream's Filter chain contains a /Crypt filter
+        whose /Name is Identity (or absent ⇒ Identity, §7.4.10): such a
+        stream is stored UNencrypted regardless of the document handler."""
+        filt = self.get(sdict, "Filter")
+        names = filt if isinstance(filt, list) else [filt]
+        if not any(str(f) == "Crypt" for f in names if f is not None):
+            return False
+        parms = self.get(sdict, "DecodeParms")
+        if parms is None:
+            parms = self.get(sdict, "DP")
+        plist = parms if isinstance(parms, list) else [parms]
+        for f, p in zip(names, plist + [None] * (len(names) - len(plist))):
+            if str(f) == "Crypt":
+                p = self.resolve(p)
+                name = self.get(p, "Name") if isinstance(p, dict) else None
+                return name is None or str(name) == "Identity"
+        return False
+
     def decode(self, stream: Stream) -> bytes:
         raw = stream.data
-        if (
-            self.security is not None
-            and str(stream.dict.get("Type") or "") not in ("XRef",)
-        ):
+        styp = str(stream.dict.get("Type") or "")
+        skip_decrypt = (
+            styp == "XRef"  # xref streams are never encrypted (§7.5.8.2)
+            # document-level XMP stays cleartext when EncryptMetadata=false
+            or (styp == "Metadata"
+                and self.security is not None
+                and not self.security.encrypt_metadata)
+            or self._crypt_identity(stream.dict)
+        )
+        if self.security is not None and not skip_decrypt:
             raw = self.security.decrypt(bytes(raw), stream.objnum, stream.gen)
             stream = Stream(stream.dict, raw)
         data = decode_stream(stream, resolve=self.resolve)

@@ -148,13 +148,19 @@ def r6_hash(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
 class SecurityHandler:
     """Per-document decryption context (empty user password)."""
 
-    __slots__ = ("key", "key_len", "cfm", "revision")
+    __slots__ = ("key", "key_len", "cfm", "str_cfm", "revision",
+                 "encrypt_metadata")
 
-    def __init__(self, key: bytes, cfm: str, revision: int) -> None:
+    def __init__(self, key: bytes, cfm: str, revision: int,
+                 str_cfm: str = None, encrypt_metadata: bool = True) -> None:
         self.key = key
         self.key_len = len(key)
-        self.cfm = cfm  # 'rc4' | 'aesv2'
+        self.cfm = cfm  # stream context: 'rc4' | 'aesv2' | 'aesv3' | 'identity'
+        # string context may use a DIFFERENT crypt filter (/StrF vs /StmF,
+        # PDF 32000 §7.6.5) — e.g. StrF=Identity with StmF=AESV2
+        self.str_cfm = cfm if str_cfm is None else str_cfm
         self.revision = revision
+        self.encrypt_metadata = encrypt_metadata
 
     @classmethod
     def from_encrypt_dict(cls, enc: dict, file_id0: bytes,
@@ -185,22 +191,36 @@ class SecurityHandler:
                 raise PdfError("encrypted", "password required")
             file_key = _aes_cbc_nopad(ikey, b"\x00" * 16, bytes(ue[:32]),
                                       encrypt=False)
-            return cls(file_key, "aesv3", r)
+            em5 = resolve(enc.get("EncryptMetadata"))
+            return cls(file_key, "aesv3", r,
+                       encrypt_metadata=True if em5 is None else bool(em5))
+        str_cfm = None
         if v in (1, 2):
             key_len = 5 if v == 1 else max(5, min(16, length // 8))
         elif v == 4:
             cf = resolve(enc.get("CF")) or {}
+
+            def _method(filter_name: str) -> str:
+                """CFM for one crypt-filter name (§7.6.5)."""
+                if filter_name == "Identity":
+                    return "identity"
+                d = resolve(cf.get(filter_name)) if isinstance(cf, dict) else None
+                m = str(resolve(d.get("CFM")) if isinstance(d, dict)
+                        else "") or ""
+                if m == "AESV2":
+                    return "aesv2"
+                if m == "V2":
+                    return "rc4"
+                if m in ("None", "Identity"):
+                    return "identity"
+                raise PdfError("encrypted", f"unsupported CFM {m}")
+
             stmf = str(resolve(enc.get("StmF", "Identity")) or "Identity")
-            stdcf = resolve(cf.get(stmf)) if isinstance(cf, dict) else None
-            method = str(resolve(stdcf.get("CFM")) if isinstance(stdcf, dict)
-                         else "") or ""
-            if method == "AESV2":
-                cfm = "aesv2"
-                key_len = 16
-            elif method == "V2":
-                key_len = max(5, min(16, length // 8))
-            else:
-                raise PdfError("encrypted", f"unsupported CFM {method}")
+            strf = str(resolve(enc.get("StrF", "Identity")) or "Identity")
+            cfm = _method(stmf)
+            str_cfm = _method(strf)
+            key_len = 16 if "aesv2" in (cfm, str_cfm) \
+                else max(5, min(16, length // 8))
         else:
             raise PdfError("encrypted", f"unsupported V={v} (AESV3/R5-6)")
         o = resolve(enc.get("O"))
@@ -216,24 +236,35 @@ class SecurityHandler:
         got, want = (u[:16], expect_u[:16]) if r >= 3 else (u[:32], expect_u[:32])
         if got != want:
             raise PdfError("encrypted", "password required")
-        return cls(key, cfm, r)
+        return cls(key, cfm, r, str_cfm=str_cfm, encrypt_metadata=em)
 
-    def object_key(self, objnum: int, gen: int) -> bytes:
-        if self.cfm == "aesv3":
+    def object_key(self, objnum: int, gen: int, cfm: str = None) -> bytes:
+        cfm = self.cfm if cfm is None else cfm
+        if cfm == "aesv3":
             return self.key  # V5: the file key is used directly
         h = hashlib.md5()
         h.update(self.key)
         h.update(struct.pack("<I", objnum)[:3])
         h.update(struct.pack("<I", gen)[:2])
-        if self.cfm == "aesv2":
+        if cfm == "aesv2":
             h.update(b"sAlT")
         return h.digest()[: min(self.key_len + 5, 16)]
 
-    def decrypt(self, data: bytes, objnum: int, gen: int) -> bytes:
-        k = self.object_key(objnum, gen)
-        if self.cfm in ("aesv2", "aesv3"):
+    def _apply(self, data: bytes, objnum: int, gen: int, cfm: str) -> bytes:
+        if cfm == "identity":
+            return data
+        k = self.object_key(objnum, gen, cfm)
+        if cfm in ("aesv2", "aesv3"):
             return _aes_cbc_decrypt(k, data)
         return rc4(k, data)
+
+    def decrypt(self, data: bytes, objnum: int, gen: int) -> bytes:
+        """Stream-context decryption (/StmF crypt filter)."""
+        return self._apply(data, objnum, gen, self.cfm)
+
+    def decrypt_string(self, data: bytes, objnum: int, gen: int) -> bytes:
+        """String-context decryption (/StrF crypt filter — may differ)."""
+        return self._apply(data, objnum, gen, self.str_cfm)
 
     def encrypt(self, data: bytes, objnum: int, gen: int) -> bytes:
         """Fixture-encryptor twin (RC4 is symmetric; AES needs IV+pad)."""

@@ -230,6 +230,9 @@ _DECODERS = {
     "ASCII85Decode": ascii85_decode,
     "LZWDecode": lzw_decode,
     "RunLengthDecode": runlength_decode,
+    # F10: decryption is applied (or skipped, for /Identity) by
+    # PdfDocument.decode before the cascade runs — no-op here (§7.4.10)
+    "Crypt": lambda data, p: data,
 }
 
 

@@ -30,6 +30,8 @@ _IS_REGULAR = bytes(
 )
 _DIGITS = b"0123456789"
 _NUMBER_START = b"0123456789+-."
+# 'N G obj' header — qualifies an 'endstream' hit during recovery scans
+_OBJ_HEADER_RE = re.compile(rb"\d+[\x00\t\n\x0c\r ]+\d+[\x00\t\n\x0c\r ]+obj\b")
 
 
 class Lexer:
@@ -338,8 +340,24 @@ class Lexer:
             if tail.startswith(b"endstream"):
                 self.pos = self.buf.find(b"endstream", end) + len(b"endstream")
                 return Stream(d, self.view[start:end])
-        # recovery: scan for endstream
-        end = self.buf.find(b"endstream", start)
+        # recovery: scan for endstream. A binary body may contain the
+        # literal bytes 'endstream' — prefer the nearest occurrence that is
+        # FOLLOWED by 'endobj' or another object header (i.e. one that
+        # plausibly terminates this object); fall back to first-match only
+        # when none qualifies, so truncated tails still recover.
+        end = -1
+        probe = self.buf.find(b"endstream", start)
+        first = probe
+        while probe != -1:
+            after = self.buf[probe + 9 : probe + 40].lstrip(WHITESPACE)
+            if (after.startswith((b"endobj", b"trailer", b"xref",
+                                  b"startxref")) or not after
+                    or _OBJ_HEADER_RE.match(after)):
+                end = probe
+                break
+            probe = self.buf.find(b"endstream", probe + 9)
+        if end == -1:
+            end = first
         if end == -1:
             raise PdfError("lex", "unterminated stream")
         data_end = end

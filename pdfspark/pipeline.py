@@ -195,6 +195,36 @@ def filter_pdf_rows(pages: DataFrame) -> DataFrame:
     )
 
 
+# SQL twin of kernel.html_extract.looks_like_html + extract_document's
+# %PDF--in-head tolerance: the prefilter must never drop a row the kernel
+# would have extracted (it may keep a few the kernel then error-rows).
+_SUPPORTED_PRED = {
+    "pdf": "instr(cast(substring(html, 1, 1024) as string), '%PDF-') > 0",
+    "html": (
+        "lower(cast(substring(html, 1, 256) as string)) rlike "
+        r"'^[\\s]*(<!doctype[\\s]+html|<html|<head|<body|<\\?xml|<!--)'"
+        " OR instr(lower(cast(substring(html, 1, 1024) as string)),"
+        " '<html') > 0"
+    ),
+}
+
+
+def filter_supported_rows(pages: DataFrame,
+                          modalities: str = "all") -> DataFrame:
+    """Modality-aware prefilter: keep rows the extraction kernel supports.
+
+    ``modalities``: 'pdf' | 'html' | 'all' (PDF-or-HTML) | 'none' (no
+    prefilter — every input row reaches the kernel and unsupported ones
+    come back as error='unknown-format' rows instead of being dropped)."""
+    if modalities == "none":
+        return pages.filter(F.col("html").isNotNull())
+    preds = ([_SUPPORTED_PRED["pdf"], _SUPPORTED_PRED["html"]]
+             if modalities == "all" else [_SUPPORTED_PRED[modalities]])
+    return pages.filter(
+        F.col("html").isNotNull() & F.expr(" OR ".join(f"({p})" for p in preds))
+    )
+
+
 def extract_pages(
     pages: DataFrame,
     nsalt: Optional[int] = None,
@@ -293,6 +323,7 @@ def run_pipeline(
     pages: DataFrame,
     output_dir: str,
     npart: int = 64,
+    modalities: str = "all",
 ) -> dict:
     """Checkpoint-based resumable batch run (the north rule's resume path).
 
@@ -339,7 +370,7 @@ def run_pipeline(
     # extracted text + metrics shuffle on part_key for the partitioned
     # write — for crawl corpora text is a small fraction of the PDF bytes,
     # so this exchange is the cheap one.
-    filtered = filter_pdf_rows(todo).select("url", "html")
+    filtered = filter_supported_rows(todo, modalities).select("url", "html")
     extracted = filtered.mapInPandas(_extract_batches, EXTRACT_SCHEMA)
     keyed_out = extracted.withColumn(
         "part_key", F.pmod(F.xxhash64("url"), F.lit(npart)).cast("int")

@@ -89,3 +89,48 @@ def test_aesv3_document_roundtrip_and_rejection():
     assert r2.error == "encrypted" and r2.text is None
     # ciphertext really is opaque
     assert b"v5 text" not in pdf
+
+
+def test_strf_identity_keeps_strings_cleartext():
+    """/StrF /Identity with /StmF /StdCF (AESV2): streams decrypt, strings
+    pass through untouched — a single shared CFM would garble the title."""
+    pdf = build_encrypted_pdf("body text", cfm="aesv2",
+                              strf_identity=True, title="Clear Title")
+    doc = PdfDocument(pdf)
+    assert doc.security.cfm == "aesv2"
+    assert doc.security.str_cfm == "identity"
+    r = extract_text(pdf)
+    assert r.text == "body text" and r.error is None
+    assert r.title == "Clear Title"
+
+
+def test_strf_stdcf_still_decrypts_title():
+    pdf = build_encrypted_pdf("body text", cfm="aesv2", title="Enc Title")
+    assert b"Enc Title" not in pdf  # string context really is encrypted
+    r = extract_text(pdf)
+    assert r.text == "body text" and r.title == "Enc Title"
+
+
+def test_crypt_identity_stream_not_decrypted():
+    """A /Crypt filter with /Name /Identity opts the stream out of the
+    document handler: the cleartext body must decode as-is."""
+    from pdfspark.crypto_fixtures import build_crypt_identity_pdf
+
+    pdf = build_crypt_identity_pdf("opted out")
+    r = extract_text(pdf)
+    assert r.text == "opted out" and r.error is None
+
+
+def test_encrypt_metadata_false_keeps_xmp_cleartext():
+    from pdfspark.crypto_fixtures import build_encmeta_false_pdf
+    from pdfspark.kernel.objects import Reference, Stream
+
+    xmp = b"<?xpacket begin=''?><x:xmpmeta/><?xpacket end='w'?>"
+    pdf = build_encmeta_false_pdf("meta body", xmp)
+    doc = PdfDocument(pdf)
+    assert doc.security is not None and not doc.security.encrypt_metadata
+    meta = doc.get_object(Reference(4, 0))
+    assert isinstance(meta, Stream)
+    assert doc.decode(meta) == xmp  # NOT rc4-garbled
+    r = extract_text(pdf)
+    assert r.text == "meta body" and r.error is None

@@ -141,3 +141,32 @@ def test_date_partial():
 
     d = parse_pdf_date("D:2020")
     assert d["year"] == 2020 and d["month"] is None
+
+
+def test_stream_recovery_skips_embedded_endstream_bytes():
+    """Missing /Length + binary body containing the literal bytes
+    'endstream': recovery must pick the occurrence followed by 'endobj',
+    not the first one inside the data."""
+    from pdfspark.kernel.lexer import Lexer
+    from pdfspark.kernel.objects import Stream
+
+    body = b"BINARY\x00endstream\x01MORE\x02DATA"
+    buf = (b"1 0 obj\n<< >>\nstream\n" + body
+           + b"\nendstream\nendobj\n2 0 obj\n3\nendobj")
+    lx = Lexer(buf, 0)
+    num, gen, obj = lx.lex_indirect_object()
+    assert num == 1 and isinstance(obj, Stream)
+    assert bytes(obj.data) == body
+
+
+def test_stream_recovery_falls_back_to_first_match():
+    """Truncated tail: no qualifying endstream at all — first match wins
+    so a damaged document still yields its prefix."""
+    from pdfspark.kernel.lexer import Lexer
+    from pdfspark.kernel.objects import Stream
+
+    buf = b"1 0 obj\n<< >>\nstream\nDATA\nendstream\x00\xff junk"
+    lx = Lexer(buf, 0)
+    num, gen, obj = lx.lex_indirect_object()
+    assert isinstance(obj, Stream)
+    assert bytes(obj.data) == b"DATA"

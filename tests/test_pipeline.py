@@ -114,11 +114,17 @@ def test_partial_manifest_resume(spark, tmp_path):
     r2 = run_pipeline(spark, pages, out, npart=8)
     assert r2["partitions_skipped"] == len(keep)
     assert r2["partitions_done"] == total - len(keep)
-    # output still complete + duplicate-free
+    # output still complete + duplicate-free; the batch path keeps every
+    # modality the kernel supports (PDF in head OR html-hint), not PDF-only
+    from pdfspark.kernel.html_extract import looks_like_html
+
     ext = spark.read.parquet(os.path.join(out, "extracted"))
-    n_pdf = sum(1 for c in all_cases() if c.pdf.startswith(b"%PDF-")) * 2
-    assert ext.count() == n_pdf
-    assert ext.select("url").distinct().count() == n_pdf
+    n_supported = sum(
+        1 for c in all_cases()
+        if b"%PDF-" in c.pdf[:1024] or looks_like_html(c.pdf[:1024])
+    ) * 2
+    assert ext.count() == n_supported
+    assert ext.select("url").distinct().count() == n_supported
     pages.unpersist()
 
 
@@ -152,3 +158,39 @@ def test_read_write_format_hooks(spark, tmp_path):
     write_output(pages.withColumn("d", F.to_date("warc_ts")), p2,
                  fmt="parquet", partition_by=["d"])
     assert read_pages(spark, p2).count() == pages.count()
+
+
+def test_run_pipeline_keeps_html_modality(spark, tmp_path):
+    """ADVICE r1: the checkpointed batch path must not silently drop HTML
+    rows — the kernel extracts them, so the prefilter must pass them."""
+    from pdfspark.pipeline import pages_from_documents, run_pipeline
+
+    pages = pages_from_documents(
+        spark, SF_DIR, fmt="mixed"
+    ).limit(40).cache()
+    out = str(tmp_path / "mixed")
+    run_pipeline(spark, pages, out, npart=4)
+    ext = spark.read.parquet(os.path.join(out, "extracted"))
+    got = {r.url: r.text for r in ext.collect()}
+    in_urls = {r.url for r in pages.select("url").collect()}
+    assert set(got) == in_urls           # every modality row came through
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    source = {r.doc_id: r.text for r in docs.collect()}
+    for url, text in got.items():
+        doc_id = int(url.rsplit("/", 1)[1].split(".")[0])
+        assert text == source[doc_id], url   # byte-identical text per url
+    pages.unpersist()
+
+
+def test_filter_supported_rows_modalities(spark):
+    from pdfspark.pipeline import filter_supported_rows, pages_from_fixtures
+
+    pages = pages_from_fixtures(spark).cache()
+    n_all = filter_supported_rows(pages, "all").count()
+    n_pdf = filter_supported_rows(pages, "pdf").count()
+    n_html = filter_supported_rows(pages, "html").count()
+    n_none = filter_supported_rows(pages, "none").count()
+    assert n_pdf + n_html == n_all       # modalities partition the corpus
+    assert n_html >= 1                   # h01 html case present
+    assert n_none >= n_all               # 'none' keeps unknown-format rows
+    pages.unpersist()
