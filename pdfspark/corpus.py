@@ -643,6 +643,87 @@ def all_cases() -> List[Case]:
              b.build(root, objstm=[page, 90, root] + filler),
              "BigObjStm", None, 1))
 
+    # ---- t38: Uni*-UCS2 predefined CMap WITHOUT ToUnicode: the 2-byte
+    # codes ARE the UCS-2 values, so text decodes with no Adobe tables
+    # (reference name inventory: `src/font/cjk.rs:133-142`)
+    b = PdfBuilder()
+    df_num = b.add(
+        "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /FakeMincho "
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1) "
+        "/Supplement 6 >> >>"
+    )
+    f1 = b.add(
+        "<< /Type /Font /Subtype /Type0 /BaseFont /FakeMincho "
+        f"/Encoding /UniJIS-UCS2-H /DescendantFonts [{df_num} 0 R] >>"
+    )
+    jp = "日本語"  # U+65E5 U+672C U+8A9E
+    hexcodes = "".join(f"{ord(ch):04X}" for ch in jp)
+    c = b.add_stream(
+        "<< >>", f"BT /F1 12 Tf 72 720 Td <{hexcodes}> Tj ET".encode()
+    )
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    add(Case("t38_unijis_ucs2", b.build(root), jp, None, 1))
+
+    # ---- t38b: Uni*-UTF16 with a surrogate pair (4-byte codespace range)
+    b = PdfBuilder()
+    df_num = b.add(
+        "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /FakeSong "
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) "
+        "/Supplement 5 >> >>"
+    )
+    f1 = b.add(
+        "<< /Type /Font /Subtype /Type0 /BaseFont /FakeSong "
+        f"/Encoding /UniGB-UTF16-H /DescendantFonts [{df_num} 0 R] >>"
+    )
+    mixed = "汉\U00020000"  # BMP char + supplementary-plane CJK ext B
+    hexcodes = mixed.encode("utf-16-be").hex().upper()
+    c = b.add_stream(
+        "<< >>", f"BT /F1 12 Tf 72 720 Td <{hexcodes}> Tj ET".encode()
+    )
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    add(Case("t38b_unigb_utf16_surrogates", b.build(root), mixed, None, 1))
+
+    # ---- t40: embedded TTF whose cmap is format-12 ONLY (3,10): a
+    # supplementary-plane char maps via the gid→unicode inversion
+    # (reference parses 12 but never looks it up,
+    # `src/font/true_type/parse.rs:462-`)
+    ttf12 = build_minimal_ttf({}, fmt12_to_gid={0x48: 5, 0x1F600: 7})
+    b = PdfBuilder()
+    b.add(
+        "<< /Type /FontDescriptor /FontName /TestTTF12 /Flags 4 "
+        "/FontFile2 64 0 R >>",
+        num=63,
+    )
+    b.add_stream("<< >>", ttf12, num=64)
+    df_num = b.add(
+        "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /TestTTF12 "
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        "/Supplement 0 >> /DW 1000 /FontDescriptor 63 0 R "
+        "/CIDToGIDMap /Identity >>"
+    )
+    f1 = b.add(
+        "<< /Type /Font /Subtype /Type0 /BaseFont /TestTTF12 "
+        f"/Encoding /Identity-H /DescendantFonts [{df_num} 0 R] >>"
+    )
+    c = b.add_stream("<< >>", b"BT /F1 12 Tf 72 720 Td <00050007> Tj ET")
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    add(Case("t40_ttf_cmap_format12", b.build(root), "H😀", None, 1))
+
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",
              b"<!doctype html><html><body>hello web</body></html>",

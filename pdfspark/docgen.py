@@ -70,7 +70,14 @@ def text_to_html(text: str, doc_id: int = 0, lang: str = "en") -> bytes:
     return page.encode("utf-8")
 
 
-def text_to_pdf(text: str, chunk: int = 120, meta_id: int = 0) -> bytes:
+def text_to_pdf(text: str, chunk: int = 120, meta_id: int = 0,
+                freetext_annot: str = None,
+                widget_value: str = None,
+                outline_titles: list = None) -> bytes:
+    """``freetext_annot`` adds a FreeText annotation (/Contents),
+    ``widget_value`` a Widget with a field value (/V), and
+    ``outline_titles`` a flat /Outlines chain of bookmarks — all default
+    off so the pinned roundtrip corpus is unchanged."""
     text = normalize_for_pdf(text)
     shows = "".join(
         f"({_escape(text[i : i + chunk])}) Tj "
@@ -87,12 +94,27 @@ def text_to_pdf(text: str, chunk: int = 120, meta_id: int = 0) -> bytes:
         out.extend(body)
         out.extend(b"\nendobj\n")
 
-    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    next_num = 7
+    ft_num = wd_num = ol_num = None
+    if freetext_annot is not None:
+        ft_num, next_num = next_num, next_num + 1
+    if widget_value is not None:
+        wd_num, next_num = next_num, next_num + 1
+    if outline_titles:
+        ol_num = next_num
+        next_num += 1 + len(outline_titles)  # root + one item per title
+    annot_refs = [b"%d 0 R" % n for n in (ft_num, wd_num) if n is not None]
+    annots_entry = (
+        b" /Annots [" + b" ".join(annot_refs) + b"]" if annot_refs else b""
+    )
+    outlines_entry = b" /Outlines %d 0 R" % ol_num if ol_num else b""
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R" + outlines_entry + b" >>")
     emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
     emit(
         3,
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R"
+        + annots_entry + b" >>",
     )
     emit(
         4,
@@ -110,12 +132,44 @@ def text_to_pdf(text: str, chunk: int = 120, meta_id: int = 0) -> bytes:
         b"<< /Title (doc %d) /CreationDate (D:20250101000000Z) "
         b"/Producer (pdfspark-docgen) >>" % meta_id,
     )
+    if ft_num is not None:
+        emit(
+            ft_num,
+            b"<< /Type /Annot /Subtype /FreeText /Rect [10 10 200 40] "
+            b"/Contents (" + _escape(freetext_annot).encode("latin-1")
+            + b") >>",
+        )
+    if wd_num is not None:
+        emit(
+            wd_num,
+            b"<< /Type /Annot /Subtype /Widget /FT /Tx "
+            b"/Rect [10 50 200 80] /T (field1) "
+            b"/V (" + _escape(widget_value).encode("latin-1") + b") >>",
+        )
+    if ol_num is not None:
+        n_items = len(outline_titles)
+        emit(
+            ol_num,
+            b"<< /Type /Outlines /Count %d /First %d 0 R /Last %d 0 R >>"
+            % (n_items, ol_num + 1, ol_num + n_items),
+        )
+        for k, ttl in enumerate(outline_titles):
+            num = ol_num + 1 + k
+            parts = [b"<< /Title (%s) /Parent %d 0 R"
+                     % (_escape(ttl).encode("latin-1"), ol_num)]
+            if k > 0:
+                parts.append(b" /Prev %d 0 R" % (num - 1))
+            if k < n_items - 1:
+                parts.append(b" /Next %d 0 R" % (num + 1))
+            parts.append(b" >>")
+            emit(num, b"".join(parts))
+    size = max(offsets) + 1
     xref_off = len(out)
-    out.extend(b"xref\n0 7\n0000000000 65535 f \n")
-    for n in range(1, 7):
+    out.extend(b"xref\n0 %d\n0000000000 65535 f \n" % size)
+    for n in range(1, size):
         out.extend(b"%010d 00000 n \n" % offsets[n])
     out.extend(
-        b"trailer\n<< /Size 7 /Root 1 0 R /Info 6 0 R >>\n"
-        b"startxref\n%d\n%%%%EOF\n" % xref_off
+        b"trailer\n<< /Size %d /Root 1 0 R /Info 6 0 R >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (size, xref_off)
     )
     return bytes(out)

@@ -252,10 +252,14 @@ def runlength_encode(data: bytes) -> bytes:
 
 
 def build_minimal_ttf(uni_to_gid: Dict[int, int],
-                      sym_to_gid: Optional[Dict[int, int]] = None) -> bytes:
+                      sym_to_gid: Optional[Dict[int, int]] = None,
+                      fmt12_to_gid: Optional[Dict[int, int]] = None) -> bytes:
     """Minimal sfnt with only a 'cmap' table: a (3,1) format-4 subtable for
-    ``uni_to_gid`` and optionally a (3,0) format-6 symbol subtable. Enough
-    for the FN4 fallback path (fixture t17)."""
+    ``uni_to_gid``, optionally a (3,0) format-6 symbol subtable, and
+    optionally a (3,10) format-12 segmented-coverage subtable
+    (``fmt12_to_gid`` may hold supplementary-plane codes). With
+    ``uni_to_gid`` empty and ``fmt12_to_gid`` set, the font is
+    format-12-only. Enough for the FN4 fallback path (fixtures t17/t40)."""
     # format 4 for (3,1): one segment per code + terminator
     codes = sorted(uni_to_gid)
     segs = [(c, c, uni_to_gid[c]) for c in codes] + [(0xFFFF, 0xFFFF, 0)]
@@ -271,7 +275,13 @@ def build_minimal_ttf(uni_to_gid: Dict[int, int],
     )
     f4 += b"".join(struct.pack(">H", 0) for _ in segs)  # idRangeOffset
     struct.pack_into(">H", f4, 2, len(f4))
-    subtables = [(3, 1, bytes(f4))]
+    subtables = [(3, 1, bytes(f4))] if uni_to_gid else []
+    if fmt12_to_gid:
+        groups = [(c, c, g) for c, g in sorted(fmt12_to_gid.items())]
+        f12 = struct.pack(">HHIII", 12, 0, 16 + 12 * len(groups), 0,
+                          len(groups))
+        f12 += b"".join(struct.pack(">III", s, e, g) for s, e, g in groups)
+        subtables.append((3, 10, f12))
     if sym_to_gid:
         first = min(sym_to_gid)
         count = max(sym_to_gid) - first + 1

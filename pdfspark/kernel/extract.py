@@ -60,6 +60,8 @@ class ExtractResult(NamedTuple):
     lang: Optional[str]
     title: Optional[str] = None
     created: Optional[str] = None  # ISO-ish string from the PDF date
+    annots: Optional[str] = None  # annotation text, "\n"-joined page order
+    outlines: Optional[str] = None  # bookmark titles, pre-order "\n"-joined
 
 
 def extract_text(buf: bytes) -> ExtractResult:
@@ -88,8 +90,13 @@ def extract_text(buf: bytes) -> ExtractResult:
             spans.append(Span(i, off, off + len(t)))
             off += len(t) + 1  # the \f separator
         title, created = _doc_metadata(doc)
+        annot_parts: List[str] = []
+        for page in pages:
+            annot_parts.extend(_page_annotations(doc, page))
+        annots = "\n".join(annot_parts) if annot_parts else None
         return ExtractResult(
-            text, spans, len(pages), soft_error, doc.lang(), title, created
+            text, spans, len(pages), soft_error, doc.lang(), title, created,
+            annots, _doc_outlines(doc),
         )
     except PdfError as e:
         return ExtractResult(None, [], 0, e.code, None)
@@ -111,6 +118,78 @@ def decode_text_string(raw) -> Optional[str]:
     if b[:2] == b"\xfe\xff":
         return b[2:].decode("utf-16-be", "replace")
     return b.decode("latin-1", "replace")
+
+
+def _page_annotations(doc: PdfDocument, page: dict) -> List[str]:
+    """User-visible annotation text (reference annotation model:
+    `src/annotation/mod.rs:19`, subtype.rs): /Contents of any annotation
+    that carries one (FreeText, Text/sticky-note, …) plus AcroForm Widget
+    field values (/V). Page order; failures skip the annotation only."""
+    out: List[str] = []
+    try:
+        annots = doc.get(page, "Annots")
+        if not isinstance(annots, list):
+            return out
+        for a in annots[:1024]:  # bomb guard
+            try:
+                a = doc.resolve(a)
+                if not isinstance(a, dict):
+                    continue
+                contents = decode_text_string(doc.resolve(a.get("Contents")))
+                if contents:
+                    out.append(contents)
+                if str(doc.get(a, "Subtype") or "") == "Widget":
+                    v = doc.resolve(a.get("V"))
+                    if isinstance(v, Name):
+                        out.append(str(v))  # choice/radio export value
+                    else:
+                        field_val = decode_text_string(v)
+                        if field_val:
+                            out.append(field_val)
+            except PdfError:
+                continue
+    except PdfError:
+        pass
+    return out
+
+
+def _doc_outlines(doc: PdfDocument) -> Optional[str]:
+    """Bookmark titles, pre-order (reference outline tree:
+    `src/catalog.rs:35-208` Outlines). Cycle-guarded and depth-capped —
+    crawl PDFs contain malformed sibling chains."""
+    try:
+        catalog = doc.resolve(doc.trailer.get("Root"))
+        if not isinstance(catalog, dict):
+            return None
+        outlines = doc.get(catalog, "Outlines")
+        if not isinstance(outlines, dict):
+            return None
+        titles: List[str] = []
+        _walk_outline(doc, outlines.get("First"), titles, set(), 0)
+        return "\n".join(titles) if titles else None
+    except PdfError:
+        return None
+
+
+def _walk_outline(doc, ref, titles: List[str], seen: set, depth: int) -> None:
+    if depth > 32:
+        return
+    while ref is not None and len(titles) < 4096:
+        if isinstance(ref, Reference):
+            if ref.object_number in seen:
+                return  # malformed sibling cycle
+            seen.add(ref.object_number)
+        try:
+            node = doc.resolve(ref)
+        except PdfError:
+            return
+        if not isinstance(node, dict):
+            return
+        t = decode_text_string(doc.resolve(node.get("Title")))
+        if t:
+            titles.append(t)
+        _walk_outline(doc, node.get("First"), titles, seen, depth + 1)
+        ref = node.get("Next")
 
 
 def _doc_metadata(doc: PdfDocument):

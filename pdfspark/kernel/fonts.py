@@ -165,6 +165,24 @@ class CidCMap:
         return cm
 
     @classmethod
+    def unicode_bmp(cls, utf16: bool = False) -> "CidCMap":
+        """Codespace of the Uni*-UCS2 / Uni*-UTF16 predefined CMaps: the
+        character CODE is the Unicode value itself, so text decodes
+        without Adobe's code→CID tables. UTF16 variants add the 4-byte
+        surrogate-pair range (`src/font/cjk.rs:35-145` name inventory)."""
+        cm = cls()
+        if utf16:
+            cm.ranges = [
+                (2, 0x0000, 0xD7FF),
+                (2, 0xE000, 0xFFFF),
+                (4, 0xD800DC00, 0xDBFFDFFF),
+            ]
+        else:
+            cm.ranges = [(2, 0x0000, 0xFFFF)]
+        cm.identity = True  # code≈CID approximation: affects W lookups
+        return cm
+
+    @classmethod
     def parse(cls, data: bytes) -> "CidCMap":
         cm = cls()
         for m in re.finditer(
@@ -234,8 +252,12 @@ class CidCMap:
 # ------------------------------------------------------------ TrueType cmap
 
 def parse_ttf_cmap_subtables(data: bytes) -> Dict[Tuple[int, int], Dict[int, int]]:
-    """Parse the sfnt 'cmap' table: formats 0/4/6 (the formats whose lookup
-    the reference completes, `src/font/true_type/table/cmap.rs:84-143`).
+    """Parse the sfnt 'cmap' table: formats 0/4/6 with full lookup (the
+    formats the reference completes, `src/font/true_type/table/cmap.rs:
+    84-143`) plus format 12 (segmented coverage — the modern
+    supplementary-plane subtable the reference only enumerates,
+    `src/font/true_type/parse.rs:462-`). Formats 2/8/10 are walked
+    without crashing (the parser skips them structurally).
     Returns {(platformID, encodingID): {char_code: glyph_id}}."""
     out: Dict[Tuple[int, int], Dict[int, int]] = {}
     if len(data) < 12:
@@ -301,10 +323,31 @@ def _parse_cmap_subtable(data: bytes, off: int) -> Dict[int, int]:
                         gid = (gid + deltas[s]) & 0xFFFF
                 if gid:
                     table[code] = gid
+    elif fmt == 12:
+        # segmented coverage: uint32 nGroups of (startChar, endChar,
+        # startGlyph) — the format 2020s fonts embed for plane-1+ chars
+        n_groups = struct.unpack_from(">I", data, off + 12)[0]
+        base = off + 16
+        for g in range(min(n_groups, 100_000)):  # bomb guard
+            if base + 12 * g + 12 > len(data):
+                break
+            start, end, sgid = struct.unpack_from(">III", data, base + 12 * g)
+            if end < start or end - start > 0x110000:
+                continue
+            for k in range(end - start + 1):
+                code, gid = start + k, sgid + k
+                if gid and code <= 0x10FFFF:
+                    table[code] = gid
+    # formats 2 (high-byte mapping), 8 and 10 carry legacy/rare encodings:
+    # structurally skipped — returning {} keeps the subtable walk robust
     return table
 
 
 # ------------------------------------------------------------------- fonts
+
+# the decodable slice of the predefined CJK CMap inventory: code units are
+# UCS-2 (or UTF-16BE) Unicode values, so text needs no Adobe tables
+_UNICODE_CMAP = re.compile(r"^Uni(GB|CNS|JIS|KS)-(UCS2|UTF16)(-HW)?-[HV]$")
 
 _PREDEFINED_CJK = re.compile(
     r"^(GB|GBK|GBpc|GBT|B5|B5pc|CNS|ETen|ETHK|HK|UniGB|UniCNS|UniJIS|UniKS|"
@@ -331,7 +374,7 @@ class Font:
     __slots__ = (
         "subtype", "is_type0", "tounicode", "encoding_map", "cid_cmap",
         "widths", "first_char", "default_width", "cid_widths", "gid_to_uni",
-        "code_to_gid", "cid_to_gid", "error", "_fast",
+        "code_to_gid", "cid_to_gid", "unicode_codes", "error", "_fast",
     )
 
     def __init__(self) -> None:
@@ -347,6 +390,7 @@ class Font:
         self.gid_to_uni: Dict[int, str] = {}
         self.code_to_gid: Dict[int, int] = {}
         self.cid_to_gid: Optional[Dict[int, int]] = None  # stream map
+        self.unicode_codes = False  # Uni*-UCS2/UTF16: code IS the Unicode
         self.error: Optional[str] = None
         self._fast = None  # lazy (chars[256], widths[256]) decode tables
 
@@ -426,6 +470,17 @@ class Font:
         for nbytes, code in cmap.split_codes(s):
             text = tu.get(nbytes, code) if tu is not None else None
             cid = cmap.cid(nbytes, code)
+            if text is None and self.unicode_codes:
+                # Uni*-UCS2/UTF16 predefined CMaps: the code IS the
+                # Unicode value — no Adobe tables needed
+                if nbytes == 2:
+                    text = (REPLACEMENT if 0xD800 <= code <= 0xDFFF
+                            else chr(code))
+                elif nbytes == 4:
+                    try:
+                        text = code.to_bytes(4, "big").decode("utf-16-be")
+                    except (UnicodeDecodeError, OverflowError):
+                        text = REPLACEMENT
             if text is None and self.gid_to_uni:
                 # CIDToGIDMap: explicit stream map, else Identity (gid==cid)
                 gid = (self.cid_to_gid.get(cid, 0)
@@ -641,11 +696,19 @@ def _load_type0(doc, font_dict: dict, f: Font) -> None:
         if name in ("Identity-H", "Identity-V"):
             f.cid_cmap = CidCMap.identity_2byte()
         else:
-            # predefined CJK CMap (reference table: `src/font/cjk.rs`):
-            # without ToUnicode we cannot map to text — flag it
-            f.cid_cmap = CidCMap.identity_2byte()
-            if f.tounicode is None:
-                f.error = "predefined-cmap"
+            m = _UNICODE_CMAP.match(name)
+            if m:
+                # Uni*-UCS2 / Uni*-UTF16 families: code units are Unicode,
+                # decodable WITHOUT Adobe's code→CID tables
+                # (`src/font/cjk.rs:35-145`)
+                f.cid_cmap = CidCMap.unicode_bmp(utf16=m.group(2) == "UTF16")
+                f.unicode_codes = True
+            else:
+                # legacy predefined CJK CMap (GBK-EUC, 90ms-RKSJ, …): the
+                # byte→CID tables aren't shipped — flag it
+                f.cid_cmap = CidCMap.identity_2byte()
+                if f.tounicode is None:
+                    f.error = "predefined-cmap"
     elif isinstance(enc, Stream):
         try:
             f.cid_cmap = CidCMap.parse(doc.decode(enc))
@@ -727,8 +790,9 @@ def _load_embedded_ttf(doc, descriptor: dict, f: Font) -> None:
     subtables = parse_ttf_cmap_subtables(data)
     if not subtables:
         return
-    # unicode source: (3,1) Microsoft BMP, else (0,*) Unicode platform
-    uni_table = subtables.get((3, 1))
+    # unicode source: (3,10) Microsoft UCS-4 (format 12) ⊇ (3,1) BMP,
+    # else (0,*) Unicode platform
+    uni_table = subtables.get((3, 10)) or subtables.get((3, 1))
     if uni_table is None:
         for (plat, _enc), t in subtables.items():
             if plat == 0:

@@ -87,6 +87,8 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("doc_lang", T.StringType()),
         T.StructField("doc_title", T.StringType()),
         T.StructField("created", T.StringType()),
+        T.StructField("annots_text", T.StringType()),
+        T.StructField("outlines_text", T.StringType()),
         T.StructField("n_chars", T.LongType()),
         T.StructField("pdf_bytes", T.LongType()),
         T.StructField("kernel_ms", T.DoubleType()),
@@ -174,6 +176,8 @@ def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
                     "doc_lang": r.lang,
                     "doc_title": r.title,
                     "created": r.created,
+                    "annots_text": r.annots,
+                    "outlines_text": r.outlines,
                     "n_chars": len(r.text) if r.text is not None else 0,
                     "pdf_bytes": len(buf),
                     "kernel_ms": elapsed,
@@ -459,6 +463,17 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
                     html = b"\x00\x01JUNK:%d\xff\xfe" % i
                 elif fmt == "html" or (fmt == "mixed" and i % 2 == 1):
                     html = text_to_html(text, i, lang or "en")
+                elif fmt == "pdf_annot":
+                    # deterministic annotation/outline tiers for the
+                    # oracle: %10 → FreeText + Widget, %5 → FreeText,
+                    # %7 → two bookmarks
+                    html = text_to_pdf(
+                        text, meta_id=i,
+                        freetext_annot=(f"note {i}" if i % 5 == 0 else None),
+                        widget_value=(f"field {i}" if i % 10 == 0 else None),
+                        outline_titles=([f"ch1 {i}", f"ch2 {i}"]
+                                        if i % 7 == 0 else None),
+                    )
                 else:
                     html = text_to_pdf(text, meta_id=i)
                 rows.append(

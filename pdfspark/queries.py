@@ -1204,6 +1204,57 @@ def pdf_doc_metadata(spark, sf_dir):
     )
 
 
+@register(
+    "pdf_annots_text",
+    oracle="SELECT doc_id,"
+           " CASE WHEN doc_id % 10 = 0 THEN"
+           "   'note ' || CAST(doc_id AS VARCHAR) || chr(10) ||"
+           "   'field ' || CAST(doc_id AS VARCHAR)"
+           " WHEN doc_id % 5 = 0 THEN 'note ' || CAST(doc_id AS VARCHAR)"
+           " ELSE NULL END AS annots_text"
+           " FROM documents",
+)
+def pdf_annots_text(spark, sf_dir):
+    """Annotation text surface (reference model `src/annotation/mod.rs:19`
+    + AcroForm `src/catalog.rs`): FreeText /Contents and Widget field
+    values /V, "\\n"-joined in page order. The generator plants a
+    deterministic annotation tier (%5 → FreeText, %10 → +Widget) so the
+    oracle is exact."""
+    from pdfspark.pipeline import extract_pages, pages_from_documents
+
+    ext = extract_pages(
+        pages_from_documents(spark, sf_dir, fmt="pdf_annot"), resalt=False
+    )
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        "annots_text",
+    )
+
+
+@register(
+    "pdf_outlines",
+    oracle="SELECT doc_id,"
+           " CASE WHEN doc_id % 7 = 0 THEN"
+           "   'ch1 ' || CAST(doc_id AS VARCHAR) || chr(10) ||"
+           "   'ch2 ' || CAST(doc_id AS VARCHAR)"
+           " ELSE NULL END AS outlines_text"
+           " FROM documents",
+)
+def pdf_outlines(spark, sf_dir):
+    """Bookmark-title surface (reference outline tree `src/catalog.rs:
+    35-208`): pre-order titles, "\\n"-joined. Generator plants a flat
+    two-bookmark chain on every 7th doc."""
+    from pdfspark.pipeline import extract_pages, pages_from_documents
+
+    ext = extract_pages(
+        pages_from_documents(spark, sf_dir, fmt="pdf_annot"), resalt=False
+    )
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        "outlines_text",
+    )
+
+
 # =========================================================================
 # Kernel-side text/vector operators (not SQL-expressible → rows-only gate)
 # =========================================================================

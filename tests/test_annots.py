@@ -1,0 +1,86 @@
+"""Annotation text, outline titles, and name trees (reference parity:
+`src/annotation/mod.rs:19`, `src/catalog.rs:35-208`,
+`src/data_structures/name_tree.rs:15`)."""
+
+from pdfspark.docgen import text_to_pdf
+from pdfspark.fixtures import BASE14, PdfBuilder, _simple_show
+from pdfspark.kernel.document import PdfDocument
+from pdfspark.kernel.extract import extract_text
+from pdfspark.kernel.name_tree import (
+    flatten_name_tree,
+    lookup_name_tree,
+    named_destinations,
+)
+
+
+def test_freetext_and_widget_annotations_extracted():
+    pdf = text_to_pdf("body", freetext_annot="a sticky note",
+                      widget_value="typed value")
+    r = extract_text(pdf)
+    assert r.error is None and r.text == "body"
+    assert r.annots == "a sticky note\ntyped value"
+
+
+def test_no_annotations_is_null():
+    r = extract_text(text_to_pdf("plain"))
+    assert r.annots is None and r.outlines is None
+
+
+def test_outline_titles_preorder():
+    pdf = text_to_pdf("body", outline_titles=["Intro", "Methods", "End"])
+    r = extract_text(pdf)
+    assert r.outlines == "Intro\nMethods\nEnd"
+
+
+def test_outline_cycle_guard():
+    """A sibling chain that loops back must terminate, not hang."""
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    c = b.add_stream("<< >>", _simple_show("x").encode())
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    b.add("<< /Title (A) /Next 71 0 R >>", num=70)
+    b.add("<< /Title (B) /Next 70 0 R >>", num=71)  # cycle 70→71→70
+    b.add("<< /Type /Outlines /First 70 0 R >>", num=72)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R /Outlines 72 0 R >>",
+                 num=91)
+    r = extract_text(b.build(root))
+    assert r.error is None
+    assert r.outlines == "A\nB"
+
+
+def _doc_with_name_tree():
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    c = b.add_stream("<< >>", _simple_show("x").encode())
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    # two leaves + one intermediate node with /Limits
+    b.add("<< /Limits [(alpha) (beta)] "
+          "/Names [(alpha) 11 (beta) 22] >>", num=60)
+    b.add("<< /Limits [(delta) (zeta)] "
+          "/Names [(delta) 33 (zeta) 44] >>", num=61)
+    b.add("<< /Kids [60 0 R 61 0 R] >>", num=62)
+    b.add("<< /Dests 62 0 R >>", num=63)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R /Names 63 0 R >>", num=91)
+    return PdfDocument(b.build(root))
+
+
+def test_name_tree_flatten_and_lookup():
+    doc = _doc_with_name_tree()
+    catalog = doc.resolve(doc.trailer.get("Root"))
+    tree = doc.get(doc.get(catalog, "Names"), "Dests")
+    pairs = flatten_name_tree(doc, tree)
+    assert [(k, doc.resolve(v)) for k, v in pairs] == [
+        (b"alpha", 11), (b"beta", 22), (b"delta", 33), (b"zeta", 44)
+    ]
+    assert doc.resolve(lookup_name_tree(doc, tree, b"delta")) == 33
+    assert lookup_name_tree(doc, tree, b"gamma") is None  # between limits
+    dests = named_destinations(doc)
+    assert set(dests) == {b"alpha", b"beta", b"delta", b"zeta"}

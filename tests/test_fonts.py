@@ -97,3 +97,45 @@ def test_cff_garbage_returns_empty():
     assert parse_cff_code_to_name(b"") == {}
     assert parse_cff_code_to_name(b"\x01\x00\x04\x02" + bytes(40)) == {}
     assert parse_cff_code_to_name(bytes(range(256))) == {}
+
+
+def test_ttf_cmap_format12_supplementary_plane():
+    from pdfspark.fixtures import build_minimal_ttf
+
+    ttf = build_minimal_ttf({}, fmt12_to_gid={0x48: 5, 0x1F600: 7})
+    subs = parse_ttf_cmap_subtables(ttf)
+    assert (3, 10) in subs
+    assert subs[(3, 10)] == {0x48: 5, 0x1F600: 7}
+
+
+def test_ttf_cmap_unknown_formats_skipped():
+    """Formats 2/8/10 (and garbage) must not crash the subtable walk."""
+    import struct
+
+    from pdfspark.fixtures import build_minimal_ttf
+
+    ttf = bytearray(build_minimal_ttf({0x41: 3}))
+    # append a bogus (1,0) entry pointing at a format-8 header
+    assert parse_ttf_cmap_subtables(bytes(ttf))  # sanity
+    f8 = struct.pack(">HHI", 8, 0, 16) + b"\x00" * 16
+    subs = parse_ttf_cmap_subtables(bytes(ttf) + f8)
+    assert (3, 1) in subs
+
+
+def test_unicode_cmap_name_set():
+    from pdfspark.kernel.fonts import _UNICODE_CMAP
+
+    for name in ("UniJIS-UCS2-H", "UniJIS-UCS2-HW-V", "UniGB-UTF16-H",
+                 "UniKS-UCS2-V", "UniCNS-UTF16-V"):
+        assert _UNICODE_CMAP.match(name), name
+    for name in ("GBK-EUC-H", "90ms-RKSJ-H", "Identity-H",
+                 "UniJIS-UTF32-H", "UniGB-UCS2"):
+        assert not _UNICODE_CMAP.match(name), name
+
+
+def test_unicode_bmp_cmap_split_surrogate_pairs():
+    cm = CidCMap.unicode_bmp(utf16=True)
+    s = "汉\U00020000".encode("utf-16-be")
+    codes = cm.split_codes(s)
+    assert codes[0] == (2, 0x6C49)
+    assert codes[1][0] == 4  # the pair consumed as one 4-byte code
