@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Iterator, List, Tuple
 
-from pdfspark.kernel.lexer import _IS_REGULAR, _IS_WS, Lexer
+from pdfspark.kernel.lexer import _IS_NUMSTART, _IS_REGULAR, _IS_WS, Lexer
 from pdfspark.kernel.objects import Operator, PdfError
 
 # the full 73-operator set (reference enum: `src/content/operator.rs:3-222`)
@@ -84,7 +84,7 @@ def tokenize_content(data: bytes) -> Iterator[Tuple[List[object], str]]:
             except PdfError:
                 return  # truncated stream: stop cleanly
             continue
-        if c in _NUMBER_START:
+        if _IS_NUMSTART[c]:
             try:
                 operands.append(lx.lex_number())
             except PdfError:
