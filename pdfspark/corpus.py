@@ -724,6 +724,37 @@ def all_cases() -> List[Case]:
     root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
     add(Case("t40_ttf_cmap_format12", b.build(root), "H😀", None, 1))
 
+    # ---- t41: xref stream with a linked FREE chain (type-0 entries 6→7→0)
+    # between live objects; a reference into the chain resolves to Null
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    c = b.add_stream("<< >>", _simple_show("FreeChain").encode())
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R "
+        f"/Dummy 6 0 R >>"  # dangles into the free chain
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    add(Case("t41_xref_stream_free_chain",
+             b.build(root, use_xref_stream=True, free=[6, 7]),
+             "FreeChain", None, 1))
+
+    # ---- t42: incremental update DELETES the content object (free 'f'
+    # entry shadows the live one): the page survives with empty text
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    c = b.add_stream("<< >>", _simple_show("Doomed").encode())
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    add(Case("t42_incremental_delete",
+             append_update(b.build(root), {c: None}, root),
+             "", None, 1))
+
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",
              b"<!doctype html><html><body>hello web</body></html>",

@@ -60,10 +60,12 @@ class PdfBuilder:
 
     def build(self, root: int, use_xref_stream: bool = False,
               objstm: Optional[List[int]] = None,
-              trailer_extra: str = "") -> bytes:
+              trailer_extra: str = "",
+              free: Optional[List[int]] = None) -> bytes:
         """objstm: object numbers to pack into an object stream (forces
         xref-stream mode, since classic tables cannot express type-2
-        entries)."""
+        entries). free: object numbers emitted as a linked type-0 free
+        CHAIN in the xref stream (each points at the next, last at 0)."""
         out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
         offsets: Dict[int, int] = {}
         compressed: Dict[int, Tuple[int, int]] = {}
@@ -104,6 +106,10 @@ class PdfBuilder:
                 entries[n] = (2, cnum, idx)
             entries[xref_num] = (1, len(out), 0)
             entries[0] = (0, 0, 65535)
+            chain = list(free or [])
+            for i, n in enumerate(chain):
+                nxt = chain[i + 1] if i + 1 < len(chain) else 0
+                entries[n] = (0, nxt, 1)
             for n in sorted(entries):
                 t, a, b = entries[n]
                 index += [n, 1]
@@ -137,11 +143,14 @@ class PdfBuilder:
 
 def append_update(base: bytes, objects: Dict[int, bytes], root: int) -> bytes:
     """Incremental update: append objects + a classic xref with /Prev
-    (fixture t09; reference merge: `src/xref/mod.rs:57-62`)."""
+    (fixture t09; reference merge: `src/xref/mod.rs:57-62`). An object
+    whose body is None is marked FREE (deleted) in the update table."""
     prev_off = int(base[base.rfind(b"startxref") + 9 :].split()[0])
     out = bytearray(base)
     offsets = {}
     for num in sorted(objects):
+        if objects[num] is None:
+            continue
         offsets[num] = len(out)
         body = objects[num]
         if isinstance(body, str):
@@ -149,10 +158,13 @@ def append_update(base: bytes, objects: Dict[int, bytes], root: int) -> bytes:
         out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
     xref_off = len(out)
     out += b"xref\n"
-    for num in sorted(offsets):
+    for num in sorted(objects):
         out += f"{num} 1\n".encode()
-        out += f"{offsets[num]:010d} 00000 n \n".encode()
-    size = max(offsets) + 1
+        if objects[num] is None:
+            out += b"0000000000 65535 f \n"
+        else:
+            out += f"{offsets[num]:010d} 00000 n \n".encode()
+    size = max(objects) + 1
     out += (
         f"trailer\n<< /Size {size} /Root {root} 0 R /Prev {prev_off} >>\n"
         f"startxref\n{xref_off}\n%%EOF\n"

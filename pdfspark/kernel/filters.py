@@ -243,6 +243,13 @@ def decode_stream(stream: Stream, resolve=None) -> bytes:
     Reference driver: `src/filter/mod.rs:17-63`.
     """
     res = resolve if resolve is not None else (lambda x: x)
+    if stream.dict.get("F") is not None:
+        # /F names an EXTERNAL file holding the real data (with /FFilter/
+        # /FDecodeParms applying to it, §7.3.8.2; reference:
+        # `src/stream.rs:61-110`). A crawl corpus has no filesystem
+        # neighbors — surface the stable soft error instead of decoding
+        # the (per spec, ignorable) inline bytes as if they were the data.
+        raise PdfError("external-stream", "stream data lives in /F file")
     filters = res(stream.dict.get("Filter"))
     parms = res(stream.dict.get("DecodeParms", stream.dict.get("DP")))
     data = bytes(stream.data)

@@ -593,6 +593,18 @@ def _load_simple(doc, font_dict: dict, f: Font) -> None:
     if isinstance(fc, (int, float)) and isinstance(widths, list):
         f.first_char = int(fc)
         f.widths = [float(res(w) or 0) for w in widths]
+    elif not f.widths:
+        # unembedded base-14 (or metric twin) without /Widths: AFM
+        # default metrics (reference alias table `src/font/mod.rs:53-97`)
+        from pdfspark.kernel.base14 import base14_widths
+
+        bw = base14_widths(
+            str(res(font_dict.get("BaseFont")) or ""), f.encoding_map,
+            default=f.default_width,
+        )
+        if bw is not None:
+            f.first_char = 0
+            f.widths = bw
     desc = res(font_dict.get("FontDescriptor"))
     if isinstance(desc, dict):
         mw = res(desc.get("MissingWidth"))

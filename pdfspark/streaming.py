@@ -126,3 +126,32 @@ def run_stream_once(
     if q.isActive:
         q.stop()
     return bool(finished)
+
+
+def run_windowed_metrics_once(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    timeout_s: Optional[int] = 120,
+    max_files_per_trigger: int = 1,
+) -> bool:
+    """Drain the input through the WATERMARKED windowed aggregation in
+    append mode: a window row reaches the sink only once the watermark
+    passes its end, and rows older than the watermark are dropped — the
+    late-data contract tests pin. One file per trigger so the watermark
+    advances between micro-batches deterministically."""
+    pages = read_pages_stream(spark, input_dir, max_files_per_trigger)
+    q = (
+        windowed_metrics(pages)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+    return bool(finished)

@@ -90,3 +90,32 @@ def test_cascade():
 def test_image_filter_passthrough():
     st = Stream({"Filter": "DCTDecode", "Length": 4}, b"\xff\xd8\xff\xe0")
     assert decode_stream(st) == b"\xff\xd8\xff\xe0"
+
+
+def test_external_file_stream_is_stable_soft_error():
+    """/F external-file streams (§7.3.8.2): no filesystem neighbor in a
+    crawl — decode must fail with the stable 'external-stream' code, and
+    a document using one for page content surfaces it as a soft error."""
+    import pytest
+
+    from pdfspark.fixtures import BASE14, PdfBuilder
+    from pdfspark.kernel.extract import extract_text
+    from pdfspark.kernel.filters import decode_stream
+    from pdfspark.kernel.objects import PdfError, Stream
+
+    s = Stream({"F": "missing.dat", "Length": 0}, b"")
+    with pytest.raises(PdfError) as e:
+        decode_stream(s)
+    assert e.value.code == "external-stream"
+
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    c = b.add_stream("<< /F (ext.dat) >>", b"ignored")
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    r = extract_text(b.build(root))
+    assert r.error == "external-stream"

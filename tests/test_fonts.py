@@ -139,3 +139,45 @@ def test_unicode_bmp_cmap_split_surrogate_pairs():
     codes = cm.split_codes(s)
     assert codes[0] == (2, 0x6C49)
     assert codes[1][0] == 4  # the pair consumed as one 4-byte code
+
+
+def test_base14_alias_normalization():
+    from pdfspark.kernel.base14 import base14_family
+
+    assert base14_family("Helvetica") == "Helvetica"
+    assert base14_family("Helvetica-BoldOblique") == "Helvetica"
+    assert base14_family("ABCDEF+ArialMT") == "Helvetica"
+    assert base14_family("TimesNewRomanPSMT") == "Times"
+    assert base14_family("Times-Italic") == "Times"
+    assert base14_family("CourierNew") == "Courier"
+    assert base14_family("Symbol") is None
+    assert base14_family("FooSans") is None
+
+
+def test_base14_widths_flow_into_advances():
+    """Unembedded Helvetica without /Widths gets AFM metrics: 'i' (222)
+    must advance less than 'W' (944); Courier is fixed 600."""
+    from pdfspark.fixtures import BASE14, PdfBuilder, _simple_show
+    from pdfspark.kernel.document import PdfDocument
+    from pdfspark.kernel.fonts import load_font
+    from pdfspark.kernel.objects import Reference
+
+    b = PdfBuilder()
+    f1 = b.add(BASE14, num=1)
+    c = b.add_stream("<< >>", _simple_show("x").encode())
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 1 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    doc = PdfDocument(b.build(root))
+    font = load_font(doc, doc.get_object(Reference(1, 0)))
+    gi = font.decode(b"i")[0]
+    gw = font.decode(b"W")[0]
+    assert gi.advance == 222.0 and gw.advance == 944.0
+
+    cour = load_font(doc, {"Subtype": "Type1", "BaseFont": "Courier",
+                           "Encoding": "WinAnsiEncoding"})
+    assert cour.decode(b"i")[0].advance == 600.0
+    assert cour.decode(b"W")[0].advance == 600.0

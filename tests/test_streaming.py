@@ -109,3 +109,51 @@ def test_windowed_metrics_watermarked(spark, tmp_path):
     assert total == n_cases
     n_pdf = sum(1 for c in all_cases() if c.pdf.startswith(b"%PDF-"))
     assert sum(r.n_pdf for r in rows) == n_pdf
+
+
+def test_windowed_metrics_watermark_drops_late_rows(spark, tmp_path):
+    """ROADMAP r1 #5: the watermarked tumbling window under LATE data.
+    File-per-trigger batches: (1) on-time day-1 rows, (2) a day-3 row that
+    advances the watermark to day 2, (3) a day-1 straggler — beyond the
+    1-day watermark, so it must be DROPPED and the finalized day-1 window
+    counts must not include it."""
+    import datetime
+    import time as _time
+
+    from pdfspark.pipeline import PAGES_SCHEMA
+    from pdfspark.streaming import run_windowed_metrics_once
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    day1 = datetime.datetime(2025, 1, 1)
+    day3 = datetime.datetime(2025, 1, 3)
+
+    def row(ts):
+        return ("u://" + ts.isoformat(), ts, b"%PDF-x", "", "en")
+
+    def write(rows):
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        _time.sleep(1.1)  # distinct mtimes => deterministic trigger order
+
+    # run 1: on-time day-1 rows + the day-3 row → the checkpoint ends
+    # with watermark = day 2 and the day-1 windows finalized to the sink
+    write([row(day1 + datetime.timedelta(minutes=m)) for m in (10, 20, 70, 130)])
+    write([row(day3)])
+    assert run_windowed_metrics_once(spark, in_dir, out_dir, ckpt)
+    # run 2: a day-1 straggler arrives AFTER the watermark passed day 2 —
+    # it must be dropped, not re-open or double-count the day-1 windows
+    write([row(day1 + datetime.timedelta(minutes=30))])
+    assert run_windowed_metrics_once(spark, in_dir, out_dir, ckpt)
+    got = {
+        r.window_start.isoformat(): (r.n_pages, r.n_pdf)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # day-1 windows finalized WITHOUT the late row; day-3 window still
+    # open (watermark never passed its end), so absent from append output
+    assert got == {
+        "2025-01-01T00:00:00": (2, 2),
+        "2025-01-01T01:00:00": (1, 1),
+        "2025-01-01T02:00:00": (1, 1),
+    }
