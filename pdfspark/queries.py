@@ -1589,3 +1589,152 @@ def token_count_pandas_udf(spark, sf_dir):
     return spark.table("documents").select(
         "doc_id", ws_tokens(F.col("text")).alias("ws_tokens")
     )
+
+
+# =========================================================================
+# Custom operators Spark lacks natively: as-of join + iterative
+# connected-components (graph clustering over near-dup edges)
+# =========================================================================
+
+_ASOF_ORACLE = """
+SELECT p.event_id,
+  (SELECT c.event_id FROM events c
+    WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      AND c.ts < p.ts
+    ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_id
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
+@register("asof_join_last_click", oracle=_ASOF_ORACLE)
+def asof_join_last_click(spark, sf_dir):
+    """AS-OF JOIN (Spark has no native one): each purchase matched to the
+    user's most recent STRICTLY-earlier click, composed as the standard
+    union + running last_value(ignorenulls) window — one shuffle on
+    user_id, sort within partition, no join at all. At 100 TB this is the
+    shape you want: the quote side never re-shuffles per query row, and
+    per-user skew is the only hotspot (salt the giant users if needed).
+    Tie policy: equal timestamps do NOT match (purchases sort before
+    clicks at the same ts); among equal-ts clicks the larger event_id
+    wins — mirrored exactly by the oracle's ORDER BY ts DESC, id DESC."""
+    from pyspark.sql import Window
+
+    _load(spark, sf_dir, "events")
+    ev = spark.table("events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(F.col("event_type") == "purchase", F.lit(0))
+         .otherwise(F.lit(1)).alias("type_rank"),
+        F.when(F.col("event_type") == "click", F.col("event_id"))
+         .alias("click_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "type_rank", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "last_click_id", F.last("click_id", ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "last_click_id")
+    )
+
+
+# edges = n-gram-Jaccard near-dup pairs at >= 0.3 (same corpus CTEs as
+# dedup_ngram_jaccard, pair columns only)
+_COMPONENT_EDGES_TAIL = """
+, sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+edges AS (
+  SELECT c.doc_a, c.doc_b FROM common c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) >= 0.3)
+"""
+
+_COMPONENTS_ORACLE = (
+    "WITH RECURSIVE "
+    + _NEARDUP_CORPUS.format(cap=200, posexplode=_POSEXPLODE_DUCK)
+    + _COMPONENT_EDGES_TAIL
+    + """
+, bi AS (SELECT doc_a AS a, doc_b AS b FROM edges
+         UNION SELECT doc_b, doc_a FROM edges),
+nodes AS (SELECT DISTINCT a AS doc FROM bi),
+reach(src, dst) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN bi e ON e.a = r.dst
+)
+SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+FROM reach GROUP BY src
+"""
+)
+
+
+@register("dedup_components", oracle=_COMPONENTS_ORACLE)
+def dedup_components(spark, sf_dir):
+    """Connected components over the near-dup edge graph (the step that
+    turns pairwise dedup hits into CLUSTERS with one canonical doc):
+    iterative min-label propagation — labels converge to the component's
+    minimum doc_id. The oracle is a DuckDB recursive CTE over the same
+    edges, so the fixpoint is checked exactly.
+
+    Scale notes: each iteration is one shuffle (join on doc) + an
+    aggregate; iteration count = graph diameter (near-dup graphs are
+    shallow). localCheckpoint() truncates the growing lineage each round
+    — without it iteration N replays all N-1 predecessors. The
+    iteration-limit guard turns a pathological chain into an error
+    instead of an infinite job."""
+    _load(spark, sf_dir, "documents")
+    edges = spark.sql(
+        "WITH "
+        + _NEARDUP_CORPUS.format(cap=200, posexplode=_POSEXPLODE_SPARK)
+        + _COMPONENT_EDGES_TAIL
+        + "SELECT doc_a, doc_b FROM edges"
+    )
+    bi = edges.union(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint(eager=True)
+    labels = (
+        bi.select(F.col("doc_a").alias("doc")).distinct()
+        .withColumn("cluster_id", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(30):  # >= diameter of any sane near-dup graph
+        neigh = (
+            bi.join(labels, bi.doc_b == labels.doc)
+            .groupBy("doc_a").agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc == neigh.doc_a, "left")
+            .select(
+                labels.doc,
+                F.least(
+                    labels.cluster_id,
+                    F.coalesce(neigh.nmin, labels.cluster_id),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter("n.cluster_id <> o.cluster_id")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("dedup_components: no fixpoint in 30 rounds")
+    return labels.select(F.col("doc").alias("doc_id"), "cluster_id")

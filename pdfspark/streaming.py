@@ -155,3 +155,36 @@ def run_windowed_metrics_once(
     if q.isActive:
         q.stop()
     return bool(finished)
+
+
+def dedup_stream(pages: DataFrame, within: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup by url with BOUNDED state:
+    dropDuplicatesWithinWatermark keeps a url's key only until the
+    watermark passes it, so state is O(urls per watermark window) — the
+    only dedup shape that survives an unbounded 10^12-doc crawl stream
+    (plain dropDuplicates would accrete state forever)."""
+    return pages.withWatermark("warc_ts", within) \
+        .dropDuplicatesWithinWatermark(["url"])
+
+
+def run_dedup_stream_once(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    timeout_s: Optional[int] = 120,
+    within: str = "1 hour",
+) -> bool:
+    pages = read_pages_stream(spark, input_dir, max_files_per_trigger=1)
+    q = (
+        dedup_stream(pages, within)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+    return bool(finished)

@@ -157,3 +157,35 @@ def test_windowed_metrics_watermark_drops_late_rows(spark, tmp_path):
         "2025-01-01T01:00:00": (1, 1),
         "2025-01-01T02:00:00": (1, 1),
     }
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate urls arriving within the
+    watermark window are dropped across micro-batches; distinct urls all
+    pass."""
+    import datetime
+    import time as _time
+
+    from pdfspark.pipeline import PAGES_SCHEMA
+    from pdfspark.streaming import run_dedup_stream_once
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2025, 6, 1, 12, 0, 0)
+
+    def row(url, minutes):
+        return (url, t0 + datetime.timedelta(minutes=minutes),
+                b"%PDF-x", "", "en")
+
+    def write(rows):
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        _time.sleep(1.1)
+
+    write([row("u://a", 0), row("u://a", 1), row("u://b", 2)])  # intra-batch dup
+    write([row("u://a", 10), row("u://c", 11)])                 # cross-batch dup
+
+    assert run_dedup_stream_once(spark, in_dir, out_dir, ckpt)
+    got = sorted(r.url for r in spark.read.parquet(out_dir).collect())
+    assert got == ["u://a", "u://b", "u://c"]
