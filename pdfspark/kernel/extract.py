@@ -140,6 +140,17 @@ def _page_annotations(doc: PdfDocument, page: dict) -> List[str]:
                     out.append(contents)
                 if str(doc.get(a, "Subtype") or "") == "Widget":
                     v = doc.resolve(a.get("V"))
+                    # AcroForm inheritance (§12.7.3.1): a widget without
+                    # its own /V takes the nearest ancestor FIELD's value
+                    # (the /Fields tree the reference parses in
+                    # `src/catalog.rs`); bounded Parent chase
+                    node, depth = a, 0
+                    while v is None and depth < 16:
+                        node = doc.resolve(node.get("Parent"))
+                        if not isinstance(node, dict):
+                            break
+                        v = doc.resolve(node.get("V"))
+                        depth += 1
                     if isinstance(v, Name):
                         out.append(str(v))  # choice/radio export value
                     else:

@@ -1738,3 +1738,61 @@ def dedup_components(spark, sf_dir):
     else:
         raise RuntimeError("dedup_components: no fixpoint in 30 rounds")
     return labels.select(F.col("doc").alias("doc_id"), "cluster_id")
+
+
+_RANGE_JOIN_ORACLE = """
+WITH intervals AS (
+  SELECT CAST(i AS BIGINT) AS win_id,
+    TIMESTAMP '2024-01-01' + INTERVAL (i*7) HOUR AS ws,
+    TIMESTAMP '2024-01-01' + INTERVAL (i*7 + (i%6+1)*2) HOUR AS we
+  FROM range(50) t(i))
+SELECT e.event_id, v.win_id
+FROM events e JOIN intervals v ON e.ts >= v.ws AND e.ts < v.we
+"""
+
+
+@register("range_join_events_windows", oracle=_RANGE_JOIN_ORACLE)
+def range_join_events_windows(spark, sf_dir):
+    """RANGE (interval) JOIN — the second custom operator Spark lacks a
+    first-class form of: events matched to overlapping, irregular time
+    windows. The naive ON ts BETWEEN ws AND we is a BroadcastNestedLoop
+    (O(events × windows) predicate evaluations); the scale shape used
+    here BUCKETIZES: each interval explodes into the 1-hour buckets it
+    covers, events map to their bucket, and the join becomes an
+    EQUI-join on bucket + a residual range predicate. At 100 TB the
+    bucket join hashes; interval count × avg-span/bucket is the only
+    blow-up knob, and overlapping windows still match exactly (pairs are
+    distinct-ed because a window spans many buckets)."""
+    _load(spark, sf_dir, "events")
+    iv = (
+        spark.range(50)
+        .select(
+            F.col("id").alias("win_id"),
+            F.expr(
+                "timestampadd(HOUR, CAST(id*7 AS INT),"
+                " TIMESTAMP '2024-01-01')"
+            ).alias("ws"),
+            F.expr(
+                "timestampadd(HOUR, CAST(id*7 + (id%6+1)*2 AS INT),"
+                " TIMESTAMP '2024-01-01')"
+            ).alias("we"),
+        )
+    )
+    # bucket granularity: 1 hour; a window covers ceil(span) buckets
+    iv_b = iv.select(
+        "win_id", "ws", "we",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp("ws") / 3600).cast("long"),
+                ((F.unix_timestamp("we") - 1) / 3600).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    ev = spark.table("events").withColumn(
+        "bucket", (F.unix_timestamp("ts") / 3600).cast("long")
+    )
+    return (
+        ev.join(F.broadcast(iv_b), "bucket")
+        .where((F.col("ts") >= F.col("ws")) & (F.col("ts") < F.col("we")))
+        .select("event_id", "win_id")
+    )

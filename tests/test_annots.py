@@ -84,3 +84,50 @@ def test_name_tree_flatten_and_lookup():
     assert lookup_name_tree(doc, tree, b"gamma") is None  # between limits
     dests = named_destinations(doc)
     assert set(dests) == {b"alpha", b"beta", b"delta", b"zeta"}
+
+
+def test_widget_inherits_value_from_parent_field():
+    """AcroForm /Fields tree: widget kids without /V take the parent
+    field's value (§12.7.3.1); radio groups export their /V Name."""
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    c = b.add_stream("<< >>", _simple_show("form").encode())
+    # parent field holds /V; widget kid has none
+    b.add("<< /FT /Tx /T (grp) /V (inherited value) /Kids [71 0 R] >>",
+          num=70)
+    b.add("<< /Type /Annot /Subtype /Widget /Rect [0 0 10 10] "
+          "/Parent 70 0 R >>", num=71)
+    # radio group: /V is a Name
+    b.add("<< /FT /Btn /T (radio) /V /Choice2 /Kids [73 0 R] >>", num=72)
+    b.add("<< /Type /Annot /Subtype /Widget /Rect [0 20 10 30] "
+          "/Parent 72 0 R >>", num=73)
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R "
+        f"/Annots [71 0 R 73 0 R] >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add(
+        "<< /Type /Catalog /Pages 90 0 R "
+        "/AcroForm << /Fields [70 0 R 72 0 R] >> >>", num=91)
+    r = extract_text(b.build(root))
+    assert r.error is None
+    assert r.annots == "inherited value\nChoice2"
+
+
+def test_widget_parent_cycle_bounded():
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    c = b.add_stream("<< >>", _simple_show("x").encode())
+    b.add("<< /Type /Annot /Subtype /Widget /Rect [0 0 1 1] "
+          "/Parent 71 0 R >>", num=70)
+    b.add("<< /Parent 70 0 R >>", num=71)  # cycle, no /V anywhere
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R "
+        f"/Annots [70 0 R] >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    r = extract_text(b.build(root))
+    assert r.error is None and r.annots is None

@@ -159,3 +159,15 @@ def test_ann_numpy_base_is_bounded(spark):
     assert ".collect()" not in fn.replace(
         "limit(_ANN_BASE_CAP + 1).collect()", ""
     ), "unbounded collect in ann_numpy_topk"
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The bucketized interval join must hash on the bucket key; a naive
+    BETWEEN join would be a BroadcastNestedLoopJoin evaluating the range
+    predicate events x windows times."""
+    from pdfspark.queries import QUERIES
+
+    df = QUERIES["range_join_events_windows"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
