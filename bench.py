@@ -62,14 +62,23 @@ def main() -> None:
         n_docs = spark.read.parquet(
             os.path.join(SF_DIR, "documents.parquet")
         ).count()
+        bench_t0 = time.perf_counter()
+        budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "150"))
         for name in BENCH_QUERIES:
-            best = None
+            runs = []
             for _ in range(2):  # best-of-2: the host has noisy neighbors
                 t0 = time.perf_counter()
                 materialize(QUERIES[name](spark, SF_DIR))
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+                runs.append(time.perf_counter() - t0)
+            # adaptive 3rd rep: only when the first two disagree by >15%
+            # (noise window) AND the total budget allows it — caps driver
+            # cost while shaving the documented ±25% host jitter
+            if (max(runs) > 1.15 * min(runs)
+                    and time.perf_counter() - bench_t0 < budget_s):
+                t0 = time.perf_counter()
+                materialize(QUERIES[name](spark, SF_DIR))
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 3)
         total = round(sum(timings.values()), 3)
         extract_s = timings["pdf_extract_roundtrip"]
         print(
