@@ -1796,3 +1796,127 @@ def range_join_events_windows(spark, sf_dir):
         .where((F.col("ts") >= F.col("ws")) & (F.col("ts") < F.col("we")))
         .select("event_id", "win_id")
     )
+
+
+_ASSIGN_SELECT = """
+, seeds AS (SELECT vec_id AS sid, qv AS sv FROM v WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, sid AS bucket FROM (
+    SELECT v.vec_id, s.sid,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY {dot_vs} DESC, s.sid) AS r
+    FROM v CROSS JOIN seeds s) t
+  WHERE r = 1)
+SELECT a.vec_id, a.bucket, v.qv FROM assign a JOIN v ON v.vec_id = a.vec_id
+"""
+
+
+@register("ann_numpy_ivf", oracle=_IVF_DUCK)
+def ann_numpy_ivf(spark, sf_dir):
+    """The PRODUCTION ANN shape past the global-broadcast cap: IVF cell
+    assignment in SQL (same CTE as ann_ivf_bucketed), then a vectorized
+    NumPy top-k INSIDE each cell via applyInPandas — the base matrix a
+    task sees is one cell, never the table, so nothing is collected to
+    the driver and per-task memory is bounded by the cell size the
+    centroid count controls. Queries (tiny) broadcast by bucket. Exact
+    same results as the pure-SQL IVF query, checked by the same oracle."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    _load(spark, sf_dir, "embeddings")
+    base = spark.sql(
+        _V_SPARK + _ASSIGN_SELECT.format(
+            dot_vs="aggregate(zip_with(v.qv, s.sv, (a,b) -> a*b), 0L,"
+                   " (acc,x) -> acc+x)",
+        )
+    )
+    qrows = base.filter("vec_id < 5").collect()  # 5 query vectors: tiny
+    q_by_bucket = {}
+    for r in qrows:
+        q_by_bucket.setdefault(int(r.bucket), []).append(
+            (int(r.vec_id), np.array(r.qv, dtype=np.float64))
+        )
+    bq = spark.sparkContext.broadcast(q_by_bucket)
+
+    schema = T.StructType([
+        T.StructField("qid", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+        T.StructField("rnk", T.IntegerType()),
+    ])
+
+    def cell_topk(pdf):
+        import sys
+
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
+        import numpy as _np
+        import pandas as pd
+
+        from pdfspark.textops import round_half_up
+
+        out = []
+        qs = bq.value.get(int(pdf["bucket"].iloc[0]), [])
+        if qs:
+            ids = pdf["vec_id"].to_numpy()
+            mat = _np.array(list(pdf["qv"]), dtype=_np.float64)
+            vn = _np.sqrt((mat * mat).sum(axis=1))
+            for qid, qv in qs:
+                cos = (mat @ qv) / (_np.sqrt(qv @ qv) * vn)
+                order = _np.lexsort((ids, -cos))
+                rnk = 0
+                for j in order:
+                    if int(ids[j]) == qid:
+                        continue
+                    rnk += 1
+                    if rnk > 5:
+                        break
+                    out.append({
+                        "qid": qid,
+                        "neighbor_id": int(ids[j]),
+                        "cosine": round_half_up(float(cos[j]), 6),
+                        "rnk": rnk,
+                    })
+        return pd.DataFrame(out, columns=["qid", "neighbor_id",
+                                          "cosine", "rnk"])
+
+    import pandas as pd  # noqa: F401  (applyInPandas return type)
+
+    return base.groupBy("bucket").applyInPandas(cell_topk, schema)
+
+
+_GOPHER = """
+, w AS (SELECT doc_id, word FROM words WHERE word <> ''),
+stats AS (
+  SELECT doc_id,
+    COUNT(*) AS n_words,
+    CAST(SUM(LENGTH(word)) AS BIGINT) AS n_chars_in_words,
+    COUNT(CASE WHEN {alpha_match} THEN 1 END) AS n_alpha,
+    COUNT(DISTINCT word) AS n_distinct
+  FROM w GROUP BY doc_id)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(FLOOR(n_chars_in_words * 100.0 / n_words + 0.5) AS BIGINT)
+    AS mean_word_len_centi,
+  CAST(FLOOR(n_alpha * 10000.0 / n_words + 0.5) AS BIGINT) AS alpha_word_bp,
+  CAST(FLOOR((n_words - n_distinct) * 10000.0 / n_words + 0.5) AS BIGINT)
+    AS dup_word_bp
+FROM stats
+"""
+
+
+@register(
+    "text_gopher_quality",
+    oracle="WITH " + _LANG_CORPUS.format(posexplode=_POSEXPLODE_DUCK)
+    + _GOPHER.format(alpha_match="regexp_full_match(word, '[A-Za-z]+')"),
+)
+def text_gopher_quality(spark, sf_dir):
+    """Gopher-style quality signals (mean word length, alphabetic-word
+    ratio, duplicate-word ratio) — the repetition/garbage filters a
+    pretraining pipeline runs corpus-wide. One pass, integer basis
+    points, pure SQL in both engines."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(
+        "WITH " + _LANG_CORPUS.format(posexplode=_POSEXPLODE_SPARK)
+        + _GOPHER.format(alpha_match="word RLIKE '^[A-Za-z]+$'")
+    )
