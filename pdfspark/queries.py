@@ -1920,3 +1920,57 @@ def text_gopher_quality(spark, sf_dir):
         "WITH " + _LANG_CORPUS.format(posexplode=_POSEXPLODE_SPARK)
         + _GOPHER.format(alpha_match="word RLIKE '^[A-Za-z]+$'")
     )
+
+
+_RANGE_FRAME = """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS hour_value_cents
+FROM events
+WHERE user_id < 10
+"""
+
+
+@register("window_range_interval_frame", oracle=_RANGE_FRAME)
+def window_range_interval_frame(spark, sf_dir):
+    """RANGE frame keyed on event TIME (not row count): each event's
+    trailing 1-hour per-user value sum — the sliding-window aggregate
+    shape (sessions, rate limits) that ROWS frames cannot express when
+    events are irregularly spaced. Integer cents keep the running sums
+    engine-exact regardless of frame evaluation order."""
+    _load(spark, sf_dir, "events")
+    return spark.sql(_RANGE_FRAME)
+
+
+@register(
+    "unpivot_order_year_counts",
+    oracle="""
+WITH wide AS (
+  SELECT o_orderpriority AS priority,
+    COUNT(CASE WHEN year(o_orderdate) = 1995 THEN 1 END) AS y1995,
+    COUNT(CASE WHEN year(o_orderdate) = 1996 THEN 1 END) AS y1996,
+    COUNT(CASE WHEN year(o_orderdate) = 1997 THEN 1 END) AS y1997
+  FROM orders GROUP BY o_orderpriority)
+SELECT priority, yr, CAST(n AS BIGINT) AS n
+FROM wide UNPIVOT (n FOR yr IN (y1995, y1996, y1997))
+""",
+)
+def unpivot_order_year_counts(spark, sf_dir):
+    """UNPIVOT (melt): wide per-year counts back to long form — the
+    inverse of the pivot row in §2B (Spark: stack(); DuckDB: UNPIVOT).
+    Wide table is tiny post-aggregation, so the melt is free at any
+    scale."""
+    _load(spark, sf_dir, "orders")
+    return spark.sql("""
+WITH wide AS (
+  SELECT o_orderpriority AS priority,
+    COUNT(CASE WHEN year(o_orderdate) = 1995 THEN 1 END) AS y1995,
+    COUNT(CASE WHEN year(o_orderdate) = 1996 THEN 1 END) AS y1996,
+    COUNT(CASE WHEN year(o_orderdate) = 1997 THEN 1 END) AS y1997
+  FROM orders GROUP BY o_orderpriority)
+SELECT priority, yr, n FROM wide
+LATERAL VIEW stack(3, 'y1995', y1995, 'y1996', y1996, 'y1997', y1997)
+  AS yr, n
+""")
