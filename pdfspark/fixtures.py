@@ -473,3 +473,58 @@ def build_minimal_cff(code_to_name) -> bytes:
         header + name_idx + top_idx + string_idx + gsubr_idx
         + encoding + charset + charstrings
     )
+
+
+def t1_number(v: int) -> bytes:
+    """Type1 charstring number encoding (spec §6.2)."""
+    if -107 <= v <= 107:
+        return bytes([v + 139])
+    if 108 <= v <= 1131:
+        v -= 108
+        return bytes([247 + (v >> 8), v & 0xFF])
+    if -1131 <= v <= -108:
+        v = -v - 108
+        return bytes([251 + (v >> 8), v & 0xFF])
+    return b"\xff" + v.to_bytes(4, "big", signed=True)
+
+
+def build_minimal_type1(glyphs: Dict[str, int],
+                        encoding: Dict[int, str],
+                        hex_form: bool = False) -> bytes:
+    """Minimal full Type1 program: cleartext /Encoding (dup…put) +
+    eexec-encrypted private section whose /CharStrings hold one
+    ``sbx wx hsbw`` charstring per glyph (widths from ``glyphs``).
+    Exercises both eexec ciphers end-to-end (fixture twin of
+    kernel/type1.py)."""
+    from pdfspark.kernel.type1 import eexec_encrypt
+
+    enc_lines = "".join(
+        f"dup {code} /{name} put\n" for code, name in sorted(encoding.items())
+    )
+    clear = (
+        "%!FontType1-1.0: TestT1\n"
+        "/FontName /TestT1 def\n"
+        "/Encoding 256 array\n"
+        "0 1 255 {1 index exch /.notdef put} for\n"
+        f"{enc_lines}"
+        "readonly def\n"
+        "currentdict end\n"
+        "currentfile eexec\n"
+    ).encode("latin-1")
+    cs_entries = bytearray()
+    for name, wx in sorted(glyphs.items()):
+        plain = t1_number(0) + t1_number(wx) + b"\x0d"  # sbx wx hsbw
+        enc_cs = eexec_encrypt(plain, r=4330, lead=b"salt")
+        cs_entries += (
+            f"/{name} {len(enc_cs)} RD ".encode("latin-1") + enc_cs + b" ND\n"
+        )
+    priv = (
+        b"dup /Private 8 dict dup begin\n/lenIV 4 def\nend\n"
+        b"/CharStrings " + str(len(glyphs)).encode() + b" dict dup begin\n"
+        + bytes(cs_entries)
+        + b"end\nend\nmark currentfile closefile\n"
+    )
+    enc_priv = eexec_encrypt(priv)
+    if hex_form:
+        enc_priv = enc_priv.hex().encode("ascii")
+    return clear + enc_priv + b"\n" + b"0" * 512 + b"\ncleartomark\n"

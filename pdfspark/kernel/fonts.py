@@ -590,6 +590,7 @@ def _load_simple(doc, font_dict: dict, f: Font) -> None:
     # widths (FN11: `src/font/mod.rs:176-229`)
     fc = res(font_dict.get("FirstChar"))
     widths = res(font_dict.get("Widths"))
+    desc = res(font_dict.get("FontDescriptor"))
     if isinstance(fc, (int, float)) and isinstance(widths, list):
         f.first_char = int(fc)
         f.widths = [float(res(w) or 0) for w in widths]
@@ -602,10 +603,23 @@ def _load_simple(doc, font_dict: dict, f: Font) -> None:
             str(res(font_dict.get("BaseFont")) or ""), f.encoding_map,
             default=f.default_width,
         )
+        if bw is None and isinstance(desc, dict):
+            # embedded Type1 without /Widths: hsbw/sbw advance scan of
+            # the eexec-decrypted /CharStrings (kernel/type1.py — no VM)
+            t1w = _type1_widths_by_name(doc, desc)
+            if t1w:
+                uni_w = {}
+                for nm, w in t1w.items():
+                    uni = glyph_name_to_unicode(nm)
+                    if uni is not None:
+                        uni_w.setdefault(uni, w)
+                bw = [
+                    uni_w.get(f.encoding_map.get(c), f.default_width)
+                    for c in range(256)
+                ]
         if bw is not None:
             f.first_char = 0
             f.widths = bw
-    desc = res(font_dict.get("FontDescriptor"))
     if isinstance(desc, dict):
         mw = res(desc.get("MissingWidth"))
         if isinstance(mw, (int, float)):
@@ -650,6 +664,30 @@ def _builtin_encoding(doc, descriptor) -> Dict[int, str]:
     except PdfError:
         pass
     cache[key] = out
+    return out
+
+
+def _type1_widths_by_name(doc, descriptor) -> Dict[str, float]:
+    """Memoized glyph-name→advance map of an embedded Type1 FontFile
+    (kernel/type1.py hsbw scan; reference would run the charstring VM,
+    `src/font/type1/*`)."""
+    ff = doc.resolve(descriptor.get("FontFile"))
+    if not isinstance(ff, Stream):
+        return {}
+    cache = getattr(doc, "_t1w_cache", None)
+    if cache is None:
+        cache = doc._t1w_cache = {}
+    hit = cache.get(ff.objnum)
+    if hit is not None:
+        return hit
+    out: Dict[str, float] = {}
+    try:
+        from pdfspark.kernel.type1 import parse_type1_widths
+
+        out = parse_type1_widths(doc.decode(ff))
+    except PdfError:
+        pass
+    cache[ff.objnum] = out
     return out
 
 

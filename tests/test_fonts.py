@@ -181,3 +181,55 @@ def test_base14_widths_flow_into_advances():
                            "Encoding": "WinAnsiEncoding"})
     assert cour.decode(b"i")[0].advance == 600.0
     assert cour.decode(b"W")[0].advance == 600.0
+
+
+def test_type1_hsbw_width_extraction():
+    from pdfspark.fixtures import build_minimal_type1
+    from pdfspark.kernel.type1 import parse_type1_widths
+
+    prog = build_minimal_type1(
+        {"A": 712, "B": 64, "wide": 2048}, {65: "A", 66: "B", 67: "wide"}
+    )
+    w = parse_type1_widths(prog)
+    assert w == {"A": 712.0, "B": 64.0, "wide": 2048.0}
+    # hex-form eexec section parses identically
+    w2 = parse_type1_widths(
+        build_minimal_type1({"A": 712}, {65: "A"}, hex_form=True)
+    )
+    assert w2 == {"A": 712.0}
+
+
+def test_type1_widths_flow_into_advances():
+    """Embedded Type1 WITHOUT /Widths: advances come from the hsbw scan,
+    via glyph-name→unicode→code mapping through the /Differences
+    encoding."""
+    from pdfspark.fixtures import BASE14, PdfBuilder, _simple_show, build_minimal_type1
+    from pdfspark.kernel.document import PdfDocument
+    from pdfspark.kernel.fonts import load_font
+    from pdfspark.kernel.objects import Reference
+
+    prog = build_minimal_type1({"A": 712, "B": 64}, {65: "A", 66: "B"})
+    b = PdfBuilder()
+    b.add_stream(f"<< /Length1 {len(prog)} >>", prog, num=64)
+    b.add(
+        "<< /Type /FontDescriptor /FontName /TestT1 /Flags 4 "
+        "/FontFile 64 0 R >>",
+        num=63,
+    )
+    b.add(
+        "<< /Type /Font /Subtype /Type1 /BaseFont /TestT1 "
+        "/FontDescriptor 63 0 R >>",
+        num=1,
+    )
+    c = b.add_stream("<< >>", _simple_show("AB").encode())
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 1 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    doc = PdfDocument(b.build(root))
+    font = load_font(doc, doc.get_object(Reference(1, 0)))
+    ga, gb = font.decode(b"AB")
+    assert (ga.text, gb.text) == ("A", "B")
+    assert ga.advance == 712.0 and gb.advance == 64.0
