@@ -427,11 +427,31 @@ def _cff_index(items):
     )
 
 
-def build_minimal_cff(code_to_name) -> bytes:
+def t2_number(v: int) -> bytes:
+    """Type2 charstring number encoding (spec §3.2)."""
+    if -107 <= v <= 107:
+        return bytes([v + 139])
+    if 108 <= v <= 1131:
+        v -= 108
+        return bytes([247 + (v >> 8), v & 0xFF])
+    if -1131 <= v <= -108:
+        v = -v - 108
+        return bytes([251 + (v >> 8), v & 0xFF])
+    import struct as _s
+
+    return b"\x1c" + _s.pack(">h", v)
+
+
+def build_minimal_cff(code_to_name, glyph_widths=None,
+                      default_width: int = 0,
+                      nominal_width: int = 0) -> bytes:
     """Minimal CFF/Type1C program: Name + TopDICT + String + GSubr
     INDEXes, a format-0 Encoding, a format-0 charset, and stub
     charstrings — enough for the FN9-lite code→name path (fixture t35).
-    ``code_to_name``: insertion order defines gid order (gid = i+1)."""
+    ``code_to_name``: insertion order defines gid order (gid = i+1).
+    ``glyph_widths``: optional name→width map — adds a Private DICT
+    (defaultWidthX/nominalWidthX) and a leading width operand before
+    each listed glyph's endchar (Type2 §3.1 width rule)."""
     import struct as _s
 
     from pdfspark.kernel.cff import STANDARD_STRINGS
@@ -448,30 +468,44 @@ def build_minimal_cff(code_to_name) -> bytes:
             string_items.append(nm.encode("latin-1"))
     string_idx = _cff_index(string_items)
     gsubr_idx = _cff_index([])
-    charstrings = _cff_index([b"\x0e"] * (1 + len(code_to_name)))
+    gw = glyph_widths or {}
+    cs_list = [b"\x0e"]  # gid 0 .notdef
+    for nm in code_to_name.values():
+        if nm in gw:
+            cs_list.append(t2_number(gw[nm] - nominal_width) + b"\x0e")
+        else:
+            cs_list.append(b"\x0e")
+    charstrings = _cff_index(cs_list)
     encoding = bytes([0, len(code_to_name)]) + bytes(code_to_name.keys())
     charset = b"\x00" + b"".join(_s.pack(">H", s) for s in sids)
 
     def op_int32(v, op):
         return b"\x1d" + _s.pack(">i", v) + bytes([op])
 
-    top_idx_len = (2 + 1 + 2 * 2) + 3 * 6
+    private = b""
+    if glyph_widths is not None:
+        private = op_int32(default_width, 20) + op_int32(nominal_width, 21)
+    top_idx_len = (2 + 1 + 2 * 2) + 3 * 6 + (11 if private else 0)
     pos0 = len(header) + len(name_idx)
     string_pos = pos0 + top_idx_len
     gsubr_pos = string_pos + len(string_idx)
     enc_pos = gsubr_pos + len(gsubr_idx)
     charset_pos = enc_pos + len(encoding)
     cs_pos = charset_pos + len(charset)
+    priv_pos = cs_pos + len(charstrings)
     top = (
         op_int32(charset_pos, 15)
         + op_int32(enc_pos, 16)
         + op_int32(cs_pos, 17)
     )
+    if private:
+        top += (b"\x1d" + _s.pack(">i", len(private))
+                + b"\x1d" + _s.pack(">i", priv_pos) + bytes([18]))
     top_idx = _cff_index([top])
-    assert len(top_idx) == top_idx_len
+    assert len(top_idx) == top_idx_len, (len(top_idx), top_idx_len)
     return (
         header + name_idx + top_idx + string_idx + gsubr_idx
-        + encoding + charset + charstrings
+        + encoding + charset + charstrings + private
     )
 
 

@@ -250,3 +250,124 @@ def parse_cff_code_to_name(data: bytes) -> Dict[int, str]:
         return out
     except (struct.error, IndexError, ValueError):
         return {}
+
+
+def _type2_leading_width(cs: bytes, default_w: float,
+                         nominal_w: float) -> float:
+    """Advance width of one Type2 charstring WITHOUT running the VM
+    (Type 2 spec §3.1): the width operand, when present, precedes the
+    first stem/moveto/endchar operator and makes the operand count odd
+    (stems) or one-more-than-expected (movetos/endchar)."""
+    stack: list = []
+    i, n = 0, len(cs)
+    while i < n:
+        v = cs[i]
+        if 32 <= v <= 246:
+            stack.append(v - 139)
+            i += 1
+        elif 247 <= v <= 250 and i + 1 < n:
+            stack.append((v - 247) * 256 + cs[i + 1] + 108)
+            i += 2
+        elif 251 <= v <= 254 and i + 1 < n:
+            stack.append(-(v - 251) * 256 - cs[i + 1] - 108)
+            i += 2
+        elif v == 28 and i + 2 < n:
+            stack.append(struct.unpack_from(">h", cs, i + 1)[0])
+            i += 3
+        elif v == 255 and i + 4 < n:
+            stack.append(struct.unpack_from(">i", cs, i + 1)[0] / 65536.0)
+            i += 5
+        else:
+            op = v
+            if op in (1, 3, 18, 23, 19, 20):  # stems/masks: even args
+                has_w = len(stack) % 2 == 1
+            elif op in (4, 22):  # v/hmoveto: 1 arg
+                has_w = len(stack) > 1
+            elif op == 21:  # rmoveto: 2 args
+                has_w = len(stack) > 2
+            elif op == 14:  # endchar: 0 or 4 args
+                has_w = len(stack) in (1, 5)
+            else:
+                has_w = False
+            return nominal_w + float(stack[0]) if has_w else default_w
+    return default_w
+
+
+def parse_cff_widths(data: bytes) -> Dict[str, float]:
+    """glyph name → advance width for a CFF/Type1C program: Private DICT
+    defaultWidthX (20) / nominalWidthX (21) plus each charstring's
+    leading width operand. {} on any structural problem."""
+    try:
+        if len(data) < 4:
+            return {}
+        pos = data[2]
+        _names, pos = _read_index(data, pos)
+        top_dicts, pos = _read_index(data, pos)
+        strings, pos = _read_index(data, pos)
+        if not top_dicts:
+            return {}
+        top = _parse_dict(top_dicts[0])
+        cs_off = top.get(17)
+        if not cs_off:
+            return {}
+        charstrings, _ = _read_index(data, int(cs_off[0]))
+        n_glyphs = len(charstrings)
+        if n_glyphs == 0:
+            return {}
+        default_w, nominal_w = 0.0, 0.0
+        priv = top.get(18)
+        if priv and len(priv) >= 2:
+            sz, off = int(priv[0]), int(priv[1])
+            if 0 <= off and off + sz <= len(data):
+                pd = _parse_dict(data[off:off + sz])
+                default_w = float(pd.get(20, [0])[0])
+                nominal_w = float(pd.get(21, [0])[0])
+
+        def sid_name(sid: int) -> Optional[str]:
+            if sid < len(STANDARD_STRINGS):
+                return STANDARD_STRINGS[sid]
+            idx = sid - 391
+            if 0 <= idx < len(strings):
+                return strings[idx].decode("latin-1", "replace")
+            return None
+
+        gid_to_sid = {0: 0}
+        cs = int(top.get(15, [0])[0]) if top.get(15) else 0
+        if cs == 0:
+            for gid in range(1, n_glyphs):
+                gid_to_sid[gid] = gid
+        elif cs in (1, 2):
+            return {}
+        else:
+            fmt = data[cs]
+            p = cs + 1
+            if fmt == 0:
+                for gid in range(1, n_glyphs):
+                    gid_to_sid[gid] = struct.unpack_from(">H", data, p)[0]
+                    p += 2
+            elif fmt in (1, 2):
+                gid = 1
+                step = 3 if fmt == 1 else 4
+                while gid < n_glyphs:
+                    first = struct.unpack_from(">H", data, p)[0]
+                    nleft = (data[p + 2] if fmt == 1
+                             else struct.unpack_from(">H", data, p + 2)[0])
+                    p += step
+                    for k in range(nleft + 1):
+                        if gid >= n_glyphs:
+                            break
+                        gid_to_sid[gid] = first + k
+                        gid += 1
+            else:
+                return {}
+
+        out: Dict[str, float] = {}
+        for gid in range(1, n_glyphs):
+            nm = sid_name(gid_to_sid.get(gid, 0))
+            if nm and nm != ".notdef":
+                out[nm] = _type2_leading_width(
+                    bytes(charstrings[gid]), default_w, nominal_w
+                )
+        return out
+    except (struct.error, IndexError, ValueError):
+        return {}

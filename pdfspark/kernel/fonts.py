@@ -605,8 +605,11 @@ def _load_simple(doc, font_dict: dict, f: Font) -> None:
         )
         if bw is None and isinstance(desc, dict):
             # embedded Type1 without /Widths: hsbw/sbw advance scan of
-            # the eexec-decrypted /CharStrings (kernel/type1.py — no VM)
+            # the eexec-decrypted /CharStrings (kernel/type1.py — no VM);
+            # FontFile3/Type1C twin: Type2 leading-width-operand scan
             t1w = _type1_widths_by_name(doc, desc)
+            if not t1w:
+                t1w = _cff_widths_by_name(doc, desc)
             if t1w:
                 uni_w = {}
                 for nm, w in t1w.items():
@@ -685,6 +688,30 @@ def _type1_widths_by_name(doc, descriptor) -> Dict[str, float]:
         from pdfspark.kernel.type1 import parse_type1_widths
 
         out = parse_type1_widths(doc.decode(ff))
+    except PdfError:
+        pass
+    cache[ff.objnum] = out
+    return out
+
+
+def _cff_widths_by_name(doc, descriptor) -> Dict[str, float]:
+    """Memoized glyph-name→advance map of an embedded CFF/Type1C
+    FontFile3 (Type2 width operand + Private defaultWidthX/nominalWidthX
+    — the charstring VM stays unported)."""
+    ff = doc.resolve(descriptor.get("FontFile3"))
+    if not isinstance(ff, Stream):
+        return {}
+    cache = getattr(doc, "_cffw_cache", None)
+    if cache is None:
+        cache = doc._cffw_cache = {}
+    hit = cache.get(ff.objnum)
+    if hit is not None:
+        return hit
+    out: Dict[str, float] = {}
+    try:
+        from pdfspark.kernel.cff import parse_cff_widths
+
+        out = parse_cff_widths(doc.decode(ff))
     except PdfError:
         pass
     cache[ff.objnum] = out

@@ -233,3 +233,57 @@ def test_type1_widths_flow_into_advances():
     ga, gb = font.decode(b"AB")
     assert (ga.text, gb.text) == ("A", "B")
     assert ga.advance == 712.0 and gb.advance == 64.0
+
+
+def test_cff_type2_width_extraction():
+    from pdfspark.fixtures import build_minimal_cff
+    from pdfspark.kernel.cff import parse_cff_widths
+
+    cff = build_minimal_cff(
+        {65: "A", 66: "B", 67: "C"},
+        glyph_widths={"A": 712, "B": 64},  # C falls to defaultWidthX
+        default_width=500, nominal_width=100,
+    )
+    w = parse_cff_widths(cff)
+    assert w == {"A": 712.0, "B": 64.0, "C": 500.0}
+    # width-less program (t35 shape): every glyph at defaultWidthX 0
+    from pdfspark.kernel.cff import parse_cff_code_to_name
+
+    legacy = build_minimal_cff({65: "A"})
+    assert parse_cff_code_to_name(legacy)  # pinned path unchanged
+    assert parse_cff_widths(legacy) == {"A": 0.0}
+
+
+def test_cff_widths_flow_into_advances():
+    from pdfspark.fixtures import PdfBuilder, _simple_show, build_minimal_cff
+    from pdfspark.kernel.document import PdfDocument
+    from pdfspark.kernel.fonts import load_font
+    from pdfspark.kernel.objects import Reference
+
+    cff = build_minimal_cff(
+        {65: "A", 66: "B"}, glyph_widths={"A": 712, "B": 64},
+        default_width=500, nominal_width=0,
+    )
+    b = PdfBuilder()
+    b.add_stream("<< /Subtype /Type1C >>", cff, num=64)
+    b.add(
+        "<< /Type /FontDescriptor /FontName /TestCFF /Flags 4 "
+        "/FontFile3 64 0 R >>",
+        num=63,
+    )
+    b.add(
+        "<< /Type /Font /Subtype /Type1 /BaseFont /TestCFF "
+        "/FontDescriptor 63 0 R >>",
+        num=1,
+    )
+    c = b.add_stream("<< >>", _simple_show("AB").encode())
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 1 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    doc = PdfDocument(b.build(root))
+    font = load_font(doc, doc.get_object(Reference(1, 0)))
+    ga, gb = font.decode(b"AB")
+    assert ga.advance == 712.0 and gb.advance == 64.0
