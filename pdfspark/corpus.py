@@ -15,6 +15,7 @@ from pdfspark.fixtures import (
     PdfBuilder,
     WINANSI,
     append_update,
+    append_xref_stream_update,
     build_minimal_ttf,
     lzw_encode,
     make_doc,
@@ -754,6 +755,30 @@ def all_cases() -> List[Case]:
     add(Case("t42_incremental_delete",
              append_update(b.build(root), {c: None}, root),
              "", None, 1))
+
+    # ---- t43: TWO incremental updates whose xref sections are XREF
+    # STREAMS (PDF 1.5+ writers): Prev chains stream→stream→stream
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    c = b.add_stream("<< >>", _simple_show("StreamGen0").encode())
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    base = b.build(root, use_xref_stream=True)
+
+    def _content_obj(text: str) -> bytes:
+        body = _simple_show(text).encode()
+        return (f"<< /Length {len(body)} >>\nstream\n".encode() + body
+                + b"\nendstream")
+
+    upd1 = append_xref_stream_update(
+        base, {c: _content_obj("StreamGen1")}, root, xref_num=200)
+    upd2 = append_xref_stream_update(
+        upd1, {c: _content_obj("StreamGen2")}, root, xref_num=201)
+    add(Case("t43_xref_stream_updates", upd2, "StreamGen2", None, 1))
 
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",

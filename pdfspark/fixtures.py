@@ -562,3 +562,41 @@ def build_minimal_type1(glyphs: Dict[str, int],
     if hex_form:
         enc_priv = enc_priv.hex().encode("ascii")
     return clear + enc_priv + b"\n" + b"0" * 512 + b"\ncleartomark\n"
+
+
+def append_xref_stream_update(base: bytes, objects: Dict[int, bytes],
+                              root: int,
+                              xref_num: Optional[int] = None) -> bytes:
+    """Incremental update whose cross-reference section is an XREF STREAM
+    (PDF 1.5+ writers update this way; /Prev chains stream→stream or
+    stream→classic). ``xref_num`` must not collide with live objects."""
+    import struct as _s
+
+    prev_off = int(base[base.rfind(b"startxref") + 9 :].split()[0])
+    out = bytearray(base)
+    offsets = {}
+    for num in sorted(objects):
+        body = objects[num]
+        if isinstance(body, str):
+            body = body.encode("latin-1")
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_num = xref_num or max(objects) + 100
+    xref_off = len(out)
+    entries = dict(offsets)
+    entries[xref_num] = xref_off
+    rows = bytearray()
+    index: List[int] = []
+    for n in sorted(entries):
+        index += [n, 1]
+        rows += _s.pack(">B", 1) + _s.pack(">I", entries[n]) + _s.pack(">H", 0)
+    data = zlib.compress(bytes(rows))
+    idx_str = " ".join(str(i) for i in index)
+    size = max(entries) + 1
+    out += (
+        f"{xref_num} 0 obj\n<< /Type /XRef /W [1 4 2] /Index [{idx_str}]"
+        f" /Size {size} /Root {root} 0 R /Prev {prev_off}"
+        f" /Filter /FlateDecode /Length {len(data)} >>\nstream\n"
+    ).encode() + data + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_off}\n%%EOF\n".encode()
+    return bytes(out)

@@ -1974,3 +1974,91 @@ SELECT priority, yr, n FROM wide
 LATERAL VIEW stack(3, 'y1995', y1995, 'y1996', y1996, 'y1997', y1997)
   AS yr, n
 """)
+
+
+# simhash32 CTE (the dedup_simhash pipeline) + banded Hamming pairing:
+# 4 byte-bands — any pair within Hamming distance 3 shares >= 1 exact
+# band (pigeonhole), so blocking on band equality loses nothing
+_SIMHASH_PAIRS_TAIL = """
+, sh AS (
+  SELECT doc_id,
+    CAST(SUM(bit * {two_pow_b}) AS BIGINT) AS simhash32
+  FROM bits GROUP BY doc_id),
+sh_bands AS (
+  SELECT doc_id, simhash32, b.b AS band,
+    CAST({band_expr} AS BIGINT) AS band_val
+  FROM sh CROSS JOIN ({band_gen}) b),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    MIN(a.simhash32) AS sh_a, MIN(b.simhash32) AS sh_b
+  FROM sh_bands a JOIN sh_bands b
+    ON a.band = b.band AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+  CAST({popcount} AS BIGINT) AS hamming
+FROM cand
+WHERE {popcount} <= 3
+"""
+
+_SIMHASH_BITS_SPARK = (
+    "WITH "
+    + _NEARDUP_CORPUS.format(cap=300, posexplode=_POSEXPLODE_SPARK)
+    + """
+, words_d AS (SELECT DISTINCT doc_id, word FROM words),
+tok AS (
+  SELECT doc_id,
+    CAST(conv(substr(md5(word), 1, 15), 16, 10) AS BIGINT) AS h
+  FROM words_d),
+bits AS (
+  SELECT t.doc_id, b.b,
+    CASE WHEN SUM(CASE WHEN CAST(shiftright(t.h, b.b) AS BIGINT) % 2 = 1
+                 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+  FROM tok t CROSS JOIN (SELECT explode(sequence(0, 31)) AS b) b
+  GROUP BY t.doc_id, b.b)
+"""
+)
+
+_SIMHASH_BITS_DUCK = (
+    "WITH "
+    + _NEARDUP_CORPUS.format(cap=300, posexplode=_POSEXPLODE_DUCK)
+    + """
+, words_d AS (SELECT DISTINCT doc_id, word FROM words),
+tok AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS h
+  FROM words_d),
+bits AS (
+  SELECT t.doc_id, b.b,
+    CASE WHEN SUM(CASE WHEN (t.h >> b.b) & 1 = 1
+                 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+  FROM tok t CROSS JOIN (SELECT unnest(range(32)) AS b) b
+  GROUP BY t.doc_id, b.b)
+"""
+)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_SIMHASH_BITS_DUCK + _SIMHASH_PAIRS_TAIL.format(
+        two_pow_b="(CAST(1 AS BIGINT) << b)",
+        band_expr="(simhash32 >> (8 * b.b)) & 255",
+        band_gen="SELECT unnest(range(4)) AS b",
+        popcount="bit_count(xor(sh_a, sh_b))",
+    ),
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRING at scale: byte-band blocking (pigeonhole:
+    Hamming <= 3 over 32 bits guarantees an exact 8-bit band match) +
+    popcount verification — the step dedup_simhash (fingerprints only)
+    feeds. Only (doc_id, band, byte) rows shuffle into buckets; no
+    all-pairs comparison anywhere."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(
+        _SIMHASH_BITS_SPARK + _SIMHASH_PAIRS_TAIL.format(
+            two_pow_b="shiftleft(CAST(1 AS BIGINT), b)",
+            band_expr="shiftright(simhash32, 8 * b.b) & 255",
+            band_gen="SELECT explode(sequence(0, 3)) AS b",
+            popcount="bit_count(sh_a ^ sh_b)",
+        )
+    )

@@ -171,3 +171,14 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_asof_join_is_windowed_not_joined(spark):
+    """The as-of composition must be a single-pass window over the union
+    — no Join operator at all, one exchange on the partition key."""
+    from pdfspark.queries import QUERIES
+
+    df = QUERIES["asof_join_last_click"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # user_id hash + AQE reads
