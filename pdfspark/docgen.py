@@ -173,3 +173,66 @@ def text_to_pdf(text: str, chunk: int = 120, meta_id: int = 0,
         b"startxref\n%d\n%%%%EOF\n" % (size, xref_off)
     )
     return bytes(out)
+
+
+def text_to_pdf_multipage(text: str, page_chars: int = 500,
+                          chunk: int = 120, meta_id: int = 0) -> bytes:
+    """N-page variant: ``page_chars`` characters per page (last page
+    shorter), one content stream per page — the real span-offset shape
+    (pages joined by \\f in the pinned linearization)."""
+    text = normalize_for_pdf(text)
+    page_texts = [
+        text[i:i + page_chars] for i in range(0, max(len(text), 1), page_chars)
+    ]
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    n = len(page_texts)
+    page_nums = [10 + 2 * k for k in range(n)]
+    kids = b" ".join(b"%d 0 R" % p for p in page_nums)
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n)
+    emit(
+        5,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+    )
+    emit(6, b"<< /Title (doc %d) /CreationDate (D:20250101000000Z) >>"
+         % meta_id)
+    for k, ptext in enumerate(page_texts):
+        shows = "".join(
+            f"({_escape(ptext[i:i + chunk])}) Tj "
+            for i in range(0, max(len(ptext), 1), chunk)
+        )
+        content = f"BT /F1 12 Tf 72 720 Td {shows}ET".encode("latin-1")
+        data = zlib.compress(content, 6)
+        emit(
+            page_nums[k],
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents %d 0 R >>"
+            % (page_nums[k] + 1),
+        )
+        emit(
+            page_nums[k] + 1,
+            b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(data)
+            + data + b"\nendstream",
+        )
+    size = max(offsets) + 1
+    xref_off = len(out)
+    out.extend(b"xref\n0 %d\n0000000000 65535 f \n" % size)
+    for i in range(1, size):
+        if i in offsets:
+            out.extend(b"%010d 00000 n \n" % offsets[i])
+        else:
+            out.extend(b"0000000000 65535 f \n")
+    out.extend(
+        b"trailer\n<< /Size %d /Root 1 0 R /Info 6 0 R >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (size, xref_off)
+    )
+    return bytes(out)

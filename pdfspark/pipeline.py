@@ -451,7 +451,11 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
 
         import pandas as pd
 
-        from pdfspark.docgen import text_to_html, text_to_pdf
+        from pdfspark.docgen import (
+            text_to_html,
+            text_to_pdf,
+            text_to_pdf_multipage,
+        )
 
         epoch = datetime.datetime(2025, 1, 1)
         for b in batches:
@@ -463,6 +467,8 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
                     html = b"\x00\x01JUNK:%d\xff\xfe" % i
                 elif fmt == "html" or (fmt == "mixed" and i % 2 == 1):
                     html = text_to_html(text, i, lang or "en")
+                elif fmt == "pdf_multi":
+                    html = text_to_pdf_multipage(text, meta_id=i)
                 elif fmt == "pdf_annot":
                     # deterministic annotation/outline tiers for the
                     # oracle: %10 → FreeText + Widget, %5 → FreeText,

@@ -2062,3 +2062,62 @@ def dedup_simhash_pairs(spark, sf_dir):
             popcount="bit_count(sh_a ^ sh_b)",
         )
     )
+
+
+@register(
+    "pdf_multipage_spans",
+    oracle="""
+SELECT d.doc_id, CAST(t.k AS INT) AS page,
+  CAST(t.k * 501 AS BIGINT) AS span_start,
+  CAST(t.k * 501 + LEAST(500, LENGTH(d.text) - t.k * 500) AS BIGINT)
+    AS span_end
+FROM documents d, LATERAL (
+  SELECT unnest(range(GREATEST(
+    1, CAST(CEIL(LENGTH(d.text) / 500.0) AS BIGINT)))) AS k) t
+""",
+)
+def pdf_multipage_spans(spark, sf_dir):
+    """REAL per-page span offsets (the north rule's 'per-page span
+    offsets per document'): docs rendered as N-page PDFs (500 chars per
+    page), spans must be exact [start,end) offsets into the \\f-joined
+    document string — the oracle recomputes them arithmetically."""
+    from pdfspark.pipeline import extract_pages, pages_from_documents
+
+    ext = extract_pages(
+        pages_from_documents(spark, sf_dir, fmt="pdf_multi"), resalt=False
+    )
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        F.explode("spans").alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.page").alias("page"),
+        F.col("s.start").alias("span_start"),
+        F.col("s.end").alias("span_end"),
+    )
+
+
+@register(
+    "pdf_multipage_roundtrip",
+    oracle="""
+SELECT d.doc_id,
+  string_agg(substr(d.text, CAST(t.k * 500 + 1 AS INT), 500), chr(12)
+             ORDER BY t.k) AS text
+FROM documents d, LATERAL (
+  SELECT unnest(range(GREATEST(
+    1, CAST(CEIL(LENGTH(d.text) / 500.0) AS BIGINT)))) AS k) t
+GROUP BY d.doc_id
+""",
+)
+def pdf_multipage_roundtrip(spark, sf_dir):
+    """Multi-page byte-identity: extracted text must equal the source
+    split into 500-char pages joined by \\f (pinned policy #4)."""
+    from pdfspark.pipeline import extract_pages, pages_from_documents
+
+    ext = extract_pages(
+        pages_from_documents(spark, sf_dir, fmt="pdf_multi"), resalt=False
+    )
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        "text",
+    )

@@ -131,3 +131,12 @@ def test_widget_parent_cycle_bounded():
     root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
     r = extract_text(b.build(root))
     assert r.error is None and r.annots is None
+
+
+def test_utf8_bom_text_string():
+    """PDF 2.0 §7.9.2.2: text strings may be UTF-8 with BOM."""
+    from pdfspark.kernel.extract import decode_text_string
+
+    assert decode_text_string(b"\xef\xbb\xbfGr\xc3\xbc\xc3\x9fe") == "Grüße"
+    assert decode_text_string(b"\xfe\xff\x00A") == "A"
+    assert decode_text_string(b"plain") == "plain"
