@@ -702,7 +702,7 @@ def dedup_simhash(spark, sf_dir):
 _ANN_SPARK = """
 WITH v AS (
   SELECT vec_id,
-    transform(embedding, x -> CAST(ROUND(x*1000) AS BIGINT)) AS qv
+    transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
   FROM embeddings),
 q AS (SELECT vec_id AS qid, qv AS query_v FROM v WHERE vec_id < 5),
 dots AS (
@@ -724,7 +724,7 @@ WHERE rnk <= 10
 _ANN_DUCK = """
 WITH v AS (
   SELECT vec_id,
-    list_transform(embedding, x -> CAST(ROUND(x*1000) AS BIGINT)) AS qv
+    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
   FROM embeddings),
 q AS (SELECT vec_id AS qid, qv AS query_v FROM v WHERE vec_id < 5),
 dots AS (
@@ -784,13 +784,13 @@ WHERE rnk <= 5
 _V_SPARK = """
 WITH v AS (
   SELECT vec_id,
-    transform(embedding, x -> CAST(ROUND(x*1000) AS BIGINT)) AS qv
+    transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
   FROM embeddings)
 """
 _V_DUCK = """
 WITH v AS (
   SELECT vec_id,
-    list_transform(embedding, x -> CAST(ROUND(x*1000) AS BIGINT)) AS qv
+    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
   FROM embeddings)
 """
 
@@ -1494,7 +1494,7 @@ def html_doc_titles(spark, sf_dir):
     oracle="""
 WITH v AS (
   SELECT vec_id,
-    list_transform(embedding, x -> CAST(ROUND(x*1000) AS BIGINT)) AS qv
+    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
   FROM embeddings)
 SELECT vec_id,
   CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS sq_norm_milli,
@@ -1510,7 +1510,7 @@ def embedding_norms(spark, sf_dir):
     return spark.sql("""
 WITH v AS (
   SELECT vec_id,
-    transform(embedding, x -> CAST(ROUND(x*1000) AS BIGINT)) AS qv
+    transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
   FROM embeddings)
 SELECT vec_id,
   CAST(aggregate(transform(qv, x -> x*x), 0L, (a, x) -> a + x) AS BIGINT)

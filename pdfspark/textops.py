@@ -52,13 +52,16 @@ def winnow(text: str, k: int = 5, w: int = 4) -> List[int]:
 
 
 def quantize_milli(x):
-    """Half-away-from-zero rounding to integer milli-units — matches SQL
-    ROUND(x*1000) in both Spark and DuckDB (np.rint would round half to
-    even and silently diverge on exact .5 components)."""
+    """FLOOR(x*1000 + 0.5) in float64 — the ONE quantization every
+    engine agrees on (pinned policy, CLAUDE.md). ROUND diverges two
+    ways: half-even vs half-up on exact ties, and DuckDB evaluates list
+    lambdas in the element type (FLOAT32), where e.g. 0.3195f*1000 IS
+    exactly 319.5 while float64 gives 319.4999… — so both the SQL sides
+    cast to DOUBLE first and use FLOOR(+0.5), and so does this."""
     import numpy as np
 
     arr = np.asarray(x, dtype=np.float64) * 1000.0
-    return np.sign(arr) * np.floor(np.abs(arr) + 0.5)
+    return np.floor(arr + 0.5)
 
 
 def round_half_up(x: float, digits: int = 6) -> float:

@@ -60,12 +60,18 @@ def test_numpy_cosine_matches_scalar():
             assert abs(cos[i, j] - expect) < 1e-12
 
 
-def test_quantize_milli_half_away_from_zero():
-    # matches SQL ROUND in Spark AND DuckDB; np.rint would give 0/-0 here
+def test_quantize_milli_floor_plus_half():
+    # pinned scheme FLOOR(x*1000 + 0.5): half rounds toward +inf in BOTH
+    # engines (the SQL sides use the same expression after the FLOAT32
+    # lambda divergence found at sf0.1 — see quantize_milli docstring)
     assert quantize_milli([0.0005])[0] == 1.0
-    assert quantize_milli([-0.0005])[0] == -1.0
+    assert quantize_milli([-0.0005])[0] == 0.0  # floor(-0.5 + 0.5) = 0
+    assert quantize_milli([-0.0006])[0] == -1.0
     assert quantize_milli([0.0015])[0] == 2.0
     assert quantize_milli([0.6]).dtype == np.float64
+    # the f32 landmine itself: 0.3195 stored as float32 widens to
+    # 319.4999…e-3 in float64 — must quantize to 319, not 320
+    assert quantize_milli([float(np.float32(0.3195))])[0] == 319.0
 
 
 def test_round_half_up():
