@@ -2121,3 +2121,35 @@ def pdf_multipage_roundtrip(spark, sf_dir):
         F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
         "text",
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+WITH m AS (SELECT doc_id, text, LENGTH(text) AS n,
+             1 + LENGTH(text) % 16 AS n_frames FROM documents),
+f AS (SELECT doc_id, text, n,
+             unnest(range(0, n_frames, 4)) AS frame_idx FROM m)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+  md5(substr(text,
+      CAST((frame_idx * 17) % GREATEST(n, 1) + 1 AS INT), 16)) AS frame_md5
+FROM f
+""",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """1→N frame sampling through the multimodal mapInPandas plumbing
+    (video pipelines: output rows ≠ input rows), driver-checked: the
+    deterministic stub decode makes every sampled frame's bytes an exact
+    arithmetic slice the oracle recomputes; md5 keeps the comparison off
+    raw binary. DuckDB 1.0 cannot slice BLOBs, so the oracle slices the
+    VARCHAR — byte-identical because the driver corpus is pure ASCII
+    (payload = utf-8 of text)."""
+    from pdfspark.multimodal import sample_frames
+
+    _load(spark, sf_dir, "documents")
+    binary = spark.table("documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return sample_frames(binary).select(
+        "doc_id", "frame_idx", F.md5("frame_bytes").alias("frame_md5")
+    )
