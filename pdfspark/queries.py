@@ -2153,3 +2153,53 @@ def multimodal_frame_sample(spark, sf_dir):
     return sample_frames(binary).select(
         "doc_id", "frame_idx", F.md5("frame_bytes").alias("frame_md5")
     )
+
+
+@register(
+    "session_window_agg",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, value
+    ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS value_cents
+FROM s GROUP BY user_id, sid
+""",
+)
+def session_window_agg(spark, sf_dir):
+    """Spark's NATIVE session_window (dynamic-gap tumbling sessions —
+    the primitive the manual gap-and-islands sessionization emulates):
+    per-user sessions closed after a 10-minute silence. The oracle
+    re-derives identical sessions with LAG + running break-count; a gap
+    of exactly 10 min starts a new session in both (session windows are
+    half-open [start, last+gap))."""
+    _load(spark, sf_dir, "events")
+    ev = spark.table("events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "10 minutes").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+             .cast("long").alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+             .alias("session_start"),
+            "n_events",
+            "value_cents",
+        )
+    )
