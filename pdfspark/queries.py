@@ -2203,3 +2203,45 @@ def session_window_agg(spark, sf_dir):
             "value_cents",
         )
     )
+
+
+_QUALITY_FILTER = """
+, w AS (SELECT doc_id, word FROM words WHERE word <> ''),
+stats AS (
+  SELECT doc_id,
+    COUNT(*) AS n_words,
+    CAST(SUM(LENGTH(word)) AS BIGINT) AS n_chars_in_words,
+    COUNT(CASE WHEN {alpha_match} THEN 1 END) AS n_alpha,
+    COUNT(DISTINCT word) AS n_distinct,
+    COUNT(CASE WHEN word IN ('the','a','of','and','to','is')
+          THEN 1 END) AS stop_hits
+  FROM w GROUP BY doc_id)
+SELECT doc_id,
+  CASE WHEN n_words >= 40
+        AND n_chars_in_words * 100 >= 250 * n_words
+        AND n_chars_in_words * 100 <= 1200 * n_words
+        AND n_alpha * 10 >= 7 * n_words
+        AND (n_words - n_distinct) * 10 <= 5 * n_words
+        AND stop_hits > 0
+       THEN 1 ELSE 0 END AS keep
+FROM stats
+"""
+
+
+@register(
+    "corpus_quality_filter",
+    oracle="WITH " + _LANG_CORPUS.format(posexplode=_POSEXPLODE_DUCK)
+    + _QUALITY_FILTER.format(
+        alpha_match="regexp_full_match(word, '[A-Za-z]+')"),
+)
+def corpus_quality_filter(spark, sf_dir):
+    """The composed keep/drop decision a pretraining pipeline runs
+    corpus-wide (Gopher-rule shape): length floor, mean-word-length
+    band, alphabetic-word ratio, duplicate-word ceiling, stopword
+    presence — all thresholds in integer cross-multiplied form so the
+    decision bit is engine-exact (no ratio floats anywhere)."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(
+        "WITH " + _LANG_CORPUS.format(posexplode=_POSEXPLODE_SPARK)
+        + _QUALITY_FILTER.format(alpha_match="word RLIKE '^[A-Za-z]+$'")
+    )

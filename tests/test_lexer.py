@@ -170,3 +170,25 @@ def test_stream_recovery_falls_back_to_first_match():
     num, gen, obj = lx.lex_indirect_object()
     assert isinstance(obj, Stream)
     assert bytes(obj.data) == b"DATA"
+
+
+def test_reference_lookahead_edge_cases():
+    """The inlined N G R scan must match the reference's maximal-run
+    semantics exactly (`src/content/mod.rs:166` inverse cases)."""
+    from pdfspark.kernel.lexer import Lexer
+    from pdfspark.kernel.objects import Reference
+
+    def lex(buf):
+        return Lexer(buf, 0).lex_object()
+
+    assert lex(b"12 0 R ") == Reference(12, 0)
+    assert lex(b"12 0R ") == Reference(12, 0)      # no space before R
+    assert lex(b"12 0 R") == Reference(12, 0)      # R at EOF
+    assert lex(b"12 0 Rx ") == 12                  # 'Rx' is not R
+    assert lex(b"12 0 RG ") == 12                  # operator, not ref
+    assert lex(b"12 0.5 R ") == 12                 # non-integer gen
+    assert lex(b"12 %c\n 0 %c\n R ") == Reference(12, 0)  # comments
+    assert lex(b"12 13 14 ") == 12                 # no R at all
+    # after a failed lookahead the cursor must be exactly after the number
+    lx = Lexer(b"12 34 56", 0)
+    assert lx.lex_object() == 12 and lx.pos == 2
