@@ -118,3 +118,43 @@ def sample_frames(df: DataFrame, every: int = 4) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
 
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def extract_byte_histogram(df: DataFrame, bins: int = 16) -> DataFrame:
+    """Vectorized feature extraction over binary payloads: a ``bins``-bin
+    byte histogram per document via numpy bincount — the codec-free
+    stand-in with the exact shape (Arrow in, fixed-length feature vector
+    out) a real image/audio embedder stage has."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import sys
+
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
+        import numpy as np
+        import pandas as pd
+
+        width = 256 // bins
+        for b in batches:
+            feats = []
+            for p in b["payload"]:
+                buf = np.frombuffer(
+                    bytes(p) if p is not None else b"", dtype=np.uint8
+                )
+                feats.append(
+                    np.bincount(buf // width, minlength=bins)[:bins]
+                    .astype("int64").tolist()
+                )
+            yield pd.DataFrame(
+                {"doc_id": b["doc_id"].astype("int64"), "features": feats}
+            )
+
+    return df.mapInPandas(run, FEATURES_SCHEMA)

@@ -2245,3 +2245,29 @@ def corpus_quality_filter(spark, sf_dir):
         "WITH " + _LANG_CORPUS.format(posexplode=_POSEXPLODE_SPARK)
         + _QUALITY_FILTER.format(alpha_match="word RLIKE '^[A-Za-z]+$'")
     )
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+SELECT doc_id,
+  list_transform(range(16), b -> CAST(
+    len(list_filter(string_split(text, ''),
+        c -> CAST(FLOOR(ascii(c) / 16.0) AS BIGINT) = b)) AS BIGINT))
+  AS features
+FROM documents
+""",
+)
+def multimodal_feature_extract(spark, sf_dir):
+    """Feature-extraction stage shape: Arrow batches of binary payloads
+    in, fixed-length numeric feature vectors out (numpy bincount byte
+    histogram — the codec-free twin of an embedder). Oracle recomputes
+    the 16-bin histogram character-wise (exact on the ASCII corpus where
+    payload = utf-8 of text)."""
+    from pdfspark.multimodal import extract_byte_histogram
+
+    _load(spark, sf_dir, "documents")
+    binary = spark.table("documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return extract_byte_histogram(binary)
