@@ -120,3 +120,32 @@ def test_kernel_survives_mutated_valid_pdfs(data):
     r = extract_text(bytes(buf))
     assert r.text is None or isinstance(r.text, str)
     assert r == extract_text(bytes(buf))  # and deterministic
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=2048))
+def test_type1_width_parser_never_raises(data):
+    """kernel/type1.py on arbitrary bytes (with and without an eexec
+    marker): dict out, never an exception — one bad font must never kill
+    the document, let alone the job."""
+    from pdfspark.kernel.type1 import parse_type1_widths
+
+    assert isinstance(parse_type1_widths(data), dict)
+    assert isinstance(parse_type1_widths(b"x eexec " + data), dict)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=2048))
+def test_cff_width_parser_never_raises(data):
+    from pdfspark.kernel.cff import parse_cff_code_to_name, parse_cff_widths
+
+    assert isinstance(parse_cff_widths(data), dict)
+    assert isinstance(parse_cff_code_to_name(data), dict)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=1024))
+def test_ttf_cmap_parser_never_raises(data):
+    from pdfspark.kernel.fonts import parse_ttf_cmap_subtables
+
+    assert isinstance(parse_ttf_cmap_subtables(data), dict)
