@@ -2271,3 +2271,37 @@ def multimodal_feature_extract(spark, sf_dir):
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return extract_byte_histogram(binary)
+
+
+# recall@10 of the IVF approximation vs exact brute force, as ONE SQL
+# statement per engine: both pipelines as derived tables (k widened to
+# 10 on the IVF side so the comparison is like-for-like)
+_RECALL_SQL = """
+SELECT COUNT(DISTINCT b.qid) AS n_queries,
+  CAST(COUNT(b.neighbor_id) AS BIGINT) AS n_truth,
+  CAST(FLOOR(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       * 10000.0 / COUNT(b.neighbor_id) + 0.5) AS BIGINT) AS recall_bp
+FROM ({bf}) b
+LEFT JOIN ({ivf}) i
+  ON b.qid = i.qid AND b.neighbor_id = i.neighbor_id
+"""
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=_RECALL_SQL.format(
+        bf=_ANN_DUCK, ivf=_IVF_DUCK.replace("rnk <= 5", "rnk <= 10")
+    ),
+)
+def ann_ivf_recall(spark, sf_dir):
+    """Recall@10 of the IVF cell search against the exact brute-force
+    top-10 — the measurement that quantifies what the bucketing trades
+    for its scale shape (the minhash recall test's twin for ANN). Both
+    pipelines run inside one SQL statement; the recall number itself is
+    deterministic and oracle-checked."""
+    _load(spark, sf_dir, "embeddings")
+    return spark.sql(
+        _RECALL_SQL.format(
+            bf=_ANN_SPARK, ivf=_IVF_SPARK.replace("rnk <= 5", "rnk <= 10")
+        )
+    )
