@@ -188,3 +188,37 @@ def run_dedup_stream_once(
     if q.isActive:
         q.stop()
     return bool(finished)
+
+
+def stateful_lang_quota(extracted: DataFrame, quota: int = 5) -> DataFrame:
+    """Streaming per-key QUOTA operator (applyInPandasWithState): admit at
+    most ``quota`` documents per language across the whole stream, drop
+    the rest — the shape of dedup/rate-limit/budget operators at crawl
+    scale. State is one counter per key: checkpointed, exactly-once on
+    recovery, bounded by the key cardinality."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def admit(key, pdfs, state):
+        import pandas as pd
+
+        (used,) = state.get if state.exists else (0,)
+        out = []
+        for pdf in pdfs:
+            for url in pdf["url"]:
+                if used < quota:
+                    used += 1
+                    out.append({"doc_lang": key[0], "url": url})
+        state.update((used,))
+        yield pd.DataFrame(out, columns=["doc_lang", "url"])
+
+    return (
+        extracted.fillna({"doc_lang": "und"})
+        .groupBy("doc_lang")
+        .applyInPandasWithState(
+            admit,
+            outputStructType="doc_lang string, url string",
+            stateStructType="used bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -189,3 +189,53 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert run_dedup_stream_once(spark, in_dir, out_dir, ckpt)
     got = sorted(r.url for r in spark.read.parquet(out_dir).collect())
     assert got == ["u://a", "u://b", "u://c"]
+
+
+def test_stateful_quota_admits_at_most_n_per_key(spark, tmp_path):
+    """Per-key quota across micro-batches: the counter persists in the
+    state store, so a second batch cannot re-fill an exhausted key."""
+    from pdfspark.streaming import (
+        extract_stream,
+        read_pages_stream,
+        stateful_lang_quota,
+    )
+
+    in_dir = str(tmp_path / "qin")
+    ckpt = str(tmp_path / "qckpt")
+    sink = str(tmp_path / "qout")
+    pages_from_fixtures(spark).write.mode("overwrite").parquet(in_dir)
+
+    def drain():
+        q = (
+            stateful_lang_quota(
+                extract_stream(read_pages_stream(spark, in_dir)), quota=3
+            )
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+
+    drain()
+    import collections
+
+    got1 = collections.Counter(
+        r.doc_lang for r in spark.read.parquet(sink).collect()
+    )
+    assert got1 and all(v <= 3 for v in got1.values()), got1
+
+    # second wave of documents: exhausted keys admit NOTHING more
+    pages_from_fixtures(spark, copies=2).filter(
+        "url LIKE '%/000001.pdf'"
+    ).write.mode("append").parquet(in_dir)
+    drain()
+    got2 = collections.Counter(
+        r.doc_lang for r in spark.read.parquet(sink).collect()
+    )
+    assert all(v <= 3 for v in got2.values()), got2
