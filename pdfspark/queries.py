@@ -2305,3 +2305,96 @@ def ann_ivf_recall(spark, sf_dir):
             bf=_ANN_SPARK, ivf=_IVF_SPARK.replace("rnk <= 5", "rnk <= 10")
         )
     )
+
+
+# Canonical-URL dedup (CC-style): synthesized URL variants per doc_id
+# (case/port/fragment/trailing-slash/param-order differences) must
+# collapse to one canonical key. Engine-shared template; only the
+# array-sort spelling differs.
+_URL_CANON = """
+WITH u AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN 'HTTPS://Example.COM:443/docs/' ||
+        CAST(CAST(FLOOR(doc_id / 3.0) AS BIGINT) AS {str_t}) || '/?b=2&a=1#frag'
+      WHEN 1 THEN 'https://example.com/docs/' ||
+        CAST(CAST(FLOOR(doc_id / 3.0) AS BIGINT) AS {str_t}) || '?a=1&b=2'
+      ELSE 'https://EXAMPLE.com/docs/' ||
+        CAST(CAST(FLOOR(doc_id / 3.0) AS BIGINT) AS {str_t}) || '/?b=2&a=1#x'
+    END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+    regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
+                   ':(443|80)$', '') AS host,
+    regexp_replace(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1),
+                   '/+$', '') AS path,
+    regexp_extract(url, '[?]([^#]*)', 1) AS q
+  FROM u),
+canon AS (
+  SELECT doc_id,
+    host || path ||
+    CASE WHEN q <> '' THEN '?' || {sort_params} ELSE '' END AS canonical_url
+  FROM parts)
+SELECT canonical_url,
+  CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+  COUNT(*) AS n_variants
+FROM canon GROUP BY canonical_url
+"""
+
+
+@register(
+    "dedup_canonical_url",
+    oracle=_URL_CANON.format(
+        str_t="VARCHAR",
+        sort_params="array_to_string(list_sort(string_split(q, '&')), '&')",
+    ),
+)
+def dedup_canonical_url(spark, sf_dir):
+    """Crawl URL canonicalization + dedup: lowercase host, strip default
+    ports / fragments / trailing slashes, sort query params — variants
+    of the same resource collapse to one canonical key (min doc_id
+    wins). Pure SQL, one aggregation; at 100 TB the canonical key is the
+    dedup shuffle key and nothing else moves."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(
+        _URL_CANON.format(
+            str_t="STRING",
+            sort_params="array_join(array_sort(split(q, '&')), '&')",
+        )
+    )
+
+
+@register("text_compression_ratio")  # zlib is not SQL-expressible
+def text_compression_ratio(spark, sf_dir):
+    """Compression-ratio quality signal (CCNet-style): zlib size in
+    basis points of the raw size, via one Arrow pass — repetitive or
+    templated documents compress away and get filtered. Rows-only at the
+    driver (no SQL zlib); pinned locally by a determinism test."""
+    from pyspark.sql import types as T
+
+    _load(spark, sf_dir, "documents")
+
+    def run(batches):
+        import sys
+
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
+        import pandas as pd
+
+        from pdfspark.textops import compression_ratio_bp
+
+        for b in batches:
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"].astype("int64"),
+                "compression_bp": [
+                    compression_ratio_bp(t or "") for t in b["text"]
+                ],
+            })
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("compression_bp", T.LongType()),
+    ])
+    return spark.table("documents").select("doc_id", "text") \
+        .mapInPandas(run, schema)

@@ -120,3 +120,17 @@ def minhash_band_sigs(text: str, n_hashes: int = 8, band_width: int = 2):
         (b, ",".join(sorted(mins[b * band_width:(b + 1) * band_width])))
         for b in range(n_hashes // band_width)
     ]
+
+
+def compression_ratio_bp(text: str) -> int:
+    """zlib-compressed size as basis points of the raw utf-8 size — the
+    CCNet-style repetition/garbage signal (highly repetitive text
+    compresses far below ~4000bp; random noise sits near 10000+)."""
+    import math
+    import zlib
+
+    raw = text.encode("utf-8")
+    if not raw:
+        return 10000
+    comp = zlib.compress(raw, 6)
+    return int(math.floor(len(comp) * 10000.0 / len(raw) + 0.5))

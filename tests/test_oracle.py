@@ -99,7 +99,8 @@ def test_oracle_coverage():
     # HLL approximation is engine-specific; winnowing needs the rolling-
     # hash kernel (its SQL half — the fingerprint self-join — is plain SQL)
     assert set(missing) <= {"approx_distinct_urls",
-                            "text_winnowing_neardup"}, missing
+                            "text_winnowing_neardup",
+                            "text_compression_ratio"}, missing
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -78,3 +78,20 @@ def test_round_half_up():
     assert round_half_up(0.1234565, 6) == 0.123457
     assert round_half_up(-0.1234565, 6) == -0.123457
     assert round_half_up(1.5, 0) == 2.0
+
+
+def test_compression_ratio_signal_orders_text_quality():
+    from pdfspark.textops import compression_ratio_bp
+
+    repetitive = "spam ham " * 500
+    import random
+    rng = random.Random(7)
+    noise = "".join(chr(rng.randint(33, 126)) for _ in range(4000))
+    natural = ("the quick brown fox jumps over the lazy dog and then "
+               "discusses compression behavior at length ") * 40
+    r_rep = compression_ratio_bp(repetitive)
+    r_nat = compression_ratio_bp(natural)
+    r_noise = compression_ratio_bp(noise)
+    assert r_rep < r_nat < r_noise
+    assert compression_ratio_bp("") == 10000
+    assert compression_ratio_bp(repetitive) == r_rep  # deterministic
