@@ -195,7 +195,9 @@ class PdfDocument:
         whose /Name is Identity (or absent ⇒ Identity, §7.4.10): such a
         stream is stored UNencrypted regardless of the document handler."""
         filt = self.get(sdict, "Filter")
-        names = filt if isinstance(filt, list) else [filt]
+        raw_names = filt if isinstance(filt, list) else [filt]
+        names = [self.resolve(f) if isinstance(f, Reference) else f
+                 for f in raw_names]
         if not any(str(f) == "Crypt" for f in names if f is not None):
             return False
         parms = self.get(sdict, "DecodeParms")

@@ -19,7 +19,6 @@ WHITESPACE = b"\x00\t\n\x0c\r "
 DELIMITERS = b"()<>[]{}/%"
 
 # C-speed scanners for the three hottest cursor loops (profiled)
-_WS_RUN = re.compile(rb"[\x00\t\n\x0c\r ]+")
 _REGULAR_RUN = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
 _NUMBER_RUN = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _STRING_SPECIAL = re.compile(rb"[\\()\r]")
