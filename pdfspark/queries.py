@@ -2159,14 +2159,14 @@ def multimodal_frame_sample(spark, sf_dir):
     "session_window_agg",
     oracle="""
 WITH o AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
     CASE WHEN LAG(ts) OVER w IS NULL
            OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
          THEN 1 ELSE 0 END AS brk
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
-  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, value
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
     ROWS UNBOUNDED PRECEDING) AS sid
   FROM o)
 SELECT user_id,
