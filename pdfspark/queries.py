@@ -2398,3 +2398,23 @@ def text_compression_ratio(spark, sf_dir):
     ])
     return spark.table("documents").select("doc_id", "text") \
         .mapInPandas(run, schema)
+
+
+@register(
+    "pdf_extract_skew_aware",
+    oracle="SELECT doc_id, text FROM documents",
+)
+def pdf_extract_skew_aware(spark, sf_dir):
+    """The two-tier skew-aware salting path under the SAME byte-identity
+    oracle as the flagship roundtrip: a low cutoff forces real traffic
+    through BOTH the small-doc buckets and the widened giant-doc key
+    space, so the driver checks the skew machinery end-to-end, not just
+    the plain path."""
+    from pdfspark.pipeline import extract_pages_skew_aware, pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    ext = extract_pages_skew_aware(pages, big_cutoff_bytes=2000)
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
