@@ -694,6 +694,27 @@ def all_cases() -> List[Case]:
     root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
     add(Case("t38b_unigb_utf16_surrogates", b.build(root), mixed, None, 1))
 
+    # ---- t39: FreeText + inheriting Widget annotations (VERDICT r1 #8)
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    c = b.add_stream("<< >>", _simple_show("annotated").encode())
+    b.add("<< /Type /Annot /Subtype /FreeText /Rect [10 10 200 40] "
+          "/Contents (review me) >>", num=70)
+    b.add("<< /FT /Tx /T (fld) /V (typed answer) /Kids [72 0 R] >>", num=71)
+    b.add("<< /Type /Annot /Subtype /Widget /Rect [10 50 60 70] "
+          "/Parent 71 0 R >>", num=72)
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R "
+        f"/Annots [70 0 R 72 0 R] >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add(
+        "<< /Type /Catalog /Pages 90 0 R "
+        "/AcroForm << /Fields [71 0 R] >> >>", num=91)
+    add(Case("t39_annotations", b.build(root), "annotated", None, 1,
+             expected_annots="review me\ntyped answer"))
+
     # ---- t40: embedded TTF whose cmap is format-12 ONLY (3,10): a
     # supplementary-plane char maps via the gid→unicode inversion
     # (reference parses 12 but never looks it up,

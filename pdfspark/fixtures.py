@@ -23,6 +23,7 @@ class Case(NamedTuple):
     expected_text: Optional[str]
     expected_error: Optional[str]
     expected_pages: int
+    expected_annots: Optional[str] = None  # "\n"-joined, None = no annots
 
 
 # ------------------------------------------------------------------ builder

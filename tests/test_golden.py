@@ -20,6 +20,8 @@ def test_golden(case):
     else:
         assert r.error == case.expected_error
     assert r.n_pages == case.expected_pages
+    if case.expected_annots is not None:
+        assert r.annots == case.expected_annots, case.case_id
 
 
 def test_determinism():
