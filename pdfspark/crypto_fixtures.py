@@ -11,6 +11,7 @@ from pdfspark.kernel.encryption import (
     compute_encryption_key,
     compute_o_entry,
     compute_u_entry,
+    rc4,
 )
 
 
@@ -121,6 +122,59 @@ def build_crypt_identity_pdf(text: str) -> bytes:
     enc_num = b.add(
         "<< /Filter /Standard /V 4 /R 4 /Length 128 "
         "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >> "
+        "/StmF /StdCF /StrF /StdCF "
+        f"/O <{o_entry.hex()}> /U <{u_entry[:32].hex()}> /P {p} >>",
+        num=50,
+    )
+    return b.build(91, trailer_extra=(
+        f" /Encrypt {enc_num} 0 R"
+        f" /ID [<{file_id0.hex()}> <{file_id0.hex()}>]"
+    ))
+
+
+def build_named_crypt_pdf(text: str, name: str = "RC4CF") -> bytes:
+    """AESV2-as-StmF document whose content stream instead names a second
+    crypt filter via ``/Filter /Crypt /Name /RC4CF`` (§7.4.10): the body is
+    RC4-encrypted with RC4CF's key, NOT AES with the StmF default. A reader
+    that ignores the /Name and applies StmF produces garbage. Passing a
+    ``name`` absent from /CF exercises the stable soft-error path."""
+    import struct as _s
+
+    revision, key_len = 4, 16
+    file_id0 = hashlib.md5(b"pdfspark-fixture-id").digest()
+    p = -44
+    o_entry = compute_o_entry(b"", b"", revision, key_len)
+    key = compute_encryption_key(o_entry, p, file_id0, revision, key_len, True)
+    u_entry = compute_u_entry(key, file_id0, revision)
+
+    content = _simple_show(text).encode("latin-1")
+    # RC4 object key for (obj 2, gen 0) at the RC4CF length (128-bit)
+    okey = hashlib.md5(
+        key + _s.pack("<I", 2)[:3] + _s.pack("<I", 0)[:2]
+    ).digest()[:16]
+    enc_content = rc4(okey, content)
+    b = PdfBuilder()
+    b.add(BASE14, num=1)
+    b.add(
+        (
+            f"<< /Length {len(enc_content)} /Filter /Crypt "
+            f"/DecodeParms << /Type /CryptFilterDecodeParms /Name /{name} >>"
+            " >>\nstream\n"
+        ).encode("latin-1")
+        + enc_content + b"\nendstream",
+        num=2,
+    )
+    b.add(
+        "<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 1 0 R >> >> /Contents 2 0 R >>",
+        num=3,
+    )
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>", num=90)
+    b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    enc_num = b.add(
+        "<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> "
+        "/RC4CF << /CFM /V2 /Length 128 /AuthEvent /DocOpen >> >> "
         "/StmF /StdCF /StrF /StdCF "
         f"/O <{o_entry.hex()}> /U <{u_entry[:32].hex()}> /P {p} >>",
         num=50,

@@ -266,7 +266,8 @@ def runlength_encode(data: bytes) -> bytes:
 
 def build_minimal_ttf(uni_to_gid: Dict[int, int],
                       sym_to_gid: Optional[Dict[int, int]] = None,
-                      fmt12_to_gid: Optional[Dict[int, int]] = None) -> bytes:
+                      fmt12_to_gid: Optional[Dict[int, int]] = None,
+                      raw_subtables: Optional[list] = None) -> bytes:
     """Minimal sfnt with only a 'cmap' table: a (3,1) format-4 subtable for
     ``uni_to_gid``, optionally a (3,0) format-6 symbol subtable, and
     optionally a (3,10) format-12 segmented-coverage subtable
@@ -303,6 +304,10 @@ def build_minimal_ttf(uni_to_gid: Dict[int, int],
             struct.pack(">H", sym_to_gid.get(first + k, 0)) for k in range(count)
         )
         subtables.append((3, 0, f6))
+    if raw_subtables:
+        # arbitrary pre-encoded (platformID, encodingID, blob) subtables —
+        # used by the cmap format-2/8/10 and bomb-guard tests
+        subtables.extend(raw_subtables)
     cmap = bytearray(struct.pack(">HH", 0, len(subtables)))
     sub_off = 4 + 8 * len(subtables)
     blobs = bytearray()

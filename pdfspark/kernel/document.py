@@ -190,16 +190,18 @@ class PdfDocument:
                     for k, v in obj.items()}
         return obj
 
-    def _crypt_identity(self, sdict: dict) -> bool:
-        """True when the stream's Filter chain contains a /Crypt filter
-        whose /Name is Identity (or absent ⇒ Identity, §7.4.10): such a
-        stream is stored UNencrypted regardless of the document handler."""
+    def _crypt_filter_name(self, sdict: dict) -> Optional[str]:
+        """The /Name of the first /Crypt entry in the stream's Filter
+        chain (absent /Name ⇒ "Identity", §7.4.10), or None when the
+        chain has no /Crypt filter. Identity means the stream is stored
+        UNencrypted regardless of the document handler; any other name
+        selects that CF entry's method+key instead of the StmF default."""
         filt = self.get(sdict, "Filter")
         raw_names = filt if isinstance(filt, list) else [filt]
         names = [self.resolve(f) if isinstance(f, Reference) else f
                  for f in raw_names]
         if not any(str(f) == "Crypt" for f in names if f is not None):
-            return False
+            return None
         parms = self.get(sdict, "DecodeParms")
         if parms is None:
             parms = self.get(sdict, "DP")
@@ -208,22 +210,28 @@ class PdfDocument:
             if str(f) == "Crypt":
                 p = self.resolve(p)
                 name = self.get(p, "Name") if isinstance(p, dict) else None
-                return name is None or str(name) == "Identity"
-        return False
+                return "Identity" if name is None else str(name)
+        return "Identity"
 
     def decode(self, stream: Stream) -> bytes:
         raw = stream.data
         styp = str(stream.dict.get("Type") or "")
+        crypt_name = self._crypt_filter_name(stream.dict)
         skip_decrypt = (
             styp == "XRef"  # xref streams are never encrypted (§7.5.8.2)
             # document-level XMP stays cleartext when EncryptMetadata=false
             or (styp == "Metadata"
                 and self.security is not None
                 and not self.security.encrypt_metadata)
-            or self._crypt_identity(stream.dict)
+            or crypt_name == "Identity"
         )
         if self.security is not None and not skip_decrypt:
-            raw = self.security.decrypt(bytes(raw), stream.objnum, stream.gen)
+            if crypt_name is not None:
+                raw = self.security.decrypt_named(
+                    crypt_name, bytes(raw), stream.objnum, stream.gen)
+            else:
+                raw = self.security.decrypt(
+                    bytes(raw), stream.objnum, stream.gen)
             stream = Stream(stream.dict, raw)
         data = decode_stream(stream, resolve=self.resolve)
         if len(data) > _MAX_DECODED_STREAM:

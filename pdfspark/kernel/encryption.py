@@ -149,16 +149,23 @@ class SecurityHandler:
     """Per-document decryption context (empty user password)."""
 
     __slots__ = ("key", "key_len", "cfm", "str_cfm", "revision",
-                 "encrypt_metadata")
+                 "encrypt_metadata", "str_key", "cf_keys")
 
     def __init__(self, key: bytes, cfm: str, revision: int,
-                 str_cfm: str = None, encrypt_metadata: bool = True) -> None:
+                 str_cfm: str = None, encrypt_metadata: bool = True,
+                 str_key: bytes = None, cf_keys: dict = None) -> None:
         self.key = key
         self.key_len = len(key)
         self.cfm = cfm  # stream context: 'rc4' | 'aesv2' | 'aesv3' | 'identity'
         # string context may use a DIFFERENT crypt filter (/StrF vs /StmF,
-        # PDF 32000 §7.6.5) — e.g. StrF=Identity with StmF=AESV2
+        # PDF 32000 §7.6.5) — e.g. StrF=Identity with StmF=AESV2; each CF
+        # entry may also carry its own /Length, so the contexts can hold
+        # DIFFERENT file keys (the R≥3 rehash loop depends on key length)
         self.str_cfm = cfm if str_cfm is None else str_cfm
+        self.str_key = key if str_key is None else str_key
+        # per-crypt-filter-name (method, file key): streams may override
+        # the StmF default with /Filter /Crypt /Name X (§7.4.10)
+        self.cf_keys: dict = cf_keys if cf_keys is not None else {}
         self.revision = revision
         self.encrypt_metadata = encrypt_metadata
 
@@ -192,35 +199,53 @@ class SecurityHandler:
             file_key = _aes_cbc_nopad(ikey, b"\x00" * 16, bytes(ue[:32]),
                                       encrypt=False)
             em5 = resolve(enc.get("EncryptMetadata"))
+            cf5 = resolve(enc.get("CF"))
+            cf_keys5 = {"Identity": ("identity", b"")}
+            if isinstance(cf5, dict):
+                for fname in cf5:  # every V5 crypt filter is AESV3
+                    cf_keys5[str(fname)] = ("aesv3", file_key)
             return cls(file_key, "aesv3", r,
-                       encrypt_metadata=True if em5 is None else bool(em5))
+                       encrypt_metadata=True if em5 is None else bool(em5),
+                       cf_keys=cf_keys5)
         str_cfm = None
+        cf_entries: dict = {}
         if v in (1, 2):
             key_len = 5 if v == 1 else max(5, min(16, length // 8))
         elif v == 4:
             cf = resolve(enc.get("CF")) or {}
 
-            def _method(filter_name: str) -> str:
-                """CFM for one crypt-filter name (§7.6.5)."""
+            def _entry(filter_name: str):
+                """(method, key_len) for one crypt-filter name (§7.6.5).
+                Each CF entry may carry its own /Length — bytes per spec,
+                bits from many real writers (≥40 ⇒ bits)."""
                 if filter_name == "Identity":
-                    return "identity"
+                    return ("identity", 0)
                 d = resolve(cf.get(filter_name)) if isinstance(cf, dict) else None
                 m = str(resolve(d.get("CFM")) if isinstance(d, dict)
                         else "") or ""
                 if m == "AESV2":
-                    return "aesv2"
+                    return ("aesv2", 16)  # AES-128: key length is fixed
                 if m == "V2":
-                    return "rc4"
+                    ln = resolve(d.get("Length")) if isinstance(d, dict) else None
+                    ln = int(ln) if ln else length
+                    if ln >= 40:
+                        ln //= 8
+                    return ("rc4", max(5, min(16, ln)))
                 if m in ("None", "Identity"):
-                    return "identity"
+                    return ("identity", 0)
                 raise PdfError("encrypted", f"unsupported CFM {m}")
 
+            cf_entries = {"Identity": ("identity", 0)}
+            if isinstance(cf, dict):
+                for fname in cf:
+                    cf_entries[str(fname)] = _entry(str(fname))
             stmf = str(resolve(enc.get("StmF", "Identity")) or "Identity")
             strf = str(resolve(enc.get("StrF", "Identity")) or "Identity")
-            cfm = _method(stmf)
-            str_cfm = _method(strf)
-            key_len = 16 if "aesv2" in (cfm, str_cfm) \
-                else max(5, min(16, length // 8))
+            cfm, stm_len = cf_entries.get(stmf) or _entry(stmf)
+            str_cfm, str_len = cf_entries.get(strf) or _entry(strf)
+            # primary derivation length: the stream context's own length,
+            # falling back to the encrypt-dict /Length
+            key_len = stm_len or str_len or max(5, min(16, length // 8))
         else:
             raise PdfError("encrypted", f"unsupported V={v} (AESV3/R5-6)")
         o = resolve(enc.get("O"))
@@ -230,41 +255,78 @@ class SecurityHandler:
         em = True if em is None else bool(em)
         if not isinstance(o, bytes) or not isinstance(u, bytes):
             raise PdfError("encrypted", "missing O/U entries")
-        key = compute_encryption_key(o, p, file_id0, r, key_len, em)
-        # authenticate the EMPTY user password
-        expect_u = compute_u_entry(key, file_id0, r)
-        got, want = (u[:16], expect_u[:16]) if r >= 3 else (u[:32], expect_u[:32])
-        if got != want:
-            raise PdfError("encrypted", "password required")
-        return cls(key, cfm, r, str_cfm=str_cfm, encrypt_metadata=em)
 
-    def object_key(self, objnum: int, gen: int, cfm: str = None) -> bytes:
+        keys: dict = {}
+
+        def _key_at(klen: int) -> bytes:
+            if klen not in keys:
+                keys[klen] = compute_encryption_key(o, p, file_id0, r, klen, em)
+            return keys[klen]
+
+        key = _key_at(key_len)
+        # authenticate the EMPTY user password; if the primary-length key
+        # fails, retry the doc-/Length key (writers disagree about which
+        # length V=4 uses for Algorithm 2 when CF lengths are mixed)
+        doc_len = max(5, min(16, length // 8))
+        for cand in (key_len, doc_len):
+            expect_u = compute_u_entry(_key_at(cand), file_id0, r)
+            got, want = (u[:16], expect_u[:16]) if r >= 3 \
+                else (u[:32], expect_u[:32])
+            if got == want:
+                key = _key_at(cand)
+                break
+        else:
+            raise PdfError("encrypted", "password required")
+        cf_keys = {
+            name: (meth, _key_at(klen) if meth != "identity" else b"")
+            for name, (meth, klen) in cf_entries.items()
+        }
+        str_key = key if v != 4 or str_cfm == "identity" else _key_at(str_len)
+        stm_key = key if v != 4 or cfm == "identity" else _key_at(stm_len)
+        return cls(stm_key, cfm, r, str_cfm=str_cfm, encrypt_metadata=em,
+                   str_key=str_key, cf_keys=cf_keys)
+
+    def object_key(self, objnum: int, gen: int, cfm: str = None,
+                   key: bytes = None) -> bytes:
         cfm = self.cfm if cfm is None else cfm
+        key = self.key if key is None else key
         if cfm == "aesv3":
-            return self.key  # V5: the file key is used directly
+            return key  # V5: the file key is used directly
         h = hashlib.md5()
-        h.update(self.key)
+        h.update(key)
         h.update(struct.pack("<I", objnum)[:3])
         h.update(struct.pack("<I", gen)[:2])
         if cfm == "aesv2":
             h.update(b"sAlT")
-        return h.digest()[: min(self.key_len + 5, 16)]
+        return h.digest()[: min(len(key) + 5, 16)]
 
-    def _apply(self, data: bytes, objnum: int, gen: int, cfm: str) -> bytes:
+    def _apply(self, data: bytes, objnum: int, gen: int, cfm: str,
+               key: bytes = None) -> bytes:
         if cfm == "identity":
             return data
-        k = self.object_key(objnum, gen, cfm)
+        k = self.object_key(objnum, gen, cfm, key)
         if cfm in ("aesv2", "aesv3"):
             return _aes_cbc_decrypt(k, data)
         return rc4(k, data)
 
     def decrypt(self, data: bytes, objnum: int, gen: int) -> bytes:
         """Stream-context decryption (/StmF crypt filter)."""
-        return self._apply(data, objnum, gen, self.cfm)
+        return self._apply(data, objnum, gen, self.cfm, self.key)
 
     def decrypt_string(self, data: bytes, objnum: int, gen: int) -> bytes:
         """String-context decryption (/StrF crypt filter — may differ)."""
-        return self._apply(data, objnum, gen, self.str_cfm)
+        return self._apply(data, objnum, gen, self.str_cfm, self.str_key)
+
+    def decrypt_named(self, name: str, data: bytes, objnum: int,
+                      gen: int) -> bytes:
+        """Decrypt with a /Crypt-filter-named CF entry (§7.4.10): a stream
+        whose Filter chain carries ``/Crypt /Name X`` uses X's method+key,
+        overriding StmF. Unknown names are a stable soft error — never a
+        silent mis-decrypt with the default stream key."""
+        if name not in self.cf_keys:
+            raise PdfError("encrypted", f"unknown crypt filter {name}")
+        meth, key = self.cf_keys[name]
+        return self._apply(data, objnum, gen, meth, key)
 
     def encrypt(self, data: bytes, objnum: int, gen: int) -> bytes:
         """Fixture-encryptor twin (RC4 is symmetric; AES needs IV+pad)."""

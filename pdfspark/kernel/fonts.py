@@ -252,12 +252,14 @@ class CidCMap:
 # ------------------------------------------------------------ TrueType cmap
 
 def parse_ttf_cmap_subtables(data: bytes) -> Dict[Tuple[int, int], Dict[int, int]]:
-    """Parse the sfnt 'cmap' table: formats 0/4/6 with full lookup (the
-    formats the reference completes, `src/font/true_type/table/cmap.rs:
-    84-143`) plus format 12 (segmented coverage — the modern
-    supplementary-plane subtable the reference only enumerates,
-    `src/font/true_type/parse.rs:462-`). Formats 2/8/10 are walked
-    without crashing (the parser skips them structurally).
+    """Parse the sfnt 'cmap' table: formats 0/2/4/6/8/10/12 with full
+    lookup — a superset of the formats the reference completes
+    (`src/font/true_type/table/cmap.rs:84-143`) and the same enumeration
+    set it parses (`src/font/true_type/parse.rs:462-`). Format 2 is the
+    legacy high-byte CJK mapping; 8/10/12 are the 32-bit coverage forms.
+    Total decoded codes are bounded by ``_CMAP_CODE_BUDGET`` so a crafted
+    font (e.g. thousands of full-range format-12 groups) can never stall
+    a Spark task — one bad document never kills the job.
     Returns {(platformID, encodingID): {char_code: glyph_id}}."""
     out: Dict[Tuple[int, int], Dict[int, int]] = {}
     if len(data) < 12:
@@ -285,17 +287,62 @@ def parse_ttf_cmap_subtables(data: bytes) -> Dict[Tuple[int, int], Dict[int, int
     return out
 
 
+# Hard ceiling on codes decoded per cmap subtable.  Unicode has 0x110000
+# codepoints; 2M leaves headroom for overlapping segments while bounding
+# TOTAL work (not just group count) against crafted fonts whose groups each
+# claim a full-plane span.
+_CMAP_CODE_BUDGET = 2_000_000
+
+
 def _parse_cmap_subtable(data: bytes, off: int) -> Dict[int, int]:
     fmt = struct.unpack_from(">H", data, off)[0]
     table: Dict[int, int] = {}
+    budget = _CMAP_CODE_BUDGET
     if fmt == 0:
         glyphs = data[off + 6 : off + 6 + 256]
         for code, gid in enumerate(glyphs):
             if gid:
                 table[code] = gid
+    elif fmt == 2:
+        # high-byte mapping through table (legacy mixed 8/16-bit CJK,
+        # `src/font/true_type/parse.rs` parses it; we also look it up).
+        keys = struct.unpack_from(">256H", data, off + 6)
+        sub_base = off + 6 + 512
+
+        def _sub_gid(k: int, j: int) -> int:
+            # glyph for index j within subHeader k; idRangeOffset is
+            # relative to its own field position (same trick as format 4)
+            first, count, delta, ro = struct.unpack_from(
+                ">HHhH", data, sub_base + 8 * k
+            )
+            if j < first or j >= first + count:
+                return 0
+            addr = sub_base + 8 * k + 6 + ro + 2 * (j - first)
+            if addr + 2 > len(data):
+                return 0
+            gid = struct.unpack_from(">H", data, addr)[0]
+            return (gid + delta) & 0xFFFF if gid else 0
+
+        # one-byte codes: bytes whose key selects subHeader 0
+        for b in range(256):
+            if keys[b] == 0 and sub_base + 8 <= len(data):
+                gid = _sub_gid(0, b)
+                if gid:
+                    table[b] = gid
+        # two-byte codes: high byte h selects subHeader keys[h]//8 > 0
+        for h in range(256):
+            k = keys[h] // 8
+            if k == 0 or sub_base + 8 * k + 8 > len(data) or budget <= 0:
+                continue
+            first, count = struct.unpack_from(">HH", data, sub_base + 8 * k)
+            for lo in range(first, min(first + count, first + budget)):
+                gid = _sub_gid(k, lo)
+                if gid and lo <= 0xFF:
+                    table[(h << 8) | lo] = gid
+            budget -= count
     elif fmt == 6:
         first, count = struct.unpack_from(">HH", data, off + 6)
-        for k in range(count):
+        for k in range(min(count, budget)):
             gid = struct.unpack_from(">H", data, off + 10 + 2 * k)[0]
             if gid:
                 table[first + k] = gid
@@ -309,9 +356,11 @@ def _parse_cmap_subtable(data: bytes, off: int) -> Dict[int, int]:
         range_offsets = struct.unpack_from(f">{segs}H", data, ro_base)
         for s in range(segs):
             start, end = starts[s], ends[s]
-            if start == 0xFFFF:
+            if start == 0xFFFF or budget <= 0:
                 continue
-            for code in range(start, min(end, 0xFFFE) + 1):
+            end = min(end, 0xFFFE, start + budget - 1)
+            budget -= end - start + 1
+            for code in range(start, end + 1):
                 if range_offsets[s] == 0:
                     gid = (code + deltas[s]) & 0xFFFF
                 else:
@@ -323,23 +372,34 @@ def _parse_cmap_subtable(data: bytes, off: int) -> Dict[int, int]:
                         gid = (gid + deltas[s]) & 0xFFFF
                 if gid:
                     table[code] = gid
-    elif fmt == 12:
+    elif fmt == 10:
+        # trimmed array: uint32 startChar, uint32 numChars, uint16 glyphs[]
+        start, count = struct.unpack_from(">II", data, off + 12)
+        for k in range(min(count, budget)):
+            if off + 20 + 2 * k + 2 > len(data):
+                break
+            gid = struct.unpack_from(">H", data, off + 20 + 2 * k)[0]
+            if gid and start + k <= 0x10FFFF:
+                table[start + k] = gid
+    elif fmt in (8, 12):
         # segmented coverage: uint32 nGroups of (startChar, endChar,
-        # startGlyph) — the format 2020s fonts embed for plane-1+ chars
-        n_groups = struct.unpack_from(">I", data, off + 12)[0]
-        base = off + 16
-        for g in range(min(n_groups, 100_000)):  # bomb guard
-            if base + 12 * g + 12 > len(data):
+        # startGlyph). Format 8 prepends an is32[8192] classification
+        # bitmap; the group records themselves are identical.
+        grp_hdr = off + (16 if fmt == 12 else 16 + 8192)
+        n_groups = struct.unpack_from(">I", data, grp_hdr - 4)[0]
+        base = grp_hdr
+        for g in range(min(n_groups, 100_000)):
+            if base + 12 * g + 12 > len(data) or budget <= 0:
                 break
             start, end, sgid = struct.unpack_from(">III", data, base + 12 * g)
-            if end < start or end - start > 0x110000:
+            if end < start or start > 0x10FFFF:
                 continue
+            end = min(end, 0x10FFFF, start + budget - 1)
+            budget -= end - start + 1
             for k in range(end - start + 1):
-                code, gid = start + k, sgid + k
-                if gid and code <= 0x10FFFF:
-                    table[code] = gid
-    # formats 2 (high-byte mapping), 8 and 10 carry legacy/rare encodings:
-    # structurally skipped — returning {} keeps the subtable walk robust
+                gid = sgid + k
+                if gid:
+                    table[start + k] = gid
     return table
 
 

@@ -121,6 +121,61 @@ def test_crypt_identity_stream_not_decrypted():
     assert r.text == "opted out" and r.error is None
 
 
+def test_named_crypt_filter_uses_its_own_cf_entry():
+    """A /Crypt filter naming a NON-Identity CF entry must decrypt with
+    that entry's method+key (§7.4.10), not the StmF default: here the body
+    is RC4 under /RC4CF while StmF is AESV2."""
+    from pdfspark.crypto_fixtures import build_named_crypt_pdf
+
+    pdf = build_named_crypt_pdf("named filter body")
+    doc = PdfDocument(pdf)
+    assert doc.security.cfm == "aesv2"  # StmF default really is AES
+    assert doc.security.cf_keys["RC4CF"][0] == "rc4"
+    r = extract_text(pdf)
+    assert r.text == "named filter body" and r.error is None
+
+
+def test_unknown_named_crypt_filter_soft_errors():
+    """A /Crypt /Name absent from /CF must surface a stable soft error —
+    never a silent mis-decrypt with the default stream key."""
+    from pdfspark.crypto_fixtures import build_named_crypt_pdf
+
+    pdf = build_named_crypt_pdf("x", name="NoSuchCF")
+    r = extract_text(pdf)
+    assert r.error == "encrypted"
+
+
+def test_v4_mixed_cf_key_lengths():
+    """V=4 with StmF CFM=V2 at Length 40 and StrF=AESV2: each context must
+    derive its own file key at its own length (the R≥3 rehash loop is
+    length-dependent) — AES presence must not force the RC4 side to 16."""
+    from pdfspark.kernel.encryption import (
+        SecurityHandler,
+        compute_encryption_key,
+        compute_o_entry,
+        compute_u_entry,
+    )
+    from pdfspark.kernel.objects import Name
+
+    file_id0 = b"\x01" * 16
+    p = -44
+    o = compute_o_entry(b"", b"", 4, 5)
+    key5 = compute_encryption_key(o, p, file_id0, 4, 5, True)
+    u = compute_u_entry(key5, file_id0, 4)
+    enc = {
+        "Filter": Name("Standard"), "V": 4, "R": 4, "Length": 40,
+        "CF": {"StmCF": {"CFM": Name("V2")}, "StrCF": {"CFM": Name("AESV2")}},
+        "StmF": Name("StmCF"), "StrF": Name("StrCF"),
+        "O": o, "U": u, "P": p,
+    }
+    h = SecurityHandler.from_encrypt_dict(enc, file_id0, lambda x: x)
+    assert h.cfm == "rc4" and len(h.key) == 5
+    assert h.str_cfm == "aesv2" and len(h.str_key) == 16
+    assert h.key == key5  # the 40-bit side really derives at 40 bits
+    assert h.cf_keys["StmCF"] == ("rc4", key5)
+    assert h.cf_keys["StrCF"][0] == "aesv2"
+
+
 def test_encrypt_metadata_false_keeps_xmp_cleartext():
     from pdfspark.crypto_fixtures import build_encmeta_false_pdf
     from pdfspark.kernel.objects import Reference, Stream

@@ -109,17 +109,95 @@ def test_ttf_cmap_format12_supplementary_plane():
 
 
 def test_ttf_cmap_unknown_formats_skipped():
-    """Formats 2/8/10 (and garbage) must not crash the subtable walk."""
+    """Truncated/garbage subtables must not crash the subtable walk."""
     import struct
 
     from pdfspark.fixtures import build_minimal_ttf
 
     ttf = bytearray(build_minimal_ttf({0x41: 3}))
-    # append a bogus (1,0) entry pointing at a format-8 header
+    # append a bogus (1,0) entry pointing at a truncated format-8 header
     assert parse_ttf_cmap_subtables(bytes(ttf))  # sanity
     f8 = struct.pack(">HHI", 8, 0, 16) + b"\x00" * 16
     subs = parse_ttf_cmap_subtables(bytes(ttf) + f8)
     assert (3, 1) in subs
+
+
+def _fmt2_blob() -> bytes:
+    """Format-2 high-byte subtable: byte 0x41 -> gid 7 via subHeader 0,
+    two-byte code 0x8140 -> gid 9 via subHeader 1 (high byte 0x81)."""
+    import struct
+
+    keys = [0] * 256
+    keys[0x81] = 8  # subHeader index 1
+    # subHeader 0: firstCode=0x41 entryCount=1, subHeader 1: firstCode=0x40
+    # glyphIndexArray sits right after the two subHeaders
+    sub0_ro_field = 6 + 512 + 6           # offset of subHeader0.idRangeOffset
+    sub1_ro_field = 6 + 512 + 8 + 6
+    gia = 6 + 512 + 16                    # glyphIndexArray offset
+    sub0 = struct.pack(">HHhH", 0x41, 1, 0, gia - sub0_ro_field)
+    sub1 = struct.pack(">HHhH", 0x40, 1, 0, gia + 2 - sub1_ro_field)
+    body = struct.pack(">256H", *keys) + sub0 + sub1 + struct.pack(">HH", 7, 9)
+    return struct.pack(">HHH", 2, 6 + len(body), 0) + body
+
+
+def test_ttf_cmap_format2_high_byte_mapping():
+    from pdfspark.fixtures import build_minimal_ttf
+
+    ttf = build_minimal_ttf({}, raw_subtables=[(3, 2, _fmt2_blob())])
+    subs = parse_ttf_cmap_subtables(ttf)
+    assert subs[(3, 2)] == {0x41: 7, 0x8140: 9}
+
+
+def test_ttf_cmap_format8_and_10_lookup():
+    import struct
+
+    from pdfspark.fixtures import build_minimal_ttf
+
+    # format 8: is32 bitmap (ignored for lookup) + one group
+    f8 = struct.pack(">HHII", 8, 0, 16 + 8192 + 12, 0) + bytes(8192)
+    f8 += struct.pack(">I", 1) + struct.pack(">III", 0x10400, 0x10401, 50)
+    # format 10: trimmed array start=0x20000 count=2 gids (3, 4)
+    f10 = struct.pack(">HHIIII", 10, 0, 24, 0, 0x20000, 2)
+    f10 += struct.pack(">HH", 3, 4)
+    ttf = build_minimal_ttf({}, raw_subtables=[(3, 4, f8), (3, 6, f10)])
+    subs = parse_ttf_cmap_subtables(ttf)
+    assert subs[(3, 4)] == {0x10400: 50, 0x10401: 51}
+    assert subs[(3, 6)] == {0x20000: 3, 0x20001: 4}
+
+
+def test_ttf_cmap_format12_bomb_bounded():
+    """A crafted font with thousands of full-plane format-12 groups must
+    finish in bounded time: total decoded codes are capped, not just the
+    group count (one bad document never kills the job)."""
+    import struct
+    import time
+
+    from pdfspark.fixtures import build_minimal_ttf
+    from pdfspark.kernel.fonts import _CMAP_CODE_BUDGET
+
+    n = 2000
+    f12 = struct.pack(">HHIII", 12, 0, 16 + 12 * n, 0, n)
+    f12 += b"".join(struct.pack(">III", 0, 0x10FFFF, 1) for _ in range(n))
+    ttf = build_minimal_ttf({}, raw_subtables=[(3, 10, f12)])
+    t0 = time.monotonic()
+    subs = parse_ttf_cmap_subtables(ttf)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 10.0, f"cmap bomb not bounded: {elapsed:.1f}s"
+    assert len(subs.get((3, 10), {})) <= _CMAP_CODE_BUDGET
+    # same guard on format 4: max segments each spanning the full range
+    segs = 8000
+    f4 = bytearray(struct.pack(">HHH", 4, 0, 0))
+    f4 += struct.pack(">HHHH", segs * 2, 0, 0, 0)
+    f4 += struct.pack(f">{segs}H", *([0xFFFE] * segs))   # endCode
+    f4 += struct.pack(">H", 0)
+    f4 += struct.pack(f">{segs}H", *([1] * segs))        # startCode
+    f4 += struct.pack(f">{segs}H", *([1] * segs))        # idDelta
+    f4 += struct.pack(f">{segs}H", *([0] * segs))        # idRangeOffset
+    struct.pack_into(">H", f4, 2, len(f4))
+    ttf4 = build_minimal_ttf({}, raw_subtables=[(3, 1, bytes(f4))])
+    t0 = time.monotonic()
+    parse_ttf_cmap_subtables(ttf4)
+    assert time.monotonic() - t0 < 10.0
 
 
 def test_unicode_cmap_name_set():
