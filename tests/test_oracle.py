@@ -93,14 +93,37 @@ def test_every_query_has_callable():
         assert callable(fn), name
 
 
+def test_driver_window_curation():
+    """The driver verifies a 50-slot prefix of queries(): the curated
+    order must be valid (registered names, no dups, exactly the window
+    size) and must place every r2-unverified operator inside the prefix."""
+    from pdfspark.queries import DRIVER_PRIORITY, driver_ordered_queries
+
+    assert len(DRIVER_PRIORITY) == 50
+    assert len(set(DRIVER_PRIORITY)) == 50
+    assert all(n in QUERIES for n in DRIVER_PRIORITY)
+    ordered = list(driver_ordered_queries())
+    assert ordered[:50] == DRIVER_PRIORITY
+    assert set(ordered) == set(QUERIES)
+    r2_unverified = {
+        "html_doc_titles", "embedding_norms", "grouped_stats_apply_in_pandas",
+        "token_count_pandas_udf", "asof_join_last_click", "dedup_components",
+        "range_join_events_windows", "ann_numpy_ivf", "text_gopher_quality",
+        "window_range_interval_frame", "unpivot_order_year_counts",
+        "dedup_simhash_pairs", "pdf_multipage_spans", "pdf_multipage_roundtrip",
+        "multimodal_frame_sample", "session_window_agg", "corpus_quality_filter",
+        "multimodal_feature_extract", "ann_ivf_recall", "dedup_canonical_url",
+        "text_compression_ratio", "pdf_extract_skew_aware",
+    }
+    assert r2_unverified <= set(DRIVER_PRIORITY)
+
+
 def test_oracle_coverage():
+    # every registered query has an oracle since r3: the former rows-only
+    # trio gained real twins (winnowing re-derived in closed-form SQL;
+    # HLL/zlib checked via exact columns + bound/pinned-spot contracts)
     missing = [n for n in QUERIES if n not in ORACLES]
-    # only genuinely non-SQL-expressible ops may omit the oracle:
-    # HLL approximation is engine-specific; winnowing needs the rolling-
-    # hash kernel (its SQL half — the fingerprint self-join — is plain SQL)
-    assert set(missing) <= {"approx_distinct_urls",
-                            "text_winnowing_neardup",
-                            "text_compression_ratio"}, missing
+    assert not missing, missing
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -153,6 +176,76 @@ def test_minhash_lsh_recall_of_synthesized_neardups(spark):
     assert len(found) >= 0.9 * len(expected), (
         f"LSH recall {len(found)}/{len(expected)}"
     )
+
+
+def _compare(spark_df, duck, duck_sql, label):
+    spark_cols = [c.lower() for c in spark_df.columns]
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+    rel = duck.sql(duck_sql)
+    duck_cols = [c.lower() for c in rel.columns]
+    duck_rows = rel.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), label
+    assert len(spark_rows) == len(duck_rows), (
+        f"{label}: {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    assert _rows_to_set(spark_cols, spark_rows) == \
+        _rows_to_set(duck_cols, duck_rows), label
+    return len(spark_rows)
+
+
+@pytest.mark.parametrize("suite", [
+    "jaccard", "simhash", "simhash_pairs", "components", "minhash"
+])
+def test_neardup_uncapped_parity(spark, duck, suite):
+    """The registered dedup queries slice the corpus (cap=200/300) to
+    bound driver cost; parity must ALSO hold with the cap removed — the
+    full documents table plus every synthesized mutant (run with
+    ORACLE_SF_DIR=/root/testdata/sf0.01 for the second pinned SF)."""
+    import pdfspark.queries as q
+
+    cap = q._UNCAPPED
+    for t in ("documents",):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet") \
+            .createOrReplaceTempView(t)
+    if suite == "jaccard":
+        df = spark.sql(q._jaccard_sql(q._POSEXPLODE_SPARK, cap))
+        sql = q._jaccard_sql(q._POSEXPLODE_DUCK, cap)
+    elif suite == "simhash":
+        df = spark.sql(q._simhash_spark_sql(cap))
+        sql = q._simhash_duck_sql(cap)
+    elif suite == "simhash_pairs":
+        df = spark.sql(q._simhash_pairs_spark_sql(cap))
+        sql = q._simhash_pairs_duck_sql(cap)
+    elif suite == "components":
+        df = q._dedup_components_impl(spark, SF_DIR, cap)
+        sql = q._components_oracle_sql(cap)
+    else:
+        df = q._dedup_minhash_impl(spark, SF_DIR, cap)
+        sql = q._minhash_duck_sql(cap)
+    n = _compare(df, duck, sql, f"uncapped-{suite}")
+    assert n > 0, f"uncapped {suite} produced no rows — corpus broken?"
+
+
+def test_hot_shingle_cap_drops_boilerplate_without_killing_signal(spark):
+    """A shingle shared by every document (template boilerplate) must NOT
+    produce k² candidate pairs — the df cap drops it from the shingle set
+    — while genuine near-dups sharing rare shingles still pair."""
+    import pdfspark.queries as q
+
+    boiler = "all rights reserved copyright two thousand twenty four inc"
+    rows = [(i, f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d")
+            for i in range(150)]
+    # one genuine near-dup pair sharing plenty of rare shingles
+    body = " ".join(f"signal{j}" for j in range(30))
+    rows += [(9001, boiler + " " + body), (9002, boiler + " " + body)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("documents")
+    df = spark.sql(q._jaccard_sql(q._POSEXPLODE_SPARK, q._UNCAPPED))
+    pairs = {(r.doc_a, r.doc_b) for r in df.collect()}
+    assert (9001, 9002) in pairs, "real near-dups must survive the cap"
+    # without the cap the boilerplate shingles alone pair all 152 docs
+    # (11k+ pairs); with it only the genuine pair (and its mutants) remain
+    assert len(pairs) < 50, f"boilerplate exploded into {len(pairs)} pairs"
 
 
 def test_jaccard_scores_mutated_pairs_high(spark):
