@@ -456,17 +456,20 @@ def all_cases() -> List[Case]:
     root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
     add(Case("t29_extgstate_font", b.build(root), "ViaGS", None, 1))
 
-    # ---- t30: predefined CJK CMap without ToUnicode → stable soft error
+    # ---- t30: TABLE-BOUND predefined CJK CMap without ToUnicode → stable
+    # soft error. Re-pinned in r3: the codec-backed families (GBK-EUC,
+    # RKSJ, B5pc, KSC-EUC — see t44*) now DECODE; only EUC-TW (CNS-EUC)
+    # remains table-bound (Python ships no euc_tw codec)
     b = PdfBuilder()
     cid_font2 = (
-        "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Fake-GBK "
-        "/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) "
+        "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Fake-CNS "
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (CNS1) "
         "/Supplement 2 >> >>"
     )
     df_num = b.add(cid_font2)
     f1 = b.add(
-        "<< /Type /Font /Subtype /Type0 /BaseFont /Fake-GBK "
-        f"/Encoding /GBK-EUC-H /DescendantFonts [{df_num} 0 R] >>"
+        "<< /Type /Font /Subtype /Type0 /BaseFont /Fake-CNS "
+        f"/Encoding /CNS-EUC-H /DescendantFonts [{df_num} 0 R] >>"
     )
     c = b.add_stream("<< >>", b"BT /F1 12 Tf 72 720 Td <00410042> Tj ET")
     page = b.add(
@@ -800,6 +803,41 @@ def all_cases() -> List[Case]:
     upd2 = append_xref_stream_update(
         upd1, {c: _content_obj("StreamGen2")}, root, xref_num=201)
     add(Case("t43_xref_stream_updates", upd2, "StreamGen2", None, 1))
+
+    # ---- t44: legacy predefined CJK CMaps WITHOUT ToUnicode — the code
+    # bytes are national-standard encodings (GBK / Shift-JIS / Big5 /
+    # EUC-KR), decoded via stdlib codecs; only CID-keyed widths need the
+    # unshippable Adobe tables (reference inventory `src/font/cjk.rs:1-190`)
+    def _legacy_cjk_case(tag: str, cmap_name: str, text: str,
+                         codec: str, ordering: str):
+        bb = PdfBuilder()
+        df = bb.add(
+            "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /FakeCJK "
+            "/CIDSystemInfo << /Registry (Adobe) "
+            f"/Ordering ({ordering}) /Supplement 5 >> >>"
+        )
+        ff = bb.add(
+            "<< /Type /Font /Subtype /Type0 /BaseFont /FakeCJK "
+            f"/Encoding /{cmap_name} /DescendantFonts [{df} 0 R] >>"
+        )
+        hexcodes = text.encode(codec).hex().upper()
+        cc = bb.add_stream(
+            "<< >>", f"BT /F1 12 Tf 72 720 Td <{hexcodes}> Tj ET".encode()
+        )
+        pg = bb.add(
+            f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {ff} 0 R >> >> /Contents {cc} 0 R >>"
+        )
+        bb.add(f"<< /Type /Pages /Kids [{pg} 0 R] /Count 1 >>", num=90)
+        rt = bb.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+        add(Case(tag, bb.build(rt), text, None, 1))
+
+    _legacy_cjk_case("t44_gbk_euc", "GBK-EUC-H", "中文测试ok", "gbk", "GB1")
+    _legacy_cjk_case("t44b_90ms_rksj", "90ms-RKSJ-H", "日本語カナabc",
+                     "cp932", "Japan1")
+    _legacy_cjk_case("t44c_b5pc", "B5pc-H", "繁體字", "big5", "CNS1")
+    _legacy_cjk_case("t44d_ksc_euc", "KSC-EUC-H", "한국어", "euc_kr",
+                     "Korea1")
 
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",

@@ -409,6 +409,37 @@ def _parse_cmap_subtable(data: bytes, off: int) -> Dict[int, int]:
 # UCS-2 (or UTF-16BE) Unicode values, so text needs no Adobe tables
 _UNICODE_CMAP = re.compile(r"^Uni(GB|CNS|JIS|KS)-(UCS2|UTF16)(-HW)?-[HV]$")
 
+# Legacy predefined CJK CMaps whose CODE BYTES are a national-standard
+# text encoding (the reference enumerates all of them, `src/font/
+# cjk.rs:1-190`, but renders none): Adobe's code→CID tables aren't
+# shippable offline, yet the byte→Unicode direction of these encodings is
+# exactly what Python's stdlib codecs implement — so TEXT decodes fully;
+# only per-CID widths fall back to /DW (the W array indexes by CID).
+# "rawjis" marks the H/V CMaps (raw 2-byte JIS X 0208, no escapes): each
+# byte ORs with 0x80 into EUC-JP space. CNS-EUC (EUC-TW) stays a soft
+# error — Python ships no euc_tw codec.
+_CJK_CODEC_CMAPS = {
+    "GB-EUC": "gbk", "GBpc-EUC": "gbk", "GBK-EUC": "gbk", "GBKp-EUC": "gbk",
+    "GBK2K": "gb18030",
+    "B5pc": "big5", "ETen-B5": "big5", "ETenms-B5": "big5",
+    "HKscs-B5": "big5hkscs",
+    "83pv-RKSJ": "cp932", "90ms-RKSJ": "cp932", "90msp-RKSJ": "cp932",
+    "90pv-RKSJ": "cp932", "Add-RKSJ": "cp932", "Ext-RKSJ": "cp932",
+    "EUC": "euc_jp",
+    "KSC-EUC": "euc_kr", "KSCpc-EUC": "euc_kr",
+    "KSCms-UHC": "cp949", "KSCms-UHC-HW": "cp949",
+}
+
+
+def _cjk_codec_for(name: str) -> Optional[str]:
+    """stdlib codec for a legacy predefined CJK CMap name, or None when
+    the name is CID-table-bound (CNS-EUC) or unknown."""
+    if name in ("H", "V"):
+        return "rawjis"
+    if name.endswith(("-H", "-V")):
+        return _CJK_CODEC_CMAPS.get(name[:-2])
+    return None
+
 _PREDEFINED_CJK = re.compile(
     r"^(GB|GBK|GBpc|GBT|B5|B5pc|CNS|ETen|ETHK|HK|UniGB|UniCNS|UniJIS|UniKS|"
     r"90ms|90pv|83pv|Add|EUC|Ext|H|V|Identity|Katakana|Hiragana|KSC|KSCms|"
@@ -434,7 +465,8 @@ class Font:
     __slots__ = (
         "subtype", "is_type0", "tounicode", "encoding_map", "cid_cmap",
         "widths", "first_char", "default_width", "cid_widths", "gid_to_uni",
-        "code_to_gid", "cid_to_gid", "unicode_codes", "error", "_fast",
+        "code_to_gid", "cid_to_gid", "unicode_codes", "codec_cmap",
+        "error", "_fast",
     )
 
     def __init__(self) -> None:
@@ -451,6 +483,7 @@ class Font:
         self.code_to_gid: Dict[int, int] = {}
         self.cid_to_gid: Optional[Dict[int, int]] = None  # stream map
         self.unicode_codes = False  # Uni*-UCS2/UTF16: code IS the Unicode
+        self.codec_cmap: Optional[str] = None  # legacy CJK: stdlib codec
         self.error: Optional[str] = None
         self._fast = None  # lazy (chars[256], widths[256]) decode tables
 
@@ -523,7 +556,46 @@ class Font:
             out.append(Glyph(code, text, self._simple_width(code), code == 32))
         return out
 
+    def _decode_codec(self, s: bytes) -> List[Glyph]:
+        """Legacy predefined CJK CMap decode: the code bytes ARE a
+        national-standard text encoding, split/decoded by the stdlib's
+        incremental decoder (which owns the multi-byte structure). The
+        code→CID direction needs Adobe tables we don't ship, so widths
+        fall back to /DW; ToUnicode (rare here) still takes precedence."""
+        import codecs
+
+        raw = s
+        codec = self.codec_cmap
+        if codec == "rawjis":
+            # H/V: raw 2-byte JIS X 0208 — shift both bytes into EUC-JP
+            raw = bytes(b | 0x80 if 0x21 <= b <= 0x7E else b for b in s)
+            codec = "euc_jp"
+        dec = codecs.getincrementaldecoder(codec)("replace")
+        out = []
+        tu = self.tounicode
+        start = 0
+        for i in range(len(raw)):
+            ch = dec.decode(raw[i : i + 1])
+            if not ch:
+                continue
+            nbytes = i + 1 - start
+            code = int.from_bytes(s[start : i + 1], "big")
+            start = i + 1
+            text = tu.get(nbytes, code) if tu is not None else None
+            if text is None:
+                text = ch
+            out.append(Glyph(code, text, self.default_width,
+                             nbytes == 1 and code == 32))
+        tail = dec.decode(b"", True)
+        if start < len(s) or tail:
+            code = int.from_bytes(s[start:], "big") if start < len(s) else 0
+            out.append(Glyph(code, tail or REPLACEMENT,
+                             self.default_width, False))
+        return out
+
     def _decode_cid(self, s: bytes) -> List[Glyph]:
+        if self.codec_cmap is not None:
+            return self._decode_codec(s)
         out = []
         cmap = self.cid_cmap or CidCMap.identity_2byte()
         tu = self.tounicode
@@ -840,9 +912,16 @@ def _load_type0(doc, font_dict: dict, f: Font) -> None:
                 # (`src/font/cjk.rs:35-145`)
                 f.cid_cmap = CidCMap.unicode_bmp(utf16=m.group(2) == "UTF16")
                 f.unicode_codes = True
+            elif _cjk_codec_for(name):
+                # legacy predefined CJK CMap (GBK-EUC, 90ms-RKSJ, B5pc,
+                # KSC-EUC, …): code bytes are a national-standard text
+                # encoding — decode via the stdlib codec (full text;
+                # widths fall back to /DW, see _decode_codec)
+                f.codec_cmap = _cjk_codec_for(name)
+                f.cid_cmap = CidCMap.identity_2byte()
             else:
-                # legacy predefined CJK CMap (GBK-EUC, 90ms-RKSJ, …): the
-                # byte→CID tables aren't shipped — flag it
+                # truly table-bound (CNS-EUC/EUC-TW) or unknown name:
+                # the byte→CID tables aren't shipped — flag it
                 f.cid_cmap = CidCMap.identity_2byte()
                 if f.tounicode is None:
                     f.error = "predefined-cmap"

@@ -200,6 +200,52 @@ def test_ttf_cmap_format12_bomb_bounded():
     assert time.monotonic() - t0 < 10.0
 
 
+def test_legacy_cjk_codec_mapping():
+    """Name set mirrors the reference inventory (`src/font/cjk.rs:1-190`):
+    every non-CID-table-bound predefined CMap resolves to a stdlib codec;
+    CNS-EUC (EUC-TW) and unknown names stay None (soft error)."""
+    from pdfspark.kernel.fonts import _cjk_codec_for
+
+    assert _cjk_codec_for("GBK-EUC-H") == "gbk"
+    assert _cjk_codec_for("GBK-EUC-V") == "gbk"
+    assert _cjk_codec_for("GBK2K-H") == "gb18030"
+    assert _cjk_codec_for("90ms-RKSJ-H") == "cp932"
+    assert _cjk_codec_for("Ext-RKSJ-V") == "cp932"
+    assert _cjk_codec_for("EUC-H") == "euc_jp"
+    assert _cjk_codec_for("B5pc-H") == "big5"
+    assert _cjk_codec_for("HKscs-B5-H") == "big5hkscs"
+    assert _cjk_codec_for("KSC-EUC-H") == "euc_kr"
+    assert _cjk_codec_for("KSCms-UHC-HW-V") == "cp949"
+    assert _cjk_codec_for("H") == "rawjis"
+    assert _cjk_codec_for("V") == "rawjis"
+    assert _cjk_codec_for("CNS-EUC-H") is None  # no euc_tw in stdlib
+    assert _cjk_codec_for("NoSuch-H") is None
+
+
+def test_codec_cmap_decode_glyphs():
+    """The codec decode path: multi-byte splitting, per-glyph codes, DW
+    widths, replacement on invalid sequences, raw-JIS (H) byte shifting."""
+    from pdfspark.kernel.fonts import Font
+
+    f = Font()
+    f.is_type0 = True
+    f.codec_cmap = "gbk"
+    f.default_width = 1000.0
+    glyphs = f.decode("中a".encode("gbk"))
+    assert [g.text for g in glyphs] == ["中", "a"]
+    assert glyphs[0].code == int.from_bytes("中".encode("gbk"), "big")
+    assert glyphs[1].code == ord("a")
+    assert all(g.advance == 1000.0 for g in glyphs)
+    # truncated lead byte at end → replacement, never an exception
+    bad = f.decode("中".encode("gbk")[:1])
+    assert bad and bad[-1].text == "�"
+    # raw 2-byte JIS X 0208 via the H CMap: 0x3042 is あ (hiragana A)
+    f2 = Font()
+    f2.is_type0 = True
+    f2.codec_cmap = "rawjis"
+    assert "".join(g.text for g in f2.decode(b"\x24\x22")) == "あ"
+
+
 def test_unicode_cmap_name_set():
     from pdfspark.kernel.fonts import _UNICODE_CMAP
 
