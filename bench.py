@@ -42,7 +42,24 @@ def materialize(df) -> int:
     return 0
 
 
+def _pin_affinity() -> None:
+    """Re-exec under taskset (the scaling_report protocol): confining the
+    whole process tree (JVM + Python workers) to a fixed core set removes
+    scheduler-migration jitter on this noisy-neighbor host. No-op when
+    already pinned or taskset is absent."""
+    if os.environ.get("PDFSPARK_BENCH_PINNED") == "1":
+        return
+    if not os.path.exists("/usr/bin/taskset"):
+        return
+    os.environ["PDFSPARK_BENCH_PINNED"] = "1"
+    os.execvp(
+        "/usr/bin/taskset",
+        ["taskset", "-c", f"0-{CPUS - 1}", sys.executable] + sys.argv,
+    )
+
+
 def main() -> None:
+    _pin_affinity()
     from pdfspark.pipeline import build_session
     from pdfspark.queries import QUERIES
 
@@ -65,19 +82,21 @@ def main() -> None:
         bench_t0 = time.perf_counter()
         budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "150"))
         for name in BENCH_QUERIES:
+            # repeat until the two fastest reps agree within 10% (the
+            # quiet-band criterion), bounded by 4 reps / the time budget —
+            # the reported min is then corroborated, not a lucky outlier
             runs = []
-            for _ in range(2):  # best-of-2: the host has noisy neighbors
+            while True:
                 t0 = time.perf_counter()
                 materialize(QUERIES[name](spark, SF_DIR))
                 runs.append(time.perf_counter() - t0)
-            # adaptive 3rd rep: only when the first two disagree by >15%
-            # (noise window) AND the total budget allows it — caps driver
-            # cost while shaving the documented ±25% host jitter
-            if (max(runs) > 1.15 * min(runs)
-                    and time.perf_counter() - bench_t0 < budget_s):
-                t0 = time.perf_counter()
-                materialize(QUERIES[name](spark, SF_DIR))
-                runs.append(time.perf_counter() - t0)
+                if len(runs) >= 2:
+                    fast2 = sorted(runs)[:2]
+                    if fast2[1] <= 1.10 * fast2[0]:
+                        break
+                if (len(runs) >= 4
+                        or time.perf_counter() - bench_t0 > budget_s):
+                    break
             timings[name] = round(min(runs), 3)
         total = round(sum(timings.values()), 3)
         extract_s = timings["pdf_extract_roundtrip"]

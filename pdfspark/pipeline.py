@@ -141,11 +141,38 @@ def write_output(df: DataFrame, target: str, fmt: str = "parquet",
 
 # ------------------------------------------------------------------- kernel
 
+def _append_extract_row(cols: dict, url, buf: bytes, part_id: int,
+                        extract_document) -> None:
+    """Columnar accumulation shared by the extraction mapInPandas bodies:
+    building 12 lists beats 12-key dicts per row when pandas assembles the
+    Arrow batch (profiled ~8% on the distributed path)."""
+    import time
+
+    t0 = time.perf_counter()
+    r = extract_document(buf)
+    elapsed = (time.perf_counter() - t0) * 1000.0
+    cols["url"].append(url)
+    cols["text"].append(r.text)
+    cols["spans"].append(
+        [{"page": s.page, "start": s.start, "end": s.end} for s in r.spans]
+    )
+    cols["n_pages"].append(r.n_pages)
+    cols["error"].append(r.error)
+    cols["doc_lang"].append(r.lang)
+    cols["doc_title"].append(r.title)
+    cols["created"].append(r.created)
+    cols["annots_text"].append(r.annots)
+    cols["outlines_text"].append(r.outlines)
+    cols["n_chars"].append(len(r.text) if r.text is not None else 0)
+    cols["pdf_bytes"].append(len(buf))
+    cols["kernel_ms"].append(elapsed)
+    cols["part_id"].append(part_id)
+
+
 def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
     """mapInPandas body: Arrow batches of (url, html) in, extraction rows
     out. Imports inside so the closure is self-contained on workers."""
     import sys
-    import time
 
     if REPO_ROOT not in sys.path:  # worker bootstrap
         sys.path.insert(0, REPO_ROOT)
@@ -158,32 +185,10 @@ def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
     part_id = tc.partitionId() if tc is not None else -1
     col_names = [f.name for f in EXTRACT_SCHEMA.fields]
     for pdf_batch in batches:
-        # columnar accumulation: building 12 lists beats 12-key dicts per
-        # row when pandas assembles the Arrow batch (profiled ~8% on the
-        # distributed path)
         cols = {name: [] for name in col_names}
         for url, html in zip(pdf_batch["url"], pdf_batch["html"]):
-            t0 = time.perf_counter()
             buf = bytes(html) if html is not None else b""
-            r = extract_document(buf)
-            elapsed = (time.perf_counter() - t0) * 1000.0
-            cols["url"].append(url)
-            cols["text"].append(r.text)
-            cols["spans"].append(
-                [{"page": s.page, "start": s.start, "end": s.end}
-                 for s in r.spans]
-            )
-            cols["n_pages"].append(r.n_pages)
-            cols["error"].append(r.error)
-            cols["doc_lang"].append(r.lang)
-            cols["doc_title"].append(r.title)
-            cols["created"].append(r.created)
-            cols["annots_text"].append(r.annots)
-            cols["outlines_text"].append(r.outlines)
-            cols["n_chars"].append(len(r.text) if r.text is not None else 0)
-            cols["pdf_bytes"].append(len(buf))
-            cols["kernel_ms"].append(elapsed)
-            cols["part_id"].append(part_id)
+            _append_extract_row(cols, url, buf, part_id, extract_document)
         yield pd.DataFrame(cols, columns=col_names)
 
 
@@ -448,38 +453,13 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
 
         import pandas as pd
 
-        from pdfspark.docgen import (
-            text_to_html,
-            text_to_pdf,
-            text_to_pdf_multipage,
-        )
-
         epoch = datetime.datetime(2025, 1, 1)
         for b in batches:
             urls, tss, htmls, langs = [], [], [], []
             for doc_id, text, lang in zip(b["doc_id"], b["text"], b["lang"]):
                 i = int(doc_id)
-                if non_pdf_every and i % non_pdf_every == 0:
-                    # undecodable junk: exercises error='unknown-format'
-                    html = b"\x00\x01JUNK:%d\xff\xfe" % i
-                elif fmt == "html" or (fmt == "mixed" and i % 2 == 1):
-                    html = text_to_html(text, i, lang or "en")
-                elif fmt == "pdf_multi":
-                    html = text_to_pdf_multipage(text, meta_id=i)
-                elif fmt == "pdf_annot":
-                    # deterministic annotation/outline tiers for the
-                    # oracle: %10 → FreeText + Widget, %5 → FreeText,
-                    # %7 → two bookmarks
-                    html = text_to_pdf(
-                        text, meta_id=i,
-                        freetext_annot=(f"note {i}" if i % 5 == 0 else None),
-                        widget_value=(f"field {i}" if i % 10 == 0 else None),
-                        outline_titles=([f"ch1 {i}", f"ch2 {i}"]
-                                        if i % 7 == 0 else None),
-                    )
-                else:
-                    html = text_to_pdf(text, meta_id=i)
-                urls.append(f"https://corpus.test/{i:08d}.pdf")
+                url, html = _synth_page(i, text, lang, fmt, non_pdf_every)
+                urls.append(url)
                 tss.append(epoch + datetime.timedelta(hours=i % 8760))
                 htmls.append(html)
                 langs.append(lang)
@@ -490,6 +470,78 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
             )
 
     return docs.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def _synth_page(i: int, text: str, lang, fmt: str,
+                non_pdf_every: int) -> tuple:
+    """One synthetic (url, payload) row — shared by pages_from_documents
+    and the fused roundtrip path."""
+    from pdfspark.docgen import text_to_html, text_to_pdf, text_to_pdf_multipage
+
+    if non_pdf_every and i % non_pdf_every == 0:
+        # undecodable junk: exercises error='unknown-format'
+        html = b"\x00\x01JUNK:%d\xff\xfe" % i
+    elif fmt == "html" or (fmt == "mixed" and i % 2 == 1):
+        html = text_to_html(text, i, lang or "en")
+    elif fmt == "pdf_multi":
+        html = text_to_pdf_multipage(text, meta_id=i)
+    elif fmt == "pdf_annot":
+        # deterministic annotation/outline tiers for the oracle:
+        # %10 → FreeText + Widget, %5 → FreeText, %7 → two bookmarks
+        html = text_to_pdf(
+            text, meta_id=i,
+            freetext_annot=(f"note {i}" if i % 5 == 0 else None),
+            widget_value=(f"field {i}" if i % 10 == 0 else None),
+            outline_titles=([f"ch1 {i}", f"ch2 {i}"] if i % 7 == 0 else None),
+        )
+    else:
+        html = text_to_pdf(text, meta_id=i)
+    return f"https://corpus.test/{i:08d}.pdf", html
+
+
+def roundtrip_extract(spark: SparkSession, sf_dir: str,
+                      fmt: str = "pdf") -> DataFrame:
+    """FUSED synth→extract for the roundtrip harness queries.
+
+    ``pages_from_documents → extract_pages`` is the production shape (the
+    real input is a pages table; generation exists only to synthesize the
+    corpus from the driver's documents.parquet). Run separately, the
+    synthetic PDF bytes cross an Arrow boundary twice (gen out, kernel
+    in) — pure harness overhead, ~35% of the roundtrip wall at sf0.1.
+    Here ONE Python stage synthesizes each document and extracts it in
+    the same loop, so payload bytes never leave the worker. Plan shape:
+    scan → repartition(doc_id) → single mapInPandas (plan-asserted in
+    tests/test_plans.py). The unfused production path stays exercised by
+    pdf_spans / pdf_error_rows / pdf_multipage_* / pdf_extract_skew_aware
+    and scripts/submit_extract.py."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if docs.rdd.getNumPartitions() < nparts:
+        docs = docs.repartition(nparts, "doc_id")
+
+    def gen_extract(batches):
+        import sys
+
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from pdfspark.kernel.extract import extract_document
+
+        tc = TaskContext.get()
+        part_id = tc.partitionId() if tc is not None else -1
+        col_names = [f.name for f in EXTRACT_SCHEMA.fields]
+        for b in batches:
+            cols = {name: [] for name in col_names}
+            for doc_id, text, lang in zip(b["doc_id"], b["text"], b["lang"]):
+                i = int(doc_id)
+                url, buf = _synth_page(i, text, lang, fmt, 0)
+                _append_extract_row(cols, url, buf, part_id,
+                                    extract_document)
+            yield pd.DataFrame(cols, columns=col_names)
+
+    return docs.mapInPandas(gen_extract, EXTRACT_SCHEMA)
 
 
 def pages_from_fixtures(spark: SparkSession, copies: int = 1) -> DataFrame:

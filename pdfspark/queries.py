@@ -61,12 +61,14 @@ def _load(spark: SparkSession, sf_dir: str, *names: str) -> None:
 def pdf_extract_roundtrip(spark, sf_dir):
     """Flagship: wrap every documents row into a synthetic PDF
     (distributed), extract with the kernel, emit byte-identical text.
-    Scale: the only Python stage is one mapInPandas; everything else is
-    scan + repartition(salt)."""
-    from pdfspark.pipeline import extract_pages, pages_from_documents
+    Scale: ONE fused Python stage (synth+kernel — the synthetic bytes
+    never cross an Arrow boundary, see pipeline.roundtrip_extract);
+    everything else is scan + repartition. The unfused production path
+    (pages table → extract_pages) is driver-checked by pdf_spans,
+    pdf_error_rows, pdf_multipage_* and pdf_extract_skew_aware."""
+    from pdfspark.pipeline import roundtrip_extract
 
-    pages = pages_from_documents(spark, sf_dir)
-    ext = extract_pages(pages, resalt=False)
+    ext = roundtrip_extract(spark, sf_dir)
     return ext.select(
         F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
         "text",
@@ -1268,11 +1270,11 @@ def html_extract_roundtrip(spark, sf_dir):
     """Boilerplate strip: every document wrapped in a Common-Crawl-style
     page (head/nav/header/aside/footer/scripts) — the extractor must
     return exactly the main-content text (pinned policy in
-    kernel/html_extract.py)."""
-    from pdfspark.pipeline import extract_pages, pages_from_documents
+    kernel/html_extract.py). Same fused single-Python-stage shape as the
+    PDF flagship; the unfused path is covered by mixed_corpus_extract."""
+    from pdfspark.pipeline import roundtrip_extract
 
-    pages = pages_from_documents(spark, sf_dir, fmt="html")
-    ext = extract_pages(pages, prefilter=False, resalt=False)
+    ext = roundtrip_extract(spark, sf_dir, fmt="html")
     return ext.select(
         F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
         "text",

@@ -55,6 +55,18 @@ def test_extraction_salting_is_single_exchange(spark):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_roundtrip_is_single_fused_python_stage(spark):
+    """The flagship roundtrip fuses synth+kernel into ONE mapInPandas
+    (synthetic payload bytes never cross an Arrow boundary) and carries at
+    most one exchange (the doc_id repartition)."""
+    from pdfspark.queries import QUERIES
+
+    for name in ("pdf_extract_roundtrip", "html_extract_roundtrip"):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert plan.count("MapInPandas") == 1, (name, plan)
+        assert plan.count("Exchange") <= 1, (name, plan)
+
+
 def test_q1_whole_stage_codegen(spark):
     from pdfspark.queries import QUERIES
 
