@@ -52,6 +52,19 @@ class Span(NamedTuple):
     end: int
 
 
+class GlyphPos(NamedTuple):
+    """Opt-in geometric position of one glyph: ``offset`` indexes the
+    first char this glyph contributed to the \\f-joined document text;
+    (x, y) is the glyph origin in device space — the translation of the
+    text rendering matrix Tm∘CTM at (0, rise), matching the reference's
+    per-glyph Trm (`src/render/mod.rs:1273-1315`)."""
+
+    page: int
+    offset: int
+    x: float
+    y: float
+
+
 class ExtractResult(NamedTuple):
     text: Optional[str]
     spans: List[Span]
@@ -62,25 +75,35 @@ class ExtractResult(NamedTuple):
     created: Optional[str] = None  # ISO-ish string from the PDF date
     annots: Optional[str] = None  # annotation text, "\n"-joined page order
     outlines: Optional[str] = None  # bookmark titles, pre-order "\n"-joined
+    glyph_positions: Optional[List[GlyphPos]] = None  # opt-in geometry
 
 
-def extract_text(buf: bytes) -> ExtractResult:
+def extract_text(buf: bytes, positions: bool = False) -> ExtractResult:
     """Extract text from one PDF byte buffer. Never raises: failures land
     in ``error`` (stable codes: not-pdf, encrypted, xref, catalog, pages,
-    filter, lex, too-large, predefined-cmap, internal)."""
+    filter, lex, too-large, predefined-cmap, internal).
+
+    ``positions=True`` additionally records per-glyph device-space (x, y)
+    in ``glyph_positions`` — the opt-in geometry column for downstream
+    word-break/column analysis. It forces the per-glyph decode path
+    (≈2.4× slower than the batched default), so the hot extraction path
+    leaves it off."""
     try:
         doc = PdfDocument(buf)
         pages = doc.pages()
         page_texts: List[str] = []
+        glyph_positions: Optional[List[GlyphPos]] = [] if positions else None
+        page_pos: List[List[tuple]] = []
         soft_error: Optional[str] = None
         for page in pages:
             try:
-                txt, err = _extract_page(doc, page)
+                txt, err, gp = _extract_page(doc, page, positions=positions)
             except PdfError as e:
-                txt, err = "", e.code
+                txt, err, gp = "", e.code, None
             except RecursionError:
-                txt, err = "", "recursion"
+                txt, err, gp = "", "recursion", None
             page_texts.append(txt)
+            page_pos.append(gp or [])
             if err and not soft_error:
                 soft_error = err
         text = "\f".join(page_texts)
@@ -88,6 +111,10 @@ def extract_text(buf: bytes) -> ExtractResult:
         off = 0
         for i, t in enumerate(page_texts):
             spans.append(Span(i, off, off + len(t)))
+            if glyph_positions is not None:
+                glyph_positions.extend(
+                    GlyphPos(i, off + o, x, y) for o, x, y in page_pos[i]
+                )
             off += len(t) + 1  # the \f separator
         title, created = _doc_metadata(doc)
         annot_parts: List[str] = []
@@ -96,7 +123,7 @@ def extract_text(buf: bytes) -> ExtractResult:
         annots = "\n".join(annot_parts) if annot_parts else None
         return ExtractResult(
             text, spans, len(pages), soft_error, doc.lang(), title, created,
-            annots, _doc_outlines(doc),
+            annots, _doc_outlines(doc), glyph_positions,
         )
     except PdfError as e:
         return ExtractResult(None, [], 0, e.code, None)
@@ -246,7 +273,7 @@ def extract_document(buf: bytes) -> ExtractResult:
 class _PageInterp:
     """Interpreter state for one page (+ nested Form XObjects)."""
 
-    def __init__(self, doc: PdfDocument) -> None:
+    def __init__(self, doc: PdfDocument, track_positions: bool = False) -> None:
         self.doc = doc
         self.out: List[str] = []
         self.out_len = 0
@@ -256,6 +283,8 @@ class _PageInterp:
         self.ts = TextState()
         self.font_cache: Dict[int, Font] = {}
         self.soft_error: Optional[str] = None
+        # opt-in geometry: (page-relative char offset, x, y) per glyph
+        self.positions: Optional[List[tuple]] = [] if track_positions else None
 
     # ------------------------------------------------------------ emission
 
@@ -289,6 +318,20 @@ class _PageInterp:
             self.soft_error = font.error
         self._maybe_newline()
         ts = self.ts
+        if self.positions is not None:
+            # per-glyph path: one matrix read + one advance per glyph —
+            # the Trm origin the reference computes per glyph
+            # (`src/render/mod.rs:1273-1315`), exposed as geometry
+            for g in font.decode(bytes(raw)):
+                gx, gy = apply(mat_mul(ts.tm, self.gs.ctm), 0.0, ts.rise)
+                self.positions.append((self.out_len, gx, gy))
+                self._emit(g.text)
+                ts.advance(
+                    (g.advance / 1000.0 * ts.font_size + ts.char_spacing
+                     + (ts.word_spacing if g.is_space else 0.0)) * ts.h_scale
+                )
+            _, self.last_y = apply(mat_mul(ts.tm, self.gs.ctm), 0.0, 0.0)
+            return
         text, width_sum, n_glyphs, n_spaces = font.decode_fast(bytes(raw))
         # T12 advance, batched: Σ(w/1000·size + Tc + Tw·is_space) · Th —
         # one translate instead of one mat_mul per glyph
@@ -466,9 +509,10 @@ class _PageInterp:
             self.ts.font, self.ts.font_size = saved_ts_font, saved_ts_size
 
 
-def _extract_page(doc: PdfDocument, page: dict) -> Tuple[str, Optional[str]]:
+def _extract_page(doc: PdfDocument, page: dict,
+                  positions: bool = False) -> Tuple[str, Optional[str], Optional[list]]:
     content = doc.page_content(page)
-    interp = _PageInterp(doc)
+    interp = _PageInterp(doc, track_positions=positions)
     resources = doc.get(page, "Resources")
     interp.run(content, resources if isinstance(resources, dict) else {})
-    return "".join(interp.out), interp.soft_error
+    return "".join(interp.out), interp.soft_error, interp.positions

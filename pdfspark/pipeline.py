@@ -257,6 +257,47 @@ def extract_pages(
     return pages.mapInPandas(_extract_batches, EXTRACT_SCHEMA)
 
 
+POSITIONS_SCHEMA = (
+    "url string, page int, offset long, x double, y double"
+)
+
+
+def extract_pages_positions(pages: DataFrame) -> DataFrame:
+    """Opt-in geometric extraction: one row per glyph with device-space
+    (x, y) — the input for downstream word-break/column detection. Runs
+    the kernel's per-glyph path (≈2.4× the batched decode cost), so it is
+    a SEPARATE operator rather than a column on the hot extraction path;
+    same zero-extra-shuffle mapInPandas shape as extract_pages."""
+    pages = filter_pdf_rows(pages).select("url", "html")
+
+    def run(batches):
+        import sys
+
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
+        import pandas as pd
+
+        from pdfspark.kernel.extract import extract_text
+
+        for b in batches:
+            urls, pgs, offs, xs, ys = [], [], [], [], []
+            for url, html in zip(b["url"], b["html"]):
+                r = extract_text(bytes(html) if html is not None else b"",
+                                 positions=True)
+                for gp in r.glyph_positions or []:
+                    urls.append(url)
+                    pgs.append(gp.page)
+                    offs.append(gp.offset)
+                    xs.append(gp.x)
+                    ys.append(gp.y)
+            yield pd.DataFrame(
+                {"url": urls, "page": pgs, "offset": offs, "x": xs, "y": ys},
+                columns=["url", "page", "offset", "x", "y"],
+            )
+
+    return pages.mapInPandas(run, POSITIONS_SCHEMA)
+
+
 def extract_pages_skew_aware(
     pages: DataFrame,
     nsalt: Optional[int] = None,

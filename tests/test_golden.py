@@ -55,3 +55,41 @@ def test_utf16_title_and_lang_metadata():
     assert r.title == "Grüße 😀"
     assert r.created == "2024-02-15T10:30:00"
     assert r.lang == "de-DE"
+
+
+def test_glyph_positions_on_kerned_fixture():
+    """Opt-in geometry (reference Trm semantics, `src/render/mod.rs:
+    1273-1315`) on t12's TJ-kerned show: x advances by Helvetica AFM
+    width·size/1000 per glyph, kern numbers shift by −n/1000·size, and
+    the default batched path stays position-free AND text-identical."""
+    case = next(c for c in CASES if c.case_id == "t12_tj_kerning")
+    r = extract_text(case.pdf, positions=True)
+    assert r.text == "ABCD"
+    gp = r.glyph_positions
+    assert [p.offset for p in gp] == [0, 1, 2, 3]
+    assert all(p.page == 0 for p in gp)
+    assert all(p.y == pytest.approx(720.0) for p in gp)
+    # Td 72 720; Helvetica widths A=667 B=667 C=722 at size 12
+    xs = [p.x for p in gp]
+    assert xs[0] == pytest.approx(72.0)
+    assert xs[1] == pytest.approx(72.0 + 667 * 0.012 + 120 * 0.012)  # kern -120
+    assert xs[2] == pytest.approx(xs[1] + 667 * 0.012 - 500 * 0.012)  # kern 500
+    assert xs[3] == pytest.approx(xs[2] + 722 * 0.012)
+    # default path: no positions, identical text
+    r0 = extract_text(case.pdf)
+    assert r0.glyph_positions is None and r0.text == r.text
+
+
+def test_glyph_positions_match_text_across_corpus():
+    """Every golden with text: the per-glyph path must emit IDENTICAL
+    text to the batched path (the geometry option can never change the
+    pinned linearization), offsets strictly increasing and in range."""
+    for case in CASES:
+        r0 = extract_text(case.pdf)
+        r1 = extract_text(case.pdf, positions=True)
+        assert r1.text == r0.text, case.case_id
+        assert r1.spans == r0.spans, case.case_id
+        if r1.glyph_positions:
+            offs = [p.offset for p in r1.glyph_positions]
+            assert offs == sorted(offs), case.case_id
+            assert 0 <= offs[0] and offs[-1] < len(r1.text or " "), case.case_id

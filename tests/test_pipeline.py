@@ -194,3 +194,26 @@ def test_filter_supported_rows_modalities(spark):
     assert n_html >= 1                   # h01 html case present
     assert n_none >= n_all               # 'none' keeps unknown-format rows
     pages.unpersist()
+
+
+def test_extract_pages_positions_distributed(spark):
+    """Geometry operator end-to-end on Spark: one row per glyph, offsets
+    index into the extracted text, plan is the same single-mapInPandas
+    shape as the main kernel (no extra exchange)."""
+    from pdfspark.pipeline import extract_pages, extract_pages_positions, pages_from_fixtures
+
+    pages = pages_from_fixtures(spark).cache()
+    pos = extract_pages_positions(pages)
+    plan = pos._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1 and "Exchange" not in plan, plan
+    rows = pos.collect()
+    assert rows, "no glyph rows"
+    texts = {r.url: r.text for r in extract_pages(pages, resalt=False)
+             .select("url", "text").collect()}
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r.url, []).append(r)
+    for url, rs in by_url.items():
+        t = texts[url]
+        assert all(0 <= r.offset < len(t) for r in rs), url
+    pages.unpersist()
