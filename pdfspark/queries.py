@@ -2581,6 +2581,135 @@ def pdf_extract_skew_aware(spark, sf_dir):
 
 
 # =========================================================================
+# r3 pipeline operators: PII scrubbing, deterministic sampling,
+# paragraph-level dedup
+# =========================================================================
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_SSN_RE = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+WITH pii AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com ssn 123-45-6789' AS t
+  FROM documents)
+SELECT doc_id,
+  md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+      '{_SSN_RE}', '[SSN]', 'g')) AS scrubbed_md5,
+  CAST(len(regexp_extract_all(t, '{_EMAIL_RE}'))
+     + len(regexp_extract_all(t, '{_SSN_RE}')) AS BIGINT) AS n_pii
+FROM pii
+""",
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction — a pretraining-compliance pass every crawl corpus
+    runs: emails and SSN-shaped tokens replaced by typed placeholders,
+    with a per-doc redaction count. Deterministic PII is injected so the
+    scrubber provably fires on every row; output is md5(scrubbed) so the
+    full redacted text is value-checked without shipping it. At 100 TB
+    this is a pure map (JVM regex, no Python, no shuffle)."""
+    _load(spark, sf_dir, "documents")
+    pii = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ssn 123-45-6789"),
+        ).alias("t"),
+    )
+    return pii.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("t", _EMAIL_RE, "[EMAIL]"),
+                _SSN_RE, "[SSN]",
+            )
+        ).alias("scrubbed_md5"),
+        (
+            F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), 0))
+            + F.size(F.regexp_extract_all("t", F.lit(_SSN_RE), 0))
+        ).cast("long").alias("n_pii"),
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+SELECT doc_id, lang FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+      AS BIGINT) % 100 < CASE WHEN lang = 'en' THEN 10 ELSE 40 END
+""",
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling — downsample the dominant
+    language, keep more of the rest (the data-mixing step of corpus
+    prep). The sample is a pure function of doc_id (md5 bucket mod 100),
+    NOT rand(): at 100 TB task retries and resumed jobs must produce the
+    identical sample, and the driver can value-check the exact row set.
+    No shuffle — a filter the scan evaluates."""
+    _load(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+    ).cast("long") % 100
+    rate = F.when(F.col("lang") == "en", 10).otherwise(40)
+    return spark.table("documents").filter(bucket < rate).select(
+        "doc_id", "lang"
+    )
+
+
+_PARA_DEDUP_DUCK = """
+WITH """ + _NEARDUP_CORPUS.split("words AS")[0].format(cap=300) + """
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+chunks AS (
+  SELECT doc_id,
+    array_to_string(list_slice(ws, k*12 + 1, k*12 + 12), ' ') AS para
+  FROM w, UNNEST(range(CAST(CEIL(len(ws) / 12.0) AS BIGINT))) t(k))
+SELECT md5(para) AS para_md5,
+  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+  MIN(doc_id) AS canonical_id
+FROM chunks WHERE para <> ''
+GROUP BY md5(para) HAVING COUNT(*) > 1
+"""
+
+_PARA_DEDUP_SPARK = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(text, 1, CAST(FLOOR(length(text)*0.8) AS INT)) AS text
+  FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0),
+w AS (SELECT doc_id, split(text, ' ') AS ws FROM corpus),
+chunks AS (
+  SELECT doc_id,
+    array_join(slice(ws, k*12 + 1, 12), ' ') AS para
+  FROM w LATERAL VIEW explode(
+    sequence(0, CAST(CEIL(size(ws) / 12.0) AS INT) - 1)) t AS k)
+SELECT md5(para) AS para_md5,
+  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+  MIN(doc_id) AS canonical_id
+FROM chunks WHERE para <> ''
+GROUP BY md5(para) HAVING COUNT(*) > 1
+"""
+
+
+@register("dedup_paragraph_exact", oracle=_PARA_DEDUP_DUCK)
+def dedup_paragraph_exact(spark, sf_dir):
+    """Sub-document exact dedup at paragraph granularity (12-word
+    chunks): the step between whole-doc hashing and n-gram near-dup —
+    boilerplate paragraphs repeated across documents surface with their
+    occurrence count and canonical holder. Chunking is arithmetic array
+    slicing (no aggregation-order dependence), the group key is a 32-byte
+    md5 — at 100 TB only digests shuffle, map-side combined. The 80%-
+    prefix mutants guarantee verifiable cross-doc duplicate paragraphs."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(_PARA_DEDUP_SPARK)
+
+
+# =========================================================================
 # Driver-window curation
 # =========================================================================
 # The grading driver verifies a fixed-size prefix of the registered
@@ -2616,7 +2745,10 @@ DRIVER_PRIORITY = [
     "token_count_pandas_udf",
     "html_doc_titles",
     "embedding_norms",
-    # -- output/oracle reworked in r3 (need fresh verdicts) --
+    # -- new in r3 / output or oracle reworked in r3 (need verdicts) --
+    "text_pii_scrub",
+    "sample_stratified",
+    "dedup_paragraph_exact",
     "text_compression_ratio",
     "text_winnowing_neardup",
     "approx_distinct_urls",
@@ -2635,7 +2767,6 @@ DRIVER_PRIORITY = [
     "q5_region_revenue",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "ann_bruteforce_topk",
     "ann_ivf_bucketed",
     "ann_numpy_topk",
@@ -2643,10 +2774,12 @@ DRIVER_PRIORITY = [
     "text_lang_id",
     "text_quality_score",
     "text_token_count",
-    "text_fingerprint",
     "multimodal_meta",
-    "window_running_sum",
     "events_sessionization",
+    # ceded to the r3 additions (2 rounds of green driver history, family
+    # still represented in-window): dedup_simhash (dedup_simhash_pairs),
+    # text_fingerprint (lang/quality/token), window_running_sum
+    # (window_range_interval_frame)
 ]
 
 
