@@ -28,10 +28,54 @@ def run_level(cores: int, sf_dir: str, runs: int) -> dict:
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
-        cmd, capture_output=True, text=True, check=True, cwd=REPO_ROOT,
+        cmd, capture_output=True, text=True, cwd=REPO_ROOT,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit(f"scale_run --cores {cores} failed "
+                         f"(rc={out.returncode}); stderr above")
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
+
+
+def _zlib_work(k: int) -> None:
+    """CPU-bound unit for the hardware-ceiling probe (module-level: Pool
+    workers must pickle it)."""
+    import zlib
+
+    buf = b"the quick brown fox " * 400
+    for _ in range(k):
+        zlib.compress(buf, 6)
+
+
+def hw_ceiling(n: int, reps: int = 2) -> float:
+    """Pure-multiprocessing scaling ceiling of THIS window: the same
+    CPU-bound work (zlib of a fixed buffer — the kernel's dominant
+    primitive mix) pinned to n vs 4n CPUs, no Spark anywhere. On a
+    noisy-neighbor host the machine itself often cannot scale 4→16 at
+    ≥0.8 in a given window (measured 0.70-0.86 across windows); the
+    ceiling contextualizes the Spark number: Spark cannot out-scale the
+    box it runs on."""
+    import multiprocessing as mp
+    import time
+
+    def measure(cpus: int) -> float:
+        os.sched_setaffinity(0, set(range(cpus)))
+        try:
+            with mp.Pool(cpus) as p:
+                t0 = time.perf_counter()
+                p.map(_zlib_work, [200] * 4800,
+                      chunksize=max(1, 4800 // (cpus * 4)))
+                return 4800 * 200 / (time.perf_counter() - t0)
+        finally:
+            os.sched_setaffinity(0, set(range(os.cpu_count())))
+
+    best = 0.0
+    for _ in range(reps):
+        lo = measure(n)
+        hi = measure(4 * n)
+        best = max(best, (hi / lo) / 4.0)
+    return round(best, 3)
 
 
 def main() -> None:
@@ -42,21 +86,37 @@ def main() -> None:
     # see BASELINE.md "hardware ceiling" note.
     n = int(os.environ.get("SCALE_N", "4"))
     runs = int(os.environ.get("SCALE_RUNS", "2"))
-    lo = run_level(n, sf_dir, runs)
-    hi = run_level(4 * n, sf_dir, runs)
+    # INTERLEAVE the levels (lo, hi, lo, hi, …): noisy-neighbor load
+    # drifts minute-to-minute, so running all lo reps then all hi reps
+    # lets a quiet lo window + loud hi window corrupt the ratio in
+    # either direction. Adjacent pairs sample the same regime; take the
+    # best docs_per_sec per level across pairs (quiet-window criterion,
+    # same as bench.py).
+    lo_runs, hi_runs = [], []
+    for _ in range(runs):
+        lo_runs.append(run_level(n, sf_dir, 1))
+        hi_runs.append(run_level(4 * n, sf_dir, 1))
+    lo = max(lo_runs, key=lambda r: r["docs_per_sec"])
+    hi = max(hi_runs, key=lambda r: r["docs_per_sec"])
+    lo["all_runs"] = [r["seconds"] for r in lo_runs]
+    hi["all_runs"] = [r["seconds"] for r in hi_runs]
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
+    ceiling = hw_ceiling(n)
     report = {
         "sf_dir": sf_dir,
         "low": lo,
         "high": hi,
         "scaling_efficiency": round(eff, 3),
+        "hw_ceiling_same_window": ceiling,
+        "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
         "target": 0.8,
         "pass": eff >= 0.8,
     }
     print(json.dumps(report, indent=2))
     row = (
         f"| local[{n}]→local[{4*n}] | {lo['docs']} | {lo['docs_per_sec']} "
-        f"| {hi['docs_per_sec']} | {report['scaling_efficiency']} |\n"
+        f"| {hi['docs_per_sec']} | {report['scaling_efficiency']} "
+        f"(hw ceiling {ceiling}) |\n"
     )
     with open(os.path.join(REPO_ROOT, "BASELINE.md"), "a") as f:
         f.write(row)
