@@ -175,6 +175,75 @@ def text_to_pdf(text: str, chunk: int = 120, meta_id: int = 0,
     return bytes(out)
 
 
+def text_to_pdf_two_column(text: str, meta_id: int = 0,
+                           words_per_line: int = 3) -> bytes:
+    """Two-column layout whose CONTENT-STREAM ORDER IS VISUAL (row-major:
+    left cell, right cell, next row) — the order many real writers emit —
+    while READING order is column-major (all of column 1, then column 2).
+    Operator-order extraction therefore interleaves the columns; only a
+    geometry-aware reader (kernel/layout.py) recovers ``text``. Columns
+    start at x=72 and x=340; with ≤3 words of ≤8 chars per line the
+    widest left-column line ends ≈244pt, leaving a ≥96pt inter-column
+    gap — far above intra-line glyph gaps (≤ a 12pt-space width)."""
+    text = normalize_for_pdf(text)
+    words = text.split(" ")
+    half = (len(words) + 1) // 2
+    col_lines = [
+        [" ".join(c[i : i + words_per_line])
+         for i in range(0, len(c), words_per_line)]
+        for c in (words[:half], words[half:])
+    ]
+    ops = []
+    for row in range(max(len(col_lines[0]), len(col_lines[1]))):
+        for ci, x in ((0, 72), (1, 340)):
+            if row < len(col_lines[ci]) and col_lines[ci][row]:
+                y = 740 - 14 * row
+                ops.append(
+                    f"BT /F1 12 Tf {x} {y} Td "
+                    f"({_escape(col_lines[ci][row])}) Tj ET "
+                )
+    content = "".join(ops).encode("latin-1")
+    data = zlib.compress(content, 6)
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    emit(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    emit(
+        4,
+        b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(data)
+        + data
+        + b"\nendstream",
+    )
+    emit(
+        5,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+    )
+    emit(6, b"<< /Title (doc %d) /Producer (pdfspark-docgen) >>" % meta_id)
+    size = max(offsets) + 1
+    xref_off = len(out)
+    out.extend(b"xref\n0 %d\n0000000000 65535 f \n" % size)
+    for n in range(1, size):
+        out.extend(b"%010d 00000 n \n" % offsets[n])
+    out.extend(
+        b"trailer\n<< /Size %d /Root 1 0 R /Info 6 0 R >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (size, xref_off)
+    )
+    return bytes(out)
+
+
 def text_to_pdf_multipage(text: str, page_chars: int = 500,
                           chunk: int = 120, meta_id: int = 0) -> bytes:
     """N-page variant: ``page_chars`` characters per page (last page

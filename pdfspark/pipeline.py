@@ -298,6 +298,42 @@ def extract_pages_positions(pages: DataFrame) -> DataFrame:
     return pages.mapInPandas(run, POSITIONS_SCHEMA)
 
 
+def columns_reading_order_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused harness for the layout-analysis operator: synthesize
+    two-column visual-order PDFs from documents, extract with glyph
+    positions, reconstruct READING order (kernel/layout.py). Same
+    single-Python-stage shape as roundtrip_extract; output is
+    (url, text) where text must be byte-identical to the source — a
+    full byte-identity oracle for geometry-aware reading order."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if docs.rdd.getNumPartitions() < nparts:
+        docs = docs.repartition(nparts, "doc_id")
+
+    def run(batches):
+        import sys
+
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
+        import pandas as pd
+
+        from pdfspark.kernel.extract import extract_text
+        from pdfspark.kernel.layout import reading_order_text
+
+        for b in batches:
+            urls, texts = [], []
+            for doc_id, text, lang in zip(b["doc_id"], b["text"], b["lang"]):
+                i = int(doc_id)
+                url, buf = _synth_page(i, text, lang, "pdf_2col", 0)
+                r = extract_text(buf, positions=True)
+                urls.append(url)
+                texts.append(reading_order_text(r))
+            yield pd.DataFrame({"url": urls, "text": texts},
+                               columns=["url", "text"])
+
+    return docs.mapInPandas(run, "url string, text string")
+
+
 def extract_pages_skew_aware(
     pages: DataFrame,
     nsalt: Optional[int] = None,
@@ -526,6 +562,10 @@ def _synth_page(i: int, text: str, lang, fmt: str,
         html = text_to_html(text, i, lang or "en")
     elif fmt == "pdf_multi":
         html = text_to_pdf_multipage(text, meta_id=i)
+    elif fmt == "pdf_2col":
+        from pdfspark.docgen import text_to_pdf_two_column
+
+        html = text_to_pdf_two_column(text, meta_id=i)
     elif fmt == "pdf_annot":
         # deterministic annotation/outline tiers for the oracle:
         # %10 → FreeText + Widget, %5 → FreeText, %7 → two bookmarks

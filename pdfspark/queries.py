@@ -2580,6 +2580,26 @@ def pdf_extract_skew_aware(spark, sf_dir):
     )
 
 
+@register(
+    "pdf_columns_reading_order",
+    oracle="SELECT doc_id, text FROM documents",
+)
+def pdf_columns_reading_order(spark, sf_dir):
+    """Layout analysis: two-column PDFs whose content streams are in
+    VISUAL (row-major) order — operator-order extraction interleaves the
+    columns on every document; the geometry-aware reader
+    (kernel/layout.py over the opt-in glyph positions) reconstructs
+    READING order, byte-identical to the source text. The quality lever
+    VERDICT r2 called out as foreclosed by pure linearization."""
+    from pdfspark.pipeline import columns_reading_order_extract
+
+    ext = columns_reading_order_extract(spark, sf_dir)
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+
+
 # =========================================================================
 # r3 pipeline operators: PII scrubbing, deterministic sampling,
 # paragraph-level dedup
@@ -2746,6 +2766,7 @@ DRIVER_PRIORITY = [
     "html_doc_titles",
     "embedding_norms",
     # -- new in r3 / output or oracle reworked in r3 (need verdicts) --
+    "pdf_columns_reading_order",
     "text_pii_scrub",
     "sample_stratified",
     "dedup_paragraph_exact",
@@ -2769,7 +2790,6 @@ DRIVER_PRIORITY = [
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
     "ann_ivf_bucketed",
-    "ann_numpy_topk",
     "embedding_cosine_neardup",
     "text_lang_id",
     "text_quality_score",
@@ -2779,7 +2799,8 @@ DRIVER_PRIORITY = [
     # ceded to the r3 additions (2 rounds of green driver history, family
     # still represented in-window): dedup_simhash (dedup_simhash_pairs),
     # text_fingerprint (lang/quality/token), window_running_sum
-    # (window_range_interval_frame)
+    # (window_range_interval_frame), ann_numpy_topk (bruteforce + IVF +
+    # ann_numpy_ivf)
 ]
 
 

@@ -93,3 +93,32 @@ def test_glyph_positions_match_text_across_corpus():
             offs = [p.offset for p in r1.glyph_positions]
             assert offs == sorted(offs), case.case_id
             assert 0 <= offs[0] and offs[-1] < len(r1.text or " "), case.case_id
+
+
+def test_two_column_reading_order_reconstruction():
+    """The layout-analysis policy (kernel/layout.py): a two-column page
+    written in visual (row-major) order must reconstruct to reading
+    order byte-identically; plain operator-order extraction interleaves
+    the columns (which is exactly why the operator exists)."""
+    from pdfspark.docgen import text_to_pdf_two_column
+    from pdfspark.kernel.layout import reading_order_text
+
+    text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    pdf = text_to_pdf_two_column(text, meta_id=7)
+    r = extract_text(pdf, positions=True)
+    assert reading_order_text(r) == text
+    assert r.text != text  # operator order interleaves the columns
+    # column 1 holds the first half in order, column 2 the second
+    assert r.text.split("\n")[0].startswith("alpha beta gamma")
+    # single-column docs degrade to the same word sequence
+    single = extract_text(
+        __import__("pdfspark.docgen", fromlist=["text_to_pdf"])
+        .text_to_pdf("one two three", meta_id=1),
+        positions=True,
+    )
+    assert reading_order_text(single) == "one two three"
+    # error/empty results never raise
+    from pdfspark.kernel.extract import ExtractResult
+
+    assert reading_order_text(ExtractResult(None, [], 0, "xref", None)) == ""
