@@ -190,6 +190,63 @@ def run_dedup_stream_once(
     return bool(finished)
 
 
+def attribution_join(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INTERVAL join (impression → click attribution): a
+    click matches an impression of the same user within ``horizon`` after
+    it. Both sides carry watermarks AND the join condition bounds event
+    time on both sides — the two requirements that make the state store
+    evictable: an impression can be dropped once the click watermark
+    passes imp_ts + horizon, a click once the impression watermark passes
+    click_ts. Spark ACCEPTS an unbounded inner stream-stream join (it
+    only rejects unbounded OUTER joins) — the state simply grows forever,
+    which is why the interval condition is load-bearing at crawl scale
+    even though nothing forces it."""
+    i = impressions.withWatermark("imp_ts", watermark).alias("i")
+    c = clicks.withWatermark("click_ts", watermark).alias("c")
+    return i.join(
+        c,
+        F.expr(
+            "i.user_id = c.user_id AND "
+            "c.click_ts >= i.imp_ts AND "
+            f"c.click_ts <= i.imp_ts + INTERVAL {horizon}"
+        ),
+    ).select(
+        F.col("i.imp_id"), F.col("i.user_id"),
+        F.col("c.click_id"), F.col("i.imp_ts"), F.col("c.click_ts"),
+    )
+
+
+def run_attribution_join_once(
+    spark: SparkSession,
+    imp_dir: str,
+    click_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    timeout_s: Optional[int] = 120,
+) -> bool:
+    imp_schema = "imp_id long, user_id long, imp_ts timestamp"
+    click_schema = "click_id long, user_id long, click_ts timestamp"
+    imps = spark.readStream.schema(imp_schema).parquet(imp_dir)
+    clicks = spark.readStream.schema(click_schema).parquet(click_dir)
+    q = (
+        attribution_join(imps, clicks)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+    return bool(finished)
+
+
 def stateful_lang_quota(extracted: DataFrame, quota: int = 5) -> DataFrame:
     """Streaming per-key QUOTA operator (applyInPandasWithState): admit at
     most ``quota`` documents per language across the whole stream, drop

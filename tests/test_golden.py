@@ -122,3 +122,22 @@ def test_two_column_reading_order_reconstruction():
     from pdfspark.kernel.extract import ExtractResult
 
     assert reading_order_text(ExtractResult(None, [], 0, "xref", None)) == ""
+
+
+def test_reading_order_never_raises_across_corpus():
+    """Layout reconstruction must be total: every golden (including
+    error documents, empty pages, multi-page docs) flows through
+    reading_order_text without raising, and single-cluster pages keep
+    their word sequence."""
+    from pdfspark.kernel.layout import reading_order_text
+
+    for case in CASES:
+        r = extract_text(case.pdf, positions=True)
+        out = reading_order_text(r)
+        assert isinstance(out, str), case.case_id
+        if r.text is not None and r.glyph_positions:
+            # same multiset of non-space characters (separators may
+            # lawfully change between \n/space under the layout policy)
+            assert sorted(out.replace(" ", "").replace("\f", "")) == \
+                sorted((r.text or "").replace(" ", "").replace("\n", "")
+                       .replace("\f", "")), case.case_id

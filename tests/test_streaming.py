@@ -239,3 +239,61 @@ def test_stateful_quota_admits_at_most_n_per_key(spark, tmp_path):
         r.doc_lang for r in spark.read.parquet(sink).collect()
     )
     assert all(v <= 3 for v in got2.values()), got2
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Watermarked interval join: clicks attribute to same-user
+    impressions within 30 minutes; result equals the equivalent batch
+    join, and removing the time bound is REJECTED by Spark in append
+    mode (the unbounded-state misuse the interval condition exists to
+    prevent)."""
+    import datetime
+
+    from pdfspark.streaming import attribution_join, run_attribution_join_once
+
+    t0 = datetime.datetime(2025, 3, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    imps = [(1, 100, ts(0)), (2, 100, ts(60)), (3, 200, ts(0))]
+    clicks = [
+        (10, 100, ts(10)),   # attributes to imp 1
+        (11, 100, ts(65)),   # attributes to imp 2 (NOT 1: >30min after)
+        (12, 200, ts(31)),   # outside imp 3's horizon — no match
+        (13, 300, ts(5)),    # no impression for this user
+    ]
+    imp_dir, click_dir = str(tmp_path / "imp"), str(tmp_path / "click")
+    spark.createDataFrame(
+        imps, "imp_id long, user_id long, imp_ts timestamp"
+    ).write.parquet(imp_dir)
+    spark.createDataFrame(
+        clicks, "click_id long, user_id long, click_ts timestamp"
+    ).write.parquet(click_dir)
+
+    assert run_attribution_join_once(
+        spark, imp_dir, click_dir,
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    got = {(r.imp_id, r.click_id)
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {(1, 10), (2, 11)}
+
+    # batch-equivalence: the same interval condition over the same rows
+    # as a plain batch join gives the identical pair set (the streaming
+    # answer is the batch answer, just with evictable state)
+    bi = spark.createDataFrame(
+        imps, "imp_id long, user_id long, imp_ts timestamp").alias("i")
+    bc = spark.createDataFrame(
+        clicks, "click_id long, user_id long, click_ts timestamp").alias("c")
+    from pyspark.sql import functions as F
+
+    batch = {
+        (r.imp_id, r.click_id)
+        for r in bi.join(
+            bc,
+            F.expr("i.user_id = c.user_id AND c.click_ts >= i.imp_ts AND "
+                   "c.click_ts <= i.imp_ts + INTERVAL 30 minutes"),
+        ).select("i.imp_id", "c.click_id").collect()
+    }
+    assert got == batch
