@@ -4,7 +4,7 @@ no property tests at all)."""
 
 import zlib
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pdfspark.docgen import text_to_pdf
 from pdfspark.fixtures import lzw_encode, png_predict_encode, runlength_encode
@@ -149,3 +149,41 @@ def test_ttf_cmap_parser_never_raises(data):
     from pdfspark.kernel.fonts import parse_ttf_cmap_subtables
 
     assert isinstance(parse_ttf_cmap_subtables(data), dict)
+
+
+def test_large_inputs_bounded_time():
+    """ADVICE r2: ≤1KB fuzz inputs could never catch decode-work bombs
+    (the format-12 cmap bomb needed ~24KB). Large seeded-random buffers —
+    raw, %PDF-prefixed, and wrapped in a valid sfnt cmap directory with
+    forged subtable records — must finish in bounded time AND never
+    raise: one crafted crawl document must not stall its Spark task.
+    Deterministic seeds (not hypothesis: 64KB binaries defeat its
+    shrinker and health checks)."""
+    import random
+    import struct
+    import time
+
+    from pdfspark.kernel.fonts import parse_ttf_cmap_subtables
+
+    rng = random.Random(42)
+    t0 = time.monotonic()
+    for trial in range(25):
+        size = rng.randrange(4096, 65536)
+        data = rng.randbytes(size)
+        extract_text(data)
+        extract_text(b"%PDF-1.5\n" + data)
+        # sfnt wrapper: 4 subtable records pointing into the payload —
+        # whatever format bytes land there exercise that format's path
+        hdr = struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 0)
+        hdr += struct.pack(">4sIII", b"cmap", 0, 28, size + 36)
+        cmap = struct.pack(">HH", 0, 4)
+        for k in range(4):
+            cmap += struct.pack(">HHI", 3, k, 20 + k * 7)
+        assert isinstance(parse_ttf_cmap_subtables(hdr + cmap + data), dict)
+        # forged-format variants: plant each real format id at each
+        # subtable offset so the parser walks its own structure
+        for fmt in (0, 2, 4, 6, 8, 10, 12):
+            forged = bytearray(hdr + cmap + data)
+            struct.pack_into(">H", forged, len(hdr) + len(cmap), fmt)
+            assert isinstance(parse_ttf_cmap_subtables(bytes(forged)), dict)
+    assert time.monotonic() - t0 < 60.0, "large-input stall"
