@@ -2600,6 +2600,51 @@ def pdf_columns_reading_order(spark, sf_dir):
     )
 
 
+_KEEPLIST_ORACLE = _components_oracle_sql(cap=200).replace(
+    """
+SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+FROM reach GROUP BY src
+""",
+    """
+, labels AS (
+  SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY src)
+SELECT c.doc_id,
+  COALESCE(l.cluster_id, c.doc_id) AS cluster_id,
+  CAST(CASE WHEN COALESCE(l.cluster_id, c.doc_id) = c.doc_id
+       THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id
+""",
+)
+
+
+@register("dedup_keeplist", oracle=_KEEPLIST_ORACLE)
+def dedup_keeplist(spark, sf_dir):
+    """The end-to-end dedup DECISION a pretraining pipeline consumes:
+    every corpus document with its near-dup cluster id and a keep bit —
+    keep the cluster's canonical (minimum doc_id) member, drop the rest;
+    documents outside any cluster keep themselves. Composes the capped
+    shingle-blocked edges + iterative connected components, then joins
+    the labels back over the FULL corpus (unclustered docs must appear).
+    At 100 TB the keep list is the only artifact downstream jobs read —
+    (doc_id, cluster_id, keep) longs, never the texts."""
+    _load(spark, sf_dir, "documents")
+    labels = _dedup_components_impl(spark, sf_dir, cap=200)
+    corpus_cte = (
+        _NEARDUP_CORPUS.split("words AS")[0].format(cap=200)
+        .rstrip().rstrip(",")
+    )
+    corpus = spark.sql("WITH " + corpus_cte + " SELECT doc_id FROM corpus")
+    j = corpus.join(labels, "doc_id", "left")
+    cluster = F.coalesce(labels.cluster_id, corpus.doc_id)
+    return j.select(
+        corpus.doc_id,
+        cluster.alias("cluster_id"),
+        F.when(cluster == corpus.doc_id, 1).otherwise(0)
+         .cast("long").alias("keep"),
+    )
+
+
 # =========================================================================
 # r3 pipeline operators: PII scrubbing, deterministic sampling,
 # paragraph-level dedup
@@ -2767,6 +2812,7 @@ DRIVER_PRIORITY = [
     "embedding_norms",
     # -- new in r3 / output or oracle reworked in r3 (need verdicts) --
     "pdf_columns_reading_order",
+    "dedup_keeplist",
     "text_pii_scrub",
     "sample_stratified",
     "dedup_paragraph_exact",
@@ -2795,12 +2841,12 @@ DRIVER_PRIORITY = [
     "text_quality_score",
     "text_token_count",
     "multimodal_meta",
-    "events_sessionization",
     # ceded to the r3 additions (2 rounds of green driver history, family
     # still represented in-window): dedup_simhash (dedup_simhash_pairs),
     # text_fingerprint (lang/quality/token), window_running_sum
     # (window_range_interval_frame), ann_numpy_topk (bruteforce + IVF +
-    # ann_numpy_ivf)
+    # ann_numpy_ivf), events_sessionization (session_window_agg +
+    # range_join_events_windows)
 ]
 
 
