@@ -67,6 +67,23 @@ def test_roundtrip_is_single_fused_python_stage(spark):
         assert plan.count("Exchange") <= 1, (name, plan)
 
 
+def test_r3_scan_side_operators_are_shuffle_free(spark):
+    """PII scrubbing and stratified sampling are pure maps/filters: they
+    must evaluate inside the scan stage with ZERO exchanges (at 100 TB a
+    stray shuffle here would move the whole corpus); paragraph dedup may
+    shuffle exactly once (the md5 groupBy)."""
+    from pdfspark.queries import QUERIES
+
+    for name in ("text_pii_scrub", "sample_stratified"):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "Exchange" not in plan, (name, plan)
+    plan = plan_of(QUERIES["dedup_paragraph_exact"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1, plan
+    # the sample's scan reads exactly the two projected columns
+    plan = plan_of(QUERIES["sample_stratified"](spark, SF_DIR))
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, plan
+
+
 def test_q1_whole_stage_codegen(spark):
     from pdfspark.queries import QUERIES
 
