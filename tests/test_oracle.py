@@ -116,6 +116,21 @@ def test_driver_window_curation():
         "text_compression_ratio", "pdf_extract_skew_aware",
     }
     assert r2_unverified <= set(DRIVER_PRIORITY)
+    # full-history invariant: every registered query is either in this
+    # round's verified prefix or already holds a green driver verdict
+    # from a prior round — no operator ships without the driver ever
+    # checking it
+    import json
+
+    verified_prior = set()
+    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        try:
+            verified_prior |= set(json.load(open(f)))
+        except FileNotFoundError:
+            pass
+    never = [n for n in QUERIES
+             if n not in DRIVER_PRIORITY and n not in verified_prior]
+    assert not never, f"queries with no driver verdict ever: {never}"
 
 
 def test_oracle_coverage():
