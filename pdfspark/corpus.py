@@ -839,6 +839,34 @@ def all_cases() -> List[Case]:
     _legacy_cjk_case("t44d_ksc_euc", "KSC-EUC-H", "한국어", "euc_kr",
                      "Korea1")
 
+    # ---- t45: Link annotations with URI actions (reference
+    # `src/annotation/link.rs` + `src/actions/uri.rs`): /A /S /URI is
+    # primary, /PA (web-capture original) is the fallback, Dest-only
+    # intra-document links yield nothing
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    c = b.add_stream("<< >>", _simple_show("linked").encode())
+    a1 = b.add(
+        "<< /Type /Annot /Subtype /Link /Rect [0 0 10 10] "
+        "/A << /Type /Action /S /URI /URI (https://ex.test/a) >> >>"
+    )
+    a2 = b.add(
+        "<< /Type /Annot /Subtype /Link /Rect [0 20 10 30] "
+        "/PA << /Type /Action /S /URI /URI (https://ex.test/pa) >> >>"
+    )
+    a3 = b.add(  # Dest-only: no URI to extract
+        "<< /Type /Annot /Subtype /Link /Rect [0 40 10 50] "
+        "/Dest [90 0 R /Fit] >>"
+    )
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R "
+        f"/Annots [{a1} 0 R {a2} 0 R {a3} 0 R] >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    add(Case("t45_link_uris", b.build(root), "linked", None, 1))
+
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",
              b"<!doctype html><html><body>hello web</body></html>",

@@ -73,10 +73,12 @@ def text_to_html(text: str, doc_id: int = 0, lang: str = "en") -> bytes:
 def text_to_pdf(text: str, chunk: int = 120, meta_id: int = 0,
                 freetext_annot: str = None,
                 widget_value: str = None,
-                outline_titles: list = None) -> bytes:
+                outline_titles: list = None,
+                link_uri: str = None) -> bytes:
     """``freetext_annot`` adds a FreeText annotation (/Contents),
-    ``widget_value`` a Widget with a field value (/V), and
-    ``outline_titles`` a flat /Outlines chain of bookmarks — all default
+    ``widget_value`` a Widget with a field value (/V),
+    ``outline_titles`` a flat /Outlines chain of bookmarks, and
+    ``link_uri`` a Link annotation with a /URI action — all default
     off so the pinned roundtrip corpus is unchanged."""
     text = normalize_for_pdf(text)
     shows = "".join(
@@ -95,15 +97,18 @@ def text_to_pdf(text: str, chunk: int = 120, meta_id: int = 0,
         out.extend(b"\nendobj\n")
 
     next_num = 7
-    ft_num = wd_num = ol_num = None
+    ft_num = wd_num = ol_num = lk_num = None
     if freetext_annot is not None:
         ft_num, next_num = next_num, next_num + 1
     if widget_value is not None:
         wd_num, next_num = next_num, next_num + 1
+    if link_uri is not None:
+        lk_num, next_num = next_num, next_num + 1
     if outline_titles:
         ol_num = next_num
         next_num += 1 + len(outline_titles)  # root + one item per title
-    annot_refs = [b"%d 0 R" % n for n in (ft_num, wd_num) if n is not None]
+    annot_refs = [b"%d 0 R" % n
+                  for n in (ft_num, wd_num, lk_num) if n is not None]
     annots_entry = (
         b" /Annots [" + b" ".join(annot_refs) + b"]" if annot_refs else b""
     )
@@ -145,6 +150,13 @@ def text_to_pdf(text: str, chunk: int = 120, meta_id: int = 0,
             b"<< /Type /Annot /Subtype /Widget /FT /Tx "
             b"/Rect [10 50 200 80] /T (field1) "
             b"/V (" + _escape(widget_value).encode("latin-1") + b") >>",
+        )
+    if lk_num is not None:
+        emit(
+            lk_num,
+            b"<< /Type /Annot /Subtype /Link /Rect [10 90 200 110] "
+            b"/A << /Type /Action /S /URI /URI ("
+            + _escape(link_uri).encode("latin-1") + b") >> >>",
         )
     if ol_num is not None:
         n_items = len(outline_titles)

@@ -76,6 +76,7 @@ class ExtractResult(NamedTuple):
     annots: Optional[str] = None  # annotation text, "\n"-joined page order
     outlines: Optional[str] = None  # bookmark titles, pre-order "\n"-joined
     glyph_positions: Optional[List[GlyphPos]] = None  # opt-in geometry
+    links: Optional[str] = None  # Link-annotation URIs, "\n"-joined
 
 
 def extract_text(buf: bytes, positions: bool = False) -> ExtractResult:
@@ -118,12 +119,15 @@ def extract_text(buf: bytes, positions: bool = False) -> ExtractResult:
             off += len(t) + 1  # the \f separator
         title, created = _doc_metadata(doc)
         annot_parts: List[str] = []
+        link_parts: List[str] = []
         for page in pages:
             annot_parts.extend(_page_annotations(doc, page))
+            link_parts.extend(_page_link_uris(doc, page))
         annots = "\n".join(annot_parts) if annot_parts else None
+        links = "\n".join(link_parts) if link_parts else None
         return ExtractResult(
             text, spans, len(pages), soft_error, doc.lang(), title, created,
-            annots, _doc_outlines(doc), glyph_positions,
+            annots, _doc_outlines(doc), glyph_positions, links,
         )
     except PdfError as e:
         return ExtractResult(None, [], 0, e.code, None)
@@ -186,6 +190,43 @@ def _page_annotations(doc: PdfDocument, page: dict) -> List[str]:
                         field_val = decode_text_string(v)
                         if field_val:
                             out.append(field_val)
+            except PdfError:
+                continue
+    except PdfError:
+        pass
+    return out
+
+
+def _page_link_uris(doc: PdfDocument, page: dict) -> List[str]:
+    """Hyperlink targets: /Subtype /Link annotations whose action is a
+    URI action (reference: `src/annotation/link.rs` LinkAnnotation.a +
+    `src/actions/uri.rs` UriAction) — outbound links are first-class
+    crawl signal. /A /S /URI is the primary source; the /PA (web-capture
+    original URI) entry is the fallback the reference also models.
+    Dest-only (intra-document) links carry no URI and are skipped."""
+    out: List[str] = []
+    try:
+        annots = doc.get(page, "Annots")
+        if not isinstance(annots, list):
+            return out
+        for a in annots[:1024]:  # bomb guard
+            try:
+                a = doc.resolve(a)
+                if not isinstance(a, dict):
+                    continue
+                if str(doc.get(a, "Subtype") or "") != "Link":
+                    continue
+                for action_key in ("A", "PA"):
+                    act = doc.resolve(a.get(action_key))
+                    if isinstance(act, dict) \
+                            and str(doc.get(act, "S") or "") == "URI":
+                        uri = doc.resolve(act.get("URI"))
+                        if isinstance(uri, (bytes, PdfString)):
+                            # URIs are 7-bit ASCII by spec (§12.6.4.7);
+                            # tolerate 8-bit dirt as utf-8-with-fallback
+                            out.append(
+                                bytes(uri).decode("utf-8", "replace"))
+                            break
             except PdfError:
                 continue
     except PdfError:

@@ -93,6 +93,7 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("pdf_bytes", T.LongType()),
         T.StructField("kernel_ms", T.DoubleType()),
         T.StructField("part_id", T.IntegerType()),
+        T.StructField("links_uri", T.StringType()),
     ]
 )
 
@@ -167,6 +168,7 @@ def _append_extract_row(cols: dict, url, buf: bytes, part_id: int,
     cols["pdf_bytes"].append(len(buf))
     cols["kernel_ms"].append(elapsed)
     cols["part_id"].append(part_id)
+    cols["links_uri"].append(r.links)
 
 
 def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -567,13 +569,15 @@ def _synth_page(i: int, text: str, lang, fmt: str,
 
         html = text_to_pdf_two_column(text, meta_id=i)
     elif fmt == "pdf_annot":
-        # deterministic annotation/outline tiers for the oracle:
-        # %10 → FreeText + Widget, %5 → FreeText, %7 → two bookmarks
+        # deterministic annotation/outline/link tiers for the oracle:
+        # %10 → FreeText + Widget, %5 → FreeText, %7 → two bookmarks,
+        # %4 → Link annotation with a /URI action
         html = text_to_pdf(
             text, meta_id=i,
             freetext_annot=(f"note {i}" if i % 5 == 0 else None),
             widget_value=(f"field {i}" if i % 10 == 0 else None),
             outline_titles=([f"ch1 {i}", f"ch2 {i}"] if i % 7 == 0 else None),
+            link_uri=(f"https://link.test/{i}" if i % 4 == 0 else None),
         )
     else:
         html = text_to_pdf(text, meta_id=i)

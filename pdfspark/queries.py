@@ -1379,6 +1379,32 @@ def pdf_outlines(spark, sf_dir):
     )
 
 
+@register(
+    "pdf_link_uris",
+    oracle="SELECT doc_id,"
+           " CASE WHEN doc_id % 4 = 0 THEN"
+           "   'https://link.test/' || CAST(doc_id AS VARCHAR)"
+           " ELSE NULL END AS links_uri"
+           " FROM documents",
+)
+def pdf_link_uris(spark, sf_dir):
+    """Outbound hyperlink surface (reference Link annotations + URI
+    actions, `src/annotation/link.rs` + `src/actions/uri.rs`): /Link
+    annots whose /A (or web-capture /PA) action is /S /URI yield the
+    target, "\\n"-joined in page order — the link-graph signal a crawl
+    pipeline feeds back into its frontier. Generator plants a link on
+    every 4th doc so the oracle is exact."""
+    from pdfspark.pipeline import extract_pages, pages_from_documents
+
+    ext = extract_pages(
+        pages_from_documents(spark, sf_dir, fmt="pdf_annot"), resalt=False
+    )
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        "links_uri",
+    )
+
+
 # =========================================================================
 # Kernel-side text/vector operators (not SQL-expressible → rows-only gate)
 # =========================================================================
@@ -2812,6 +2838,7 @@ DRIVER_PRIORITY = [
     "embedding_norms",
     # -- new in r3 / output or oracle reworked in r3 (need verdicts) --
     "pdf_columns_reading_order",
+    "pdf_link_uris",
     "dedup_keeplist",
     "text_pii_scrub",
     "sample_stratified",
@@ -2840,13 +2867,13 @@ DRIVER_PRIORITY = [
     "text_lang_id",
     "text_quality_score",
     "text_token_count",
-    "multimodal_meta",
     # ceded to the r3 additions (2 rounds of green driver history, family
     # still represented in-window): dedup_simhash (dedup_simhash_pairs),
     # text_fingerprint (lang/quality/token), window_running_sum
     # (window_range_interval_frame), ann_numpy_topk (bruteforce + IVF +
     # ann_numpy_ivf), events_sessionization (session_window_agg +
-    # range_join_events_windows)
+    # range_join_events_windows), multimodal_meta (frame_sample +
+    # feature_extract)
 ]
 
 

@@ -140,3 +140,17 @@ def test_utf8_bom_text_string():
     assert decode_text_string(b"\xef\xbb\xbfGr\xc3\xbc\xc3\x9fe") == "Grüße"
     assert decode_text_string(b"\xfe\xff\x00A") == "A"
     assert decode_text_string(b"plain") == "plain"
+
+
+def test_link_uri_extraction():
+    """Link annotations (reference `src/annotation/link.rs` +
+    `src/actions/uri.rs`): /A /S /URI primary, /PA fallback, Dest-only
+    links skipped; links never leak into annots_text."""
+    from pdfspark.corpus import all_cases
+    from pdfspark.kernel.extract import extract_text
+
+    case = next(c for c in all_cases() if c.case_id == "t45_link_uris")
+    r = extract_text(case.pdf)
+    assert r.text == "linked" and r.error is None
+    assert r.links == "https://ex.test/a\nhttps://ex.test/pa"
+    assert r.annots is None
