@@ -187,6 +187,66 @@ def text_to_pdf(text: str, chunk: int = 120, meta_id: int = 0,
     return bytes(out)
 
 
+def text_to_pdf_kerned(text: str, meta_id: int = 0,
+                       words_per_line: int = 8) -> bytes:
+    """Words positioned by TJ KERNS with NO space glyphs — the classic
+    layout that defeats pure operator-order linearization (the pinned
+    policy inserts nothing for kerns, matching the reference, so the
+    plain text reads "worda­wordb…"). Each gap is −278 milliunits (the
+    Helvetica space advance), recoverable only from glyph geometry
+    (kernel/layout.py word-break policy). Lines of ``words_per_line``
+    words; the reading-order reconstruction must reproduce ``text``."""
+    text = normalize_for_pdf(text)
+    words = text.split(" ")
+    ops = []
+    for row_start in range(0, len(words), words_per_line):
+        line = words[row_start : row_start + words_per_line]
+        tj = " ".join(f"({_escape(w)}) -278" for w in line)
+        tj = tj.rsplit(" -278", 1)[0]  # no trailing kern
+        y = 740 - 14 * (row_start // words_per_line)
+        ops.append(f"BT /F1 12 Tf 72 {y} Td [{tj}] TJ ET ")
+    content = "".join(ops).encode("latin-1")
+    data = zlib.compress(content, 6)
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    emit(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    emit(
+        4,
+        b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(data)
+        + data
+        + b"\nendstream",
+    )
+    emit(
+        5,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+    )
+    emit(6, b"<< /Title (doc %d) /Producer (pdfspark-docgen) >>" % meta_id)
+    size = max(offsets) + 1
+    xref_off = len(out)
+    out.extend(b"xref\n0 %d\n0000000000 65535 f \n" % size)
+    for n in range(1, size):
+        out.extend(b"%010d 00000 n \n" % offsets[n])
+    out.extend(
+        b"trailer\n<< /Size %d /Root 1 0 R /Info 6 0 R >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (size, xref_off)
+    )
+    return bytes(out)
+
+
 def text_to_pdf_two_column(text: str, meta_id: int = 0,
                            words_per_line: int = 3) -> bytes:
     """Two-column layout whose CONTENT-STREAM ORDER IS VISUAL (row-major:

@@ -57,12 +57,16 @@ class GlyphPos(NamedTuple):
     first char this glyph contributed to the \\f-joined document text;
     (x, y) is the glyph origin in device space — the translation of the
     text rendering matrix Tm∘CTM at (0, rise), matching the reference's
-    per-glyph Trm (`src/render/mod.rs:1273-1315`)."""
+    per-glyph Trm (`src/render/mod.rs:1273-1315`); ``w`` is the glyph's
+    device-space x-displacement (advance incl. Tc/Tw/Th, post-matrix),
+    so ``x + w`` is where the NEXT glyph of an unkerned run starts —
+    the quantity word-break detection compares against actual next.x."""
 
     page: int
     offset: int
     x: float
     y: float
+    w: float = 0.0
 
 
 class ExtractResult(NamedTuple):
@@ -114,7 +118,8 @@ def extract_text(buf: bytes, positions: bool = False) -> ExtractResult:
             spans.append(Span(i, off, off + len(t)))
             if glyph_positions is not None:
                 glyph_positions.extend(
-                    GlyphPos(i, off + o, x, y) for o, x, y in page_pos[i]
+                    GlyphPos(i, off + o, x, y, w)
+                    for o, x, y, w in page_pos[i]
                 )
             off += len(t) + 1  # the \f separator
         title, created = _doc_metadata(doc)
@@ -365,12 +370,14 @@ class _PageInterp:
             # (`src/render/mod.rs:1273-1315`), exposed as geometry
             for g in font.decode(bytes(raw)):
                 gx, gy = apply(mat_mul(ts.tm, self.gs.ctm), 0.0, ts.rise)
-                self.positions.append((self.out_len, gx, gy))
+                off = self.out_len
                 self._emit(g.text)
                 ts.advance(
                     (g.advance / 1000.0 * ts.font_size + ts.char_spacing
                      + (ts.word_spacing if g.is_space else 0.0)) * ts.h_scale
                 )
+                nx, _ = apply(mat_mul(ts.tm, self.gs.ctm), 0.0, ts.rise)
+                self.positions.append((off, gx, gy, nx - gx))
             _, self.last_y = apply(mat_mul(ts.tm, self.gs.ctm), 0.0, 0.0)
             return
         text, width_sum, n_glyphs, n_spaces = font.decode_fast(bytes(raw))

@@ -14,7 +14,14 @@ The reference renders glyphs at positions and never linearizes
 2. Within a column, glyphs group into lines by exact baseline y, lines
    read top-to-bottom (descending y, PDF device space), glyphs within a
    line left-to-right (ascending x, ties by text offset).
-3. Lines join with a single space; columns (left-to-right) join with a
+3. Kerned word breaks: within a line, a horizontal gap between the end
+   of one glyph (x + w) and the start of the next wider than
+   ``WORD_GAP_FRACTION`` × the line's median glyph advance reads as a
+   word boundary (one space) — the case where writers position words by
+   kerning with no space glyphs at all. Ordinary kern adjustments
+   (±~0.1 em) sit far below the threshold; explicit space glyphs
+   consume their own advance so no double space appears.
+4. Lines join with a single space; columns (left-to-right) join with a
    single space; pages join with "\\f" (same separator as spans).
 
 A single-column page degrades to the identity-ish transform (one
@@ -29,6 +36,11 @@ from typing import List
 from pdfspark.kernel.extract import ExtractResult
 
 COLUMN_GAP_PT = 60.0
+# word boundary when inter-glyph gap > this fraction of the line's
+# median glyph advance: a typographic space is ~0.25-0.33 em while
+# median lowercase advances are ~0.5 em, so 0.35×median ≈ 0.18 em sits
+# between kern-adjustment noise (≲0.12 em) and real inter-word gaps
+WORD_GAP_FRACTION = 0.35
 
 
 def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT) -> str:
@@ -75,14 +87,36 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT) -> str:
         for g, s in slices:
             columns.setdefault(col_of(g.x), {}).setdefault(
                 round(g.y, 3), []
-            ).append((g.x, g.offset, s))
+            ).append((g.x, g.offset, s, g.w))
         col_texts = []
         for c in sorted(columns):
             lines = columns[c]
             line_texts = [
-                "".join(s for _, _, s in sorted(lines[y]))
+                _assemble_line(sorted(lines[y]))
                 for y in sorted(lines, reverse=True)
             ]
             col_texts.append(" ".join(t for t in line_texts if t))
         pages.append(" ".join(t for t in col_texts if t))
     return "\f".join(pages)
+
+
+def _assemble_line(glyphs: List[tuple]) -> str:
+    """Join one line's glyphs (sorted by x), inserting a space at kerned
+    word boundaries (policy #3): gap = next.x − (cur.x + cur.w) wider
+    than WORD_GAP_FRACTION × median advance ⇒ one space, unless a space
+    is already there."""
+    if not glyphs:
+        return ""
+    advances = sorted(w for _, _, _, w in glyphs if w > 0)
+    median_w = advances[len(advances) // 2] if advances else 0.0
+    threshold = WORD_GAP_FRACTION * median_w
+    parts = [glyphs[0][2]]
+    for i in range(1, len(glyphs)):
+        x, _, s, _ = glyphs[i]
+        px, _, ps, pw = glyphs[i - 1]
+        gap = x - (px + pw)
+        if (threshold > 0 and gap > threshold
+                and not ps.endswith(" ") and not s.startswith(" ")):
+            parts.append(" ")
+        parts.append(s)
+    return "".join(parts)

@@ -260,7 +260,7 @@ def extract_pages(
 
 
 POSITIONS_SCHEMA = (
-    "url string, page int, offset long, x double, y double"
+    "url string, page int, offset long, x double, y double, w double"
 )
 
 
@@ -282,7 +282,7 @@ def extract_pages_positions(pages: DataFrame) -> DataFrame:
         from pdfspark.kernel.extract import extract_text
 
         for b in batches:
-            urls, pgs, offs, xs, ys = [], [], [], [], []
+            urls, pgs, offs, xs, ys, ws = [], [], [], [], [], []
             for url, html in zip(b["url"], b["html"]):
                 r = extract_text(bytes(html) if html is not None else b"",
                                  positions=True)
@@ -292,17 +292,22 @@ def extract_pages_positions(pages: DataFrame) -> DataFrame:
                     offs.append(gp.offset)
                     xs.append(gp.x)
                     ys.append(gp.y)
+                    ws.append(gp.w)
             yield pd.DataFrame(
-                {"url": urls, "page": pgs, "offset": offs, "x": xs, "y": ys},
-                columns=["url", "page", "offset", "x", "y"],
+                {"url": urls, "page": pgs, "offset": offs,
+                 "x": xs, "y": ys, "w": ws},
+                columns=["url", "page", "offset", "x", "y", "w"],
             )
 
     return pages.mapInPandas(run, POSITIONS_SCHEMA)
 
 
-def columns_reading_order_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fused harness for the layout-analysis operator: synthesize
-    two-column visual-order PDFs from documents, extract with glyph
+def columns_reading_order_extract(spark: SparkSession, sf_dir: str,
+                                  fmt: str = "pdf_2col") -> DataFrame:
+    """Fused harness for the layout-analysis operator: synthesize PDFs
+    whose content-stream order defeats plain linearization — fmt
+    'pdf_2col' (two columns written row-major) or 'pdf_kerned' (words
+    positioned by kerns with no space glyphs) — extract with glyph
     positions, reconstruct READING order (kernel/layout.py). Same
     single-Python-stage shape as roundtrip_extract; output is
     (url, text) where text must be byte-identical to the source — a
@@ -326,7 +331,7 @@ def columns_reading_order_extract(spark: SparkSession, sf_dir: str) -> DataFrame
             urls, texts = [], []
             for doc_id, text, lang in zip(b["doc_id"], b["text"], b["lang"]):
                 i = int(doc_id)
-                url, buf = _synth_page(i, text, lang, "pdf_2col", 0)
+                url, buf = _synth_page(i, text, lang, fmt, 0)
                 r = extract_text(buf, positions=True)
                 urls.append(url)
                 texts.append(reading_order_text(r))
@@ -568,6 +573,10 @@ def _synth_page(i: int, text: str, lang, fmt: str,
         from pdfspark.docgen import text_to_pdf_two_column
 
         html = text_to_pdf_two_column(text, meta_id=i)
+    elif fmt == "pdf_kerned":
+        from pdfspark.docgen import text_to_pdf_kerned
+
+        html = text_to_pdf_kerned(text, meta_id=i)
     elif fmt == "pdf_annot":
         # deterministic annotation/outline/link tiers for the oracle:
         # %10 → FreeText + Widget, %5 → FreeText, %7 → two bookmarks,

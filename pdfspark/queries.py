@@ -1380,6 +1380,27 @@ def pdf_outlines(spark, sf_dir):
 
 
 @register(
+    "pdf_kerned_wordbreak",
+    oracle="SELECT doc_id, text FROM documents",
+)
+def pdf_kerned_wordbreak(spark, sf_dir):
+    """Geometry-aware WORD-BREAK: every document rendered with words
+    positioned by TJ kerns and NO space glyphs — the pinned
+    linearization (kerns insert nothing, matching the reference)
+    necessarily reads them glued together; only the glyph-gap policy
+    (kernel/layout.py #3: gap > 0.35×median advance ⇒ space) recovers
+    the text, byte-identically. The complementary failure mode to
+    pdf_columns_reading_order."""
+    from pdfspark.pipeline import columns_reading_order_extract
+
+    ext = columns_reading_order_extract(spark, sf_dir, fmt="pdf_kerned")
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+
+
+@register(
     "pdf_link_uris",
     oracle="SELECT doc_id,"
            " CASE WHEN doc_id % 4 = 0 THEN"
@@ -2838,6 +2859,7 @@ DRIVER_PRIORITY = [
     "embedding_norms",
     # -- new in r3 / output or oracle reworked in r3 (need verdicts) --
     "pdf_columns_reading_order",
+    "pdf_kerned_wordbreak",
     "pdf_link_uris",
     "dedup_keeplist",
     "text_pii_scrub",
@@ -2864,16 +2886,15 @@ DRIVER_PRIORITY = [
     "ann_bruteforce_topk",
     "ann_ivf_bucketed",
     "embedding_cosine_neardup",
-    "text_lang_id",
     "text_quality_score",
     "text_token_count",
     # ceded to the r3 additions (2 rounds of green driver history, family
     # still represented in-window): dedup_simhash (dedup_simhash_pairs),
-    # text_fingerprint (lang/quality/token), window_running_sum
-    # (window_range_interval_frame), ann_numpy_topk (bruteforce + IVF +
-    # ann_numpy_ivf), events_sessionization (session_window_agg +
-    # range_join_events_windows), multimodal_meta (frame_sample +
-    # feature_extract)
+    # text_fingerprint + text_lang_id (quality/token/gopher),
+    # window_running_sum (window_range_interval_frame), ann_numpy_topk
+    # (bruteforce + IVF + ann_numpy_ivf), events_sessionization
+    # (session_window_agg + range_join_events_windows), multimodal_meta
+    # (frame_sample + feature_extract)
 ]
 
 

@@ -141,3 +141,22 @@ def test_reading_order_never_raises_across_corpus():
             assert sorted(out.replace(" ", "").replace("\f", "")) == \
                 sorted((r.text or "").replace(" ", "").replace("\n", "")
                        .replace("\f", "")), case.case_id
+
+
+def test_kerned_wordbreak_reconstruction():
+    """Word-break policy (kernel/layout.py #3): words positioned by TJ
+    kerns with no space glyphs glue together under the pinned
+    linearization but reconstruct with spaces from glyph gaps; ordinary
+    kern adjustments (t12's ±0.12/0.5 em) stay below the threshold so
+    'ABCD' is NOT broken apart."""
+    from pdfspark.docgen import text_to_pdf_kerned
+    from pdfspark.kernel.layout import reading_order_text
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    r = extract_text(text_to_pdf_kerned(text, meta_id=3), positions=True)
+    assert " " not in (r.text or " ").replace("\n", "")  # really glued
+    assert reading_order_text(r) == text
+    # t12 policy guard: kern adjustments must not become spaces
+    t12 = next(c for c in CASES if c.case_id == "t12_tj_kerning")
+    r12 = extract_text(t12.pdf, positions=True)
+    assert reading_order_text(r12) == "ABCD"
