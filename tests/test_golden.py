@@ -160,3 +160,20 @@ def test_kerned_wordbreak_reconstruction():
     t12 = next(c for c in CASES if c.case_id == "t12_tj_kerning")
     r12 = extract_text(t12.pdf, positions=True)
     assert reading_order_text(r12) == "ABCD"
+
+
+def test_two_column_ragged_margins_still_reconstruct():
+    """Ragged column edges (variable words per line) shrink the
+    inter-column gap; the x-multiset splitter must still find it as long
+    as no line crosses the gutter."""
+    from pdfspark.docgen import text_to_pdf_two_column
+    from pdfspark.kernel.extract import extract_text as _et
+    from pdfspark.kernel.layout import reading_order_text
+
+    words = [f"w{i}" for i in range(40)]
+    text = " ".join(words)
+    # words_per_line 1..3 produces strongly ragged right edges
+    for wpl in (1, 2, 3):
+        pdf = text_to_pdf_two_column(text, meta_id=wpl, words_per_line=wpl)
+        r = _et(pdf, positions=True)
+        assert reading_order_text(r) == text, f"wpl={wpl}"
