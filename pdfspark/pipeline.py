@@ -577,6 +577,14 @@ def _synth_page(i: int, text: str, lang, fmt: str,
         from pdfspark.docgen import text_to_pdf_kerned
 
         html = text_to_pdf_kerned(text, meta_id=i)
+    elif fmt == "pdf_layout_mix":
+        # heterogeneous layouts, chosen deterministically per doc:
+        # plain flow / two-column visual order / kern-positioned words
+        from pdfspark.docgen import text_to_pdf_kerned, text_to_pdf_two_column
+
+        html = (text_to_pdf(text, meta_id=i) if i % 3 == 0
+                else text_to_pdf_two_column(text, meta_id=i) if i % 3 == 1
+                else text_to_pdf_kerned(text, meta_id=i))
     elif fmt == "pdf_annot":
         # deterministic annotation/outline/link tiers for the oracle:
         # %10 → FreeText + Widget, %5 → FreeText, %7 → two bookmarks,

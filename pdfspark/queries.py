@@ -1401,6 +1401,28 @@ def pdf_kerned_wordbreak(spark, sf_dir):
 
 
 @register(
+    "pdf_layout_mix_extract",
+    oracle="SELECT doc_id, text FROM documents",
+)
+def pdf_layout_mix_extract(spark, sf_dir):
+    """ONE geometry-aware extractor over a heterogeneous-layout corpus:
+    each doc renders as plain flow, two-column visual order, or
+    kern-positioned words (deterministic by doc_id%3), and the SAME
+    reading-order reconstruction must return byte-identical text for
+    all three — plain docs pass through unchanged (single line, zero
+    gaps), layouts that defeat linearization are recovered from
+    geometry. The corpus-safety claim for running layout analysis
+    corpus-wide at 100 TB."""
+    from pdfspark.pipeline import columns_reading_order_extract
+
+    ext = columns_reading_order_extract(spark, sf_dir, fmt="pdf_layout_mix")
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+
+
+@register(
     "pdf_link_uris",
     oracle="SELECT doc_id,"
            " CASE WHEN doc_id % 4 = 0 THEN"
@@ -2860,6 +2882,7 @@ DRIVER_PRIORITY = [
     # -- new in r3 / output or oracle reworked in r3 (need verdicts) --
     "pdf_columns_reading_order",
     "pdf_kerned_wordbreak",
+    "pdf_layout_mix_extract",
     "pdf_link_uris",
     "dedup_keeplist",
     "text_pii_scrub",
@@ -2886,11 +2909,11 @@ DRIVER_PRIORITY = [
     "ann_bruteforce_topk",
     "ann_ivf_bucketed",
     "embedding_cosine_neardup",
-    "text_quality_score",
     "text_token_count",
     # ceded to the r3 additions (2 rounds of green driver history, family
     # still represented in-window): dedup_simhash (dedup_simhash_pairs),
-    # text_fingerprint + text_lang_id (quality/token/gopher),
+    # text_fingerprint + text_lang_id + text_quality_score
+    # (token/gopher/corpus_quality_filter),
     # window_running_sum (window_range_interval_frame), ann_numpy_topk
     # (bruteforce + IVF + ann_numpy_ivf), events_sessionization
     # (session_window_agg + range_join_events_windows), multimodal_meta
