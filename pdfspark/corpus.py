@@ -867,6 +867,16 @@ def all_cases() -> List[Case]:
     root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
     add(Case("t45_link_uris", b.build(root), "linked", None, 1))
 
+    # ---- t46: ENCRYPTED object stream + xref stream (the common
+    # PDF 1.5+ shape): catalog/pages/page/Info live in an RC4-encrypted
+    # objstm, cross-referenced by an unencrypted xref stream; strings
+    # inside the objstm are NOT individually encrypted (§7.5.7)
+    from pdfspark.crypto_fixtures import build_encrypted_objstm_pdf
+
+    add(Case("t46_encrypted_objstm",
+             build_encrypted_objstm_pdf("objstm secret"),
+             "objstm secret", None, 1))
+
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",
              b"<!doctype html><html><body>hello web</body></html>",

@@ -6,6 +6,7 @@ from __future__ import annotations
 import hashlib
 
 from pdfspark.fixtures import BASE14, PdfBuilder, _simple_show
+from pdfspark.docgen import _escape
 from pdfspark.kernel.encryption import (
     SecurityHandler,
     compute_encryption_key,
@@ -232,6 +233,95 @@ def build_encmeta_false_pdf(text: str, xmp: bytes) -> bytes:
         f" /Encrypt {enc_num} 0 R"
         f" /ID [<{file_id0.hex()}> <{file_id0.hex()}>]"
     ))
+
+
+def build_encrypted_objstm_pdf(text: str, title: str = "ObjStm Title") -> bytes:
+    """RC4-encrypted PDF 1.5 shape: catalog/pages/page/Info packed into an
+    OBJECT STREAM whose container is itself encrypted (decrypt → inflate),
+    cross-referenced by an (unencrypted, §7.5.8.2) XREF STREAM with type-2
+    entries. Pins two subtle behaviors at once: the objstm container
+    decrypts with its own object key, and strings INSIDE an object stream
+    are NOT individually encrypted (§7.5.7) — the /Info /Title must come
+    out readable without a second decryption pass."""
+    import struct as _s
+    import zlib as _z
+
+    revision, key_len = 3, 16
+    file_id0 = hashlib.md5(b"pdfspark-objstm-id").digest()
+    p = -44
+    o_entry = compute_o_entry(b"", b"", revision, key_len)
+    key = compute_encryption_key(o_entry, p, file_id0, revision, key_len, True)
+    u_entry = compute_u_entry(key, file_id0, revision)
+    handler = SecurityHandler(key, "rc4", revision)
+
+    # obj 2: content stream — RC4 with (2, 0)'s key
+    content = _simple_show(text).encode("latin-1")
+    enc_content = handler.encrypt(content, 2, 0)
+
+    # objs 3/4/5/9 live inside object stream 6
+    inner = [
+        (3, b"<< /Type /Page /Parent 4 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 1 0 R >> >> /Contents 2 0 R >>"),
+        (4, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (5, b"<< /Type /Catalog /Pages 4 0 R >>"),
+        (9, b"<< /Title (" + _escape(title).encode("latin-1") + b") >>"),
+    ]
+    bodies = bytearray()
+    pairs = []
+    for num, body in inner:
+        pairs.append(f"{num} {len(bodies)}")
+        bodies += body + b" "
+    header = (" ".join(pairs) + " ").encode("latin-1")
+    payload = header + bytes(bodies)
+    enc_objstm = handler.encrypt(_z.compress(payload, 6), 6, 0)
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    emit(1, BASE14.encode("latin-1") if isinstance(BASE14, str) else BASE14)
+    emit(2, b"<< /Length %d >>\nstream\n" % len(enc_content)
+            + enc_content + b"\nendstream")
+    emit(6, b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode"
+            b" /Length %d >>\nstream\n"
+            % (len(inner), len(header), len(enc_objstm))
+            + enc_objstm + b"\nendstream")
+    emit(7, (
+        "<< /Filter /Standard /V 2 /R 3 /Length 128 "
+        f"/O <{o_entry.hex()}> /U <{u_entry[:32].hex()}> /P {p} >>"
+    ).encode("latin-1"))
+
+    # xref STREAM (obj 8): W [1 4 2]; type-2 rows point into objstm 6
+    xref_off = len(out)
+    rows = [
+        (0, 0, 65535),                 # 0: free
+        (1, offsets[1], 0),
+        (1, offsets[2], 0),
+        (2, 6, 0),                     # 3 → objstm 6 idx 0
+        (2, 6, 1),
+        (2, 6, 2),
+        (1, offsets[6], 0),
+        (1, offsets[7], 0),
+        (1, xref_off, 0),              # 8: the xref stream itself
+        (2, 6, 3),                     # 9 → objstm 6 idx 3 (Info)
+    ]
+    data = b"".join(
+        _s.pack(">B", t) + _s.pack(">I", a) + _s.pack(">H", b_)
+        for t, a, b_ in rows
+    )
+    xdata = _z.compress(data, 6)  # xref streams are NEVER encrypted
+    emit(8, (
+        "<< /Type /XRef /Size 10 /W [1 4 2] /Root 5 0 R /Info 9 0 R "
+        f"/Encrypt 7 0 R /ID [<{file_id0.hex()}> <{file_id0.hex()}>] "
+        f"/Filter /FlateDecode /Length {len(xdata)} >>\n"
+    ).encode("latin-1") + b"stream\n" + xdata + b"\nendstream")
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_off)
+    return bytes(out)
 
 
 def _build_aesv3_pdf(text: str, user_password: bytes = b"") -> bytes:

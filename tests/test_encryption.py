@@ -189,3 +189,19 @@ def test_encrypt_metadata_false_keeps_xmp_cleartext():
     assert doc.decode(meta) == xmp  # NOT rc4-garbled
     r = extract_text(pdf)
     assert r.text == "meta body" and r.error is None
+
+
+def test_encrypted_object_stream_roundtrip():
+    """PDF 1.5+ encrypted shape: the objstm container decrypts with its
+    own object key before inflating; objects inside it lex normally; and
+    strings INSIDE the object stream are NOT individually decrypted
+    (§7.5.7 — the container encryption already covered them), so the
+    /Info /Title reads back exactly."""
+    from pdfspark.crypto_fixtures import build_encrypted_objstm_pdf
+
+    pdf = build_encrypted_objstm_pdf("inner body", title="Clear Inside")
+    assert b"inner body" not in pdf and b"Clear Inside" not in pdf
+    r = extract_text(pdf)
+    assert r.text == "inner body" and r.error is None
+    assert r.title == "Clear Inside"
+    assert r.n_pages == 1
