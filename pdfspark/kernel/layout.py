@@ -50,9 +50,12 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT) -> str:
         return ""
     if not r.glyph_positions:
         return r.text
+    by_page: dict = {}
+    for g in r.glyph_positions:
+        by_page.setdefault(g.page, []).append(g)
     pages: List[str] = []
     for span in r.spans:
-        glyphs = [g for g in r.glyph_positions if g.page == span.page]
+        glyphs = by_page.get(span.page, [])
         if not glyphs:
             pages.append(r.text[span.start:span.end])
             continue
