@@ -52,9 +52,11 @@ def _pin_affinity() -> None:
     if not os.path.exists("/usr/bin/taskset"):
         return
     os.environ["PDFSPARK_BENCH_PINNED"] = "1"
+    ncpu = os.cpu_count() or CPUS
     os.execvp(
         "/usr/bin/taskset",
-        ["taskset", "-c", f"0-{CPUS - 1}", sys.executable] + sys.argv,
+        ["taskset", "-c", f"0-{min(CPUS, ncpu) - 1}", sys.executable]
+        + sys.argv,
     )
 
 
