@@ -235,24 +235,28 @@ def build_encmeta_false_pdf(text: str, xmp: bytes) -> bytes:
     ))
 
 
-def build_encrypted_objstm_pdf(text: str, title: str = "ObjStm Title") -> bytes:
-    """RC4-encrypted PDF 1.5 shape: catalog/pages/page/Info packed into an
+def build_encrypted_objstm_pdf(text: str, title: str = "ObjStm Title",
+                               cfm: str = "rc4") -> bytes:
+    """Encrypted PDF 1.5/1.6 shape: catalog/pages/page/Info packed into an
     OBJECT STREAM whose container is itself encrypted (decrypt → inflate),
     cross-referenced by an (unencrypted, §7.5.8.2) XREF STREAM with type-2
     entries. Pins two subtle behaviors at once: the objstm container
     decrypts with its own object key, and strings INSIDE an object stream
     are NOT individually encrypted (§7.5.7) — the /Info /Title must come
-    out readable without a second decryption pass."""
+    out readable without a second decryption pass. ``cfm``: 'rc4' (V=2,
+    the PDF 1.5 shape) or 'aesv2' (V=4 StdCF, the modern 1.6+ shape where
+    encryption changes stream LENGTHS via IV+padding)."""
     import struct as _s
     import zlib as _z
 
-    revision, key_len = 3, 16
+    revision = 4 if cfm == "aesv2" else 3
+    key_len = 16
     file_id0 = hashlib.md5(b"pdfspark-objstm-id").digest()
     p = -44
     o_entry = compute_o_entry(b"", b"", revision, key_len)
     key = compute_encryption_key(o_entry, p, file_id0, revision, key_len, True)
     u_entry = compute_u_entry(key, file_id0, revision)
-    handler = SecurityHandler(key, "rc4", revision)
+    handler = SecurityHandler(key, cfm, revision)
 
     # obj 2: content stream — RC4 with (2, 0)'s key
     content = _simple_show(text).encode("latin-1")
@@ -291,10 +295,19 @@ def build_encrypted_objstm_pdf(text: str, title: str = "ObjStm Title") -> bytes:
             b" /Length %d >>\nstream\n"
             % (len(inner), len(header), len(enc_objstm))
             + enc_objstm + b"\nendstream")
-    emit(7, (
-        "<< /Filter /Standard /V 2 /R 3 /Length 128 "
-        f"/O <{o_entry.hex()}> /U <{u_entry[:32].hex()}> /P {p} >>"
-    ).encode("latin-1"))
+    if cfm == "aesv2":
+        enc_src = (
+            "<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >> "
+            "/StmF /StdCF /StrF /StdCF "
+            f"/O <{o_entry.hex()}> /U <{u_entry[:32].hex()}> /P {p} >>"
+        )
+    else:
+        enc_src = (
+            "<< /Filter /Standard /V 2 /R 3 /Length 128 "
+            f"/O <{o_entry.hex()}> /U <{u_entry[:32].hex()}> /P {p} >>"
+        )
+    emit(7, enc_src.encode("latin-1"))
 
     # xref STREAM (obj 8): W [1 4 2]; type-2 rows point into objstm 6
     xref_off = len(out)

@@ -205,3 +205,18 @@ def test_encrypted_object_stream_roundtrip():
     assert r.text == "inner body" and r.error is None
     assert r.title == "Clear Inside"
     assert r.n_pages == 1
+
+
+def test_aes_encrypted_object_stream_roundtrip():
+    """The modern PDF 1.6+ shape: AESV2-encrypted objstm container (IV +
+    PKCS padding change the stream LENGTH, unlike RC4) behind an
+    unencrypted xref stream — decrypt strips IV/padding, inflate yields
+    the object bodies, inner strings stay single-encrypted."""
+    from pdfspark.crypto_fixtures import build_encrypted_objstm_pdf
+
+    pdf = build_encrypted_objstm_pdf("aes inner body", title="AES Inside",
+                                     cfm="aesv2")
+    assert b"aes inner body" not in pdf and b"AES Inside" not in pdf
+    r = extract_text(pdf)
+    assert r.text == "aes inner body" and r.error is None
+    assert r.title == "AES Inside"
