@@ -187,3 +187,23 @@ def test_large_inputs_bounded_time():
             struct.pack_into(">H", forged, len(hdr) + len(cmap), fmt)
             assert isinstance(parse_ttf_cmap_subtables(bytes(forged)), dict)
     assert time.monotonic() - t0 < 60.0, "large-input stall"
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_positions_path_survives_mutated_pdfs(data):
+    """The per-glyph geometry path (positions=True) and the layout
+    reconstructor must be as crash-tolerant as the batched path: byte
+    flips in valid fixtures never raise, and reading_order_text stays
+    total over whatever comes back."""
+    from pdfspark.corpus import all_cases
+    from pdfspark.kernel.layout import reading_order_text
+
+    cases = [c for c in all_cases() if c.pdf.startswith(b"%PDF-")]
+    case = data.draw(st.sampled_from(cases))
+    buf = bytearray(case.pdf)
+    for _ in range(data.draw(st.integers(min_value=1, max_value=6))):
+        pos = data.draw(st.integers(min_value=0, max_value=len(buf) - 1))
+        buf[pos] = data.draw(st.integers(min_value=0, max_value=255))
+    r = extract_text(bytes(buf), positions=True)
+    assert isinstance(reading_order_text(r), str)
