@@ -877,6 +877,33 @@ def all_cases() -> List[Case]:
              build_encrypted_objstm_pdf("objstm secret"),
              "objstm secret", None, 1))
 
+    # ---- t47: AcroForm FIELD TREE (reference `src/acro_form.rs`):
+    # a widget-merged field (emitted once, via the page walk), a hidden
+    # widget-less field, and a nested Kids field — the tree walk must add
+    # exactly the widget-less values after the page annotations
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    c = b.add_stream("<< >>", _simple_show("form doc").encode())
+    wid = b.add(
+        "<< /Type /Annot /Subtype /Widget /FT /Tx /Rect [10 10 60 30] "
+        "/T (visible1) /V (shown value) >>"
+    )
+    hidden = b.add("<< /FT /Tx /T (hidden1) /V (hidden value) >>")
+    kid = b.add("<< /FT /Tx /T (kid1) /V (nested value) >>")
+    parent = b.add(f"<< /T (group1) /Kids [{kid} 0 R] >>")
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R "
+        f"/Annots [{wid} 0 R] >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add(
+        "<< /Type /Catalog /Pages 90 0 R "
+        f"/AcroForm << /Fields [{wid} 0 R {hidden} 0 R {parent} 0 R] >> >>",
+        num=91,
+    )
+    add(Case("t47_acroform_field_tree", b.build(root), "form doc", None, 1))
+
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",
              b"<!doctype html><html><body>hello web</body></html>",

@@ -128,6 +128,7 @@ def extract_text(buf: bytes, positions: bool = False) -> ExtractResult:
         for page in pages:
             annot_parts.extend(_page_annotations(doc, page))
             link_parts.extend(_page_link_uris(doc, page))
+        annot_parts.extend(_acroform_field_values(doc))
         annots = "\n".join(annot_parts) if annot_parts else None
         links = "\n".join(link_parts) if link_parts else None
         return ExtractResult(
@@ -197,6 +198,68 @@ def _page_annotations(doc: PdfDocument, page: dict) -> List[str]:
                             out.append(field_val)
             except PdfError:
                 continue
+    except PdfError:
+        pass
+    return out
+
+
+def _acroform_field_values(doc: PdfDocument) -> List[str]:
+    """Document-level AcroForm field values WITHOUT a widget appearance
+    (reference field tree: `src/acro_form.rs` /Fields): hidden/utility
+    form data a page-/Annots walk never sees. Fields merged with widget
+    annotations are skipped — the page walk already emitted them.
+    Breadth-first in /Fields order (deterministic), cycle-guarded and
+    budget-capped against malformed Kids graphs."""
+    from collections import deque
+
+    out: List[str] = []
+    try:
+        catalog = doc.resolve(doc.trailer.get("Root"))
+        af = doc.get(catalog, "AcroForm") if isinstance(catalog, dict) else None
+        if not isinstance(af, dict):
+            return out
+        fields = doc.get(af, "Fields")
+        if not isinstance(fields, list):
+            return out
+        queue = deque(fields[:512])
+        seen: set = set()
+        budget = 2048
+        while queue and budget > 0:
+            budget -= 1
+            ref = queue.popleft()
+            if isinstance(ref, Reference):
+                if ref.object_number in seen:
+                    continue
+                seen.add(ref.object_number)
+            try:
+                node = doc.resolve(ref)
+            except PdfError:
+                continue
+            if not isinstance(node, dict):
+                continue
+            kids = doc.get(node, "Kids")
+            if isinstance(kids, list):
+                # intermediate node: its /V is the kids' INHERITED value
+                # (§12.7.3.1) and surfaces through them — re-emitting here
+                # would duplicate every inheriting widget's value
+                queue.extend(kids[:512])
+                continue
+            if str(doc.get(node, "Subtype") or "") == "Widget":
+                continue  # the page /Annots walk owns widget-merged fields
+            v = doc.resolve(node.get("V"))
+            parent, depth = node, 0
+            while v is None and depth < 16:  # inherited value chase
+                parent = doc.resolve(parent.get("Parent"))
+                if not isinstance(parent, dict):
+                    break
+                v = doc.resolve(parent.get("V"))
+                depth += 1
+            if isinstance(v, Name):
+                out.append(str(v))
+            else:
+                s = decode_text_string(v)
+                if s:
+                    out.append(s)
     except PdfError:
         pass
     return out

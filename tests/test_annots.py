@@ -154,3 +154,17 @@ def test_link_uri_extraction():
     assert r.text == "linked" and r.error is None
     assert r.links == "https://ex.test/a\nhttps://ex.test/pa"
     assert r.annots is None
+
+
+def test_acroform_field_tree_values():
+    """Field-tree walk (reference src/acro_form.rs): widget-merged fields
+    emit once (page walk owns them); widget-less and nested-kid values
+    append after page annotations in /Fields order."""
+    from pdfspark.corpus import all_cases
+    from pdfspark.kernel.extract import extract_text
+
+    case = next(c for c in all_cases()
+                if c.case_id == "t47_acroform_field_tree")
+    r = extract_text(case.pdf)
+    assert r.text == "form doc" and r.error is None
+    assert r.annots == "shown value\nhidden value\nnested value"
