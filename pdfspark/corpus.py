@@ -45,6 +45,28 @@ def _doc_with_filtered_content(content: bytes, filter_src: str,
     return b.build(root)
 
 
+def _euctw_encode(text: str) -> bytes:
+    """EUC-TW encoder for fixtures (Python ships no euc_tw codec):
+    reverse lookup of the committed CNS 11643 plane tables — plane 1 as
+    bare 0xA1-0xFE pairs, plane 2 via the 0x8E 0xA2 escape."""
+    from pdfspark.kernel.cns11643_data import PLANE1, PLANE2
+
+    out = bytearray()
+    for ch in text:
+        if ord(ch) < 0x80:
+            out.append(ord(ch))
+            continue
+        i = PLANE1.find(ch)
+        if i >= 0:
+            out += bytes([0xA1 + i // 94, 0xA1 + i % 94])
+            continue
+        i = PLANE2.find(ch)
+        if i < 0:
+            raise ValueError(f"not in CNS 11643 planes 1-2: {ch!r}")
+        out += bytes([0x8E, 0xA2, 0xA1 + i // 94, 0xA1 + i % 94])
+    return bytes(out)
+
+
 def all_cases() -> List[Case]:
     cases: List[Case] = []
     add = cases.append
@@ -458,18 +480,19 @@ def all_cases() -> List[Case]:
 
     # ---- t30: TABLE-BOUND predefined CJK CMap without ToUnicode → stable
     # soft error. Re-pinned in r3: the codec-backed families (GBK-EUC,
-    # RKSJ, B5pc, KSC-EUC — see t44*) now DECODE; only EUC-TW (CNS-EUC)
-    # remains table-bound (Python ships no euc_tw codec)
+    # RKSJ, B5pc, KSC-EUC — see t44*) and CNS-EUC (committed CNS 11643
+    # table, t44e) now DECODE; GB/T 12345 (GBT-EUC) stays table-bound —
+    # no stdlib codec and no public offline table
     b = PdfBuilder()
     cid_font2 = (
-        "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Fake-CNS "
-        "/CIDSystemInfo << /Registry (Adobe) /Ordering (CNS1) "
+        "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Fake-GBT "
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) "
         "/Supplement 2 >> >>"
     )
     df_num = b.add(cid_font2)
     f1 = b.add(
-        "<< /Type /Font /Subtype /Type0 /BaseFont /Fake-CNS "
-        f"/Encoding /CNS-EUC-H /DescendantFonts [{df_num} 0 R] >>"
+        "<< /Type /Font /Subtype /Type0 /BaseFont /Fake-GBT "
+        f"/Encoding /GBT-EUC-H /DescendantFonts [{df_num} 0 R] >>"
     )
     c = b.add_stream("<< >>", b"BT /F1 12 Tf 72 720 Td <00410042> Tj ET")
     page = b.add(
@@ -820,7 +843,8 @@ def all_cases() -> List[Case]:
             "<< /Type /Font /Subtype /Type0 /BaseFont /FakeCJK "
             f"/Encoding /{cmap_name} /DescendantFonts [{df} 0 R] >>"
         )
-        hexcodes = text.encode(codec).hex().upper()
+        hexcodes = (_euctw_encode(text) if codec == "euc_tw"
+                    else text.encode(codec)).hex().upper()
         cc = bb.add_stream(
             "<< >>", f"BT /F1 12 Tf 72 720 Td <{hexcodes}> Tj ET".encode()
         )
@@ -838,6 +862,9 @@ def all_cases() -> List[Case]:
     _legacy_cjk_case("t44c_b5pc", "B5pc-H", "繁體字", "big5", "CNS1")
     _legacy_cjk_case("t44d_ksc_euc", "KSC-EUC-H", "한국어", "euc_kr",
                      "Korea1")
+    # plane-1 hanzi (bare pairs) + a plane-2 char (0x8E A2 escape) + ASCII
+    _legacy_cjk_case("t44e_cns_euc", "CNS-EUC-H", "臺灣乂a", "euc_tw",
+                     "CNS1")
 
     # ---- t45: Link annotations with URI actions (reference
     # `src/annotation/link.rs` + `src/actions/uri.rs`): /A /S /URI is

@@ -416,8 +416,9 @@ _UNICODE_CMAP = re.compile(r"^Uni(GB|CNS|JIS|KS)-(UCS2|UTF16)(-HW)?-[HV]$")
 # exactly what Python's stdlib codecs implement — so TEXT decodes fully;
 # only per-CID widths fall back to /DW (the W array indexes by CID).
 # "rawjis" marks the H/V CMaps (raw 2-byte JIS X 0208, no escapes): each
-# byte ORs with 0x80 into EUC-JP space. CNS-EUC (EUC-TW) stays a soft
-# error — Python ships no euc_tw codec.
+# byte ORs with 0x80 into EUC-JP space. "euc_tw" (CNS-EUC) has no stdlib
+# codec — it decodes against the committed CNS 11643 plane-1/2 table
+# (cns11643_data.py, generated from glibc iconv's public EUC-TW table).
 _CJK_CODEC_CMAPS = {
     "GB-EUC": "gbk", "GBpc-EUC": "gbk", "GBK-EUC": "gbk", "GBKp-EUC": "gbk",
     "GBK2K": "gb18030",
@@ -428,6 +429,7 @@ _CJK_CODEC_CMAPS = {
     "EUC": "euc_jp",
     "KSC-EUC": "euc_kr", "KSCpc-EUC": "euc_kr",
     "KSCms-UHC": "cp949", "KSCms-UHC-HW": "cp949",
+    "CNS-EUC": "euc_tw",
 }
 
 
@@ -566,6 +568,8 @@ class Font:
 
         raw = s
         codec = self.codec_cmap
+        if codec == "euc_tw":
+            return self._decode_euctw(s)
         if codec == "rawjis":
             # H/V: raw 2-byte JIS X 0208 — shift both bytes into EUC-JP
             raw = bytes(b | 0x80 if 0x21 <= b <= 0x7E else b for b in s)
@@ -591,6 +595,42 @@ class Font:
             code = int.from_bytes(s[start:], "big") if start < len(s) else 0
             out.append(Glyph(code, tail or REPLACEMENT,
                              self.default_width, False))
+        return out
+
+    def _decode_euctw(self, s: bytes) -> List[Glyph]:
+        """CNS-EUC (EUC-TW) decode against the committed CNS 11643
+        plane-1/2 table (no stdlib codec exists). Structure per the
+        encoding: ASCII single bytes; 0xA1-0xFE pairs = plane 1;
+        0x8E + plane byte + pair = planes 1-16 (only 1-2 carried by
+        Adobe-CNS1 — others emit U+FFFD). Widths fall back to /DW as
+        with every codec-backed predefined CMap."""
+        from .cns11643_data import PLANE1, PLANE2
+
+        out: List[Glyph] = []
+        tu = self.tounicode
+        i, n = 0, len(s)
+        while i < n:
+            b = s[i]
+            if b == 0x8E and i + 3 < n:
+                nb = 4
+                plane = s[i + 1] - 0xA0
+                row, cell = s[i + 2] - 0xA0, s[i + 3] - 0xA0
+                if 1 <= row <= 94 and 1 <= cell <= 94 and plane in (1, 2):
+                    table = PLANE1 if plane == 1 else PLANE2
+                    ch = table[(row - 1) * 94 + (cell - 1)]
+                else:
+                    ch = REPLACEMENT
+            elif 0xA1 <= b <= 0xFE and i + 1 < n and 0xA1 <= s[i + 1] <= 0xFE:
+                nb = 2
+                ch = PLANE1[(b - 0xA1) * 94 + (s[i + 1] - 0xA1)]
+            else:
+                nb = 1
+                ch = chr(b) if b < 0x80 else REPLACEMENT
+            code = int.from_bytes(s[i : i + nb], "big")
+            text = tu.get(nb, code) if tu is not None else None
+            out.append(Glyph(code, text if text is not None else ch,
+                             self.default_width, nb == 1 and code == 32))
+            i += nb
         return out
 
     def _decode_cid(self, s: bytes) -> List[Glyph]:
@@ -920,8 +960,8 @@ def _load_type0(doc, font_dict: dict, f: Font) -> None:
                 f.codec_cmap = _cjk_codec_for(name)
                 f.cid_cmap = CidCMap.identity_2byte()
             else:
-                # truly table-bound (CNS-EUC/EUC-TW) or unknown name:
-                # the byte→CID tables aren't shipped — flag it
+                # truly table-bound (GBT-EUC, Katakana/Roman/WP-Symbol)
+                # or unknown name: byte→CID tables aren't shipped — flag
                 f.cid_cmap = CidCMap.identity_2byte()
                 if f.tounicode is None:
                     f.error = "predefined-cmap"

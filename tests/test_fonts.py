@@ -202,8 +202,9 @@ def test_ttf_cmap_format12_bomb_bounded():
 
 def test_legacy_cjk_codec_mapping():
     """Name set mirrors the reference inventory (`src/font/cjk.rs:1-190`):
-    every non-CID-table-bound predefined CMap resolves to a stdlib codec;
-    CNS-EUC (EUC-TW) and unknown names stay None (soft error)."""
+    every non-CID-table-bound predefined CMap resolves to a stdlib codec
+    (CNS-EUC to the committed CNS 11643 table); unknown / genuinely
+    table-bound names (GBT-EUC) stay None (soft error)."""
     from pdfspark.kernel.fonts import _cjk_codec_for
 
     assert _cjk_codec_for("GBK-EUC-H") == "gbk"
@@ -218,8 +219,37 @@ def test_legacy_cjk_codec_mapping():
     assert _cjk_codec_for("KSCms-UHC-HW-V") == "cp949"
     assert _cjk_codec_for("H") == "rawjis"
     assert _cjk_codec_for("V") == "rawjis"
-    assert _cjk_codec_for("CNS-EUC-H") is None  # no euc_tw in stdlib
+    assert _cjk_codec_for("CNS-EUC-H") == "euc_tw"
+    assert _cjk_codec_for("CNS-EUC-V") == "euc_tw"
+    assert _cjk_codec_for("GBT-EUC-H") is None  # GB/T 12345: table-bound
     assert _cjk_codec_for("NoSuch-H") is None
+
+
+def test_euctw_decode_glyphs():
+    """CNS-EUC structure parse against the committed CNS 11643 table:
+    bare plane-1 pairs, the 0x8E plane escape, ASCII mix, and malformed
+    bytes degrade to U+FFFD without raising."""
+    from pdfspark.kernel.cns11643_data import PLANE1, PLANE2
+    from pdfspark.kernel.fonts import Font
+
+    f = Font()
+    f.is_type0 = True
+    f.codec_cmap = "euc_tw"
+    f.default_width = 1000.0
+    # CNS 1-36-01 is the first level-1 hanzi 一 (agrees with Big5 0xA440)
+    assert PLANE1[(36 - 1) * 94] == "一" == bytes([0xA4, 0x40]).decode("big5")
+    glyphs = f.decode(bytes([0xA0 + 36, 0xA0 + 1]) + b"a"
+                      + bytes([0x8E, 0xA2, 0xA1, 0xA1]))
+    assert [g.text for g in glyphs] == ["一", "a", PLANE2[0]]
+    assert glyphs[0].code == 0xC4A1 and glyphs[2].code == 0x8EA2A1A1
+    assert all(g.advance == 1000.0 for g in glyphs)
+    # plane-1 also reachable via the escape; planes >2 and truncated
+    # tails degrade, never raise
+    esc = f.decode(bytes([0x8E, 0xA1, 0xA0 + 36, 0xA0 + 1]))
+    assert [g.text for g in esc] == ["一"]
+    assert [g.text for g in f.decode(bytes([0x8E, 0xA5, 0xA1, 0xA1]))] \
+        == ["�"]
+    assert all(g.text == "�" for g in f.decode(bytes([0xA1, 0x8E])))
 
 
 def test_codec_cmap_decode_glyphs():
