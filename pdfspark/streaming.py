@@ -190,6 +190,48 @@ def run_dedup_stream_once(
     return bool(finished)
 
 
+def content_dedup_stream(pages: DataFrame, within: str = "1 hour") -> DataFrame:
+    """Streaming exact CONTENT dedup: key on md5 of the raw payload
+    bytes rather than url, so mirror-site/alias duplicates collapse
+    BEFORE the extraction kernel spends CPU on them — at crawl scale the
+    kernel is the expensive stage, so dedup-then-extract is the right
+    pipeline order. State is one 32-hex-digest key per distinct payload,
+    evicted once the watermark passes it (bounded, like dedup_stream).
+    The JVM computes the digest (F.md5) — no Python in the hot path."""
+    return (
+        pages.withColumn("content_md5", F.md5(F.col("html")))
+        .withWatermark("warc_ts", within)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+    )
+
+
+def run_content_dedup_extract_once(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    timeout_s: Optional[int] = 120,
+    within: str = "1 hour",
+) -> bool:
+    """Drain pages → content dedup → extraction kernel in ONE streaming
+    query (the stateful dedup feeds mapInPandas directly): exactly-once
+    output of extracted text for each distinct payload."""
+    pages = read_pages_stream(spark, input_dir, max_files_per_trigger=1)
+    deduped = content_dedup_stream(pages, within)
+    q = (
+        extract_stream(deduped)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+    return bool(finished)
+
+
 def attribution_join(
     impressions: DataFrame,
     clicks: DataFrame,

@@ -297,3 +297,42 @@ def test_stream_stream_attribution_join(spark, tmp_path):
         ).select("i.imp_id", "c.click_id").collect()
     }
     assert got == batch
+
+
+def test_stream_content_dedup_before_extraction(spark, tmp_path):
+    """Content-hash dedup collapses identical payloads under DIFFERENT
+    urls before the kernel runs (mirror-site dedup), intra- and
+    cross-batch; distinct payloads all extract."""
+    import datetime
+    import time as _time
+
+    from pdfspark.pipeline import PAGES_SCHEMA
+    from pdfspark.streaming import run_content_dedup_extract_once
+
+    in_dir = str(tmp_path / "cin")
+    out_dir = str(tmp_path / "cout")
+    ckpt = str(tmp_path / "cckpt")
+    cases = {c.case_id: c for c in all_cases()}
+    pdf_a = cases["t01_hello_classic_xref"].pdf
+    pdf_b = cases["t02_flate"].pdf
+    t0 = datetime.datetime(2025, 6, 1, 12, 0, 0)
+
+    def row(url, minutes, payload):
+        return (url, t0 + datetime.timedelta(minutes=minutes),
+                payload, "", "en")
+
+    def write(rows):
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        _time.sleep(1.1)
+
+    # same bytes at two urls in one batch + the dup again next batch
+    write([row("u://mirror1", 0, pdf_a), row("u://mirror2", 1, pdf_a),
+           row("u://other", 2, pdf_b)])
+    write([row("u://mirror3", 10, pdf_a)])
+
+    assert run_content_dedup_extract_once(spark, in_dir, out_dir, ckpt)
+    got = {r.url: r.text for r in spark.read.parquet(out_dir).collect()}
+    assert len(got) == 2
+    assert got["u://mirror1"] == "Hello World"
+    assert got["u://other"] == "Hello Flate"
