@@ -698,6 +698,67 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return spark.sql(_jaccard_sql(_POSEXPLODE_SPARK, cap=200))
 
 
+# Benchmark decontamination: training corpora must drop documents that
+# contain an evaluation set's n-grams (the standard 8-13-word-overlap
+# protocol). The "benchmark" here is a deterministic slice of documents
+# (doc_id % 37 = 0) so both engines derive it identically; 8-grams keep
+# accidental collisions in the synthetic vocabulary near zero, so hits
+# are genuine text overlap (exact duplicates of benchmark docs).
+_DECONTAM_SQL = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(text, 1, CAST(FLOOR(length(text)*0.8) AS INT)) AS text
+  FROM documents WHERE doc_id % 3 = 0),
+words AS (
+  SELECT doc_id, pos, word
+  FROM docs {posexplode}),
+grams AS (
+  SELECT doc_id, word AS w0,
+    lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+    lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+    lead(word, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w3,
+    lead(word, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS w4,
+    lead(word, 5) OVER (PARTITION BY doc_id ORDER BY pos) AS w5,
+    lead(word, 6) OVER (PARTITION BY doc_id ORDER BY pos) AS w6,
+    lead(word, 7) OVER (PARTITION BY doc_id ORDER BY pos) AS w7
+  FROM words),
+shingles AS (
+  SELECT DISTINCT doc_id,
+    w0 || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 || ' ' ||
+    w5 || ' ' || w6 || ' ' || w7 AS shingle
+  FROM grams WHERE w7 IS NOT NULL),
+bench AS (
+  SELECT DISTINCT shingle FROM shingles
+  WHERE doc_id % 37 = 0 AND doc_id < 1000000)
+SELECT s.doc_id, COUNT(*) AS n_overlap
+FROM shingles s JOIN bench b ON s.shingle = b.shingle
+WHERE NOT (s.doc_id % 37 = 0 AND s.doc_id < 1000000)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=_DECONTAM_SQL.format(posexplode=_POSEXPLODE_DUCK),
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination by 8-gram overlap: corpus documents
+    sharing any 8-word shingle with the benchmark slice are flagged with
+    their overlap count (the keep/drop filter is `n_overlap >= 1`).
+    Synthetic 80%-prefix near-copies (the _NEARDUP_CORPUS convention)
+    make PARTIAL contamination verifiable, not just exact duplicates.
+    Scale shape: the benchmark shingle set is tiny relative to the
+    corpus — the join broadcasts it (at 10^12 docs: a broadcast set /
+    Bloom filter per executor) so the corpus side streams map-side with
+    NO self-join; one shuffle groups hits per doc. Linear in corpus
+    size, unlike pairwise near-dup."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(_DECONTAM_SQL.format(posexplode=_POSEXPLODE_SPARK))
+
+
 _SIMHASH_TAIL = """
 , words_d AS (SELECT DISTINCT doc_id, word FROM words),
 tok AS (
@@ -2880,6 +2941,7 @@ DRIVER_PRIORITY = [
     "html_doc_titles",
     "embedding_norms",
     # -- new in r3 / output or oracle reworked in r3 (need verdicts) --
+    "decontaminate_ngram_overlap",
     "pdf_columns_reading_order",
     "pdf_kerned_wordbreak",
     "pdf_layout_mix_extract",
@@ -2909,9 +2971,9 @@ DRIVER_PRIORITY = [
     "ann_bruteforce_topk",
     "ann_ivf_bucketed",
     "embedding_cosine_neardup",
-    "text_token_count",
     # ceded to the r3 additions (2 rounds of green driver history, family
-    # still represented in-window): dedup_simhash (dedup_simhash_pairs),
+    # still represented in-window): text_token_count
+    # (token_count_pandas_udf + gopher), dedup_simhash (dedup_simhash_pairs),
     # text_fingerprint + text_lang_id + text_quality_score
     # (token/gopher/corpus_quality_filter),
     # window_running_sum (window_range_interval_frame), ann_numpy_topk
