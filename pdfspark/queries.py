@@ -2169,6 +2169,62 @@ def text_gopher_quality(spark, sf_dir):
     )
 
 
+# Gopher's repetition filters beyond per-word stats: the share of
+# 2-gram occurrences taken by the single most frequent 2-gram, and the
+# share of 3-gram occurrences whose 3-gram repeats — the two signals
+# that catch boilerplate/listicle/SEO-spam pages whose word-level stats
+# look normal. Occurrence (not char-mass) fractions, integer bp.
+_REPETITION_SQL = """
+WITH corpus AS (SELECT doc_id, text FROM documents),
+words AS (
+  SELECT doc_id, pos, word
+  FROM corpus {posexplode}),
+grams AS (
+  SELECT doc_id, word AS w0,
+    lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+    lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM words WHERE word <> ''),
+bi_counts AS (
+  SELECT doc_id, w0 || ' ' || w1 AS g, COUNT(*) AS c
+  FROM grams WHERE w1 IS NOT NULL GROUP BY doc_id, w0 || ' ' || w1),
+bi_stats AS (
+  SELECT doc_id, MAX(c) AS max_c, SUM(c) AS tot
+  FROM bi_counts GROUP BY doc_id),
+tri_counts AS (
+  SELECT doc_id, w0 || ' ' || w1 || ' ' || w2 AS g, COUNT(*) AS c
+  FROM grams WHERE w2 IS NOT NULL
+  GROUP BY doc_id, w0 || ' ' || w1 || ' ' || w2),
+tri_stats AS (
+  SELECT doc_id,
+    SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ,
+    SUM(c) AS tot
+  FROM tri_counts GROUP BY doc_id)
+SELECT b.doc_id,
+  CAST(FLOOR(CAST(b.max_c AS DOUBLE) / b.tot * 10000 + 0.5) AS BIGINT)
+    AS top_bigram_bp,
+  CAST(FLOOR(CAST(t.dup_occ AS DOUBLE) / t.tot * 10000 + 0.5) AS BIGINT)
+    AS dup_trigram_bp
+FROM bi_stats b JOIN tri_stats t ON b.doc_id = t.doc_id
+"""
+
+
+@register(
+    "text_repetition_signals",
+    oracle=_REPETITION_SQL.format(posexplode=_POSEXPLODE_DUCK),
+)
+def text_repetition_signals(spark, sf_dir):
+    """Gopher repetition signals per document: top-2-gram occurrence
+    share + duplicated-3-gram occurrence share (integer basis points).
+    Two partial-aggregating shuffles keyed (doc_id, gram) then doc_id —
+    map-side combine keeps the gram explosion local; no joins across
+    documents, so the op stays linear and skew-free at corpus scale
+    (the hot key is a single document's grams, bounded by doc length).
+    Docs with fewer than 3 words have no trigram row and drop out of
+    the inner join deterministically on both engines."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(_REPETITION_SQL.format(posexplode=_POSEXPLODE_SPARK))
+
+
 _RANGE_FRAME = """
 SELECT event_id, user_id,
   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
@@ -2942,6 +2998,7 @@ DRIVER_PRIORITY = [
     "embedding_norms",
     # -- new in r3 / output or oracle reworked in r3 (need verdicts) --
     "decontaminate_ngram_overlap",
+    "text_repetition_signals",
     "pdf_columns_reading_order",
     "pdf_kerned_wordbreak",
     "pdf_layout_mix_extract",
@@ -2970,10 +3027,11 @@ DRIVER_PRIORITY = [
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
     "ann_ivf_bucketed",
-    "embedding_cosine_neardup",
     # ceded to the r3 additions (2 rounds of green driver history, family
     # still represented in-window): text_token_count
-    # (token_count_pandas_udf + gopher), dedup_simhash (dedup_simhash_pairs),
+    # (token_count_pandas_udf + gopher), embedding_cosine_neardup
+    # (bruteforce + IVF + numpy-IVF + recall),
+    # dedup_simhash (dedup_simhash_pairs),
     # text_fingerprint + text_lang_id + text_quality_score
     # (token/gopher/corpus_quality_filter),
     # window_running_sum (window_range_interval_frame), ann_numpy_topk
