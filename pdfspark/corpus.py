@@ -931,6 +931,41 @@ def all_cases() -> List[Case]:
     )
     add(Case("t47_acroform_field_tree", b.build(root), "form doc", None, 1))
 
+    # ---- t48: embedded files — catalog /Names /EmbeddedFiles name tree
+    # (reference `src/data_structures/name_tree.rs` + catalog Names) AND
+    # a /FileAttachment annotation; inventory surfaces as "name:size"
+    # lines, tree entries (key order) before page annotations
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    c = b.add_stream("<< >>", _simple_show("attached doc").encode())
+    ef1 = b.add_stream(
+        "<< /Type /EmbeddedFile /Params << /Size 11 >> >>", b"hello world"
+    )
+    fs1 = b.add(
+        f"<< /Type /Filespec /F (readme.txt) /EF << /F {ef1} 0 R >> >>"
+    )
+    ef2 = b.add_stream("<< /Type /EmbeddedFile >>", b"abc")  # size via /Length
+    fs2 = b.add(
+        "<< /Type /Filespec /F (data8.bin) /UF (uni-data.bin) "
+        f"/EF << /F {ef2} 0 R >> >>"
+    )
+    att = b.add(
+        "<< /Type /Annot /Subtype /FileAttachment /Rect [10 10 30 30] "
+        f"/FS {fs2} 0 R >>"
+    )
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R "
+        f"/Annots [{att} 0 R] >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add(
+        "<< /Type /Catalog /Pages 90 0 R /Names << /EmbeddedFiles "
+        f"<< /Names [(readme.txt) {fs1} 0 R] >> >> >>",
+        num=91,
+    )
+    add(Case("t48_embedded_files", b.build(root), "attached doc", None, 1))
+
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",
              b"<!doctype html><html><body>hello web</body></html>",

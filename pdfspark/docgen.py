@@ -74,12 +74,15 @@ def text_to_pdf(text: str, chunk: int = 120, meta_id: int = 0,
                 freetext_annot: str = None,
                 widget_value: str = None,
                 outline_titles: list = None,
-                link_uri: str = None) -> bytes:
+                link_uri: str = None,
+                attachment: tuple = None) -> bytes:
     """``freetext_annot`` adds a FreeText annotation (/Contents),
     ``widget_value`` a Widget with a field value (/V),
-    ``outline_titles`` a flat /Outlines chain of bookmarks, and
-    ``link_uri`` a Link annotation with a /URI action — all default
-    off so the pinned roundtrip corpus is unchanged."""
+    ``outline_titles`` a flat /Outlines chain of bookmarks,
+    ``link_uri`` a Link annotation with a /URI action, and
+    ``attachment`` a (filename, payload_bytes) embedded file in the
+    catalog's /Names /EmbeddedFiles tree — all default off so the
+    pinned roundtrip corpus is unchanged."""
     text = normalize_for_pdf(text)
     shows = "".join(
         f"({_escape(text[i : i + chunk])}) Tj "
@@ -97,13 +100,16 @@ def text_to_pdf(text: str, chunk: int = 120, meta_id: int = 0,
         out.extend(b"\nendobj\n")
 
     next_num = 7
-    ft_num = wd_num = ol_num = lk_num = None
+    ft_num = wd_num = ol_num = lk_num = fs_num = ef_num = None
     if freetext_annot is not None:
         ft_num, next_num = next_num, next_num + 1
     if widget_value is not None:
         wd_num, next_num = next_num, next_num + 1
     if link_uri is not None:
         lk_num, next_num = next_num, next_num + 1
+    if attachment is not None:
+        fs_num, ef_num = next_num, next_num + 1
+        next_num += 2
     if outline_titles:
         ol_num = next_num
         next_num += 1 + len(outline_titles)  # root + one item per title
@@ -113,7 +119,13 @@ def text_to_pdf(text: str, chunk: int = 120, meta_id: int = 0,
         b" /Annots [" + b" ".join(annot_refs) + b"]" if annot_refs else b""
     )
     outlines_entry = b" /Outlines %d 0 R" % ol_num if ol_num else b""
-    emit(1, b"<< /Type /Catalog /Pages 2 0 R" + outlines_entry + b" >>")
+    names_entry = b""
+    if fs_num is not None:
+        fname = _escape(attachment[0]).encode("latin-1")
+        names_entry = (b" /Names << /EmbeddedFiles << /Names [("
+                       + fname + b") %d 0 R] >> >>" % fs_num)
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R" + outlines_entry
+         + names_entry + b" >>")
     emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
     emit(
         3,
@@ -157,6 +169,20 @@ def text_to_pdf(text: str, chunk: int = 120, meta_id: int = 0,
             b"<< /Type /Annot /Subtype /Link /Rect [10 90 200 110] "
             b"/A << /Type /Action /S /URI /URI ("
             + _escape(link_uri).encode("latin-1") + b") >> >>",
+        )
+    if fs_num is not None:
+        fname = _escape(attachment[0]).encode("latin-1")
+        payload = attachment[1]
+        emit(
+            fs_num,
+            b"<< /Type /Filespec /F (" + fname + b") /UF (" + fname
+            + b") /EF << /F %d 0 R >> >>" % ef_num,
+        )
+        emit(
+            ef_num,
+            b"<< /Type /EmbeddedFile /Length %d /Params << /Size %d >> >>"
+            b"\nstream\n" % (len(payload), len(payload))
+            + payload + b"\nendstream",
         )
     if ol_num is not None:
         n_items = len(outline_titles)

@@ -81,6 +81,7 @@ class ExtractResult(NamedTuple):
     outlines: Optional[str] = None  # bookmark titles, pre-order "\n"-joined
     glyph_positions: Optional[List[GlyphPos]] = None  # opt-in geometry
     links: Optional[str] = None  # Link-annotation URIs, "\n"-joined
+    attachments: Optional[str] = None  # "name:size" lines, "\n"-joined
 
 
 def extract_text(buf: bytes, positions: bool = False) -> ExtractResult:
@@ -131,9 +132,11 @@ def extract_text(buf: bytes, positions: bool = False) -> ExtractResult:
         annot_parts.extend(_acroform_field_values(doc))
         annots = "\n".join(annot_parts) if annot_parts else None
         links = "\n".join(link_parts) if link_parts else None
+        att_parts = _attachment_entries(doc, pages)
+        attachments = "\n".join(att_parts) if att_parts else None
         return ExtractResult(
             text, spans, len(pages), soft_error, doc.lang(), title, created,
-            annots, _doc_outlines(doc), glyph_positions, links,
+            annots, _doc_outlines(doc), glyph_positions, links, attachments,
         )
     except PdfError as e:
         return ExtractResult(None, [], 0, e.code, None)
@@ -263,6 +266,70 @@ def _acroform_field_values(doc: PdfDocument) -> List[str]:
     except PdfError:
         pass
     return out
+
+
+def _attachment_entries(doc: PdfDocument, pages: List[dict]) -> List[str]:
+    """Embedded-file inventory as "name:size" lines: the catalog's
+    /Names → /EmbeddedFiles name tree (reference walks the same trees,
+    `src/data_structures/name_tree.rs` via `src/catalog.rs` Names) in
+    key order, then /FileAttachment annotations in page order. Size
+    comes from /EF /F's /Params /Size, else the raw stream /Length —
+    the payload is never decoded (attachments can be huge; a crawl
+    pipeline wants the inventory, not the bytes, in this column)."""
+    from pdfspark.kernel.name_tree import flatten_name_tree
+
+    out: List[str] = []
+    try:
+        catalog = doc.resolve(doc.trailer.get("Root"))
+        names = doc.get(catalog, "Names") if isinstance(catalog, dict) else None
+        if isinstance(names, dict) and names.get("EmbeddedFiles") is not None:
+            for _k, v in flatten_name_tree(doc, names.get("EmbeddedFiles")):
+                entry = _filespec_entry(doc, doc.resolve(v))
+                if entry:
+                    out.append(entry)
+        for page in pages:
+            annots = doc.get(page, "Annots")
+            if not isinstance(annots, list):
+                continue
+            for aref in annots[:512]:
+                try:
+                    a = doc.resolve(aref)
+                except PdfError:
+                    continue
+                if (isinstance(a, dict)
+                        and str(doc.get(a, "Subtype") or "") == "FileAttachment"):
+                    entry = _filespec_entry(doc, doc.get(a, "FS"))
+                    if entry:
+                        out.append(entry)
+    except PdfError:
+        pass
+    return out
+
+
+def _filespec_entry(doc: PdfDocument, fs) -> Optional[str]:
+    """One file specification (§7.11.3) → "name:size" ("name" when no
+    size is recoverable). /UF (Unicode) wins over /F per spec."""
+    if not isinstance(fs, dict):
+        return None
+    name = (decode_text_string(doc.resolve(fs.get("UF")))
+            or decode_text_string(doc.resolve(fs.get("F"))))
+    if not name:
+        return None
+    size = None
+    ef = doc.get(fs, "EF")
+    if isinstance(ef, dict):
+        stream = doc.resolve(ef.get("F")) or doc.resolve(ef.get("UF"))
+        if isinstance(stream, Stream):
+            params = doc.get(stream.dict, "Params")
+            if isinstance(params, dict):
+                psize = doc.get(params, "Size")
+                if isinstance(psize, int):
+                    size = psize
+            if size is None:
+                slen = doc.get(stream.dict, "Length")
+                if isinstance(slen, int):
+                    size = slen
+    return f"{name}:{size}" if size is not None else name
 
 
 def _page_link_uris(doc: PdfDocument, page: dict) -> List[str]:

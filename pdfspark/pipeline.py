@@ -94,6 +94,7 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("kernel_ms", T.DoubleType()),
         T.StructField("part_id", T.IntegerType()),
         T.StructField("links_uri", T.StringType()),
+        T.StructField("attachments", T.StringType()),
     ]
 )
 
@@ -169,6 +170,7 @@ def _append_extract_row(cols: dict, url, buf: bytes, part_id: int,
     cols["kernel_ms"].append(elapsed)
     cols["part_id"].append(part_id)
     cols["links_uri"].append(r.links)
+    cols["attachments"].append(r.attachments)
 
 
 def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -586,15 +588,17 @@ def _synth_page(i: int, text: str, lang, fmt: str,
                 else text_to_pdf_two_column(text, meta_id=i) if i % 3 == 1
                 else text_to_pdf_kerned(text, meta_id=i))
     elif fmt == "pdf_annot":
-        # deterministic annotation/outline/link tiers for the oracle:
-        # %10 → FreeText + Widget, %5 → FreeText, %7 → two bookmarks,
-        # %4 → Link annotation with a /URI action
+        # deterministic annotation/outline/link/attachment tiers for the
+        # oracle: %10 → FreeText + Widget, %5 → FreeText, %7 → two
+        # bookmarks, %4 → Link /URI action, %6 → embedded file
         html = text_to_pdf(
             text, meta_id=i,
             freetext_annot=(f"note {i}" if i % 5 == 0 else None),
             widget_value=(f"field {i}" if i % 10 == 0 else None),
             outline_titles=([f"ch1 {i}", f"ch2 {i}"] if i % 7 == 0 else None),
             link_uri=(f"https://link.test/{i}" if i % 4 == 0 else None),
+            attachment=((f"att{i}.txt", f"payload {i}".encode())
+                        if i % 6 == 0 else None),
         )
     else:
         html = text_to_pdf(text, meta_id=i)

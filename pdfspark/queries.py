@@ -1417,6 +1417,33 @@ def pdf_annots_text(spark, sf_dir):
 
 
 @register(
+    "pdf_attachments",
+    oracle="SELECT doc_id,"
+           " CASE WHEN doc_id % 6 = 0 THEN"
+           "   'att' || CAST(doc_id AS VARCHAR) || '.txt:' ||"
+           "   CAST(8 + length(CAST(doc_id AS VARCHAR)) AS VARCHAR)"
+           " ELSE NULL END AS attachments"
+           " FROM documents",
+)
+def pdf_attachments(spark, sf_dir):
+    """Embedded-file inventory surface (catalog /Names /EmbeddedFiles
+    tree + /FileAttachment annotations; reference name-tree walker
+    `src/data_structures/name_tree.rs`): "name:size" lines. The
+    generator plants an attachment on every 6th doc whose payload is
+    "payload <id>" (8 + len(id) bytes) so the oracle is exact. Sizes
+    come from /Params /Size — the payload is never decoded."""
+    from pdfspark.pipeline import extract_pages, pages_from_documents
+
+    ext = extract_pages(
+        pages_from_documents(spark, sf_dir, fmt="pdf_annot"), resalt=False
+    )
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        "attachments",
+    )
+
+
+@register(
     "pdf_outlines",
     oracle="SELECT doc_id,"
            " CASE WHEN doc_id % 7 = 0 THEN"
@@ -2999,6 +3026,7 @@ DRIVER_PRIORITY = [
     # -- new in r3 / output or oracle reworked in r3 (need verdicts) --
     "decontaminate_ngram_overlap",
     "text_repetition_signals",
+    "pdf_attachments",
     "pdf_columns_reading_order",
     "pdf_kerned_wordbreak",
     "pdf_layout_mix_extract",
@@ -3026,11 +3054,10 @@ DRIVER_PRIORITY = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
-    "ann_ivf_bucketed",
     # ceded to the r3 additions (2 rounds of green driver history, family
     # still represented in-window): text_token_count
-    # (token_count_pandas_udf + gopher), embedding_cosine_neardup
-    # (bruteforce + IVF + numpy-IVF + recall),
+    # (token_count_pandas_udf + gopher), embedding_cosine_neardup +
+    # ann_ivf_bucketed (bruteforce + numpy-IVF + recall),
     # dedup_simhash (dedup_simhash_pairs),
     # text_fingerprint + text_lang_id + text_quality_score
     # (token/gopher/corpus_quality_filter),

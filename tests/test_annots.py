@@ -168,3 +168,16 @@ def test_acroform_field_tree_values():
     r = extract_text(case.pdf)
     assert r.text == "form doc" and r.error is None
     assert r.annots == "shown value\nhidden value\nnested value"
+
+
+def test_embedded_files_inventory():
+    """Attachment surface (t48): EmbeddedFiles tree entries first
+    (Params /Size), then FileAttachment annotations (/UF over /F, size
+    from the raw stream /Length when /Params is absent)."""
+    from pdfspark.corpus import all_cases
+    from pdfspark.kernel.extract import extract_text
+
+    case = next(c for c in all_cases() if c.case_id == "t48_embedded_files")
+    r = extract_text(case.pdf)
+    assert r.text == "attached doc" and r.error is None
+    assert r.attachments == "readme.txt:11\nuni-data.bin:3"
