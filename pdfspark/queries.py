@@ -540,7 +540,7 @@ _POSEXPLODE_DUCK = (
 # BOTH engines, keeping parity while bounding the hot-band cost at scale
 _HOT_BAND_CAP = 64
 
-_MINHASH_TAIL = """
+_MINHASH_BANDS = """
 , mh AS (
   SELECT s.doc_id, seeds.i,
     MIN(md5(CAST(seeds.i AS {str_t}) || ':' || s.shingle)) AS minhash
@@ -550,7 +550,9 @@ bands AS (
   SELECT doc_id, CAST(FLOOR(i / 2.0) AS INT) AS band,
     {band_sig} AS sig
   FROM mh
-  GROUP BY doc_id, CAST(FLOOR(i / 2.0) AS INT)),
+  GROUP BY doc_id, CAST(FLOOR(i / 2.0) AS INT))"""
+
+_MINHASH_TAIL = _MINHASH_BANDS + """,
 sized AS (
   SELECT band, sig, COUNT(*) AS n FROM bands GROUP BY band, sig),
 cand AS (
@@ -643,6 +645,79 @@ def dedup_minhash_lsh(spark, sf_dir):
     once into buckets; the cap bounds any degenerate bucket's O(n²).
     md5-based signatures keep the DuckDB oracle engine-exact."""
     return _dedup_minhash_impl(spark, sf_dir, cap=300)
+
+
+# Incremental (batch-vs-index) dedup: the production topology — a new
+# crawl increment is checked against the HISTORIC corpus's band index,
+# not against itself. The synthesized near-copies (doc_id >= 1000000)
+# play the new batch; the originals play history.
+_MINHASH_INCR_TAIL = _MINHASH_BANDS + """,
+hist_sized AS (
+  SELECT band, sig FROM bands WHERE doc_id < 1000000
+  GROUP BY band, sig HAVING COUNT(*) <= {hot_cap}),
+hits AS (
+  SELECT n.doc_id, MIN(h.doc_id) AS dup_of
+  FROM bands n
+  JOIN bands h ON n.band = h.band AND n.sig = h.sig AND h.doc_id < 1000000
+  JOIN hist_sized z ON z.band = n.band AND z.sig = n.sig
+  WHERE n.doc_id >= 1000000
+  GROUP BY n.doc_id),
+newdocs AS (
+  SELECT DISTINCT doc_id FROM bands WHERE doc_id >= 1000000)
+SELECT nd.doc_id, h.dup_of,
+  CASE WHEN h.dup_of IS NULL THEN 1 ELSE 0 END AS keep
+FROM newdocs nd LEFT JOIN hits h ON nd.doc_id = h.doc_id
+"""
+
+
+def _minhash_incr_duck_sql(cap: int) -> str:
+    return (
+        "WITH " + _NEARDUP_CORPUS.format(cap=cap, posexplode=_POSEXPLODE_DUCK)
+        + _MINHASH_INCR_TAIL.format(
+            str_t="VARCHAR",
+            seed_gen="SELECT unnest(range(8)) AS i",
+            band_sig="array_to_string(list_sort(list(minhash)), ',')",
+            hot_cap=_HOT_BAND_CAP,
+        )
+    )
+
+
+@register("dedup_incremental_minhash", oracle=_minhash_incr_duck_sql(cap=300))
+def dedup_incremental_minhash(spark, sf_dir):
+    """Incremental crawl dedup: each NEW document keeps or drops by
+    whether any of its MinHash bands hits the historic corpus's band
+    index (dup_of = smallest colliding historic doc). At 10^12 scale
+    the historic side is a precomputed band-index table bucketed by
+    (band, sig) — the daily increment is small, so its bands broadcast
+    against the index with no shuffle of history and no new-vs-new
+    self-join; the hot-band cap drops degenerate buckets on both
+    engines. Signatures come from the same Arrow minhash kernel as
+    dedup_minhash_lsh."""
+    _load(spark, sf_dir, "documents")
+    docs = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    bands = docs.mapInPandas(_minhash_band_batches, _BANDS_SCHEMA)
+    hist = bands.filter(F.col("doc_id") < 1000000).alias("h")
+    new = bands.filter(F.col("doc_id") >= 1000000).alias("n")
+    hist_sized = (
+        hist.groupBy("band", "sig").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") <= _HOT_BAND_CAP).select("band", "sig")
+    )
+    hits = (
+        new.join(hist, ["band", "sig"])
+        .join(hist_sized, ["band", "sig"])
+        .groupBy(F.col("n.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("h.doc_id")).alias("dup_of"))
+    )
+    newdocs = new.select("doc_id").distinct()
+    return newdocs.join(hits, "doc_id", "left").select(
+        "doc_id", "dup_of",
+        F.when(F.col("dup_of").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .alias("keep"),
+    )
 
 
 # Hot-shingle skew guard (same role as _HOT_BAND_CAP for LSH buckets): a
@@ -3027,6 +3102,7 @@ DRIVER_PRIORITY = [
     "decontaminate_ngram_overlap",
     "text_repetition_signals",
     "pdf_attachments",
+    "dedup_incremental_minhash",
     "pdf_columns_reading_order",
     "pdf_kerned_wordbreak",
     "pdf_layout_mix_extract",
@@ -3051,13 +3127,13 @@ DRIVER_PRIORITY = [
     "mixed_corpus_extract",
     "q1_pricing_summary",
     "q5_region_revenue",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
     # ceded to the r3 additions (2 rounds of green driver history, family
     # still represented in-window): text_token_count
     # (token_count_pandas_udf + gopher), embedding_cosine_neardup +
-    # ann_ivf_bucketed (bruteforce + numpy-IVF + recall),
+    # ann_ivf_bucketed (bruteforce + numpy-IVF + recall), dedup_exact
+    # (eight dedup reps incl. paragraph_exact + incremental),
     # dedup_simhash (dedup_simhash_pairs),
     # text_fingerprint + text_lang_id + text_quality_score
     # (token/gopher/corpus_quality_filter),
