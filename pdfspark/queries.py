@@ -699,7 +699,10 @@ def dedup_incremental_minhash(spark, sf_dir):
         .filter(F.col("doc_id") < 300)
         .select("doc_id", "text")
     )
-    bands = docs.mapInPandas(_minhash_band_batches, _BANDS_SCHEMA)
+    # materialize the band table once (the production shape: the band
+    # index is a precomputed table) — without it Spark re-runs the
+    # minhash kernel for each of the four consumers below
+    bands = docs.mapInPandas(_minhash_band_batches, _BANDS_SCHEMA).persist()
     hist = bands.filter(F.col("doc_id") < 1000000).alias("h")
     new = bands.filter(F.col("doc_id") >= 1000000).alias("n")
     hist_sized = (

@@ -211,3 +211,30 @@ def test_asof_join_is_windowed_not_joined(spark):
     plan = plan_of(df)
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 2, plan  # user_id hash + AQE reads
+
+
+def test_decontamination_is_hash_join_not_cartesian(spark):
+    """The benchmark-overlap join must hash on the shingle key (the
+    tiny benchmark side broadcasts); an all-pairs product of corpus
+    shingles would be the 100x death sentence."""
+    from pdfspark.queries import QUERIES
+
+    df = QUERIES["decontaminate_ngram_overlap"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_incremental_dedup_joins_on_band_key(spark):
+    """Batch-vs-index dedup must pair new and historic docs through
+    (band, sig) hash joins — no cartesian, no nested loop — and the
+    band table must be materialized (InMemoryTableScan) so the minhash
+    kernel runs ONCE, not once per consumer."""
+    from pdfspark.queries import QUERIES
+
+    df = QUERIES["dedup_incremental_minhash"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
