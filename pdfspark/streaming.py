@@ -232,6 +232,49 @@ def run_content_dedup_extract_once(
     return bool(finished)
 
 
+def novel_content_stream(pages: DataFrame,
+                         historic_digests: DataFrame) -> DataFrame:
+    """Stream-STATIC anti join: drop incoming payloads whose content
+    digest already exists in the historic corpus's digest table — the
+    state-free streaming twin of dedup_incremental_minhash. Unlike
+    dropDuplicatesWithinWatermark there is NO state store at all: the
+    historic index is a static table (at 10^12 scale: bucketed by
+    digest, or broadcast when the daily increment dwarfs it), re-read
+    per micro-batch, so the operator survives unbounded streams with
+    zero eviction concerns. The JVM computes md5; Python sees nothing
+    until the kernel stage downstream."""
+    return (
+        pages.withColumn("content_md5", F.md5(F.col("html")))
+        .join(historic_digests, "content_md5", "left_anti")
+    )
+
+
+def run_novel_content_extract_once(
+    spark: SparkSession,
+    input_dir: str,
+    historic_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    timeout_s: Optional[int] = 120,
+) -> bool:
+    """Drain pages → anti-join vs the historic digest parquet → extract,
+    in one streaming query with an exactly-once sink."""
+    historic = spark.read.parquet(historic_dir)
+    pages = read_pages_stream(spark, input_dir, max_files_per_trigger=1)
+    q = (
+        extract_stream(novel_content_stream(pages, historic))
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+    return bool(finished)
+
+
 def attribution_join(
     impressions: DataFrame,
     clicks: DataFrame,

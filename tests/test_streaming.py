@@ -336,3 +336,36 @@ def test_stream_content_dedup_before_extraction(spark, tmp_path):
     assert len(got) == 2
     assert got["u://mirror1"] == "Hello World"
     assert got["u://other"] == "Hello Flate"
+
+
+def test_stream_static_anti_join_drops_historic_content(spark, tmp_path):
+    """novel_content_stream: payloads already in the static historic
+    digest table are dropped (any url); novel payloads extract. No
+    state store involved — the index is a plain parquet table."""
+    import datetime
+
+    from pdfspark.pipeline import PAGES_SCHEMA
+    from pdfspark.streaming import run_novel_content_extract_once
+
+    in_dir = str(tmp_path / "nin")
+    hist_dir = str(tmp_path / "nhist")
+    out_dir = str(tmp_path / "nout")
+    ckpt = str(tmp_path / "nckpt")
+    cases = {c.case_id: c for c in all_cases()}
+    pdf_a = cases["t01_hello_classic_xref"].pdf
+    pdf_b = cases["t02_flate"].pdf
+    t0 = datetime.datetime(2025, 6, 1, 12, 0, 0)
+
+    # historic index: digest of payload A
+    spark.createDataFrame([(pdf_a,)], "html binary") \
+        .selectExpr("md5(html) AS content_md5") \
+        .write.mode("overwrite").parquet(hist_dir)
+    rows = [("u://hist-mirror", t0, pdf_a, "", "en"),
+            ("u://novel", t0, pdf_b, "", "en")]
+    spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+
+    assert run_novel_content_extract_once(spark, in_dir, hist_dir,
+                                          out_dir, ckpt)
+    got = {r.url: r.text for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"u://novel": "Hello Flate"}
