@@ -1161,6 +1161,76 @@ def text_token_count(spark, sf_dir):
     )
 
 
+# Training-shard packing: contiguous greedy packing of documents (in
+# doc_id order) into shards of ~SHARD_BUDGET tokens — the sequence-
+# packing step that turns a curated corpus into equal-token-mass
+# training shards. shard_id is assigned by each doc's STARTING token
+# offset, so the whole operator reduces to a global prefix sum.
+_SHARD_BUDGET = 2000
+_SHARD_BLOCK = 64
+
+_SHARD_PACK_DUCK = f"""
+WITH tok AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tok)
+SELECT doc_id, n_tokens,
+  CAST(FLOOR((cum - n_tokens) / {_SHARD_BUDGET}.0) AS BIGINT) AS shard_id
+FROM cum
+"""
+
+
+@register("shard_pack_token_budget", oracle=_SHARD_PACK_DUCK)
+def shard_pack_token_budget(spark, sf_dir):
+    """Token-budget shard packing as a DISTRIBUTED prefix scan. A naive
+    global running sum is a single-task window (the oracle does exactly
+    that — fine for DuckDB, fatal at 10^12 docs); here it is the
+    textbook two-pass scan: (1) per-block partial sums (block =
+    doc_id div 64) — one map-side-combined shuffle; (2) the tiny
+    block-sum table comes to the driver for an exact sequential prefix
+    (bounded: n_docs/block rows; a loud cap refuses past 200k — at
+    10^12 docs the block size scales up to keep it ~1e6); (3) offsets
+    broadcast back and each block computes its intra-block cumsum in
+    parallel. Every doc's global token offset is exact, so shard
+    boundaries match the oracle bit-for-bit."""
+    _load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = spark.table("documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        .alias("n_tokens"),
+        F.floor(F.col("doc_id") / _SHARD_BLOCK).cast("long").alias("block"),
+    )
+    block_rows = tok.groupBy("block").agg(
+        F.sum("n_tokens").alias("bsum")).collect()
+    if len(block_rows) > 200_000:
+        raise RuntimeError(
+            f"{len(block_rows)} blocks would hit the driver; raise "
+            f"_SHARD_BLOCK so n_docs/block stays bounded")
+    offsets, acc = [], 0
+    for blk, bsum in sorted((r.block, r.bsum) for r in block_rows):
+        offsets.append((blk, acc))
+        acc += bsum
+    off_df = spark.createDataFrame(offsets, "block long, block_offset long")
+    w = (Window.partitionBy("block").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        tok.join(F.broadcast(off_df), "block")
+        .withColumn("cum", F.col("block_offset") + F.sum("n_tokens").over(w))
+        .select(
+            "doc_id", "n_tokens",
+            F.floor((F.col("cum") - F.col("n_tokens")) / float(_SHARD_BUDGET))
+            .cast("long").alias("shard_id"),
+        )
+    )
+
+
 @register(
     "text_fingerprint",
     oracle="SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ',"
@@ -3106,6 +3176,7 @@ DRIVER_PRIORITY = [
     "text_repetition_signals",
     "pdf_attachments",
     "dedup_incremental_minhash",
+    "shard_pack_token_budget",
     "pdf_columns_reading_order",
     "pdf_kerned_wordbreak",
     "pdf_layout_mix_extract",
@@ -3128,7 +3199,6 @@ DRIVER_PRIORITY = [
     "pdf_outlines",
     "html_extract_roundtrip",
     "mixed_corpus_extract",
-    "q1_pricing_summary",
     "q5_region_revenue",
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
@@ -3137,7 +3207,8 @@ DRIVER_PRIORITY = [
     # (token_count_pandas_udf + gopher), embedding_cosine_neardup +
     # ann_ivf_bucketed (bruteforce + numpy-IVF + recall), dedup_exact
     # (eight dedup reps incl. paragraph_exact + incremental),
-    # dedup_simhash (dedup_simhash_pairs),
+    # q1_pricing_summary (agg via corpus_quality/gopher/repetition;
+    # plan-test-pinned), dedup_simhash (dedup_simhash_pairs),
     # text_fingerprint + text_lang_id + text_quality_score
     # (token/gopher/corpus_quality_filter),
     # window_running_sum (window_range_interval_frame), ann_numpy_topk

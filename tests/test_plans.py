@@ -238,3 +238,15 @@ def test_incremental_dedup_joins_on_band_key(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_shard_packing_window_is_not_single_partition(spark):
+    """The two-pass prefix scan must never fall back to a global
+    single-task window — the intra-block cumsum is partitioned by
+    block and the block offsets arrive by broadcast."""
+    from pdfspark.queries import QUERIES
+
+    df = QUERIES["shard_pack_token_budget"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
