@@ -2789,6 +2789,63 @@ def ann_ivf_recall(spark, sf_dir):
     )
 
 
+# Domain blocklist with SUFFIX semantics (blocking tracker.com must
+# block ads.tracker.com but NOT safe-tracker.com): each host explodes
+# into its label-suffix chain (≤ ~8 rows) and EQUI-joins the tiny
+# blocklist — the scale-correct shape; a LIKE '%.b' join would be a
+# nested loop over the corpus. Hosts are synthesized per doc_id so the
+# oracle is exact; the blocklist is an inline table.
+_URL_BLOCKLIST = """
+WITH hosts AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN 'ads.tracker.com'
+      WHEN 1 THEN 'cdn.eu.tracker.com'
+      WHEN 2 THEN 'safe-tracker.com'
+      WHEN 3 THEN 'malware.example.org'
+      ELSE 'news.example.org'
+    END AS host
+  FROM documents),
+block AS (
+  SELECT 'tracker.com' AS b UNION ALL SELECT 'malware.example.org'),
+labels AS (
+  SELECT doc_id, host, {split_host} AS ls FROM hosts),
+suffixes AS (
+  SELECT doc_id, {suffix} AS sfx
+  FROM labels {suffix_gen}),
+hits AS (
+  SELECT DISTINCT s.doc_id FROM suffixes s JOIN block b ON s.sfx = b.b)
+SELECT h.doc_id, h.host,
+  CASE WHEN t.doc_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM hosts h LEFT JOIN hits t ON h.doc_id = t.doc_id
+"""
+
+
+@register(
+    "url_blocklist_filter",
+    oracle=_URL_BLOCKLIST.format(
+        split_host="string_split(host, '.')",
+        suffix="array_to_string(ls[i:], '.')",
+        suffix_gen=", LATERAL (SELECT unnest(range(1, len(ls)+1)) AS i) t",
+    ),
+)
+def url_blocklist_filter(spark, sf_dir):
+    """Domain blocklist with label-suffix matching: a doc keeps iff no
+    suffix of its host's label chain appears in the blocklist. The
+    suffix explosion is bounded by label depth, the join is an
+    equi-join on the suffix string (blocklist side broadcasts), and
+    nothing else shuffles — linear at any corpus size."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(_URL_BLOCKLIST.format(
+        split_host="split(host, '[.]')",
+        suffix="sfx",
+        suffix_gen=(
+            "LATERAL VIEW explode(transform(sequence(1, size(ls)),"
+            " i -> array_join(slice(ls, i, size(ls) - i + 1), '.'))) t AS sfx"
+        ),
+    ))
+
+
 # Canonical-URL dedup (CC-style): synthesized URL variants per doc_id
 # (case/port/fragment/trailing-slash/param-order differences) must
 # collapse to one canonical key. Engine-shared template; only the
@@ -3177,6 +3234,7 @@ DRIVER_PRIORITY = [
     "pdf_attachments",
     "dedup_incremental_minhash",
     "shard_pack_token_budget",
+    "url_blocklist_filter",
     "pdf_columns_reading_order",
     "pdf_kerned_wordbreak",
     "pdf_layout_mix_extract",
@@ -3200,9 +3258,10 @@ DRIVER_PRIORITY = [
     "html_extract_roundtrip",
     "mixed_corpus_extract",
     "q5_region_revenue",
-    "dedup_minhash_lsh",
     "ann_bruteforce_topk",
     # ceded to the r3 additions (2 rounds of green driver history, family
+    # still represented in-window): dedup_minhash_lsh (incremental
+    # variant shares the kernel and oracle CTEs; still bench-pinned),
     # still represented in-window): text_token_count
     # (token_count_pandas_udf + gopher), embedding_cosine_neardup +
     # ann_ivf_bucketed (bruteforce + numpy-IVF + recall), dedup_exact
