@@ -124,3 +124,60 @@ def test_stale_offset_resolves_newest_definition():
     buf[entry_start : entry_start + 10] = b"0000000017"  # bogus offset
     r = extract_text(bytes(buf))
     assert r.text == "New body"
+
+
+def test_cyclic_acroform_kids_is_bounded():
+    """A /Fields graph whose Kids point back at their ancestors (and at
+    themselves) must terminate via the cycle guard and still emit the
+    reachable widget-less values — never hang or raise."""
+    from pdfspark.fixtures import BASE14, PdfBuilder, _simple_show
+
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    c = b.add_stream("<< >>", _simple_show("cyclic form").encode())
+    # objects 10/11 point at each other; 12 points at itself
+    b.add("<< /T (a) /Kids [11 0 R] >>", num=10)
+    b.add("<< /T (b) /Kids [10 0 R 13 0 R] >>", num=11)
+    b.add("<< /T (c) /Kids [12 0 R] >>", num=12)
+    b.add("<< /FT /Tx /T (leaf) /V (reached) >>", num=13)
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add(
+        "<< /Type /Catalog /Pages 90 0 R "
+        "/AcroForm << /Fields [10 0 R 12 0 R] >> >>", num=91,
+    )
+    r = extract_text(b.build(root))
+    assert r.text == "cyclic form" and r.error is None
+    assert r.annots == "reached"
+
+
+def test_selfreferential_filespec_and_broken_ef_is_soft():
+    """Filespecs whose /EF points at a non-stream, at a dangling ref, or
+    at the filespec itself must degrade to name-only entries (or be
+    skipped when nameless) — never raise."""
+    from pdfspark.fixtures import BASE14, PdfBuilder, _simple_show
+
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    c = b.add_stream("<< >>", _simple_show("broken att").encode())
+    fs_self = b.add("<< /Type /Filespec /F (self.bin) /EF << /F 20 0 R >> >>",
+                    num=20)  # EF names the filespec itself (a dict)
+    fs_dangling = b.add(
+        "<< /Type /Filespec /F (gone.bin) /EF << /F 999 0 R >> >>")
+    fs_nameless = b.add("<< /Type /Filespec /EF << /F 999 0 R >> >>")
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add(
+        "<< /Type /Catalog /Pages 90 0 R /Names << /EmbeddedFiles "
+        f"<< /Names [(a) {fs_self} 0 R (b) {fs_dangling} 0 R "
+        f"(c) {fs_nameless} 0 R] >> >> >>", num=91,
+    )
+    r = extract_text(b.build(root))
+    assert r.text == "broken att" and r.error is None
+    assert r.attachments == "self.bin\ngone.bin"
