@@ -966,6 +966,30 @@ def all_cases() -> List[Case]:
     )
     add(Case("t48_embedded_files", b.build(root), "attached doc", None, 1))
 
+    # ---- t49: XMP-only title — no /Info, /Title comes from the
+    # catalog's /Metadata packet (dc:title rdf:Alt; exceeds the
+    # reference, which never reads XMP)
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    c = b.add_stream("<< >>", _simple_show("xmp doc").encode())
+    xmp = (b'<?xpacket begin="\xef\xbb\xbf"?><x:xmpmeta xmlns:x="adobe:ns:meta/">'
+           b'<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+           b'<rdf:Description xmlns:dc="http://purl.org/dc/elements/1.1/">'
+           b'<dc:title><rdf:Alt>'
+           b'<rdf:li xml:lang="x-default">XMP Title &amp; More</rdf:li>'
+           b'</rdf:Alt></dc:title>'
+           b'</rdf:Description></rdf:RDF></x:xmpmeta><?xpacket end="w"?>')
+    md = b.add_stream("<< /Type /Metadata /Subtype /XML >>", xmp)
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add(
+        f"<< /Type /Catalog /Pages 90 0 R /Metadata {md} 0 R >>", num=91
+    )
+    add(Case("t49_xmp_title", b.build(root), "xmp doc", None, 1))
+
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",
              b"<!doctype html><html><body>hello web</body></html>",

@@ -27,6 +27,7 @@ the oracle; goldens in tests/test_golden.py pin them):
 
 from __future__ import annotations
 
+import re
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
 from pdfspark.kernel.content import tokenize_content
@@ -410,24 +411,57 @@ def _walk_outline(doc, ref, titles: List[str], seen: set, depth: int) -> None:
 
 def _doc_metadata(doc: PdfDocument):
     """Info dictionary surface (`src/catalog.rs:212-240`): Title +
-    CreationDate (via the D: date parser, `src/date.rs`)."""
+    CreationDate (via the D: date parser, `src/date.rs`). When /Info
+    carries no /Title, fall back to the catalog's XMP packet (dc:title
+    rdf:Alt first item) — many crawl PDFs are XMP-only; the reference
+    never reads XMP, so this exceeds it."""
+    title = created = None
     try:
         info = doc.resolve(doc.trailer.get("Info"))
-        if not isinstance(info, dict):
-            return None, None
-        title = decode_text_string(doc.resolve(info.get("Title")))
-        created = None
-        from pdfspark.kernel.dates import parse_pdf_date
+        if isinstance(info, dict):
+            title = decode_text_string(doc.resolve(info.get("Title")))
+            from pdfspark.kernel.dates import parse_pdf_date
 
-        d = parse_pdf_date(doc.resolve(info.get("CreationDate")))
-        if d and d["year"]:
-            created = "%04d-%02d-%02dT%02d:%02d:%02d" % (
-                d["year"], d["month"] or 1, d["day"] or 1,
-                d["hour"] or 0, d["minute"] or 0, d["second"] or 0,
-            )
-        return title, created
+            d = parse_pdf_date(doc.resolve(info.get("CreationDate")))
+            if d and d["year"]:
+                created = "%04d-%02d-%02dT%02d:%02d:%02d" % (
+                    d["year"], d["month"] or 1, d["day"] or 1,
+                    d["hour"] or 0, d["minute"] or 0, d["second"] or 0,
+                )
+        if title is None:
+            title = _xmp_title(doc)
     except PdfError:
-        return None, None
+        pass
+    return title, created
+
+
+_XMP_TITLE = re.compile(
+    rb"<dc:title>.{0,400}?<rdf:li[^>]{0,200}>(.{0,1000}?)</rdf:li>",
+    re.DOTALL,
+)
+
+
+def _xmp_title(doc: PdfDocument) -> Optional[str]:
+    """dc:title from the catalog /Metadata XMP stream (first rdf:Alt
+    item). Bounded: 1 MiB of decoded packet, regex spans capped; the
+    three XML escapes XMP writers emit are unescaped."""
+    try:
+        catalog = doc.resolve(doc.trailer.get("Root"))
+        meta = doc.get(catalog, "Metadata") if isinstance(catalog, dict) else None
+        if not isinstance(meta, Stream):
+            return None
+        data = doc.decode(meta)[: 1 << 20]
+        m = _XMP_TITLE.search(data)
+        if not m:
+            return None
+        raw = m.group(1).strip()
+        for ent, ch in ((b"&lt;", b"<"), (b"&gt;", b">"), (b"&amp;", b"&"),
+                        (b"&quot;", b'"'), (b"&#39;", b"'")):
+            raw = raw.replace(ent, ch)
+        s = raw.decode("utf-8", "replace")
+        return s or None
+    except PdfError:
+        return None
 
 
 def extract_document(buf: bytes) -> ExtractResult:

@@ -181,3 +181,17 @@ def test_embedded_files_inventory():
     r = extract_text(case.pdf)
     assert r.text == "attached doc" and r.error is None
     assert r.attachments == "readme.txt:11\nuni-data.bin:3"
+
+
+def test_xmp_title_fallback():
+    """t49: no /Info — doc_title falls back to the XMP packet's
+    dc:title first rdf:Alt item, XML-unescaped; /Info /Title still
+    wins when present (pinned by t34-family metadata goldens)."""
+    from pdfspark.corpus import all_cases
+    from pdfspark.kernel.extract import extract_text
+
+    case = next(c for c in all_cases() if c.case_id == "t49_xmp_title")
+    r = extract_text(case.pdf)
+    assert r.text == "xmp doc" and r.error is None
+    assert r.title == "XMP Title & More"
+    assert r.created is None
