@@ -250,3 +250,47 @@ def test_shard_packing_window_is_not_single_partition(spark):
     plan = plan_of(df)
     assert "SinglePartition" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The third skew tool (after two-tier salting and hot-key caps):
+    AQE's runtime skew-join split. One hot key holds ~90% of the fact
+    rows; with skew thresholds scaled to the data, the final adaptive
+    plan must mark the sort-merge join skew=true — proof the pipeline
+    can lean on runtime re-planning where pre-salting is impossible
+    (ad-hoc joins on unknown key distributions)."""
+    # two gotchas, found empirically: the skew estimate reads COMPRESSED
+    # shuffle bytes (a constant payload lz4s to nothing — use md5), and
+    # Spark 4's OptimizeSkewedJoin only engages with the coalesce
+    # framework enabled (do NOT disable coalescePartitions)
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(0, 100_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k",
+            "concat(md5(CAST(id AS STRING)),"
+            " md5(CAST(id+1 AS STRING))) AS payload",
+        )
+        dim = spark.range(0, 100_000).selectExpr("id AS k", "id AS v")
+        j = fact.join(dim, "k").selectExpr("sum(length(payload)) AS s")
+        [row] = j.collect()
+        assert row["s"] == 100_000 * 64
+        plan = plan_of(j)
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan  # the AQEShuffleRead marker
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
