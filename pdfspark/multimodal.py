@@ -158,3 +158,54 @@ def extract_byte_histogram(df: DataFrame, bins: int = 16) -> DataFrame:
             )
 
     return df.mapInPandas(run, FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """Resize plumbing: (doc_id, payload) → (doc_id, out_w, out_h,
+    resized:binary). The codec-free stand-in resamples the payload's
+    byte stream to exactly out_w*out_h bytes by numpy stride indexing —
+    deterministic, shape-exact, and vectorized, so the stage has the
+    real resize contract (fixed output dims, binary out, Arrow batch
+    in) while the interpolating decoder stays one function swap away
+    (decode_image_pixels gates on Pillow)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import sys
+
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
+        import numpy as np
+        import pandas as pd
+
+        size = out_w * out_h
+        for b in batches:
+            out = []
+            for p in b["payload"]:
+                buf = np.frombuffer(
+                    bytes(p) if p is not None else b"", dtype=np.uint8
+                )
+                if len(buf) == 0:
+                    out.append(bytes(size))
+                    continue
+                idx = (np.arange(size) * len(buf)) // size
+                out.append(buf[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].astype("int64"),
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "resized": out,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)

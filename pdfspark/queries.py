@@ -2637,6 +2637,38 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 @register(
+    "multimodal_resize",
+    oracle="""
+WITH m AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents
+           WHERE LENGTH(text) > 0)
+SELECT doc_id, CAST(8 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+  md5(array_to_string(list_transform(range(0, 32),
+      i -> substr(text, CAST((i * n) // 32 + 1 AS INT), 1)), ''))
+    AS resized_md5
+FROM m
+""",
+)
+def multimodal_resize(spark, sf_dir):
+    """Resize stage through the multimodal plumbing (fixed output dims,
+    binary out): the codec-free stride resample picks byte (i*n)//size
+    for each of the out_w*out_h output positions, so the oracle
+    recomputes every output byte arithmetically over the ASCII payload;
+    md5 keeps the comparison off raw binary. Empty payloads are
+    filtered on both engines (VARCHAR cannot express the zero-fill)."""
+    from pdfspark.multimodal import resize_images
+
+    _load(spark, sf_dir, "documents")
+    binary = (
+        spark.table("documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    return resize_images(binary, out_w=8, out_h=4).select(
+        "doc_id", "out_w", "out_h", F.md5("resized").alias("resized_md5")
+    )
+
+
+@register(
     "session_window_agg",
     oracle="""
 WITH o AS (
@@ -3235,6 +3267,7 @@ DRIVER_PRIORITY = [
     "dedup_incremental_minhash",
     "shard_pack_token_budget",
     "url_blocklist_filter",
+    "multimodal_resize",
     "pdf_columns_reading_order",
     "pdf_kerned_wordbreak",
     "pdf_layout_mix_extract",
@@ -3251,7 +3284,6 @@ DRIVER_PRIORITY = [
     "pdf_extract_roundtrip",
     "pdf_spans",
     "pdf_error_rows",
-    "pdf_regression_join",
     "pdf_doc_metadata",
     "pdf_annots_text",
     "pdf_outlines",
@@ -3262,6 +3294,7 @@ DRIVER_PRIORITY = [
     # ceded to the r3 additions (2 rounds of green driver history, family
     # still represented in-window): dedup_minhash_lsh (incremental
     # variant shares the kernel and oracle CTEs; still bench-pinned),
+    # pdf_regression_join (extraction family 10-wide in-window),
     # still represented in-window): text_token_count
     # (token_count_pandas_udf + gopher), embedding_cosine_neardup +
     # ann_ivf_bucketed (bruteforce + numpy-IVF + recall), dedup_exact

@@ -55,3 +55,28 @@ def test_pixel_decode_is_gated():
 def test_stub_is_deterministic():
     assert _decode_image_stub(b"abc") == _decode_image_stub(b"abc")
     assert _decode_image_stub(b"") == (1, 1, 1)
+
+
+def test_resize_fixed_output_dims(spark):
+    """resize_images: every payload (any length, incl. empty/null)
+    lands at exactly out_w*out_h bytes; stride resampling is
+    deterministic (first byte preserved, monotone source indices)."""
+    from pdfspark.multimodal import resize_images
+
+    df = _binary_df(spark).unionByName(
+        spark.createDataFrame([(100, b""), (101, None)],
+                              "doc_id long, payload binary"))
+    out = resize_images(df, out_w=8, out_h=4)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 22
+    for r in rows.values():
+        assert (r.out_w, r.out_h) == (8, 4)
+        assert len(r.resized) == 32
+    # payload of constant byte k resamples to constant k
+    assert bytes(rows[5].resized) == bytes([5]) * 32
+    assert bytes(rows[100].resized) == bytes(32)
+    assert bytes(rows[101].resized) == bytes(32)
+    # deterministic across runs
+    again = {r.doc_id: bytes(r.resized)
+             for r in resize_images(df, 8, 4).collect()}
+    assert again == {k: bytes(v.resized) for k, v in rows.items()}
