@@ -253,17 +253,21 @@ class PdfDocument:
             raise PdfError("pages", "missing /Pages root")
         out: List[dict] = []
         visited = set()
-        # stack of (node, inherited) — depth-first preserves page order
+        # stack of (node, inherited, objnum) — depth-first preserves page
+        # order; objnum lets structure-tree /Pg references find their page
+        root_objnum = (root_ref.object_number
+                       if isinstance(root_ref, Reference) else None)
         stack = [(root, {k: root.get(k) for k in INHERITABLE_PAGE_KEYS
-                         if root.get(k) is not None})]
+                         if root.get(k) is not None}, root_objnum)]
         while stack and len(out) < _MAX_PAGES:
-            node, inherited = stack.pop()
+            node, inherited, objnum = stack.pop()
             ntype = str(self.get(node, "Type", "") or "")
             kids = self.get(node, "Kids")
             if ntype == "Page" or (kids is None and "Contents" in node):
                 leaf = dict(node)
                 for k, v in inherited.items():
                     leaf.setdefault(k, v)
+                leaf["__pageobj__"] = objnum
                 out.append(leaf)
                 continue
             if not isinstance(kids, list):
@@ -284,7 +288,9 @@ class PdfDocument:
                 visited.add(key)
                 knode = self.resolve(kid)
                 if isinstance(knode, dict):
-                    stack.append((knode, child_inherited))
+                    stack.append((knode, child_inherited,
+                                  kid.object_number
+                                  if isinstance(kid, Reference) else None))
         return out
 
     def page_content(self, page: dict) -> bytes:

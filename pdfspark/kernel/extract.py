@@ -83,9 +83,11 @@ class ExtractResult(NamedTuple):
     glyph_positions: Optional[List[GlyphPos]] = None  # opt-in geometry
     links: Optional[str] = None  # Link-annotation URIs, "\n"-joined
     attachments: Optional[str] = None  # "name:size" lines, "\n"-joined
+    struct_text: Optional[str] = None  # opt-in Tagged-PDF structure order
 
 
-def extract_text(buf: bytes, positions: bool = False) -> ExtractResult:
+def extract_text(buf: bytes, positions: bool = False,
+                 structure: bool = False) -> ExtractResult:
     """Extract text from one PDF byte buffer. Never raises: failures land
     in ``error`` (stable codes: not-pdf, encrypted, xref, catalog, pages,
     filter, lex, too-large, predefined-cmap, internal).
@@ -94,23 +96,33 @@ def extract_text(buf: bytes, positions: bool = False) -> ExtractResult:
     in ``glyph_positions`` — the opt-in geometry column for downstream
     word-break/column analysis. It forces the per-glyph decode path
     (≈2.4× slower than the batched default), so the hot extraction path
-    leaves it off."""
+    leaves it off.
+
+    ``structure=True`` additionally linearizes in Tagged-PDF STRUCTURE
+    order (``struct_text``): marked-content runs regroup by MCID and
+    follow the /StructTreeRoot depth-first element order — the
+    semantically-correct reading order when a producer tagged the file
+    (content-stream order stays the pinned default policy; struct_text
+    is None for untagged docs)."""
     try:
         doc = PdfDocument(buf)
         pages = doc.pages()
         page_texts: List[str] = []
         glyph_positions: Optional[List[GlyphPos]] = [] if positions else None
         page_pos: List[List[tuple]] = []
+        page_runs: List[list] = []
         soft_error: Optional[str] = None
         for page in pages:
             try:
-                txt, err, gp = _extract_page(doc, page, positions=positions)
+                txt, err, gp, runs = _extract_page(
+                    doc, page, positions=positions, mcids=structure)
             except PdfError as e:
-                txt, err, gp = "", e.code, None
+                txt, err, gp, runs = "", e.code, None, None
             except RecursionError:
-                txt, err, gp = "", "recursion", None
+                txt, err, gp, runs = "", "recursion", None, None
             page_texts.append(txt)
             page_pos.append(gp or [])
+            page_runs.append(runs or [])
             if err and not soft_error:
                 soft_error = err
         text = "\f".join(page_texts)
@@ -135,9 +147,12 @@ def extract_text(buf: bytes, positions: bool = False) -> ExtractResult:
         links = "\n".join(link_parts) if link_parts else None
         att_parts = _attachment_entries(doc, pages)
         attachments = "\n".join(att_parts) if att_parts else None
+        struct_text = (_struct_text(doc, pages, page_runs)
+                       if structure else None)
         return ExtractResult(
             text, spans, len(pages), soft_error, doc.lang(), title, created,
             annots, _doc_outlines(doc), glyph_positions, links, attachments,
+            struct_text,
         )
     except PdfError as e:
         return ExtractResult(None, [], 0, e.code, None)
@@ -483,7 +498,8 @@ def extract_document(buf: bytes) -> ExtractResult:
 class _PageInterp:
     """Interpreter state for one page (+ nested Form XObjects)."""
 
-    def __init__(self, doc: PdfDocument, track_positions: bool = False) -> None:
+    def __init__(self, doc: PdfDocument, track_positions: bool = False,
+                 track_mcids: bool = False) -> None:
         self.doc = doc
         self.out: List[str] = []
         self.out_len = 0
@@ -495,6 +511,9 @@ class _PageInterp:
         self.soft_error: Optional[str] = None
         # opt-in geometry: (page-relative char offset, x, y) per glyph
         self.positions: Optional[List[tuple]] = [] if track_positions else None
+        # opt-in Tagged-PDF: (effective MCID | None, shown text) runs
+        self.runs: Optional[List[tuple]] = [] if track_mcids else None
+        self.mc_stack: List[Optional[int]] = []
 
     # ------------------------------------------------------------ emission
 
@@ -542,6 +561,8 @@ class _PageInterp:
                 )
                 nx, _ = apply(mat_mul(ts.tm, self.gs.ctm), 0.0, ts.rise)
                 self.positions.append((off, gx, gy, nx - gx))
+                if self.runs is not None:
+                    self.runs.append((self._mcid(), g.text))
             _, self.last_y = apply(mat_mul(ts.tm, self.gs.ctm), 0.0, 0.0)
             return
         text, width_sum, n_glyphs, n_spaces = font.decode_fast(bytes(raw))
@@ -554,6 +575,8 @@ class _PageInterp:
         ) * ts.h_scale
         ts.advance(tx)
         self._emit(text)
+        if self.runs is not None and text:
+            self.runs.append((self._mcid(), text))
         # update last_y to post-show baseline (rises don't move the baseline)
         _, self.last_y = apply(mat_mul(ts.tm, self.gs.ctm), 0.0, 0.0)
 
@@ -640,8 +663,11 @@ class _PageInterp:
             self._apply_extgstate(res, o[-1])
         elif op == "Do" and o:
             self._do_xobject(res, o[-1], depth, seen_forms)
-        # all other operators (paths, color, clip, marked content, images,
-        # line params) carry no text: operands were already popped
+        elif op in ("BDC", "BMC", "EMC") and self.runs is not None:
+            self._marked_content(op, o, res)
+        # all other operators (paths, color, clip, marked content when
+        # not tracking MCIDs, images, line params) carry no text:
+        # operands were already popped
 
 
     def _load_font_cached(self, res: dict, name) -> Font:
@@ -678,6 +704,30 @@ class _PageInterp:
                 if isinstance(fd, dict):
                     self.ts.font = load_font(doc, fd)
                     self.ts.font_size = float(doc.resolve(fent[1]) or 0)
+
+    def _mcid(self) -> Optional[int]:
+        return self.mc_stack[-1] if self.mc_stack else None
+
+    def _marked_content(self, op: str, o: list, res: dict) -> None:
+        """G10 with MCID tracking (structure mode only): BDC's property
+        dict (inline or via /Properties) may carry /MCID; nested
+        sequences without one inherit the enclosing effective MCID."""
+        if op == "EMC":
+            if self.mc_stack:
+                self.mc_stack.pop()
+            return
+        eff = self._mcid()
+        if op == "BDC" and o:
+            props = o[-1]
+            if isinstance(props, Name):
+                pdict = self.doc.get(res, "Properties")
+                props = (self.doc.get(pdict, str(props))
+                         if isinstance(pdict, dict) else None)
+            if isinstance(props, dict):
+                m = self.doc.resolve(props.get("MCID"))
+                if isinstance(m, int) and not isinstance(m, bool):
+                    eff = m
+        self.mc_stack.append(eff)
 
     def _do_xobject(self, res: dict, name, depth: int, seen_forms: set) -> None:
         """G4: Form XObject recursion with own Resources/Matrix, state
@@ -721,10 +771,112 @@ class _PageInterp:
             self.ts.font, self.ts.font_size = saved_ts_font, saved_ts_size
 
 
+def _structure_mcid_order(doc: PdfDocument):
+    """DFS over /StructTreeRoot (§14.7): /K may be an MCID int, an
+    array, an /MCR marked-content reference, or a child element; /Pg is
+    inherited down the tree. Returns {page objnum: [mcid, ...]} in
+    element order, or None when the document is untagged. Cycle-guarded
+    and budget-capped for crawl dirt."""
+    catalog = doc.resolve(doc.trailer.get("Root"))
+    st = (doc.get(catalog, "StructTreeRoot")
+          if isinstance(catalog, dict) else None)
+    if not isinstance(st, dict):
+        return None
+    order: Dict[Optional[int], List[int]] = {}
+    seen: set = set()
+    budget = [65536]
+
+    def walk(node, pg, depth: int) -> None:
+        if budget[0] <= 0 or depth > 64:
+            return
+        budget[0] -= 1
+        if isinstance(node, Reference):
+            if node.object_number in seen:
+                return
+            seen.add(node.object_number)
+        try:
+            node = doc.resolve(node)
+        except PdfError:
+            return
+        if isinstance(node, bool):
+            return
+        if isinstance(node, int):
+            order.setdefault(pg, []).append(node)
+            return
+        if isinstance(node, list):
+            for kid in node:
+                walk(kid, pg, depth + 1)
+            return
+        if not isinstance(node, dict):
+            return
+        pg_ref = node.get("Pg")
+        mypg = (pg_ref.object_number
+                if isinstance(pg_ref, Reference) else pg)
+        t = str(node.get("Type") or "")
+        if t == "MCR":
+            m = doc.resolve(node.get("MCID"))
+            if isinstance(m, int) and not isinstance(m, bool):
+                order.setdefault(mypg, []).append(m)
+            return
+        if t == "OBJR":
+            return
+        walk(node.get("K"), mypg, depth + 1)
+
+    try:
+        pg_ref = st.get("Pg")
+        walk(st.get("K"),
+             pg_ref.object_number if isinstance(pg_ref, Reference) else None,
+             0)
+    except PdfError:
+        pass
+    return order
+
+
+def _struct_text(doc: PdfDocument, pages: List[dict],
+                 page_runs: List[list]) -> Optional[str]:
+    """Pinned structure-order policy: per page, each referenced MCID's
+    runs concatenate in content order; MCID groups follow structure
+    order, separated by a single space unless the text already ends in
+    whitespace; unmarked/unreferenced runs append after them (content
+    order, one group); pages join with \\f. None when the document
+    carries no /StructTreeRoot."""
+    order_map = _structure_mcid_order(doc)
+    if order_map is None:
+        return None
+    page_texts = []
+    for page, runs in zip(pages, page_runs):
+        order = order_map.get(page.get("__pageobj__"), [])
+        if not order and len(pages) == 1:
+            # single-page files commonly omit /Pg entirely
+            order = order_map.get(None, [])
+        by: Dict[Optional[int], List[str]] = {}
+        for m, t in runs:
+            by.setdefault(m, []).append(t)
+        parts, used = [], set()
+        for m in order:
+            if m in by and m not in used:
+                used.add(m)
+                parts.append("".join(by[m]))
+        leftover = "".join(t for m, t in runs if m not in used)
+        if leftover:
+            parts.append(leftover)
+        txt = ""
+        for p in parts:
+            if not p:
+                continue
+            if txt and not txt[-1].isspace():
+                txt += " "
+            txt += p
+        page_texts.append(txt)
+    return "\f".join(page_texts)
+
+
 def _extract_page(doc: PdfDocument, page: dict,
-                  positions: bool = False) -> Tuple[str, Optional[str], Optional[list]]:
+                  positions: bool = False, mcids: bool = False,
+                  ) -> Tuple[str, Optional[str], Optional[list], Optional[list]]:
     content = doc.page_content(page)
-    interp = _PageInterp(doc, track_positions=positions)
+    interp = _PageInterp(doc, track_positions=positions, track_mcids=mcids)
     resources = doc.get(page, "Resources")
     interp.run(content, resources if isinstance(resources, dict) else {})
-    return "".join(interp.out), interp.soft_error, interp.positions
+    return ("".join(interp.out), interp.soft_error, interp.positions,
+            interp.runs)
