@@ -403,3 +403,70 @@ def text_to_pdf_multipage(text: str, page_chars: int = 500,
         b"startxref\n%d\n%%%%EOF\n" % (size, xref_off)
     )
     return bytes(out)
+
+
+def text_to_pdf_tagged(text: str, meta_id: int = 0) -> bytes:
+    """Tagged PDF whose CONTENT-STREAM ORDER IS SHUFFLED (middle third
+    first) while the /StructTreeRoot restores logical order: the words
+    split into thirds A/B/C tagged /MCID 0/1/2, the stream emits B, A,
+    C, and structure elements reference [0, 1, 2] — so structure-order
+    linearization must reproduce ``text`` exactly while content-order
+    reads B-first. Single page; chunks are word-joined (no trailing
+    whitespace) so the struct-text separator rule yields single
+    spaces."""
+    text = normalize_for_pdf(text)
+    words = text.split(" ")
+    n = len(words)
+    chunks = [" ".join(words[: n // 3]),
+              " ".join(words[n // 3 : 2 * n // 3]),
+              " ".join(words[2 * n // 3 :])]
+    ops = ["BT /F1 12 Tf 72 720 Td"]
+    for row, mcid in enumerate((1, 0, 2)):
+        ops.append(
+            f"/P << /MCID {mcid} >> BDC "
+            f"({_escape(chunks[mcid])}) Tj EMC 0 -14 Td"
+        )
+    ops.append("ET")
+    content = " ".join(ops).encode("latin-1")
+    data = zlib.compress(content, 6)
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R /StructTreeRoot 7 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    emit(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    emit(
+        4,
+        b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(data)
+        + data + b"\nendstream",
+    )
+    emit(
+        5,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+    )
+    emit(6, b"<< /Title (doc %d) /Producer (pdfspark-docgen) >>" % meta_id)
+    emit(7, b"<< /Type /StructTreeRoot /K [8 0 R 9 0 R 10 0 R] >>")
+    for i in range(3):
+        emit(8 + i,
+             b"<< /Type /StructElem /S /P /Pg 3 0 R /K %d >>" % i)
+    size = max(offsets) + 1
+    xref_off = len(out)
+    out.extend(b"xref\n0 %d\n0000000000 65535 f \n" % size)
+    for num in range(1, size):
+        out.extend(b"%010d 00000 n \n" % offsets[num])
+    out.extend(
+        b"trailer\n<< /Size %d /Root 1 0 R /Info 6 0 R >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (size, xref_off)
+    )
+    return bytes(out)

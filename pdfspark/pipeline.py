@@ -266,6 +266,37 @@ POSITIONS_SCHEMA = (
 )
 
 
+def extract_pages_struct(pages: DataFrame) -> DataFrame:
+    """Opt-in Tagged-PDF extraction: content-order text PLUS the
+    structure-order linearization (struct_text, None for untagged docs).
+    Same zero-extra-shuffle mapInPandas shape as extract_pages."""
+    pages = filter_pdf_rows(pages).select("url", "html")
+
+    def run(batches):
+        import sys
+
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
+        import pandas as pd
+
+        from pdfspark.kernel.extract import extract_text
+
+        for b in batches:
+            urls, texts, struct_texts = [], [], []
+            for url, html in zip(b["url"], b["html"]):
+                r = extract_text(bytes(html) if html is not None else b"",
+                                 structure=True)
+                urls.append(url)
+                texts.append(r.text)
+                struct_texts.append(r.struct_text)
+            yield pd.DataFrame(
+                {"url": urls, "text": texts, "struct_text": struct_texts}
+            )
+
+    return pages.mapInPandas(
+        run, "url string, text string, struct_text string")
+
+
 def extract_pages_positions(pages: DataFrame) -> DataFrame:
     """Opt-in geometric extraction: one row per glyph with device-space
     (x, y) — the input for downstream word-break/column detection. Runs
@@ -587,6 +618,10 @@ def _synth_page(i: int, text: str, lang, fmt: str,
         html = (text_to_pdf(text, meta_id=i) if i % 3 == 0
                 else text_to_pdf_two_column(text, meta_id=i) if i % 3 == 1
                 else text_to_pdf_kerned(text, meta_id=i))
+    elif fmt == "pdf_tagged":
+        from pdfspark.docgen import text_to_pdf_tagged
+
+        html = text_to_pdf_tagged(text, meta_id=i)
     elif fmt == "pdf_annot":
         # deterministic annotation/outline/link/attachment tiers for the
         # oracle: %10 → FreeText + Widget, %5 → FreeText, %7 → two

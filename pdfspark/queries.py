@@ -3031,6 +3031,26 @@ def pdf_extract_skew_aware(spark, sf_dir):
 
 
 @register(
+    "pdf_struct_reading_order",
+    oracle="SELECT doc_id, text AS struct_text FROM documents",
+)
+def pdf_struct_reading_order(spark, sf_dir):
+    """Tagged-PDF reading order: the generator writes each document's
+    thirds in SHUFFLED content order (middle first) under /MCID marks,
+    with the /StructTreeRoot holding logical order — so content-order
+    extraction provably scrambles every doc while the structure-order
+    linearization must reproduce documents.text byte-identically."""
+    from pdfspark.pipeline import extract_pages_struct, pages_from_documents
+
+    ext = extract_pages_struct(
+        pages_from_documents(spark, sf_dir, fmt="pdf_tagged"))
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        "struct_text",
+    )
+
+
+@register(
     "pdf_columns_reading_order",
     oracle="SELECT doc_id, text FROM documents",
 )
@@ -3268,6 +3288,7 @@ DRIVER_PRIORITY = [
     "shard_pack_token_budget",
     "url_blocklist_filter",
     "multimodal_resize",
+    "pdf_struct_reading_order",
     "pdf_columns_reading_order",
     "pdf_kerned_wordbreak",
     "pdf_layout_mix_extract",
@@ -3286,7 +3307,6 @@ DRIVER_PRIORITY = [
     "pdf_error_rows",
     "pdf_doc_metadata",
     "pdf_annots_text",
-    "pdf_outlines",
     "html_extract_roundtrip",
     "mixed_corpus_extract",
     "q5_region_revenue",
@@ -3294,7 +3314,8 @@ DRIVER_PRIORITY = [
     # ceded to the r3 additions (2 rounds of green driver history, family
     # still represented in-window): dedup_minhash_lsh (incremental
     # variant shares the kernel and oracle CTEs; still bench-pinned),
-    # pdf_regression_join (extraction family 10-wide in-window),
+    # pdf_regression_join + pdf_outlines (extraction family 10-wide
+    # in-window),
     # still represented in-window): text_token_count
     # (token_count_pandas_udf + gopher), embedding_cosine_neardup +
     # ann_ivf_bucketed (bruteforce + numpy-IVF + recall), dedup_exact
