@@ -207,3 +207,24 @@ def test_positions_path_survives_mutated_pdfs(data):
         buf[pos] = data.draw(st.integers(min_value=0, max_value=255))
     r = extract_text(bytes(buf), positions=True)
     assert isinstance(reading_order_text(r), str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_structure_path_survives_mutated_pdfs(data):
+    """The Tagged-PDF path (structure=True) — MCID tracking plus the
+    structure-tree walk — must be as crash-tolerant as the batched
+    path: byte flips in valid fixtures (incl. the tagged generator's
+    output) never raise, and struct_text is None or a str."""
+    from pdfspark.corpus import all_cases
+    from pdfspark.docgen import text_to_pdf_tagged
+
+    cases = [c.pdf for c in all_cases() if c.pdf.startswith(b"%PDF-")]
+    cases.append(text_to_pdf_tagged(
+        "alpha beta gamma delta epsilon zeta eta theta", meta_id=1))
+    buf = bytearray(data.draw(st.sampled_from(cases)))
+    for _ in range(data.draw(st.integers(min_value=1, max_value=6))):
+        pos = data.draw(st.integers(min_value=0, max_value=len(buf) - 1))
+        buf[pos] = data.draw(st.integers(min_value=0, max_value=255))
+    r = extract_text(bytes(buf), structure=True)
+    assert r.struct_text is None or isinstance(r.struct_text, str)
