@@ -3196,6 +3196,46 @@ def sample_stratified(spark, sf_dir):
     )
 
 
+# Distribution-matched downsampling: unlike sample_stratified's FIXED
+# per-group rates, the acceptance rate here is COMPUTED from the data —
+# every language downsamples to the smallest language's mass (uniform
+# target mix), the data-rebalancing step of corpus prep. Cross-
+# multiplied integers (bucket * n < 10000 * target) keep the keep-bit
+# engine-exact with no rate floats.
+_DIST_MATCH_SQL = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+tgt AS (SELECT MIN(n) AS target FROM counts)
+SELECT d.doc_id, d.lang,
+  CASE WHEN ({bucket}) * c.n < 10000 * t.target THEN 1 ELSE 0 END AS keep
+FROM documents d
+JOIN counts c ON d.lang = c.lang
+CROSS JOIN tgt t
+"""
+
+
+@register(
+    "sample_match_distribution",
+    oracle=_DIST_MATCH_SQL.format(
+        bucket="CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)),"
+               " 1, 6)) AS BIGINT) % 10000",
+    ),
+)
+def sample_match_distribution(spark, sf_dir):
+    """Deterministic distribution matching: per-language acceptance
+    rate target/n derived from the corpus itself, applied through the
+    md5-bucket of doc_id (never rand() — retries must reproduce the
+    sample). Scale shape: counts is one map-side-combined aggregation
+    over a few-row key space, broadcast back; the target is a 1-row
+    broadcast; the keep bit evaluates in the scan stage — the corpus
+    never shuffles."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(_DIST_MATCH_SQL.format(
+        bucket="CAST(conv(substr(md5(CAST(d.doc_id AS STRING)), 1, 6),"
+               " 16, 10) AS BIGINT) % 10000",
+    ))
+
+
 _PARA_DEDUP_DUCK = """
 WITH """ + _NEARDUP_CORPUS.split("words AS")[0].format(cap=300) + """
 w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
@@ -3289,6 +3329,7 @@ DRIVER_PRIORITY = [
     "url_blocklist_filter",
     "multimodal_resize",
     "pdf_struct_reading_order",
+    "sample_match_distribution",
     "pdf_columns_reading_order",
     "pdf_kerned_wordbreak",
     "pdf_layout_mix_extract",
@@ -3308,14 +3349,13 @@ DRIVER_PRIORITY = [
     "pdf_doc_metadata",
     "pdf_annots_text",
     "html_extract_roundtrip",
-    "mixed_corpus_extract",
     "q5_region_revenue",
     "ann_bruteforce_topk",
     # ceded to the r3 additions (2 rounds of green driver history, family
     # still represented in-window): dedup_minhash_lsh (incremental
     # variant shares the kernel and oracle CTEs; still bench-pinned),
-    # pdf_regression_join + pdf_outlines (extraction family 10-wide
-    # in-window),
+    # pdf_regression_join + pdf_outlines + mixed_corpus_extract
+    # (extraction family 10-wide in-window, html roundtrip present),
     # still represented in-window): text_token_count
     # (token_count_pandas_udf + gopher), embedding_cosine_neardup +
     # ann_ivf_bucketed (bruteforce + numpy-IVF + recall), dedup_exact
