@@ -3196,6 +3196,55 @@ def sample_stratified(spark, sf_dir):
     )
 
 
+@register(
+    "shard_materialize",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, text,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, text, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tok),
+assign AS (
+  SELECT doc_id, text,
+    CAST(FLOOR((cum - n_tokens) / {budget}.0) AS BIGINT) AS shard_id
+  FROM cum)
+SELECT shard_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  md5(string_agg(text, chr(10) ORDER BY doc_id)) AS shard_md5
+FROM assign GROUP BY shard_id
+""".format(budget=_SHARD_BUDGET),
+)
+def shard_materialize(spark, sf_dir):
+    """Materialize the training shards the packing step assigned:
+    documents concatenate in doc_id order inside their shard,
+    newline-joined (md5 keeps the comparison off megabyte strings).
+    Reuses the distributed prefix-scan assignment; one further shuffle
+    keyed by shard_id with ~budget-token values per group — bounded
+    group size is the point of packing, so no skew by construction."""
+
+    assign = shard_pack_token_budget(spark, sf_dir).select(
+        "doc_id", "shard_id")
+    docs = spark.table("documents").select("doc_id", "text")
+    return (
+        assign.join(docs, "doc_id")
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.md5(
+                F.array_join(
+                    F.expr("transform(array_sort(collect_list("
+                           "struct(doc_id, text))), s -> s.text)"),
+                    "\n",
+                )
+            ).alias("shard_md5"),
+        )
+    )
+
+
 # Distribution-matched downsampling: unlike sample_stratified's FIXED
 # per-group rates, the acceptance rate here is COMPUTED from the data —
 # every language downsamples to the smallest language's mass (uniform
@@ -3330,6 +3379,7 @@ DRIVER_PRIORITY = [
     "multimodal_resize",
     "pdf_struct_reading_order",
     "sample_match_distribution",
+    "shard_materialize",
     "pdf_columns_reading_order",
     "pdf_kerned_wordbreak",
     "pdf_layout_mix_extract",
@@ -3346,7 +3396,6 @@ DRIVER_PRIORITY = [
     "pdf_extract_roundtrip",
     "pdf_spans",
     "pdf_error_rows",
-    "pdf_doc_metadata",
     "pdf_annots_text",
     "html_extract_roundtrip",
     "q5_region_revenue",
@@ -3354,8 +3403,9 @@ DRIVER_PRIORITY = [
     # ceded to the r3 additions (2 rounds of green driver history, family
     # still represented in-window): dedup_minhash_lsh (incremental
     # variant shares the kernel and oracle CTEs; still bench-pinned),
-    # pdf_regression_join + pdf_outlines + mixed_corpus_extract
-    # (extraction family 10-wide in-window, html roundtrip present),
+    # pdf_regression_join + pdf_outlines + mixed_corpus_extract +
+    # pdf_doc_metadata (extraction/metadata family 10-wide in-window,
+    # html roundtrip + annots + attachments present),
     # still represented in-window): text_token_count
     # (token_count_pandas_udf + gopher), embedding_cosine_neardup +
     # ann_ivf_bucketed (bruteforce + numpy-IVF + recall), dedup_exact
