@@ -257,10 +257,12 @@ def _acroform_field_values(doc: PdfDocument) -> List[str]:
             if not isinstance(node, dict):
                 continue
             kids = doc.get(node, "Kids")
-            if isinstance(kids, list):
+            if isinstance(kids, list) and kids:
                 # intermediate node: its /V is the kids' INHERITED value
                 # (§12.7.3.1) and surfaces through them — re-emitting here
-                # would duplicate every inheriting widget's value
+                # would duplicate every inheriting widget's value. An
+                # EMPTY /Kids array is a terminal field (some producers
+                # emit it), so it falls through to value emission.
                 queue.extend(kids[:512])
                 continue
             if str(doc.get(node, "Subtype") or "") == "Widget":
@@ -755,6 +757,7 @@ class _PageInterp:
         seen_forms.add(key)
         saved_gs, saved_stack = self.gs, list(self.gs_stack)
         saved_ts_font, saved_ts_size = self.ts.font, self.ts.font_size
+        saved_mc = list(self.mc_stack)
         mtx = doc.get(xo.dict, "Matrix")
         if isinstance(mtx, list) and len(mtx) >= 6:
             m: Matrix = tuple(float(doc.resolve(x)) for x in mtx[:6])  # type: ignore
@@ -769,6 +772,10 @@ class _PageInterp:
             seen_forms.discard(key)
             self.gs, self.gs_stack = saved_gs, saved_stack
             self.ts.font, self.ts.font_size = saved_ts_font, saved_ts_size
+            # a form's unbalanced BDC/EMC must not leak into the page's
+            # marked-content nesting (mirrors the gs/ts restore; a stray
+            # EMC POPS page entries, so truncation alone cannot undo it)
+            self.mc_stack[:] = saved_mc
 
 
 def _structure_mcid_order(doc: PdfDocument):

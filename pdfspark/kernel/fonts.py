@@ -611,7 +611,10 @@ class Font:
         i, n = 0, len(s)
         while i < n:
             b = s[i]
-            if b == 0x8E and i + 3 < n:
+            if b == 0x8E and i + 3 < n and 0xA1 <= s[i + 1] <= 0xB0:
+                # only a valid plane byte commits the 4-byte form —
+                # garbage after 0x8E resyncs at the next byte instead of
+                # swallowing up to 3 good characters (iconv behavior)
                 nb = 4
                 plane = s[i + 1] - 0xA0
                 row, cell = s[i + 2] - 0xA0, s[i + 3] - 0xA0

@@ -682,6 +682,9 @@ def _minhash_incr_duck_sql(cap: int) -> str:
     )
 
 
+_INCR_BANDS_LIVE: list = []
+
+
 @register("dedup_incremental_minhash", oracle=_minhash_incr_duck_sql(cap=300))
 def dedup_incremental_minhash(spark, sf_dir):
     """Incremental crawl dedup: each NEW document keeps or drops by
@@ -701,8 +704,17 @@ def dedup_incremental_minhash(spark, sf_dir):
     )
     # materialize the band table once (the production shape: the band
     # index is a precomputed table) — without it Spark re-runs the
-    # minhash kernel for each of the four consumers below
+    # minhash kernel for each of the four consumers below. A lazy DF is
+    # returned, so this invocation's cache cannot be dropped here;
+    # instead each call evicts the PREVIOUS one, bounding live caches
+    # to one across bench reps / repeated driver runs.
+    while _INCR_BANDS_LIVE:
+        try:
+            _INCR_BANDS_LIVE.pop().unpersist(blocking=False)
+        except Exception:
+            pass
     bands = docs.mapInPandas(_minhash_band_batches, _BANDS_SCHEMA).persist()
+    _INCR_BANDS_LIVE.append(bands)
     hist = bands.filter(F.col("doc_id") < 1000000).alias("h")
     new = bands.filter(F.col("doc_id") >= 1000000).alias("n")
     hist_sized = (
@@ -2640,7 +2652,7 @@ def multimodal_frame_sample(spark, sf_dir):
     "multimodal_resize",
     oracle="""
 WITH m AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents
-           WHERE LENGTH(text) > 0)
+           WHERE LENGTH(text) > 0 AND LENGTH(text) = strlen(text))
 SELECT doc_id, CAST(8 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
   md5(array_to_string(list_transform(range(0, 32),
       i -> substr(text, CAST((i * n) // 32 + 1 AS INT), 1)), ''))
@@ -2653,14 +2665,18 @@ def multimodal_resize(spark, sf_dir):
     binary out): the codec-free stride resample picks byte (i*n)//size
     for each of the out_w*out_h output positions, so the oracle
     recomputes every output byte arithmetically over the ASCII payload;
-    md5 keeps the comparison off raw binary. Empty payloads are
-    filtered on both engines (VARCHAR cannot express the zero-fill)."""
+    md5 keeps the comparison off raw binary. Filtered on both engines:
+    empty payloads (VARCHAR cannot express the zero-fill) and non-ASCII
+    docs (the kernel resamples BYTES, the SQL twin slices CHARACTERS —
+    equal only when chars == bytes; the filter makes the oracle
+    corpus-revision-proof rather than silently assuming ASCII)."""
     from pdfspark.multimodal import resize_images
 
     _load(spark, sf_dir, "documents")
     binary = (
         spark.table("documents")
-        .filter(F.length("text") > 0)
+        .filter((F.length("text") > 0)
+                & (F.length("text") == F.octet_length("text")))
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     return resize_images(binary, out_w=8, out_h=4).select(

@@ -99,6 +99,33 @@ def stateful_url_counts(extracted: DataFrame) -> DataFrame:
     )
 
 
+def _drain_to_parquet(
+    df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    timeout_s: Optional[int],
+    output_mode: Optional[str] = None,
+) -> bool:
+    """Shared drain contract for every run_*_once entry point: write the
+    streaming DataFrame to an exactly-once parquet sink with
+    Trigger.AvailableNow, wait up to timeout_s, stop if still active.
+    True iff the drain COMPLETED; False leaves the remainder pending in
+    the checkpoint for the next call."""
+    w = df.writeStream.format("parquet")
+    if output_mode is not None:
+        w = w.outputMode(output_mode)
+    q = (
+        w.option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+    return bool(finished)
+
+
 def run_stream_once(
     spark: SparkSession,
     input_dir: str,
@@ -114,18 +141,8 @@ def run_stream_once(
     query was stopped mid-ingest (remaining files stay pending in the
     checkpoint and the next call resumes them)."""
     pages = read_pages_stream(spark, input_dir)
-    extracted = extract_stream(pages)
-    q = (
-        extracted.writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(timeout_s)
-    if q.isActive:
-        q.stop()
-    return bool(finished)
+    return _drain_to_parquet(extract_stream(pages), output_dir,
+                             checkpoint_dir, timeout_s)
 
 
 def run_windowed_metrics_once(
@@ -142,19 +159,9 @@ def run_windowed_metrics_once(
     late-data contract tests pin. One file per trigger so the watermark
     advances between micro-batches deterministically."""
     pages = read_pages_stream(spark, input_dir, max_files_per_trigger)
-    q = (
-        windowed_metrics(pages)
-        .writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(timeout_s)
-    if q.isActive:
-        q.stop()
-    return bool(finished)
+    return _drain_to_parquet(windowed_metrics(pages), output_dir,
+                             checkpoint_dir, timeout_s,
+                             output_mode="append")
 
 
 def dedup_stream(pages: DataFrame, within: str = "1 hour") -> DataFrame:
@@ -176,18 +183,8 @@ def run_dedup_stream_once(
     within: str = "1 hour",
 ) -> bool:
     pages = read_pages_stream(spark, input_dir, max_files_per_trigger=1)
-    q = (
-        dedup_stream(pages, within)
-        .writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(timeout_s)
-    if q.isActive:
-        q.stop()
-    return bool(finished)
+    return _drain_to_parquet(dedup_stream(pages, within), output_dir,
+                             checkpoint_dir, timeout_s)
 
 
 def content_dedup_stream(pages: DataFrame, within: str = "1 hour") -> DataFrame:
@@ -218,18 +215,8 @@ def run_content_dedup_extract_once(
     output of extracted text for each distinct payload."""
     pages = read_pages_stream(spark, input_dir, max_files_per_trigger=1)
     deduped = content_dedup_stream(pages, within)
-    q = (
-        extract_stream(deduped)
-        .writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(timeout_s)
-    if q.isActive:
-        q.stop()
-    return bool(finished)
+    return _drain_to_parquet(extract_stream(deduped), output_dir,
+                             checkpoint_dir, timeout_s)
 
 
 def novel_content_stream(pages: DataFrame,
@@ -261,18 +248,9 @@ def run_novel_content_extract_once(
     in one streaming query with an exactly-once sink."""
     historic = spark.read.parquet(historic_dir)
     pages = read_pages_stream(spark, input_dir, max_files_per_trigger=1)
-    q = (
-        extract_stream(novel_content_stream(pages, historic))
-        .writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(timeout_s)
-    if q.isActive:
-        q.stop()
-    return bool(finished)
+    return _drain_to_parquet(
+        extract_stream(novel_content_stream(pages, historic)),
+        output_dir, checkpoint_dir, timeout_s)
 
 
 def attribution_join(
@@ -318,18 +296,8 @@ def run_attribution_join_once(
     click_schema = "click_id long, user_id long, click_ts timestamp"
     imps = spark.readStream.schema(imp_schema).parquet(imp_dir)
     clicks = spark.readStream.schema(click_schema).parquet(click_dir)
-    q = (
-        attribution_join(imps, clicks)
-        .writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(timeout_s)
-    if q.isActive:
-        q.stop()
-    return bool(finished)
+    return _drain_to_parquet(attribution_join(imps, clicks), output_dir,
+                             checkpoint_dir, timeout_s)
 
 
 def stateful_lang_quota(extracted: DataFrame, quota: int = 5) -> DataFrame:

@@ -195,3 +195,25 @@ def test_xmp_title_fallback():
     assert r.text == "xmp doc" and r.error is None
     assert r.title == "XMP Title & More"
     assert r.created is None
+
+
+def test_acroform_empty_kids_is_terminal_field():
+    """A field carrying /Kids [] is terminal (some producers emit it):
+    its /V must surface, not vanish into an empty intermediate walk."""
+    from pdfspark.fixtures import BASE14, PdfBuilder, _simple_show
+    from pdfspark.kernel.extract import extract_text
+
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    c = b.add_stream("<< >>", _simple_show("empty kids").encode())
+    fld = b.add("<< /FT /Tx /T (f) /V (kept value) /Kids [] >>")
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add(
+        f"<< /Type /Catalog /Pages 90 0 R /AcroForm << /Fields [{fld} 0 R] >> >>"
+    )
+    r = extract_text(b.build(root))
+    assert r.text == "empty kids" and r.annots == "kept value"

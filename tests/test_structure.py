@@ -106,3 +106,37 @@ def test_cyclic_structure_tree_is_bounded():
     )
     r = extract_text(b.build(root), structure=True)
     assert r.error is None and r.struct_text == "ok"
+
+
+def test_form_xobject_emc_does_not_leak_into_page_mcids():
+    """A stray EMC inside a Form XObject must not pop the page's
+    marked-content nesting: text after the Do stays attributed to the
+    enclosing MCID (the mc_stack restores like gs/ts)."""
+    from pdfspark.fixtures import PdfBuilder
+
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    form = b.add_stream(
+        "<< /Type /XObject /Subtype /Form /BBox [0 0 10 10] >>", b"EMC"
+    )
+    ops = (
+        "BT /F1 12 Tf 72 700 Td "
+        "/P << /MCID 1 >> BDC (B) Tj EMC "
+        "/P << /MCID 0 >> BDC (A) Tj /X1 Do (A2) Tj EMC ET"
+    )
+    c = b.add_stream("<< >>", ops.encode())
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> "
+        f"/XObject << /X1 {form} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    e0 = b.add(f"<< /Type /StructElem /S /P /Pg {page} 0 R /K 0 >>")
+    e1 = b.add(f"<< /Type /StructElem /S /P /Pg {page} 0 R /K 1 >>")
+    st = b.add(f"<< /Type /StructTreeRoot /K [{e0} 0 R {e1} 0 R] >>")
+    root = b.add(
+        f"<< /Type /Catalog /Pages 90 0 R /StructTreeRoot {st} 0 R >>"
+    )
+    r = extract_text(b.build(root), structure=True)
+    assert r.error is None
+    assert r.struct_text == "AA2 B"
