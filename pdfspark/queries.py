@@ -3261,6 +3261,46 @@ def shard_materialize(spark, sf_dir):
     )
 
 
+# Unigram commonness: the exact-integer stand-in for the LM-perplexity
+# quality filter (CCNet-style) — documents scored by how common their
+# words are corpus-wide. A log-prob mean would hinge on libm ulp
+# agreement between engines; mean word frequency in ppm is the same
+# signal (rare-word-heavy docs score low) with every step exact.
+_COMMONNESS_SQL = """
+WITH words AS (
+  SELECT doc_id, word
+  FROM documents {posexplode}),
+w AS (SELECT doc_id, word FROM words WHERE word <> ''),
+vocab AS (
+  SELECT word,
+    CAST(FLOOR(COUNT(*) * 1000000.0 /
+               (SELECT COUNT(*) FROM w) + 0.5) AS BIGINT) AS ppm
+  FROM w GROUP BY word)
+SELECT d.doc_id,
+  CAST(FLOOR(AVG(v.ppm) + 0.5) AS BIGINT) AS mean_word_ppm,
+  CAST(MIN(v.ppm) AS BIGINT) AS rarest_word_ppm
+FROM w d JOIN vocab v ON d.word = v.word
+GROUP BY d.doc_id
+"""
+
+
+@register(
+    "text_unigram_commonness",
+    oracle=_COMMONNESS_SQL.format(posexplode=_POSEXPLODE_DUCK),
+)
+def text_unigram_commonness(spark, sf_dir):
+    """Per-document mean/min corpus word frequency (ppm): the
+    vocabulary is a SELF-DERIVED dimension — one map-side-combined
+    aggregation over the word key space — joined back per word. At
+    corpus scale the vocabulary is orders smaller than the corpus and
+    broadcasts (Zipf: a few million types for trillions of tokens), so
+    the token stream never shuffles for the join; the per-doc regroup
+    is the only corpus-sized shuffle. AVG over BIGINT ppm is exact in
+    both engines before the final integer floor."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(_COMMONNESS_SQL.format(posexplode=_POSEXPLODE_SPARK))
+
+
 # Distribution-matched downsampling: unlike sample_stratified's FIXED
 # per-group rates, the acceptance rate here is COMPUTED from the data —
 # every language downsamples to the smallest language's mass (uniform
@@ -3396,6 +3436,7 @@ DRIVER_PRIORITY = [
     "pdf_struct_reading_order",
     "sample_match_distribution",
     "shard_materialize",
+    "text_unigram_commonness",
     "pdf_columns_reading_order",
     "pdf_kerned_wordbreak",
     "pdf_layout_mix_extract",
@@ -3410,7 +3451,6 @@ DRIVER_PRIORITY = [
     "dedup_ngram_jaccard",
     # -- family representatives with prior green history --
     "pdf_extract_roundtrip",
-    "pdf_spans",
     "pdf_error_rows",
     "pdf_annots_text",
     "html_extract_roundtrip",
@@ -3420,8 +3460,8 @@ DRIVER_PRIORITY = [
     # still represented in-window): dedup_minhash_lsh (incremental
     # variant shares the kernel and oracle CTEs; still bench-pinned),
     # pdf_regression_join + pdf_outlines + mixed_corpus_extract +
-    # pdf_doc_metadata (extraction/metadata family 10-wide in-window,
-    # html roundtrip + annots + attachments present),
+    # pdf_doc_metadata + pdf_spans (extraction/metadata family 10-wide
+    # in-window; multipage_spans carries the span-offset check),
     # still represented in-window): text_token_count
     # (token_count_pandas_udf + gopher), embedding_cosine_neardup +
     # ann_ivf_bucketed (bruteforce + numpy-IVF + recall), dedup_exact
