@@ -3261,6 +3261,44 @@ def shard_materialize(spark, sf_dir):
     )
 
 
+# Ordered funnel (sequential pattern detection): users completing
+# view → click → purchase with strictly increasing timestamps, counted
+# by the earliest-completion (greedy) semantics — each stage's anchor
+# is the MIN ts after the previous stage's anchor.
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+    AND e.ts <= v.t1 + INTERVAL 2 HOUR
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    AND e.ts <= c.t2 + INTERVAL 2 HOUR
+  GROUP BY e.user_id)
+SELECT
+  CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+  CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_purchase
+"""
+
+
+@register("events_funnel", oracle=_FUNNEL_SQL)
+def events_funnel(spark, sf_dir):
+    """Ordered funnel counts over the event stream. Every stage is a
+    per-user aggregation + equi-join on user_id, so after the first
+    shuffle the stages stay co-partitioned on the same key (no
+    repartition between stages); the greedy earliest-anchor semantics
+    make the count deterministic without per-user event sorting."""
+    _load(spark, sf_dir, "events")
+    return spark.sql(_FUNNEL_SQL)
+
+
 # Unigram commonness: the exact-integer stand-in for the LM-perplexity
 # quality filter (CCNet-style) — documents scored by how common their
 # words are corpus-wide. A log-prob mean would hinge on libm ulp
@@ -3437,6 +3475,7 @@ DRIVER_PRIORITY = [
     "sample_match_distribution",
     "shard_materialize",
     "text_unigram_commonness",
+    "events_funnel",
     "pdf_columns_reading_order",
     "pdf_kerned_wordbreak",
     "pdf_layout_mix_extract",
@@ -3455,8 +3494,9 @@ DRIVER_PRIORITY = [
     "pdf_annots_text",
     "html_extract_roundtrip",
     "q5_region_revenue",
-    "ann_bruteforce_topk",
     # ceded to the r3 additions (2 rounds of green driver history, family
+    # still represented in-window): ann_bruteforce_topk (numpy-IVF +
+    # recall in-window; still bench-pinned),
     # still represented in-window): dedup_minhash_lsh (incremental
     # variant shares the kernel and oracle CTEs; still bench-pinned),
     # pdf_regression_join + pdf_outlines + mixed_corpus_extract +
