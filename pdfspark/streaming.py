@@ -332,3 +332,41 @@ def stateful_lang_quota(extracted: DataFrame, quota: int = 5) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def quality_keeplist_stream(extracted: DataFrame) -> DataFrame:
+    """In-stream corpus quality keep-list: the SAME integer
+    cross-multiplied Gopher thresholds as the batch
+    `corpus_quality_filter` (length floor, mean-word-length band,
+    alphabetic ratio, duplicate ceiling, stopword presence), emitted
+    per document as it streams past. Entirely JVM-side higher-order
+    functions over the split word array — stateless, no Python, no
+    state store — so the operator adds nothing to checkpoint size and
+    applies at any stream rate."""
+    words = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+    n_words = F.size(words)
+    n_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("^[A-Za-z]+$")))
+    n_distinct = F.size(F.array_distinct(words))
+    stop_hits = F.size(
+        F.array_intersect(
+            words, F.array(*[F.lit(w) for w in
+                             ("the", "a", "of", "and", "to", "is")])
+        )
+    )
+    keep = (
+        (n_words >= 40)
+        & (n_chars * 100 >= 250 * n_words)
+        & (n_chars * 100 <= 1200 * n_words)
+        & (n_alpha * 10 >= 7 * n_words)
+        & ((n_words - n_distinct) * 10 <= 5 * n_words)
+        & (stop_hits > 0)
+    )
+    return extracted.select(
+        "url", F.when(keep, 1).otherwise(0).alias("keep")
+    )

@@ -369,3 +369,40 @@ def test_stream_static_anti_join_drops_historic_content(spark, tmp_path):
                                           out_dir, ckpt)
     got = {r.url: r.text for r in spark.read.parquet(out_dir).collect()}
     assert got == {"u://novel": "Hello Flate"}
+
+
+def test_stream_quality_keeplist_matches_batch_filter(spark, tmp_path):
+    """The in-stream keep-list must agree bit-for-bit with the batch
+    corpus_quality_filter on the same texts (same integer thresholds,
+    different execution surface)."""
+    from pdfspark.queries import QUERIES
+    from pdfspark.streaming import (
+        extract_stream, quality_keeplist_stream, read_pages_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    in_dir = str(tmp_path / "kin")
+    sink = str(tmp_path / "kout")
+    ckpt = str(tmp_path / "kckpt")
+    from pdfspark.pipeline import pages_from_documents
+
+    pages_from_documents(spark, sf_dir).write.mode("overwrite") \
+        .parquet(in_dir)
+    q = (
+        quality_keeplist_stream(extract_stream(read_pages_stream(spark, in_dir)))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    import re
+
+    got = {
+        int(re.search(r"/(\d+)\.pdf$", r.url).group(1)): r.keep
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {r.doc_id: r.keep
+            for r in QUERIES["corpus_quality_filter"](spark, sf_dir).collect()}
+    assert got == want and sum(want.values()) > 0
