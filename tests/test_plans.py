@@ -294,3 +294,21 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_late_r3_operators_have_no_cartesian(spark):
+    """The closing-batch operators must pair rows through hash joins:
+    funnel stages co-partition on user_id, commonness joins the derived
+    vocabulary, shard materialization joins the assignment. The only
+    nested loop allowed anywhere is sample_match_distribution's 1-row
+    target broadcast (same allowance as the 8-row IVF seed)."""
+    from pdfspark.queries import QUERIES
+
+    for name in ("events_funnel", "text_unigram_commonness",
+                 "shard_materialize"):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+    plan = plan_of(QUERIES["sample_match_distribution"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
