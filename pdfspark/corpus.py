@@ -558,6 +558,43 @@ def all_cases() -> List[Case]:
     root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
     add(Case("t33_type1_builtin_encoding", b.build(root), "é•", None, 1))
 
+    # ---- t33c: PROGRAMMATIC Type1 encoding — no literal dup/put
+    # entries; the array is built by `Encoding <code> /<name> put`
+    # statements only the bounded PostScript interpreter
+    # (kernel/postscript.py) recovers (reference runs its full VM,
+    # `src/postscript/interpreter.rs`)
+    t1_prog2 = (
+        b"%!PS-AdobeFont-1.0: TestT1P\n"
+        b"/FontName /TestT1P def\n"
+        b"/Encoding 256 array def\n"
+        b"0 1 255 { Encoding exch /.notdef put } for\n"
+        b"Encoding 65 /eacute put\n"
+        b"Encoding 66 /bullet put\n"
+        b"currentfile eexec\n"
+        + bytes(range(64))
+    )
+    b = PdfBuilder()
+    b.add_stream("<< /Length1 220 /Length2 64 /Length3 0 >>", t1_prog2,
+                 num=64)
+    b.add(
+        "<< /Type /FontDescriptor /FontName /TestT1P /Flags 4 "
+        "/FontFile 64 0 R >>",
+        num=63,
+    )
+    f1 = b.add(
+        "<< /Type /Font /Subtype /Type1 /BaseFont /TestT1P "
+        "/FontDescriptor 63 0 R >>"
+    )
+    c = b.add_stream("<< >>", b"BT /F1 12 Tf 72 720 Td (AB) Tj ET")
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    add(Case("t33c_type1_programmatic_encoding", b.build(root), "é•",
+             None, 1))
+
     # ---- t33b: built-in encoding is the base under a Differences-only
     # /Encoding dict (PDF 32000 §9.6.6.1)
     b = PdfBuilder()

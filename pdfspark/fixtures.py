@@ -530,7 +530,8 @@ def t1_number(v: int) -> bytes:
 
 def build_minimal_type1(glyphs: Dict[str, int],
                         encoding: Dict[int, str],
-                        hex_form: bool = False) -> bytes:
+                        hex_form: bool = False,
+                        programmatic_encoding: bool = False) -> bytes:
     """Minimal full Type1 program: cleartext /Encoding (dup…put) +
     eexec-encrypted private section whose /CharStrings hold one
     ``sbx wx hsbw`` charstring per glyph (widths from ``glyphs``).
@@ -538,19 +539,37 @@ def build_minimal_type1(glyphs: Dict[str, int],
     kernel/type1.py)."""
     from pdfspark.kernel.type1 import eexec_encrypt
 
-    enc_lines = "".join(
-        f"dup {code} /{name} put\n" for code, name in sorted(encoding.items())
-    )
-    clear = (
-        "%!FontType1-1.0: TestT1\n"
-        "/FontName /TestT1 def\n"
-        "/Encoding 256 array\n"
-        "0 1 255 {1 index exch /.notdef put} for\n"
-        f"{enc_lines}"
-        "readonly def\n"
-        "currentdict end\n"
-        "currentfile eexec\n"
-    ).encode("latin-1")
+    if programmatic_encoding:
+        # NO literal `dup <code> /<name> put` entries — the array is
+        # built by direct `Encoding <code> /<name> put` statements the
+        # regex scan cannot see; only the PostScript interpreter
+        # recovers them (kernel/postscript.py fallback)
+        enc_lines = "".join(
+            f"Encoding {code} /{name} put\n"
+            for code, name in sorted(encoding.items())
+        )
+        clear = (
+            "%!FontType1-1.0: TestT1\n"
+            "/FontName /TestT1 def\n"
+            "/Encoding 256 array def\n"
+            "0 1 255 { Encoding exch /.notdef put } for\n"
+            f"{enc_lines}"
+            "currentfile eexec\n"
+        ).encode("latin-1")
+    else:
+        enc_lines = "".join(
+            f"dup {code} /{name} put\n" for code, name in sorted(encoding.items())
+        )
+        clear = (
+            "%!FontType1-1.0: TestT1\n"
+            "/FontName /TestT1 def\n"
+            "/Encoding 256 array\n"
+            "0 1 255 {1 index exch /.notdef put} for\n"
+            f"{enc_lines}"
+            "readonly def\n"
+            "currentdict end\n"
+            "currentfile eexec\n"
+        ).encode("latin-1")
     cs_entries = bytearray()
     for name, wx in sorted(glyphs.items()):
         plain = t1_number(0) + t1_number(wx) + b"\x0d"  # sbx wx hsbw

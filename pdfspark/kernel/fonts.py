@@ -936,6 +936,19 @@ def _type1_builtin_encoding(doc, descriptor) -> Dict[int, str]:
             uni = glyph_name_to_unicode(m.group(2).decode("latin-1"))
             if 0 <= code < 256 and uni is not None:
                 out[code] = uni
+    if not out and enc_idx != -1:
+        # PROGRAMMATIC encoding (for loops / conditionals build the
+        # array — no literal dup/put entries to scan): run the bounded
+        # PostScript interpreter the way the reference runs its full VM
+        # (`src/postscript/interpreter.rs`); soft-fails to {}
+        from pdfspark.kernel.postscript import encoding_from_program
+
+        names = encoding_from_program(cleartext)
+        if names:
+            for code, nm in names.items():
+                uni = glyph_name_to_unicode(nm)
+                if 0 <= code < 256 and uni is not None:
+                    out[code] = uni
     cache[key] = out
     return out
 

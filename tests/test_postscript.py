@@ -1,0 +1,220 @@
+"""PostScript interpreter tests — the reference's 17 unit tests ported
+verbatim from `src/postscript/interpreter.rs:1155-1410` (SURVEY §5:
+parity tests share vectors), plus bounded-execution and
+encoding-extraction tests for the pdfspark-specific surface.
+
+Reference-parity notes baked into the asserts: integer arithmetic stays
+int (add_two_integers expects Int(3), not 3.0); `for` pushes control
+values as floats even for integer operands; an empty stack underflows
+with an error (pop().is_err() → PSError)."""
+
+import pytest
+
+from pdfspark.kernel.postscript import (
+    PSError,
+    PSName,
+    encoding_from_program,
+    interpret,
+)
+
+
+def _is_int(v):
+    return isinstance(v, int) and not isinstance(v, bool)
+
+
+def assert_empty(ip):
+    with pytest.raises(PSError):
+        ip.pop()
+
+
+# ---- reference tests, in source order ----------------------------------
+
+def test_add_two_integers():
+    ip = interpret(b"1 2 add")
+    v = ip.pop()
+    assert v == 3 and _is_int(v)
+    assert_empty(ip)
+
+
+def test_add_two_floats():
+    ip = interpret(b"1.0 2.0 add")
+    v = ip.pop()
+    assert v == 3.0 and isinstance(v, float)
+    assert_empty(ip)
+
+
+def test_add_int_and_float():
+    ip = interpret(b"1 2.0 add")
+    v = ip.pop()
+    assert v == 3.0 and isinstance(v, float)
+    assert_empty(ip)
+
+
+def test_add_float_and_int():
+    ip = interpret(b"1.0 2 add")
+    v = ip.pop()
+    assert v == 3.0 and isinstance(v, float)
+    assert_empty(ip)
+
+
+def test_known_name_exists():
+    ip = interpret(b"""
+        /mydict 5 dict def
+        mydict /total 0 put
+        mydict /total known
+    """)
+    assert ip.pop() is True
+    assert_empty(ip)
+
+
+def test_push_number():
+    ip = interpret(b"5")
+    v = ip.pop()
+    assert v == 5 and _is_int(v)
+    assert_empty(ip)
+
+
+def test_push_name():
+    ip = interpret(b"/name")
+    v = ip.pop()
+    assert isinstance(v, PSName) and str(v) == "name"
+    assert_empty(ip)
+
+
+def test_known_name_dne():
+    ip = interpret(b"""
+        /mydict 5 dict def
+        mydict /total 0 put
+        mydict /badname known
+    """)
+    assert ip.pop() is False
+    assert_empty(ip)
+
+
+def test_for_loop_basic_add():
+    ip = interpret(b"0 1 1 4 {add} for")
+    v = ip.pop()
+    assert v == 10.0 and isinstance(v, float)
+    assert_empty(ip)
+
+
+def test_dict_contains_standard_encoding():
+    interpret(b"""
+        3 dict begin
+        /FontName /FZJRZA+SFSS2488 def
+        /Encoding StandardEncoding def
+        /PaintType 0 def
+        currentdict end
+    """)
+
+
+def test_for_loop_empty_proc():
+    ip = interpret(b"1 2 6 { } for")
+    assert ip.pop() == 5.0
+    assert ip.pop() == 3.0
+    assert ip.pop() == 1.0
+    assert_empty(ip)
+
+
+def test_for_loop_negative_and_decimal_incremental():
+    ip = interpret(b"3 -.5 1 { } for")
+    assert ip.pop() == 1.0
+    assert ip.pop() == 1.5
+    assert ip.pop() == 2.0
+    assert ip.pop() == 2.5
+    assert ip.pop() == 3.0
+    assert_empty(ip)
+
+
+def test_operator_inside_array_is_executed():
+    ip = interpret(b"[1 2 add]")
+    assert len(ip.stack) == 1
+    arr = ip.pop()
+    assert isinstance(arr, list) and arr == [3] and _is_int(arr[0])
+
+
+# reference marks copy_composite #[ignore]: composite copy unimplemented
+# there; our composite objects are plain Python lists so it works
+def test_copy_composite():
+    ip = interpret(b"""
+        /a1 [1 2 3] def
+        a1
+    """)
+    assert ip.pop() == [1, 2, 3]
+
+
+def test_copy_non_composite_len_2():
+    ip = interpret(b"(a) (b) (c) 2 copy")
+    for want in (b"c", b"b", b"c", b"b", b"a"):
+        assert ip.pop() == want
+    assert_empty(ip)
+
+
+def test_copy_non_composite_len_0():
+    ip = interpret(b"(a) (b) (c) 0 copy")
+    for want in (b"c", b"b", b"a"):
+        assert ip.pop() == want
+    assert_empty(ip)
+
+
+def test_getting_internal_dict_doesnt_crash():
+    interpret(b"""
+        /Private 17 dict dup begin
+        /ND{noaccess def}executeonly def
+        systemdict /internaldict known
+        {
+            1183615869 systemdict /internaldict get exec
+            /StemSnapLength 2 copy known { get 8 lt } { pop pop true } ifelse
+        }
+        { true } ifelse { pop [49 57] } if ND
+    """)
+
+
+def test_unknown_operator():
+    with pytest.raises(PSError):
+        interpret(b"aaaa")
+
+
+# ---- pdfspark-specific surface -----------------------------------------
+
+def test_programmatic_encoding_extraction():
+    """The surface the dup/put scan cannot handle: an /Encoding built by
+    a for loop + conditional assignment."""
+    enc = encoding_from_program(b"""
+        /FontDict 10 dict begin
+        /Encoding 256 array def
+        0 1 255 { Encoding exch /.notdef put } for
+        Encoding 65 /A put
+        Encoding 66 /B put
+        Encoding 67 /C put
+        currentdict end
+    """)
+    assert enc is not None
+    assert enc[65] == "A" and enc[66] == "B" and enc[67] == "C"
+    assert 0 not in enc  # .notdef filtered
+
+
+def test_standard_encoding_assignment_falls_back():
+    """`/Encoding StandardEncoding def` means no custom table — the
+    extractor must return None so the base-encoding rule applies."""
+    assert encoding_from_program(
+        b"3 dict begin /Encoding StandardEncoding def currentdict end"
+    ) is None
+
+
+def test_bounded_execution_never_hangs():
+    """Fuel bound: an unbounded loop terminates with PSError quickly."""
+    import time
+
+    t0 = time.monotonic()
+    with pytest.raises(PSError):
+        interpret(b"0 1 1 1e9 { pop 0 } for")
+    assert encoding_from_program(b"0 1 1 1e9 { pop 0 } for") is None
+    assert time.monotonic() - t0 < 10.0
+
+
+def test_garbage_is_soft():
+    """Arbitrary bytes through encoding_from_program never raise."""
+    for junk in (b"", b"\x00\xff" * 50, b"((((", b"} } }", b"/x",
+                 b"1 2 3 put", b"aaaa bbb ccc"):
+        assert encoding_from_program(junk) is None

@@ -228,3 +228,15 @@ def test_structure_path_survives_mutated_pdfs(data):
         buf[pos] = data.draw(st.integers(min_value=0, max_value=255))
     r = extract_text(bytes(buf), structure=True)
     assert r.struct_text is None or isinstance(r.struct_text, str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048))
+def test_postscript_extractor_never_raises(data):
+    """encoding_from_program is total over arbitrary bytes (the
+    interpreter is fuel-bounded and every failure is salvaged or
+    swallowed) — crawl-dirt Type1 programs cannot kill a task."""
+    from pdfspark.kernel.postscript import encoding_from_program
+
+    enc = encoding_from_program(data)
+    assert enc is None or isinstance(enc, dict)
