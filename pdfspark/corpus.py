@@ -574,8 +574,10 @@ def all_cases() -> List[Case]:
         + bytes(range(64))
     )
     b = PdfBuilder()
-    b.add_stream("<< /Length1 220 /Length2 64 /Length3 0 >>", t1_prog2,
-                 num=64)
+    b.add_stream(
+        f"<< /Length1 {len(t1_prog2) - 64} /Length2 64 /Length3 0 >>",
+        t1_prog2, num=64,
+    )
     b.add(
         "<< /Type /FontDescriptor /FontName /TestT1P /Flags 4 "
         "/FontFile 64 0 R >>",

@@ -280,7 +280,15 @@ class Interpreter:
         except ZeroDivisionError:
             raise PSError("division by zero")
         if _is_int(a) and _is_int(b) and fn is not _TRUEDIV:
-            self.push(int(r))
+            # 32-bit integer semantics (reference parity: i32 checked
+            # ops overflow to float) — ALSO the guard against crafted
+            # `dup mul` bignum growth, which would exhaust memory long
+            # before the fuel counter fires
+            r = int(r)
+            if -(2 ** 31) <= r < 2 ** 31:
+                self.push(r)
+            else:
+                self.push(float(r))
         else:
             self.push(float(r))
 
@@ -296,10 +304,6 @@ class Interpreter:
 
 def _TRUEDIV(a, b):
     return a / b
-
-
-def _op(fn):
-    return fn
 
 
 def _op_def(ip: Interpreter, depth) -> None:
@@ -392,6 +396,8 @@ def _op_copy(ip: Interpreter, depth) -> None:
         raise PSError("copy expects a non-negative int")
     if n > len(ip.stack):
         raise PSError("copy underflow")
+    if len(ip.stack) + n > 1_000_000:
+        raise PSError("operand stack overflow")  # extend bypasses push()
     if n:
         ip.stack.extend(ip.stack[-n:])
 
@@ -556,7 +562,11 @@ def _op_idiv(ip: Interpreter, depth) -> None:
     b, a = ip.pop_num(), ip.pop_num()
     if float(b) == 0.0:
         raise PSError("idiv by zero")
-    ip.push(int(a / b))
+    if _is_int(a) and _is_int(b):
+        q = abs(a) // abs(b)  # exact truncation toward zero
+        ip.push(-q if (a < 0) != (b < 0) else q)
+    else:
+        ip.push(int(a / b))
 
 
 def _op_exch(ip: Interpreter, depth) -> None:

@@ -343,8 +343,12 @@ def quality_keeplist_stream(extracted: DataFrame) -> DataFrame:
     functions over the split word array — stateless, no Python, no
     state store — so the operator adds nothing to checkpoint size and
     applies at any stream rate."""
+    # tokenize EXACTLY like the batch filter's split(text, ' ') — a
+    # \s+ split would disagree on kernel output, whose pinned policy
+    # inserts \n at line breaks and \f between pages (those must stay
+    # glued to their words, as in the batch oracle)
     words = F.filter(
-        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
         lambda w: w != "",
     )
     n_words = F.size(words)

@@ -441,3 +441,23 @@ def test_cff_widths_flow_into_advances():
     font = load_font(doc, doc.get_object(Reference(1, 0)))
     ga, gb = font.decode(b"AB")
     assert ga.advance == 712.0 and gb.advance == 64.0
+
+
+def test_type1_programmatic_encoding_via_builder():
+    """The full-program fixture builder's programmatic_encoding branch:
+    no dup/put entries anywhere, eexec-encrypted charstrings intact —
+    the interpreter fallback recovers the encoding AND the hsbw width
+    scan still parses the private section."""
+    from pdfspark.fixtures import build_minimal_type1
+    from pdfspark.kernel.postscript import encoding_from_program
+    from pdfspark.kernel.type1 import parse_type1_widths
+
+    prog = build_minimal_type1(
+        {"A": 712, "B": 640}, {65: "A", 66: "B"},
+        programmatic_encoding=True,
+    )
+    assert b"dup 65" not in prog  # really programmatic
+    clear = prog.split(b"eexec", 1)[0]
+    enc = encoding_from_program(clear)
+    assert enc is not None and enc[65] == "A" and enc[66] == "B"
+    assert parse_type1_widths(prog) == {"A": 712.0, "B": 640.0}

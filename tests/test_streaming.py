@@ -406,3 +406,29 @@ def test_stream_quality_keeplist_matches_batch_filter(spark, tmp_path):
     want = {r.doc_id: r.keep
             for r in QUERIES["corpus_quality_filter"](spark, sf_dir).collect()}
     assert got == want and sum(want.values()) > 0
+
+
+def test_quality_keeplist_tokenization_matches_sql_on_control_chars(spark):
+    """The stream expression and the batch SQL must agree on texts
+    containing the kernel's own separators (\n line breaks, \f page
+    joins) — the corpus has none, so pin it with crafted rows."""
+    from pdfspark.queries import _POSEXPLODE_SPARK, _QUALITY_FILTER
+    from pdfspark.streaming import quality_keeplist_stream
+
+    filler = " ".join(["the"] + ["word%d" % i for i in range(60)])
+    rows = [
+        ("u://a", filler + " mat\fThe dog is a good dog of the era"),
+        ("u://b", filler + " line\nbreak and\ttab of the a to is"),
+        ("u://c", filler),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {r.url: r.keep for r in quality_keeplist_stream(df).collect()}
+    df.createOrReplaceTempView("documents_kl")
+    sql = (
+        "WITH corpus AS (SELECT url AS doc_id, text FROM documents_kl),\n"
+        "words AS (SELECT doc_id, pos, word FROM corpus "
+        + _POSEXPLODE_SPARK + ")"
+        + _QUALITY_FILTER.format(alpha_match="word RLIKE '^[A-Za-z]+$'")
+    )
+    want = {r.doc_id: r.keep for r in spark.sql(sql).collect()}
+    assert got == want
