@@ -513,9 +513,11 @@ class _PageInterp:
         self.soft_error: Optional[str] = None
         # opt-in geometry: (page-relative char offset, x, y) per glyph
         self.positions: Optional[List[tuple]] = [] if track_positions else None
-        # opt-in Tagged-PDF: (effective MCID | None, shown text) runs
+        # opt-in Tagged-PDF: (effective MCID | None, shown text) runs;
+        # mc_stack entries are (effective MCID, is_actualtext_suppressor)
         self.runs: Optional[List[tuple]] = [] if track_mcids else None
-        self.mc_stack: List[Optional[int]] = []
+        self.mc_stack: List[tuple] = []
+        self.mc_suppress = 0  # >0 inside an /ActualText sequence
 
     # ------------------------------------------------------------ emission
 
@@ -563,7 +565,7 @@ class _PageInterp:
                 )
                 nx, _ = apply(mat_mul(ts.tm, self.gs.ctm), 0.0, ts.rise)
                 self.positions.append((off, gx, gy, nx - gx))
-                if self.runs is not None:
+                if self.runs is not None and not self.mc_suppress:
                     self.runs.append((self._mcid(), g.text))
             _, self.last_y = apply(mat_mul(ts.tm, self.gs.ctm), 0.0, 0.0)
             return
@@ -577,7 +579,7 @@ class _PageInterp:
         ) * ts.h_scale
         ts.advance(tx)
         self._emit(text)
-        if self.runs is not None and text:
+        if self.runs is not None and text and not self.mc_suppress:
             self.runs.append((self._mcid(), text))
         # update last_y to post-show baseline (rises don't move the baseline)
         _, self.last_y = apply(mat_mul(ts.tm, self.gs.ctm), 0.0, 0.0)
@@ -708,17 +710,23 @@ class _PageInterp:
                     self.ts.font_size = float(doc.resolve(fent[1]) or 0)
 
     def _mcid(self) -> Optional[int]:
-        return self.mc_stack[-1] if self.mc_stack else None
+        return self.mc_stack[-1][0] if self.mc_stack else None
 
     def _marked_content(self, op: str, o: list, res: dict) -> None:
         """G10 with MCID tracking (structure mode only): BDC's property
         dict (inline or via /Properties) may carry /MCID; nested
-        sequences without one inherit the enclosing effective MCID."""
+        sequences without one inherit the enclosing effective MCID.
+        /ActualText (§14.9.4) is honored IN STRUCT MODE ONLY: its
+        replacement text is recorded as the sequence's run and the
+        glyph runs inside are suppressed — the ligature/hyphenation
+        corrections tagged producers emit. Content-order extraction
+        keeps ignoring it (pinned t19 policy, matches the reference)."""
         if op == "EMC":
-            if self.mc_stack:
-                self.mc_stack.pop()
+            if self.mc_stack and self.mc_stack.pop()[1]:
+                self.mc_suppress -= 1
             return
         eff = self._mcid()
+        suppressor = False
         if op == "BDC" and o:
             props = o[-1]
             if isinstance(props, Name):
@@ -729,7 +737,12 @@ class _PageInterp:
                 m = self.doc.resolve(props.get("MCID"))
                 if isinstance(m, int) and not isinstance(m, bool):
                     eff = m
-        self.mc_stack.append(eff)
+                at = decode_text_string(self.doc.resolve(props.get("ActualText")))
+                if at is not None and not self.mc_suppress:
+                    self.runs.append((eff, at))
+                    suppressor = True
+                    self.mc_suppress += 1
+        self.mc_stack.append((eff, suppressor))
 
     def _do_xobject(self, res: dict, name, depth: int, seen_forms: set) -> None:
         """G4: Form XObject recursion with own Resources/Matrix, state
@@ -776,6 +789,7 @@ class _PageInterp:
             # marked-content nesting (mirrors the gs/ts restore; a stray
             # EMC POPS page entries, so truncation alone cannot undo it)
             self.mc_stack[:] = saved_mc
+            self.mc_suppress = sum(1 for _, sup in saved_mc if sup)
 
 
 def _structure_mcid_order(doc: PdfDocument):

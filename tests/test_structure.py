@@ -140,3 +140,56 @@ def test_form_xobject_emc_does_not_leak_into_page_mcids():
     r = extract_text(b.build(root), structure=True)
     assert r.error is None
     assert r.struct_text == "AA2 B"
+
+
+def test_actualtext_replaces_glyphs_in_struct_mode_only():
+    """/ActualText (§14.9.4): in STRUCT mode the replacement text stands
+    in for the sequence's glyphs (ligature/hyphenation fixes); nested
+    ActualText inside a suppressed sequence doesn't double-emit; the
+    pinned CONTENT-order text still ignores it (t19 policy)."""
+    ops = (
+        "BT /F1 12 Tf 72 700 Td "
+        "/P << /MCID 0 >> BDC "
+        "(e) Tj "
+        "/Span << /ActualText (ffi) >> BDC (f_f_i) Tj EMC "
+        "(cient) Tj "
+        "EMC ET"
+    )
+    pdf, _ = _tagged_pdf([(0,)], ops)
+    r = extract_text(pdf, structure=True)
+    assert r.error is None
+    assert r.text == "ef_f_icient"       # content order: ActualText ignored
+    assert r.struct_text == "efficient"  # struct order: replaced
+
+
+def test_actualtext_suppression_restores_after_form():
+    """A Form XObject invoked inside an /ActualText sequence cannot leak
+    the suppression state (mc_suppress restores with the stack)."""
+    from pdfspark.fixtures import PdfBuilder
+
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    form = b.add_stream(
+        "<< /Type /XObject /Subtype /Form /BBox [0 0 10 10] >>", b"EMC EMC"
+    )
+    ops = (
+        "BT /F1 12 Tf 72 700 Td "
+        "/P << /MCID 0 >> BDC "
+        "/Span << /ActualText (X) >> BDC (hidden) Tj /F1x Do EMC "
+        "(visible) Tj EMC ET"
+    )
+    c = b.add_stream("<< >>", ops.encode())
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> "
+        f"/XObject << /F1x {form} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    e0 = b.add(f"<< /Type /StructElem /S /P /Pg {page} 0 R /K 0 >>")
+    st = b.add(f"<< /Type /StructTreeRoot /K {e0} 0 R >>")
+    root = b.add(
+        f"<< /Type /Catalog /Pages 90 0 R /StructTreeRoot {st} 0 R >>"
+    )
+    r = extract_text(b.build(root), structure=True)
+    assert r.error is None
+    assert r.struct_text == "Xvisible"
