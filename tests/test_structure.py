@@ -193,3 +193,43 @@ def test_actualtext_suppression_restores_after_form():
     r = extract_text(b.build(root), structure=True)
     assert r.error is None
     assert r.struct_text == "Xvisible"
+
+
+def test_multipage_structure_attribution():
+    """MCIDs repeat per page (each page numbers from 0); the /Pg entry
+    routes each structure element to ITS page, and pages join with \f."""
+    from pdfspark.fixtures import PdfBuilder
+
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+
+    def page_content(a, bb):
+        return (f"BT /F1 12 Tf 72 700 Td "
+                f"/P << /MCID 1 >> BDC ({a}) Tj EMC "
+                f"0 20 Td /P << /MCID 0 >> BDC ({bb}) Tj EMC ET").encode()
+
+    c1 = b.add_stream("<< >>", page_content("p1-second", "p1-first "))
+    c2 = b.add_stream("<< >>", page_content("p2-second", "p2-first "))
+    pg1 = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c1} 0 R >>"
+    )
+    pg2 = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c2} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{pg1} 0 R {pg2} 0 R] /Count 2 >>",
+          num=90)
+    elems = []
+    for pg in (pg1, pg2):
+        for mcid in (0, 1):
+            elems.append(b.add(
+                f"<< /Type /StructElem /S /P /Pg {pg} 0 R /K {mcid} >>"))
+    st = b.add("<< /Type /StructTreeRoot /K ["
+               + " ".join(f"{e} 0 R" for e in elems) + "] >>")
+    root = b.add(
+        f"<< /Type /Catalog /Pages 90 0 R /StructTreeRoot {st} 0 R >>"
+    )
+    r = extract_text(b.build(root), structure=True)
+    assert r.error is None and r.n_pages == 2
+    assert r.struct_text == "p1-first p1-second\fp2-first p2-second"
