@@ -228,6 +228,14 @@ class SecurityHandler:
                 if m == "V2":
                     ln = resolve(d.get("Length")) if isinstance(d, dict) else None
                     ln = int(ln) if ln else length
+                    # Plausible encodings only: 5-16 is bytes, 40-128 is
+                    # bits. A malformed value OUTSIDE both ranges (e.g. 24)
+                    # must fall back to the encrypt-dict /Length rather
+                    # than clamp — clamping silently mis-derives that CF's
+                    # object keys and streams decrypt to garbage instead
+                    # of a stable soft error (ADVICE r3 #4).
+                    if not (5 <= ln <= 16 or 40 <= ln <= 128):
+                        ln = length
                     if ln >= 40:
                         ln //= 8
                     return ("rc4", max(5, min(16, ln)))

@@ -45,6 +45,11 @@ from pdfspark.kernel.textstate import (
 
 NEWLINE_EPS = 0.1
 _MAX_FORM_DEPTH = 16
+# One shared per-page /Annots bomb-guard across ALL annotation walkers
+# (ADVICE r3 #3): with split caps (1024 vs 512) a page with 600
+# annotations reported its links/annot text but silently dropped a
+# FileAttachment sitting past index 511.
+_MAX_ANNOTS = 1024
 
 
 class Span(NamedTuple):
@@ -188,7 +193,7 @@ def _page_annotations(doc: PdfDocument, page: dict) -> List[str]:
         annots = doc.get(page, "Annots")
         if not isinstance(annots, list):
             return out
-        for a in annots[:1024]:  # bomb guard
+        for a in annots[:_MAX_ANNOTS]:  # bomb guard
             try:
                 a = doc.resolve(a)
                 if not isinstance(a, dict):
@@ -309,7 +314,7 @@ def _attachment_entries(doc: PdfDocument, pages: List[dict]) -> List[str]:
             annots = doc.get(page, "Annots")
             if not isinstance(annots, list):
                 continue
-            for aref in annots[:512]:
+            for aref in annots[:_MAX_ANNOTS]:
                 try:
                     a = doc.resolve(aref)
                 except PdfError:
@@ -362,7 +367,7 @@ def _page_link_uris(doc: PdfDocument, page: dict) -> List[str]:
         annots = doc.get(page, "Annots")
         if not isinstance(annots, list):
             return out
-        for a in annots[:1024]:  # bomb guard
+        for a in annots[:_MAX_ANNOTS]:  # bomb guard
             try:
                 a = doc.resolve(a)
                 if not isinstance(a, dict):
@@ -863,6 +868,15 @@ def _struct_text(doc: PdfDocument, pages: List[dict],
     carries no /StructTreeRoot."""
     order_map = _structure_mcid_order(doc)
     if order_map is None:
+        return None
+    if (len(pages) > 1 and order_map
+            and set(order_map) == {None}):
+        # Multi-page tagged doc whose structure elements ALL omit /Pg:
+        # the MCID order cannot be attributed to any page, so every page
+        # would silently degrade to content order while struct_text
+        # reads as structure-verified. Treat as untagged-equivalent
+        # (None) so readers cannot mistake the fallback for verified
+        # structure order (ADVICE r3 #5).
         return None
     page_texts = []
     for page, runs in zip(pages, page_runs):

@@ -43,6 +43,18 @@ class PSProc(list):
     __slots__ = ()
 
 
+class PSBuiltin:
+    """Marker for a builtin operator stored as a dict VALUE (so
+    `systemdict /internaldict get exec` dispatches the builtin without a
+    self-referential trampoline proc, which would recurse now that
+    dict-stack lookup precedes the operator table)."""
+
+    __slots__ = ("name",)
+
+    def __init__(self, name: str):
+        self.name = name
+
+
 class PSMark:
     __slots__ = ()
 
@@ -162,7 +174,7 @@ class Interpreter:
             "StandardEncoding": _standard_encoding_array(),
             "true": True,
             "false": False,
-            "internaldict": PSProc(["internaldict"]),
+            "internaldict": PSBuiltin("internaldict"),
         }
         self.dicts: List[Dict[str, object]] = [self.systemdict, self.userdict]
         self.fuel = self.MAX_FUEL
@@ -261,12 +273,22 @@ class Interpreter:
         self.push(list(reversed(items)))
 
     def _execute_name(self, name: str, depth: int) -> None:
-        op = _OPERATORS.get(name)
-        if op is not None:
+        # PLRM dict-stack lookup order: a program's own definition (userdict
+        # shadowing systemdict) wins over the builtin operator table — a
+        # Type1 program may legally redefine /put, /def, /array etc., and
+        # dispatching the builtin first would silently execute the wrong
+        # code (ADVICE r3 #1).
+        try:
+            val = self._lookup(name)
+        except PSError:
+            op = _OPERATORS.get(name)
+            if op is None:
+                raise
             op(self, depth)
             return
-        val = self._lookup(name)
-        if isinstance(val, PSProc):
+        if isinstance(val, PSBuiltin):
+            _OPERATORS[val.name](self, depth)
+        elif isinstance(val, PSProc):
             self._execute(list(val), depth + 1)
         else:
             self.push(val)
@@ -440,7 +462,9 @@ def _op_ifelse(ip: Interpreter, depth) -> None:
 
 def _op_exec(ip: Interpreter, depth) -> None:
     v = ip.pop()
-    if isinstance(v, PSProc):
+    if isinstance(v, PSBuiltin):
+        _OPERATORS[v.name](ip, depth)
+    elif isinstance(v, PSProc):
         ip._execute(list(v), depth + 1)
     else:
         ip.push(v)  # non-procedures execute to themselves
@@ -616,14 +640,24 @@ def encoding_from_program(src: bytes) -> Optional[Dict[int, str]]:
     # the finished font dict may sit on the DICT stack (program stopped
     # before `end`), on the OPERAND stack (`currentdict end` idiom), or
     # be def'd into an enclosing dict
-    dict_pool = list(ip.dicts) + [v for v in ip.stack if isinstance(v, dict)]
-    for d in list(dict_pool):
-        for v in d.values():
-            if isinstance(v, dict):
-                dict_pool.append(v)
-    for d in dict_pool[:64]:
+    # bounded worklist walk (ADVICE r3 #2): a one-level snapshot scan
+    # missed font dicts nested more than two dict levels down (e.g.
+    # FontDirectory → holder → font); pop-until-empty with the 64-dict
+    # cap and an id() visited set finds them at any depth, cycle-safe
+    worklist = list(ip.dicts) + [v for v in ip.stack if isinstance(v, dict)]
+    seen_ids = set()
+    walked = 0
+    while worklist and walked < 64:
+        d = worklist.pop(0)
+        if id(d) in seen_ids:
+            continue
+        seen_ids.add(id(d))
+        walked += 1
         if "Encoding" in d:
             candidates.append(d["Encoding"])
+        for v in d.values():
+            if isinstance(v, dict):
+                worklist.append(v)
     for enc in reversed(candidates):
         if isinstance(enc, list):
             out = {

@@ -2780,10 +2780,11 @@ def corpus_quality_filter(spark, sf_dir):
     "multimodal_feature_extract",
     oracle="""
 SELECT doc_id,
-  list_transform(range(16), b -> CAST(
-    len(list_filter(string_split(text, ''),
-        c -> c <> '' AND CAST(FLOOR(ascii(c) / 16.0) AS BIGINT) = b))
-    AS BIGINT))
+  array_to_string(
+    list_transform(range(16), b -> CAST(
+      len(list_filter(string_split(text, ''),
+          c -> c <> '' AND CAST(FLOOR(ascii(c) / 16.0) AS BIGINT) = b))
+      AS BIGINT)), '-')
   AS features
 FROM documents
 """,
@@ -2793,14 +2794,27 @@ def multimodal_feature_extract(spark, sf_dir):
     in, fixed-length numeric feature vectors out (numpy bincount byte
     histogram — the codec-free twin of an embedder). Oracle recomputes
     the 16-bin histogram character-wise (exact on the ASCII corpus where
-    payload = utf-8 of text)."""
+    payload = utf-8 of text).
+
+    The feature VECTOR is serialized to a '-'-joined string at the query
+    boundary: the driver canonicalizes results by pandas multi-column
+    sort, which factorizes every column — a top-level array column is
+    unhashable there (r3's one red row). The Arrow-vector stage itself
+    (extract_byte_histogram) still returns array<bigint> for pipeline
+    consumers; only the driver-facing projection flattens."""
     from pdfspark.multimodal import extract_byte_histogram
 
     _load(spark, sf_dir, "documents")
     binary = spark.table("documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    return extract_byte_histogram(binary)
+    feats = extract_byte_histogram(binary)
+    return feats.select(
+        "doc_id",
+        F.concat_ws(
+            "-", F.transform("features", lambda x: x.cast("string"))
+        ).alias("features"),
+    )
 
 
 # recall@10 of the IVF approximation vs exact brute force, as ONE SQL
@@ -3427,6 +3441,170 @@ def dedup_paragraph_exact(spark, sf_dir):
     return spark.sql(_PARA_DEDUP_SPARK)
 
 
+# CCNet-style boilerplate removal at chunk granularity: a chunk (12-word
+# "line") occurring in MORE THAN ONE distinct document is boilerplate;
+# only its canonical occurrence (min doc_id) survives, every other doc
+# drops it. Unlike dedup_paragraph_exact (which only REPORTS duplicate
+# chunks), this emits the cleaned per-doc outcome: kept/dropped counts
+# and the md5 of the reassembled text (scalar, driver-hashable; chunk
+# order restored by position k). Reassembly is order-pinned in BOTH
+# engines: Spark sorts (k, para) structs, DuckDB string_aggs ORDER BY k.
+_BOILERPLATE_DUCK = """
+WITH """ + _NEARDUP_CORPUS.split("words AS")[0].format(cap=300) + """
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+chunks AS (
+  SELECT doc_id, k,
+    array_to_string(list_slice(ws, k*12 + 1, k*12 + 12), ' ') AS para
+  FROM w, UNNEST(range(CAST(CEIL(len(ws) / 12.0) AS BIGINT))) t(k)),
+ne AS (SELECT * FROM chunks WHERE para <> ''),
+df AS (
+  SELECT para, MIN(doc_id) AS canonical_id,
+         COUNT(DISTINCT doc_id) AS n_docs
+  FROM ne GROUP BY para)
+SELECT ne.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(COUNT(CASE WHEN df.n_docs > 1
+             AND ne.doc_id <> df.canonical_id THEN 1 END) AS BIGINT)
+    AS n_dropped,
+  md5(COALESCE(string_agg(
+    CASE WHEN df.n_docs = 1 OR ne.doc_id = df.canonical_id
+         THEN ne.para END, ' ' ORDER BY ne.k), '')) AS clean_md5
+FROM ne JOIN df ON ne.para = df.para
+GROUP BY ne.doc_id
+"""
+
+_BOILERPLATE_SPARK = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(text, 1, CAST(FLOOR(length(text)*0.8) AS INT)) AS text
+  FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0),
+w AS (SELECT doc_id, split(text, ' ') AS ws FROM corpus),
+chunks AS (
+  SELECT doc_id, k,
+    array_join(slice(ws, k*12 + 1, 12), ' ') AS para
+  FROM w LATERAL VIEW explode(
+    sequence(0, CAST(CEIL(size(ws) / 12.0) AS INT) - 1)) t AS k),
+ne AS (SELECT * FROM chunks WHERE para <> ''),
+df AS (
+  SELECT para, MIN(doc_id) AS canonical_id,
+         COUNT(DISTINCT doc_id) AS n_docs
+  FROM ne GROUP BY para)
+SELECT ne.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(COUNT(CASE WHEN df.n_docs > 1
+             AND ne.doc_id <> df.canonical_id THEN 1 END) AS BIGINT)
+    AS n_dropped,
+  md5(concat_ws(' ', transform(
+    array_sort(collect_list(CASE WHEN df.n_docs = 1
+                 OR ne.doc_id = df.canonical_id
+               THEN struct(ne.k, ne.para) END)),
+    s -> s.para))) AS clean_md5
+FROM ne JOIN df ON ne.para = df.para
+GROUP BY ne.doc_id
+"""
+
+
+@register("boilerplate_line_removal", oracle=_BOILERPLATE_DUCK)
+def boilerplate_line_removal(spark, sf_dir):
+    """CCNet-style boilerplate line removal with canonical retention:
+    cross-doc duplicate chunks keep exactly one copy (min doc_id), every
+    other document emits the cleaned text (as md5) plus kept/dropped
+    counts. Scale shape: the chunk df table groups by the chunk STRING
+    but at 100 TB would group by md5(para) digests only (same plan
+    shape as dedup_paragraph_exact — map-side combined, digests
+    shuffle); the join back is chunk-key partitioned, no broadcast of
+    corpus-sized sides; per-doc reassembly is the only doc-keyed
+    shuffle. The 80%-prefix mutants guarantee real cross-doc dupes so
+    n_dropped > 0 is exercised."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(_BOILERPLATE_SPARK)
+
+
+# Character-distribution quality signal in EXACT integer form: the
+# Renyi-2 collision index sum(c_i^2)/N^2 (the probability two random
+# character draws collide — high for degenerate/repetitive text, ~1/k
+# for diverse text over k symbols). Shannon entropy needs ln() whose
+# libm bits differ across engines; the collision index is a ratio of
+# exact BIGINTs, floored to basis points by the pinned FLOOR(+0.5)
+# policy — engine-identical.
+_CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, c FROM documents
+  {explode}
+  WHERE c <> ''),
+per_char AS (
+  SELECT doc_id, c, COUNT(*) AS cnt FROM chars GROUP BY doc_id, c),
+stats AS (
+  SELECT doc_id,
+    CAST(SUM(cnt) AS BIGINT) AS n_chars,
+    COUNT(*) AS n_distinct_chars,
+    CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
+  FROM per_char GROUP BY doc_id)
+SELECT doc_id, n_chars,
+  CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+  CAST(FLOOR(sum_sq * 10000.0 / (n_chars * n_chars) + 0.5) AS BIGINT)
+    AS collision_bp
+FROM stats
+"""
+
+
+@register(
+    "text_char_entropy",
+    oracle=_CHAR_ENTROPY_SQL.format(
+        explode=", UNNEST(string_split(text, '')) t(c)",
+    ),
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-collision (Renyi-2) index per document — the exact-
+    integer stand-in for char-entropy quality filtering (gibberish and
+    single-char flood pages score near 10000 bp; natural text over ~27
+    symbols sits near 400-800 bp). One explode + two map-side-combined
+    aggregations keyed by (doc_id, char): the char key space per doc is
+    tiny, so partial aggregation collapses the stream before any
+    shuffle; no UDF, no floats until the final pinned basis-point
+    floor."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(_CHAR_ENTROPY_SQL.format(
+        explode="LATERAL VIEW explode(split(text, '')) t AS c",
+    ))
+
+
+# Corpus length-distribution audit: NTILE deciles over char length with
+# deterministic (length, doc_id) tie-break — the length-filter design
+# table every pretraining pipeline derives before choosing min/max-len
+# cutoffs.
+_LEN_DECILE_SQL = """
+WITH lens AS (
+  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars FROM documents),
+ranked AS (
+  SELECT doc_id, n_chars,
+    NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+  FROM lens)
+SELECT decile,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  MIN(n_chars) AS min_chars,
+  MAX(n_chars) AS max_chars,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM ranked GROUP BY decile
+"""
+
+
+@register("doc_length_percentile_buckets", oracle=_LEN_DECILE_SQL)
+def doc_length_percentile_buckets(spark, sf_dir):
+    """Length-decile profile of the corpus (docs per decile, char
+    bounds, mass): NTILE(10) with the (n_chars, doc_id) tie-break so
+    bucket assignment is engine-exact. Scale note: a global NTILE is a
+    single-partition sort at 100 TB — the production path would swap in
+    approx_percentile cutpoints + a broadcast range join (same shape as
+    doc-length filtering); at the audit's input size (one BIGINT pair
+    per doc — the TEXT never enters the window) the exact form stays
+    cheap and, unlike the approximation, is oracle-checkable."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(_LEN_DECILE_SQL)
+
+
 # =========================================================================
 # Driver-window curation
 # =========================================================================
@@ -3441,79 +3619,64 @@ def dedup_paragraph_exact(spark, sf_dir):
 # history cede their slots (they remain registered, locally gated, and
 # fully oracled). Every name must stay registered in QUERIES.
 DRIVER_PRIORITY = [
-    # -- no driver verdict yet (r2 additions past the 50-slot window) --
-    "asof_join_last_click",
-    "range_join_events_windows",
-    "dedup_components",
-    "dedup_simhash_pairs",
-    "dedup_canonical_url",
-    "session_window_agg",
-    "window_range_interval_frame",
-    "unpivot_order_year_counts",
-    "pdf_multipage_spans",
-    "pdf_multipage_roundtrip",
-    "pdf_extract_skew_aware",
-    "ann_numpy_ivf",
-    "ann_ivf_recall",
-    "text_gopher_quality",
-    "corpus_quality_filter",
-    "multimodal_frame_sample",
-    "multimodal_feature_extract",
-    "grouped_stats_apply_in_pandas",
-    "token_count_pandas_udf",
-    "html_doc_titles",
-    "embedding_norms",
-    # -- new in r3 / output or oracle reworked in r3 (need verdicts) --
-    "decontaminate_ngram_overlap",
-    "text_repetition_signals",
-    "pdf_attachments",
-    "dedup_incremental_minhash",
-    "shard_pack_token_budget",
-    "url_blocklist_filter",
-    "multimodal_resize",
-    "pdf_struct_reading_order",
-    "sample_match_distribution",
-    "shard_materialize",
-    "text_unigram_commonness",
-    "events_funnel",
-    "pdf_columns_reading_order",
-    "pdf_kerned_wordbreak",
-    "pdf_layout_mix_extract",
-    "pdf_link_uris",
-    "dedup_keeplist",
-    "text_pii_scrub",
-    "sample_stratified",
-    "dedup_paragraph_exact",
-    "text_compression_ratio",
-    "text_winnowing_neardup",
-    "approx_distinct_urls",
-    "dedup_ngram_jaccard",
-    # -- family representatives with prior green history --
-    "pdf_extract_roundtrip",
-    "pdf_error_rows",
-    "pdf_annots_text",
-    "html_extract_roundtrip",
-    "q5_region_revenue",
-    # ceded to the r3 additions (2 rounds of green driver history, family
-    # still represented in-window): ann_bruteforce_topk (numpy-IVF +
-    # recall in-window; still bench-pinned),
-    # still represented in-window): dedup_minhash_lsh (incremental
-    # variant shares the kernel and oracle CTEs; still bench-pinned),
-    # pdf_regression_join + pdf_outlines + mixed_corpus_extract +
-    # pdf_doc_metadata + pdf_spans (extraction/metadata family 10-wide
-    # in-window; multipage_spans carries the span-offset check),
-    # still represented in-window): text_token_count
-    # (token_count_pandas_udf + gopher), embedding_cosine_neardup +
-    # ann_ivf_bucketed (bruteforce + numpy-IVF + recall), dedup_exact
-    # (eight dedup reps incl. paragraph_exact + incremental),
-    # q1_pricing_summary (agg via corpus_quality/gopher/repetition;
-    # plan-test-pinned), dedup_simhash (dedup_simhash_pairs),
-    # text_fingerprint + text_lang_id + text_quality_score
-    # (token/gopher/corpus_quality_filter),
-    # window_running_sum (window_range_interval_frame), ann_numpy_topk
-    # (bruteforce + IVF + ann_numpy_ivf), events_sessionization
-    # (session_window_agg + range_join_events_windows), multimodal_meta
-    # (frame_sample + feature_extract)
+    # -- r4 rotation (VERDICT r3 next #2): every one of the 42 operators
+    # whose latest driver verdict is r2 rotates back in, so no query's
+    # verdict ages past 2 rounds. The r3 first-verdict cohort (all green
+    # in CORRECTNESS_r03) cedes its slots; it stays registered, locally
+    # oracle-gated at two SFs, and returns in r5.
+    # -- output changed this round (needs a fresh verdict) --
+    "multimodal_feature_extract",  # array<bigint> → '-'-joined string (r3 red)
+    "pdf_struct_reading_order",  # multi-page no-/Pg degradation policy (ADVICE r3)
+    # -- new in r4 (first verdict) --
+    "pdf_attachments",  # placeholder: swaps to pdf_density_columns when it lands
+    "pdf_columns_reading_order",  # placeholder: swaps to pdf_cjk_embedded_widths
+    "pdf_kerned_wordbreak",  # placeholder: swaps to pdf_post_glyph_names
+    "boilerplate_line_removal",
+    "text_char_entropy",
+    "doc_length_percentile_buckets",
+    # -- r2 veterans, verdict age 2 rounds (registration-order groups) --
+    "q1_pricing_summary",
+    "q3_top_open_orders",
+    "top_orders_global",
+    "filter_pushdown_scan",
+    "orders_monthly_growth",
+    "window_running_sum",
+    "window_topk_per_group",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "pivot_status_by_priority",
+    "percentiles_exact",
+    "distinct_customers_exact",
+    "semi_join_active_customers",
+    "anti_join_inactive_customers",
+    "set_union_distinct",
+    "set_intersect_custkeys",
+    "set_except_custkeys",
+    "exists_subquery_multi_item_orders",
+    "correlated_subquery_above_avg",
+    "events_daily_rollup",
+    "events_json_extract",
+    "events_sessionization",
+    "pdf_extract_stats",
+    "pdf_magic_filter",
+    "pdf_doc_metadata",
+    "pdf_outlines",
+    "pdf_spans",
+    "pdf_regression_join",
+    "mixed_corpus_extract",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_cosine_neardup",
+    "ann_bruteforce_topk",
+    "ann_ivf_bucketed",
+    "ann_numpy_topk",
+    "multimodal_meta",
+    "text_token_count",
+    "text_lang_id",
+    "text_quality_score",
+    "text_fingerprint",
 ]
 
 

@@ -217,3 +217,38 @@ def test_acroform_empty_kids_is_terminal_field():
     )
     r = extract_text(b.build(root))
     assert r.text == "empty kids" and r.annots == "kept value"
+
+
+def test_attachment_past_512_annots_is_inventoried():
+    """ADVICE r3 #3: one shared /Annots bomb-guard (1024) across ALL
+    annotation walkers — a FileAttachment at index 550 of a 600-annot
+    page must appear in the inventory alongside the page's annot text."""
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    c = b.add_stream("<< >>", _simple_show("busy page").encode())
+    note = b.add(
+        "<< /Type /Annot /Subtype /Text /Rect [0 0 5 5] "
+        "/Contents (sticky) >>"
+    )
+    ef = b.add_stream("<< /Type /EmbeddedFile /Params << /Size 7 >> >>",
+                      b"payload")
+    fs = b.add(
+        f"<< /Type /Filespec /F (late.bin) /EF << /F {ef} 0 R >> >>"
+    )
+    att = b.add(
+        "<< /Type /Annot /Subtype /FileAttachment /Rect [10 10 30 30] "
+        f"/FS {fs} 0 R >>"
+    )
+    refs = [f"{note} 0 R"] * 600
+    refs[550] = f"{att} 0 R"
+    page = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R "
+        f"/Annots [{' '.join(refs)}] >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 >>", num=90)
+    root = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    r = extract_text(b.build(root))
+    assert r.error is None and r.text == "busy page"
+    assert r.attachments == "late.bin:7"
+    assert r.annots is not None and r.annots.count("sticky") == 599

@@ -220,3 +220,34 @@ def test_aes_encrypted_object_stream_roundtrip():
     r = extract_text(pdf)
     assert r.text == "aes inner body" and r.error is None
     assert r.title == "AES Inside"
+
+
+def test_v4_malformed_cf_length_falls_back_to_doc_length():
+    """ADVICE r3 #4: a CF /Length outside both plausible encodings
+    (5-16 bytes, 40-128 bits — e.g. 24) must fall back to the
+    encrypt-dict /Length rather than clamp to 16 bytes; clamping
+    mis-derives that CF's keys and decrypts streams to garbage."""
+    from pdfspark.kernel.encryption import (
+        SecurityHandler,
+        compute_encryption_key,
+        compute_o_entry,
+        compute_u_entry,
+    )
+    from pdfspark.kernel.objects import Name
+
+    file_id0 = b"\x02" * 16
+    p = -44
+    o = compute_o_entry(b"", b"", 4, 5)
+    key5 = compute_encryption_key(o, p, file_id0, 4, 5, True)
+    u = compute_u_entry(key5, file_id0, 4)
+    enc = {
+        "Filter": Name("Standard"), "V": 4, "R": 4, "Length": 40,
+        "CF": {"StmCF": {"CFM": Name("V2"), "Length": 24}},
+        "StmF": Name("StmCF"), "StrF": Name("Identity"),
+        "O": o, "U": u, "P": p,
+    }
+    h = SecurityHandler.from_encrypt_dict(enc, file_id0, lambda x: x)
+    # doc /Length 40 bits → 5-byte key, NOT the clamped 16-byte key
+    assert h.cfm == "rc4" and len(h.key) == 5
+    assert h.key == key5
+    assert h.cf_keys["StmCF"] == ("rc4", key5)

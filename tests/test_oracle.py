@@ -47,12 +47,51 @@ def _check_duck_types(name, rel):
     for col, typ in zip(rel.columns, rel.types):
         t = str(typ)
         base = t.split("(")[0].strip()
-        if base.endswith("[]"):  # list types: check element
-            base = base[:-2].strip()
+        # list/map/struct outputs are unhashable in the driver's pandas
+        # canonicalization (r3 red row) — reject outright, no element check
+        assert not base.endswith("[]") and base not in (
+            "MAP", "STRUCT", "LIST", "ARRAY"
+        ), (
+            f"{name}: oracle column {col} has complex DuckDB type {t} — the "
+            f"driver's pandas sort cannot factorize it; serialize "
+            f"(array_to_string) or explode to scalar rows"
+        )
         assert base in _DUCK_TYPE_OK, (
             f"{name}: oracle column {col} has DuckDB type {t} — the driver "
             f"hash will diverge from Spark; add an explicit CAST in the SQL"
         )
+
+
+def _check_spark_types(name, df):
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        assert not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType)
+        ), (
+            f"{name}: Spark output column {f.name} is {f.dataType.simpleString()}"
+            f" — the driver canonicalizes by pandas multi-column sort, which "
+            f"factorizes every column; lists are unhashable there "
+            f"(TypeError at the driver, r3's one red row). Serialize with "
+            f"concat_ws or explode to scalar rows."
+        )
+
+
+def _driver_canon(cols, rows):
+    """Replicate the driver's pandas canonicalization: build a DataFrame
+    and multi-column sort by sorted column names. pandas' lexsort
+    factorizes each column via its hashtable — exactly where an
+    array-valued column dies at the driver (``TypeError: unhashable
+    type: 'list'`` before any comparison). Running it here means a
+    driver-incompatible output shape fails locally first."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=list(cols))
+    if len(cols) > 1:
+        pdf = pdf.sort_values(by=sorted(cols), kind="stable")
+    else:
+        pdf = pdf.sort_values(by=list(cols)[0], key=lambda s: s.map(repr))
+    return pdf
 
 
 def _norm(v):
@@ -96,7 +135,12 @@ def test_every_query_has_callable():
 def test_driver_window_curation():
     """The driver verifies a 50-slot prefix of queries(): the curated
     order must be valid (registered names, no dups, exactly the window
-    size) and must place every r2-unverified operator inside the prefix."""
+    size), every query with NO driver verdict ever must sit inside the
+    prefix, and no query's latest verdict may age past 2 rounds — a
+    query absent from the two most recent CORRECTNESS ledgers must be
+    back in the window (VERDICT r3 next #2)."""
+    import json
+
     from pdfspark.queries import DRIVER_PRIORITY, driver_ordered_queries
 
     assert len(DRIVER_PRIORITY) == 50
@@ -105,32 +149,21 @@ def test_driver_window_curation():
     ordered = list(driver_ordered_queries())
     assert ordered[:50] == DRIVER_PRIORITY
     assert set(ordered) == set(QUERIES)
-    r2_unverified = {
-        "html_doc_titles", "embedding_norms", "grouped_stats_apply_in_pandas",
-        "token_count_pandas_udf", "asof_join_last_click", "dedup_components",
-        "range_join_events_windows", "ann_numpy_ivf", "text_gopher_quality",
-        "window_range_interval_frame", "unpivot_order_year_counts",
-        "dedup_simhash_pairs", "pdf_multipage_spans", "pdf_multipage_roundtrip",
-        "multimodal_frame_sample", "session_window_agg", "corpus_quality_filter",
-        "multimodal_feature_extract", "ann_ivf_recall", "dedup_canonical_url",
-        "text_compression_ratio", "pdf_extract_skew_aware",
-    }
-    assert r2_unverified <= set(DRIVER_PRIORITY)
-    # full-history invariant: every registered query is either in this
-    # round's verified prefix or already holds a green driver verdict
-    # from a prior round — no operator ships without the driver ever
-    # checking it
-    import json
-
-    verified_prior = set()
-    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
-        try:
-            verified_prior |= set(json.load(open(f)))
-        except FileNotFoundError:
-            pass
+    ledgers = []
+    for f in sorted(
+        f for f in os.listdir(".") if f.startswith("CORRECTNESS_r")
+    ):
+        ledgers.append(set(json.load(open(f))))
+    verified_ever = set().union(*ledgers) if ledgers else set()
     never = [n for n in QUERIES
-             if n not in DRIVER_PRIORITY and n not in verified_prior]
+             if n not in DRIVER_PRIORITY and n not in verified_ever]
     assert not never, f"queries with no driver verdict ever: {never}"
+    recent = set().union(*ledgers[-2:]) if ledgers else set()
+    stale = [n for n in QUERIES
+             if n not in DRIVER_PRIORITY and n not in recent]
+    assert not stale, (
+        f"queries whose driver verdict would age past 2 rounds: {stale}"
+    )
 
 
 def test_oracle_coverage():
@@ -144,8 +177,10 @@ def test_oracle_coverage():
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_vs_oracle(spark, duck, name):
     df = QUERIES[name](spark, SF_DIR)
+    _check_spark_types(name, df)
     spark_cols = [c.lower() for c in df.columns]
     spark_rows = [tuple(r) for r in df.collect()]
+    _driver_canon(spark_cols, spark_rows)
     if name not in ORACLES:
         assert len(spark_rows) >= 0  # rows-only check
         return

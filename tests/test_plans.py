@@ -312,3 +312,31 @@ def test_late_r3_operators_have_no_cartesian(spark):
     plan = plan_of(QUERIES["sample_match_distribution"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_r4_webtext_operators_plan_shape(spark):
+    """boilerplate_line_removal pairs chunks through hash joins (no
+    cartesian/nested-loop); text_char_entropy's (doc_id, char) agg is
+    map-side combined (partial HashAggregate before the exchange); the
+    length-decile window reads ONLY doc_id (length computed in the scan
+    stage — text never enters the window's shuffled payload)."""
+    from pdfspark.queries import QUERIES
+
+    plan = plan_of(QUERIES["boilerplate_line_removal"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    plan = plan_of(QUERIES["text_char_entropy"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    # partial aggregation: at least two HashAggregate levels around the
+    # doc_id/char exchange (partial_count then count)
+    assert plan.count("HashAggregate") >= 2, plan
+
+    plan = plan_of(QUERIES["doc_length_percentile_buckets"](spark, SF_DIR))
+    # the window sorts (n_chars, doc_id) pairs only — length(text) is
+    # computed in the scan-side Project BELOW the exchange, so the text
+    # column never crosses the single-partition shuffle
+    below_exchange = plan.split("Exchange SinglePartition")[-1]
+    assert "Project [doc_id" in below_exchange \
+        and "length(text" in below_exchange, plan
+    assert "ntile(10)" in plan, plan

@@ -218,3 +218,69 @@ def test_garbage_is_soft():
     for junk in (b"", b"\x00\xff" * 50, b"((((", b"} } }", b"/x",
                  b"1 2 3 put", b"aaaa bbb ccc"):
         assert encoding_from_program(junk) is None
+
+
+# ---- ADVICE r3 fixes ----------------------------------------------------
+
+def test_program_redefinition_shadows_builtin_operator():
+    """PLRM dict-stack lookup order: a program's own /dup definition
+    (userdict shadowing systemdict) must win over the builtin operator
+    (ADVICE r3 #1 — dispatch consulted _OPERATORS first)."""
+    ip = interpret(b"/dup { 42 } def 1 dup")
+    assert ip.pop() == 42
+    assert ip.pop() == 1
+    assert_empty(ip)
+
+
+def test_redefined_put_builds_encoding_via_program_semantics():
+    """A font program that redefines a standard operator and then uses it
+    must run ITS definition — here /myput delegates through a shadowed
+    name; the extracted encoding reflects the program's semantics."""
+    enc = encoding_from_program(b"""
+        /FontDict 4 dict begin
+        /Encoding 256 array def
+        /put { put } def
+        Encoding 65 /A put
+        currentdict end
+    """)
+    # the redefined /put is a proc calling the (now-shadowed... itself)
+    # — PLRM would infinitely recurse; our depth bound makes it a soft
+    # failure, NOT a silent wrong-builtin dispatch
+    assert enc is None or enc.get(65) == "A"
+
+
+def test_builtin_still_dispatches_when_undefined_in_dicts():
+    ip = interpret(b"1 2 add 3 mul")
+    assert ip.pop() == 9
+    assert_empty(ip)
+
+
+def test_encoding_found_three_dict_levels_deep():
+    """FontDirectory → holder → font nesting: the bounded worklist walk
+    must find /Encoding at any dict depth (ADVICE r3 #2 — the one-level
+    snapshot scan missed it)."""
+    enc = encoding_from_program(b"""
+        /FontDirectory 2 dict def
+        /Holder 2 dict def
+        /TheFont 3 dict def
+        TheFont /Encoding 256 array put
+        TheFont /Encoding get 65 /A put
+        TheFont /Encoding get 66 /B put
+        Holder /font TheFont put
+        FontDirectory /holder Holder put
+    """)
+    assert enc is not None
+    assert enc[65] == "A" and enc[66] == "B"
+
+
+def test_dict_walk_cycle_safe_and_bounded():
+    """Self-referential dicts must not hang the walk."""
+    enc = encoding_from_program(b"""
+        /A 2 dict def
+        /B 2 dict def
+        A /other B put
+        B /other A put
+        B /Encoding 256 array put
+        B /Encoding get 90 /Z put
+    """)
+    assert enc is not None and enc[90] == "Z"

@@ -233,3 +233,44 @@ def test_multipage_structure_attribution():
     r = extract_text(b.build(root), structure=True)
     assert r.error is None and r.n_pages == 2
     assert r.struct_text == "p1-first p1-second\fp2-first p2-second"
+
+
+def test_multipage_all_missing_pg_is_untagged_equivalent():
+    """ADVICE r3 #5: a multi-page tagged PDF whose structure elements
+    ALL omit /Pg cannot attribute MCID order to any page — struct_text
+    must be None (untagged-equivalent), not a silent content-order
+    fallback that reads as structure-verified."""
+    from pdfspark.fixtures import PdfBuilder
+
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+
+    def page_content(a, bb):
+        return (f"BT /F1 12 Tf 72 700 Td "
+                f"/P << /MCID 1 >> BDC ({a}) Tj EMC "
+                f"0 20 Td /P << /MCID 0 >> BDC ({bb}) Tj EMC ET").encode()
+
+    c1 = b.add_stream("<< >>", page_content("p1-second", "p1-first "))
+    c2 = b.add_stream("<< >>", page_content("p2-second", "p2-first "))
+    pg1 = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c1} 0 R >>"
+    )
+    pg2 = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c2} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{pg1} 0 R {pg2} 0 R] /Count 2 >>",
+          num=90)
+    elems = [b.add(f"<< /Type /StructElem /S /P /K {mcid} >>")
+             for mcid in (0, 1)]  # NO /Pg anywhere
+    st = b.add("<< /Type /StructTreeRoot /K ["
+               + " ".join(f"{e} 0 R" for e in elems) + "] >>")
+    root = b.add(
+        f"<< /Type /Catalog /Pages 90 0 R /StructTreeRoot {st} 0 R >>"
+    )
+    r = extract_text(b.build(root), structure=True)
+    assert r.error is None and r.n_pages == 2
+    assert r.struct_text is None
+    # content-order text is still fully present (baseline moves → \n)
+    assert r.text == "p1-second\np1-first \fp2-second\np2-first "
