@@ -1029,6 +1029,20 @@ def all_cases() -> List[Case]:
     )
     add(Case("t49_xmp_title", b.build(root), "xmp doc", None, 1))
 
+    # ---- t50: legacy-CJK codec CMap WITH an embedded FontFile2 whose
+    # hmtx advances are non-uniform (FN11 upgrade): content-order text is
+    # the kern-glued transliteration (kerns insert nothing — pinned);
+    # geometry recovery is pinned separately in test_golden. The case's
+    # presence here puts the head/hhea/hmtx parse path under the corpus
+    # mutation/garbage property tests.
+    from pdfspark.docgen import _ASCII_TO_CJK, text_to_pdf_cjk_kerned
+
+    _cjk_text = "big data merge"
+    add(Case("t50_cjk_embedded_widths",
+             text_to_pdf_cjk_kerned(_cjk_text, meta_id=50),
+             _cjk_text.translate(_ASCII_TO_CJK).replace(" ", ""),
+             None, 1))
+
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",
              b"<!doctype html><html><body>hello web</body></html>",

@@ -470,3 +470,127 @@ def text_to_pdf_tagged(text: str, meta_id: int = 0) -> bytes:
         b"startxref\n%d\n%%%%EOF\n" % (size, xref_off)
     )
     return bytes(out)
+
+
+# ---------------------------------------------------------------- CJK kerned
+
+# 26 GBK-encodable URO hanzi standing in for a-z: the deterministic
+# ASCII→CJK transliteration both the generator and the SQL oracle apply
+# (translate() exists in Spark AND DuckDB with identical semantics)
+CJK_ALPHABET = "".join(chr(0x4E00 + i) for i in range(26))
+_ASCII_TO_CJK = str.maketrans("abcdefghijklmnopqrstuvwxyz", CJK_ALPHABET)
+
+# Embedded TrueType program for the CJK generator: cmap (3,1) maps the
+# 26 hanzi to gids 1-26; hmtx advances are NON-UNIFORM (400+20i units,
+# upem 1000) so per-glyph geometry is only right when the kernel reads
+# the embedded metrics. /DW is set to 1500 below — under the DW
+# fallback the word-break threshold (0.35×median advance = 525 units)
+# would EXCEED the 400-unit inter-word kern and no spaces would be
+# recovered, so the byte-identity oracle pins the hmtx path.
+CJK_ADVANCES = [400 + 20 * i for i in range(26)]
+
+
+def _cjk_ttf() -> bytes:
+    from pdfspark.fixtures import build_minimal_ttf
+
+    return build_minimal_ttf(
+        {0x4E00 + i: i + 1 for i in range(26)},
+        hmtx_advances=[0] + CJK_ADVANCES,
+        units_per_em=1000,
+    )
+
+
+_CJK_TTF_CACHE: bytes = b""
+
+
+def text_to_pdf_cjk_kerned(text: str, meta_id: int = 0,
+                           words_per_line: int = 8,
+                           embed_metrics: bool = True) -> bytes:
+    """Legacy-CJK layout torture test: the a-z text transliterates to
+    hanzi, encodes as GBK bytes under /Encoding /GBK-EUC-H (a codec
+    predefined CMap — no ToUnicode, no Identity), and words are
+    positioned by TJ kerns with NO space glyphs. The descendant font
+    carries /DW 1500 and an embedded FontFile2 whose hmtx advances are
+    non-uniform — word-break recovery (kernel/layout.py) succeeds only
+    when advances come from the embedded cmap+hmtx (fonts.py FN11
+    upgrade), because under the /DW fallback the 0.35×median threshold
+    sits above the inter-word kern. Reading-order reconstruction must
+    reproduce the transliterated text byte-identically."""
+    global _CJK_TTF_CACHE
+    if not _CJK_TTF_CACHE:
+        _CJK_TTF_CACHE = _cjk_ttf()
+    ttf = _CJK_TTF_CACHE
+    cjk = normalize_for_pdf(text).translate(_ASCII_TO_CJK)
+    words = cjk.split(" ")
+    ops = []
+    for row_start in range(0, len(words), words_per_line):
+        line = words[row_start : row_start + words_per_line]
+        tj = " ".join(
+            f"<{w.encode('gbk').hex().upper()}> -400" for w in line
+        )
+        tj = tj.rsplit(" -400", 1)[0]  # no trailing kern
+        y = 740 - 14 * (row_start // words_per_line)
+        ops.append(f"BT /F1 12 Tf 72 {y} Td [{tj}] TJ ET ")
+    content = "".join(ops).encode("latin-1")
+    data = zlib.compress(content, 6)
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    emit(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    emit(
+        4,
+        b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(data)
+        + data + b"\nendstream",
+    )
+    emit(
+        5,
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /EmbCJK "
+        b"/Encoding /GBK-EUC-H /DescendantFonts [7 0 R] >>",
+    )
+    emit(6, b"<< /Title (doc %d) /Producer (pdfspark-docgen) >>" % meta_id)
+    emit(
+        7,
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /EmbCJK "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) "
+        b"/Supplement 5 >> /DW 1500 /FontDescriptor 8 0 R >>",
+    )
+    if embed_metrics:
+        emit(
+            8,
+            b"<< /Type /FontDescriptor /FontName /EmbCJK /Flags 4 "
+            b"/FontFile2 9 0 R >>",
+        )
+        emit(
+            9,
+            b"<< /Length1 %d /Length %d >>\nstream\n" % (len(ttf), len(ttf))
+            + ttf + b"\nendstream",
+        )
+    else:
+        # negative-path fixture (tests only): no embedded program — the
+        # kernel must fall back to /DW 1500 and word-break recovery fails
+        emit(
+            8,
+            b"<< /Type /FontDescriptor /FontName /EmbCJK /Flags 4 >>",
+        )
+    size = max(offsets) + 1
+    xref_off = len(out)
+    out.extend(b"xref\n0 %d\n0000000000 65535 f \n" % size)
+    for n in range(1, size):
+        out.extend(b"%010d 00000 n \n" % offsets[n])
+    out.extend(
+        b"trailer\n<< /Size %d /Root 1 0 R /Info 6 0 R >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (size, xref_off)
+    )
+    return bytes(out)

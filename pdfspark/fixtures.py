@@ -267,13 +267,19 @@ def runlength_encode(data: bytes) -> bytes:
 def build_minimal_ttf(uni_to_gid: Dict[int, int],
                       sym_to_gid: Optional[Dict[int, int]] = None,
                       fmt12_to_gid: Optional[Dict[int, int]] = None,
-                      raw_subtables: Optional[list] = None) -> bytes:
+                      raw_subtables: Optional[list] = None,
+                      hmtx_advances: Optional[list] = None,
+                      units_per_em: int = 1000) -> bytes:
     """Minimal sfnt with only a 'cmap' table: a (3,1) format-4 subtable for
     ``uni_to_gid``, optionally a (3,0) format-6 symbol subtable, and
     optionally a (3,10) format-12 segmented-coverage subtable
     (``fmt12_to_gid`` may hold supplementary-plane codes). With
     ``uni_to_gid`` empty and ``fmt12_to_gid`` set, the font is
-    format-12-only. Enough for the FN4 fallback path (fixtures t17/t40)."""
+    format-12-only. Enough for the FN4 fallback path (fixtures t17/t40).
+
+    ``hmtx_advances`` additionally emits head/hhea/hmtx tables (advance
+    per gid in ``units_per_em`` units) — the metrics source for the
+    embedded-width path of legacy-CJK codec CMaps (FN11 upgrade)."""
     # format 4 for (3,1): one segment per code + terminator
     codes = sorted(uni_to_gid)
     segs = [(c, c, uni_to_gid[c]) for c in codes] + [(0xFFFF, 0xFFFF, 0)]
@@ -315,9 +321,29 @@ def build_minimal_ttf(uni_to_gid: Dict[int, int],
         cmap += struct.pack(">HHI", plat, enc, sub_off + len(blobs))
         blobs += blob
     cmap += blobs
-    font = bytearray(struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 0))
-    font += struct.pack(">4sIII", b"cmap", 0, 12 + 16, len(cmap))
-    font += cmap
+    tables = [(b"cmap", bytes(cmap))]
+    if hmtx_advances is not None:
+        # head: unitsPerEm at offset 18; everything else zero/defaults
+        head = bytearray(54)
+        struct.pack_into(">I", head, 0, 0x00010000)  # version
+        struct.pack_into(">I", head, 12, 0x5F0F3CF5)  # magicNumber
+        struct.pack_into(">H", head, 18, units_per_em)
+        # hhea: numberOfHMetrics at offset 34
+        hhea = bytearray(36)
+        struct.pack_into(">I", hhea, 0, 0x00010000)
+        struct.pack_into(">H", hhea, 34, len(hmtx_advances))
+        hmtx = b"".join(
+            struct.pack(">Hh", adv & 0xFFFF, 0) for adv in hmtx_advances
+        )
+        tables += [(b"head", bytes(head)), (b"hhea", bytes(hhea)),
+                   (b"hmtx", hmtx)]
+    font = bytearray(struct.pack(">IHHHH", 0x00010000, len(tables), 16, 0, 0))
+    data_off = 12 + 16 * len(tables)
+    body = bytearray()
+    for tag, blob in tables:
+        font += struct.pack(">4sIII", tag, 0, data_off + len(body), len(blob))
+        body += blob
+    font += body
     return bytes(font)
 
 

@@ -287,6 +287,45 @@ def parse_ttf_cmap_subtables(data: bytes) -> Dict[Tuple[int, int], Dict[int, int
     return out
 
 
+def parse_ttf_hmetrics(data: bytes) -> Optional[Tuple[list, int]]:
+    """head/hhea/hmtx of an embedded TrueType program → (advances,
+    unitsPerEm). ``advances[gid]`` is the horizontal advance in font
+    units; glyphs past numberOfHMetrics reuse the LAST advance (sfnt
+    hmtx contract). The metrics source for real per-glyph widths under
+    legacy-CJK codec CMaps, where the PDF's /W array (CID-indexed)
+    cannot apply because codec decode yields Unicode, not CIDs
+    (reference reads W per-CID instead: `src/font/cid.rs:130-182`;
+    TTF tables: `src/font/true_type/parse.rs:158-642`). Returns None
+    when any of the three tables is missing/truncated."""
+    if len(data) < 12:
+        return None
+    try:
+        num_tables = struct.unpack_from(">H", data, 4)[0]
+        offs = {}
+        for i in range(min(num_tables, 512)):
+            tag, _, off, length = struct.unpack_from(">4sIII", data, 12 + 16 * i)
+            offs[tag] = (off, length)
+        if not all(t in offs for t in (b"head", b"hhea", b"hmtx")):
+            return None
+        head_off = offs[b"head"][0]
+        upem = struct.unpack_from(">H", data, head_off + 18)[0]
+        if upem <= 0:
+            return None
+        hhea_off = offs[b"hhea"][0]
+        n_metrics = struct.unpack_from(">H", data, hhea_off + 34)[0]
+        hmtx_off, hmtx_len = offs[b"hmtx"]
+        n_metrics = min(n_metrics, hmtx_len // 4, 65536)
+        if n_metrics == 0:
+            return None
+        advances = [
+            struct.unpack_from(">H", data, hmtx_off + 4 * k)[0]
+            for k in range(n_metrics)
+        ]
+        return advances, upem
+    except struct.error:
+        return None
+
+
 # Hard ceiling on codes decoded per cmap subtable.  Unicode has 0x110000
 # codepoints; 2M leaves headroom for overlapping segments while bounding
 # TOTAL work (not just group count) against crafted fonts whose groups each
@@ -468,7 +507,7 @@ class Font:
         "subtype", "is_type0", "tounicode", "encoding_map", "cid_cmap",
         "widths", "first_char", "default_width", "cid_widths", "gid_to_uni",
         "code_to_gid", "cid_to_gid", "unicode_codes", "codec_cmap",
-        "error", "_fast",
+        "uni_to_gid", "gid_advances", "error", "_fast",
     )
 
     def __init__(self) -> None:
@@ -486,6 +525,10 @@ class Font:
         self.cid_to_gid: Optional[Dict[int, int]] = None  # stream map
         self.unicode_codes = False  # Uni*-UCS2/UTF16: code IS the Unicode
         self.codec_cmap: Optional[str] = None  # legacy CJK: stdlib codec
+        self.uni_to_gid: Dict[int, int] = {}  # embedded cmap, forward
+        # embedded hmtx advances pre-scaled to 1000/em glyph space; the
+        # real-width source for codec CMaps (W is CID-indexed, unusable)
+        self.gid_advances: Optional[List[float]] = None
         self.error: Optional[str] = None
         self._fast = None  # lazy (chars[256], widths[256]) decode tables
 
@@ -588,7 +631,7 @@ class Font:
             text = tu.get(nbytes, code) if tu is not None else None
             if text is None:
                 text = ch
-            out.append(Glyph(code, text, self.default_width,
+            out.append(Glyph(code, text, self._codec_width(ch),
                              nbytes == 1 and code == 32))
         tail = dec.decode(b"", True)
         if start < len(s) or tail:
@@ -632,7 +675,7 @@ class Font:
             code = int.from_bytes(s[i : i + nb], "big")
             text = tu.get(nb, code) if tu is not None else None
             out.append(Glyph(code, text if text is not None else ch,
-                             self.default_width, nb == 1 and code == 32))
+                             self._codec_width(ch), nb == 1 and code == 32))
             i += nb
         return out
 
@@ -672,6 +715,20 @@ class Font:
         idx = code - self.first_char
         if 0 <= idx < len(self.widths):
             return float(self.widths[idx])
+        return self.default_width
+
+    def _codec_width(self, ch: str) -> float:
+        """Width under a legacy codec CMap: the decoded char routes
+        through the EMBEDDED font's cmap (unicode→gid) and hmtx
+        (gid→advance) when FontFile2 is present — /W can't apply (it is
+        CID-indexed and codec decode yields Unicode). Glyphs past
+        numberOfHMetrics reuse the last advance (sfnt hmtx contract);
+        no embedded metrics → /DW as before."""
+        adv = self.gid_advances
+        if adv and ch:
+            gid = self.uni_to_gid.get(ord(ch[0]))
+            if gid is not None:
+                return adv[gid] if gid < len(adv) else adv[-1]
         return self.default_width
 
 
@@ -1075,7 +1132,16 @@ def _load_embedded_ttf(doc, descriptor: dict, f: Font) -> None:
         for code, gid in uni_table.items():
             inv.setdefault(gid, chr(code))
         f.gid_to_uni = inv
+        f.uni_to_gid = dict(uni_table)
     # code source for simple symbolic fonts: (1,0) or (3,0)
     code_table = subtables.get((1, 0)) or subtables.get((3, 0)) or uni_table
     if code_table:
         f.code_to_gid = dict(code_table)
+    # real per-glyph advances (FN11 upgrade, VERDICT r3 next #4): under a
+    # codec CMap the /W array cannot be consulted (CID-indexed), but the
+    # embedded program's own cmap+hmtx gives unicode→gid→advance
+    metrics = parse_ttf_hmetrics(data)
+    if metrics:
+        advances, upem = metrics
+        scale = 1000.0 / upem
+        f.gid_advances = [a * scale for a in advances]

@@ -639,6 +639,10 @@ def _synth_page(i: int, text: str, lang, fmt: str,
         from pdfspark.docgen import text_to_pdf_kerned
 
         html = text_to_pdf_kerned(text, meta_id=i)
+    elif fmt == "pdf_cjk":
+        from pdfspark.docgen import text_to_pdf_cjk_kerned
+
+        html = text_to_pdf_cjk_kerned(text, meta_id=i)
     elif fmt == "pdf_layout_mix":
         # heterogeneous layouts, chosen deterministically per doc:
         # plain flow / two-column visual order / kern-positioned words

@@ -1649,6 +1649,36 @@ def pdf_kerned_wordbreak(spark, sf_dir):
 
 
 @register(
+    "pdf_cjk_embedded_widths",
+    oracle="SELECT doc_id, translate(text,"
+           " 'abcdefghijklmnopqrstuvwxyz',"
+           " '一丁丂七丄丅丆万丈"
+           "三上下丌不与丏丐丑"
+           "丒专且丕世丗丘丙')"
+           " AS text FROM documents",
+)
+def pdf_cjk_embedded_widths(spark, sf_dir):
+    """Legacy-CJK geometry (FN11 upgrade, VERDICT r3 next #4): each doc
+    transliterates a-z→hanzi, renders under /GBK-EUC-H (codec predefined
+    CMap — decode yields Unicode, so the CID-indexed /W array can never
+    apply) with words positioned by TJ kerns and NO space glyphs. The
+    descendant font sets /DW 1500 but embeds a FontFile2 with
+    NON-UNIFORM hmtx advances: word-break recovery (layout.py, gap >
+    0.35×median advance) succeeds only when the kernel derives
+    unicode→gid→advance from the embedded cmap+hmtx — under the /DW
+    fallback the threshold (525 units) exceeds the 400-unit kern and no
+    spaces come back. Byte-identity oracle via the same transliteration
+    in SQL (translate() is engine-identical)."""
+    from pdfspark.pipeline import columns_reading_order_extract
+
+    ext = columns_reading_order_extract(spark, sf_dir, fmt="pdf_cjk")
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+
+
+@register(
     "pdf_layout_mix_extract",
     oracle="SELECT doc_id, text FROM documents",
 )
@@ -3629,7 +3659,7 @@ DRIVER_PRIORITY = [
     "pdf_struct_reading_order",  # multi-page no-/Pg degradation policy (ADVICE r3)
     # -- new in r4 (first verdict) --
     "pdf_attachments",  # placeholder: swaps to pdf_density_columns when it lands
-    "pdf_columns_reading_order",  # placeholder: swaps to pdf_cjk_embedded_widths
+    "pdf_cjk_embedded_widths",
     "pdf_kerned_wordbreak",  # placeholder: swaps to pdf_post_glyph_names
     "boilerplate_line_removal",
     "text_char_entropy",

@@ -461,3 +461,78 @@ def test_type1_programmatic_encoding_via_builder():
     enc = encoding_from_program(clear)
     assert enc is not None and enc[65] == "A" and enc[66] == "B"
     assert parse_type1_widths(prog) == {"A": 712.0, "B": 640.0}
+
+
+def test_codec_cmap_uses_embedded_hmtx_widths():
+    """FN11 upgrade (VERDICT r3 next #4): under a legacy codec CMap
+    (GBK-EUC-H) with an embedded FontFile2, per-glyph advances come from
+    the font's own cmap+hmtx (unicode→gid→advance, scaled to 1000/em),
+    not the /DW fallback — the reference reads /W per-CID instead
+    (`src/font/cid.rs:130-182`), a direction codec decode can't use."""
+    from pdfspark.fixtures import PdfBuilder, build_minimal_ttf
+    from pdfspark.kernel.extract import extract_text
+
+    text = "中文a"
+    # gid assignment: 中→1, 文→2, a→3; non-uniform advances, upem 2000
+    uni_map = {ord("中"): 1, ord("文"): 2, ord("a"): 3}
+    ttf = build_minimal_ttf(uni_map, hmtx_advances=[0, 2000, 1500, 800],
+                            units_per_em=2000)
+    b = PdfBuilder()
+    ffnum = b.add_stream(f"<< /Length1 {len(ttf)} >>", ttf)
+    fd = b.add(
+        "<< /Type /FontDescriptor /FontName /EmbCJK /Flags 4 "
+        f"/FontFile2 {ffnum} 0 R >>"
+    )
+    df = b.add(
+        "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /EmbCJK "
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) "
+        f"/Supplement 5 >> /DW 700 /FontDescriptor {fd} 0 R >>"
+    )
+    ff = b.add(
+        "<< /Type /Font /Subtype /Type0 /BaseFont /EmbCJK "
+        f"/Encoding /GBK-EUC-H /DescendantFonts [{df} 0 R] >>"
+    )
+    hexcodes = text.encode("gbk").hex().upper()
+    cc = b.add_stream(
+        "<< >>", f"BT /F1 10 Tf 72 720 Td <{hexcodes}> Tj ET".encode()
+    )
+    pg = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {ff} 0 R >> >> /Contents {cc} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{pg} 0 R] /Count 1 >>", num=90)
+    rt = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    r = extract_text(b.build(rt), positions=True)
+    assert r.error is None and r.text == text
+    ws = [g.w for g in r.glyph_positions]
+    # advances at size 10: 2000/2000*1000→1000 units→10.0; 1500→7.5; 800→4.0
+    assert ws == [10.0, 7.5, 4.0], ws
+
+
+def test_codec_cmap_without_fontfile_keeps_dw_fallback():
+    """No embedded program → the pinned /DW fallback is unchanged (the
+    t44 goldens stay valid)."""
+    from pdfspark.kernel.fonts import Font
+
+    f = Font()
+    f.default_width = 700.0
+    f.codec_cmap = "gbk"
+    f.is_type0 = True
+    glyphs = f.decode("中a".encode("gbk"))
+    assert [g.advance for g in glyphs] == [700.0, 700.0]
+
+
+def test_parse_ttf_hmetrics_truncated_is_none():
+    from pdfspark.fixtures import build_minimal_ttf
+    from pdfspark.kernel.fonts import parse_ttf_hmetrics
+
+    # no hmtx tables at all
+    assert parse_ttf_hmetrics(build_minimal_ttf({65: 1})) is None
+    # with tables: parses, last advance reused past numberOfHMetrics
+    ttf = build_minimal_ttf({65: 1}, hmtx_advances=[500, 600],
+                            units_per_em=1000)
+    adv, upem = parse_ttf_hmetrics(ttf)
+    assert adv == [500, 600] and upem == 1000
+    # garbage never raises
+    assert parse_ttf_hmetrics(b"\x00\x01\x00\x00" + b"\xff" * 40) in (
+        None, parse_ttf_hmetrics(b"\x00\x01\x00\x00" + b"\xff" * 40))

@@ -177,3 +177,32 @@ def test_two_column_ragged_margins_still_reconstruct():
         pdf = text_to_pdf_two_column(text, meta_id=wpl, words_per_line=wpl)
         r = _et(pdf, positions=True)
         assert reading_order_text(r) == text, f"wpl={wpl}"
+
+
+def test_cjk_kerned_wordbreak_requires_embedded_metrics():
+    """FN11 upgrade: GBK-EUC-H + TJ-kern-positioned hanzi words with
+    /DW 1500 and a FontFile2 carrying non-uniform hmtx advances. With
+    embedded metrics, word-break recovery is byte-identical; WITHOUT
+    the program (negative path) the /DW fallback inflates the median
+    advance past the inter-word kern and no spaces come back — pinning
+    that the oracle really exercises the hmtx path."""
+    from pdfspark.docgen import _ASCII_TO_CJK, text_to_pdf_cjk_kerned
+    from pdfspark.kernel.layout import reading_order_text
+
+    text = "the fast key order sort table scan merge part window"
+    expected = text.translate(_ASCII_TO_CJK)
+    r = extract_text(text_to_pdf_cjk_kerned(text, meta_id=3),
+                     positions=True)
+    assert r.error is None
+    assert reading_order_text(r) == expected
+    assert " " not in r.text  # kerns insert nothing in content order
+    neg = extract_text(
+        text_to_pdf_cjk_kerned(text, meta_id=3, embed_metrics=False),
+        positions=True,
+    )
+    assert neg.error is None
+    neg_out = reading_order_text(neg)
+    assert neg_out != expected
+    # only LINE-join separators survive (policy #4); the 9 intra-line
+    # word breaks are unrecoverable under the uniform /DW fallback
+    assert neg_out.count(" ") < expected.count(" ")
