@@ -594,3 +594,84 @@ def text_to_pdf_cjk_kerned(text: str, meta_id: int = 0,
         b"startxref\n%d\n%%%%EOF\n" % (size, xref_off)
     )
     return bytes(out)
+
+
+def text_to_pdf_narrow_gutter(text: str, meta_id: int = 0) -> bytes:
+    """Ragged two-column layout with a NARROW gutter (40pt — below the
+    fixed 60pt column policy) in VISUAL row-major stream order: lines of
+    varying word count leave ragged right edges in column 1, and column
+    2 starts 40pt after the WIDEST column-1 line (Helvetica AFM widths,
+    so the geometry is exact). The fixed x-gap policy cannot split this
+    page (no 60pt gap between glyph x origins); density clustering
+    (layout.py layout="density") finds the coverage hole and restores
+    column-major reading order byte-identically."""
+    from pdfspark.kernel.base14 import _HELVETICA
+
+    def line_width(s: str) -> float:
+        return sum(_HELVETICA.get(c, 556) for c in s) * 12.0 / 1000.0
+
+    text = normalize_for_pdf(text)
+    words = text.split(" ")
+    half = (len(words) + 1) // 2
+
+    def ragged_lines(ws):
+        lines, i, row = [], 0, 0
+        while i < len(ws):
+            n = 3 - (row % 3)  # 3, 2, 1, 3, 2, 1 … words per line
+            lines.append(" ".join(ws[i : i + n]))
+            i += n
+            row += 1
+        return lines
+
+    col_lines = [ragged_lines(words[:half]), ragged_lines(words[half:])]
+    col2_x = 72 + max(
+        (line_width(ln) for ln in col_lines[0]), default=0.0
+    ) + 40.0
+    ops = []
+    for row in range(max(len(col_lines[0]), len(col_lines[1]))):
+        for ci, x in ((0, 72.0), (1, col2_x)):
+            if row < len(col_lines[ci]) and col_lines[ci][row]:
+                y = 740 - 14 * row
+                ops.append(
+                    f"BT /F1 12 Tf {x:.2f} {y} Td "
+                    f"({_escape(col_lines[ci][row])}) Tj ET "
+                )
+    content = "".join(ops).encode("latin-1")
+    data = zlib.compress(content, 6)
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    emit(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    emit(
+        4,
+        b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(data)
+        + data + b"\nendstream",
+    )
+    emit(
+        5,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+    )
+    emit(6, b"<< /Title (doc %d) /Producer (pdfspark-docgen) >>" % meta_id)
+    size = max(offsets) + 1
+    xref_off = len(out)
+    out.extend(b"xref\n0 %d\n0000000000 65535 f \n" % size)
+    for n in range(1, size):
+        out.extend(b"%010d 00000 n \n" % offsets[n])
+    out.extend(
+        b"trailer\n<< /Size %d /Root 1 0 R /Info 6 0 R >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (size, xref_off)
+    )
+    return bytes(out)

@@ -36,6 +36,19 @@ from typing import List
 from pdfspark.kernel.extract import ExtractResult
 
 COLUMN_GAP_PT = 60.0
+# density mode (opt-in, layout="density"): a column boundary is an
+# x-band no glyph on the page covers — the union of [x, x+w) coverage
+# intervals leaves a hole — at least DENSITY_GUTTER_FRACTION × the
+# page-median advance wide. Narrow/ragged gutters (e.g. 40pt, below the
+# fixed 60pt policy) are found because word gaps on DIFFERENT lines sit
+# at different x and fill each other's holes; a real gutter stays empty
+# on every line. Pages with fewer than DENSITY_MIN_LINES baselines
+# never split (a hole can't be evidenced by density there).
+DENSITY_GUTTER_FRACTION = 1.5
+# ≥2 baselines: a single line's kerned word gaps would read as holes
+# (no vertical evidence to fill them); from two lines up, unaligned
+# word gaps cover each other and only a true gutter stays empty
+DENSITY_MIN_LINES = 2
 # word boundary when inter-glyph gap > this fraction of the line's
 # median glyph advance: a typographic space is ~0.25-0.33 em while
 # median lowercase advances are ~0.5 em, so 0.35×median ≈ 0.18 em sits
@@ -43,9 +56,16 @@ COLUMN_GAP_PT = 60.0
 WORD_GAP_FRACTION = 0.35
 
 
-def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT) -> str:
+def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT,
+                       layout: str = "fixed") -> str:
     """Reconstruct reading order from ``r.glyph_positions`` (extract with
-    ``positions=True``). Returns "" for error documents."""
+    ``positions=True``). Returns "" for error documents.
+
+    ``layout``: "fixed" (the pinned default — column split at x-value
+    gaps > ``col_gap``) or "density" (opt-in — split at x-bands the
+    union of glyph coverage leaves empty; finds ragged/narrow gutters
+    the fixed threshold misses, with its OWN goldens and oracle query —
+    the default's goldens are untouched)."""
     if r.text is None:
         return ""
     if not r.glyph_positions:
@@ -70,13 +90,17 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT) -> str:
             slices.append(
                 (g, r.text[g.offset:end].replace("\n", "").replace("\f", ""))
             )
-        # 1. column boundaries from the sorted x multiset
-        xs = sorted({round(g.x, 3) for g in glyphs})
-        bounds = [
-            (xs[i] + xs[i + 1]) / 2.0
-            for i in range(len(xs) - 1)
-            if xs[i + 1] - xs[i] > col_gap
-        ]
+        # 1. column boundaries: fixed x-gap policy, or coverage-hole
+        # (density) policy under the opt-in flag
+        if layout == "density":
+            bounds = _density_bounds(glyphs)
+        else:
+            xs = sorted({round(g.x, 3) for g in glyphs})
+            bounds = [
+                (xs[i] + xs[i + 1]) / 2.0
+                for i in range(len(xs) - 1)
+                if xs[i + 1] - xs[i] > col_gap
+            ]
 
         def col_of(x: float) -> int:
             c = 0
@@ -101,6 +125,34 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT) -> str:
             col_texts.append(" ".join(t for t in line_texts if t))
         pages.append(" ".join(t for t in col_texts if t))
     return "\f".join(pages)
+
+
+def _density_bounds(glyphs: List) -> List[float]:
+    """Column boundaries for layout="density": merge every glyph's
+    [x, x+w) coverage interval; a hole between merged intervals wider
+    than DENSITY_GUTTER_FRACTION × the page-median advance is a gutter
+    (boundary at the hole's midpoint). Requires ≥ DENSITY_MIN_LINES
+    distinct baselines — a single line's word gaps are indistinguishable
+    from gutters without vertical evidence."""
+    if len({round(g.y, 3) for g in glyphs}) < DENSITY_MIN_LINES:
+        return []
+    advances = sorted(g.w for g in glyphs if g.w > 0)
+    if not advances:
+        return []
+    min_gutter = DENSITY_GUTTER_FRACTION * advances[len(advances) // 2]
+    ivals = sorted((g.x, g.x + max(g.w, 0.0)) for g in glyphs)
+    merged: List[List[float]] = []
+    for s, e in ivals:
+        if merged and s <= merged[-1][1] + 1e-6:
+            if e > merged[-1][1]:
+                merged[-1][1] = e
+        else:
+            merged.append([s, e])
+    return [
+        (merged[i][1] + merged[i + 1][0]) / 2.0
+        for i in range(len(merged) - 1)
+        if merged[i + 1][0] - merged[i][1] > min_gutter
+    ]
 
 
 def _assemble_line(glyphs: List[tuple]) -> str:

@@ -371,15 +371,18 @@ def extract_pages_positions(pages: DataFrame) -> DataFrame:
 
 
 def columns_reading_order_extract(spark: SparkSession, sf_dir: str,
-                                  fmt: str = "pdf_2col") -> DataFrame:
+                                  fmt: str = "pdf_2col",
+                                  layout: str = "fixed") -> DataFrame:
     """Fused harness for the layout-analysis operator: synthesize PDFs
     whose content-stream order defeats plain linearization — fmt
-    'pdf_2col' (two columns written row-major) or 'pdf_kerned' (words
-    positioned by kerns with no space glyphs) — extract with glyph
-    positions, reconstruct READING order (kernel/layout.py). Same
-    single-Python-stage shape as roundtrip_extract; output is
-    (url, text) where text must be byte-identical to the source — a
-    full byte-identity oracle for geometry-aware reading order."""
+    'pdf_2col' (two columns written row-major), 'pdf_kerned' (words
+    positioned by kerns with no space glyphs), 'pdf_narrow_gutter'
+    (ragged 40pt gutter, needs layout='density') — extract with glyph
+    positions, reconstruct READING order (kernel/layout.py, ``layout``
+    mode passed through). Same single-Python-stage shape as
+    roundtrip_extract; output is (url, text) where text must be
+    byte-identical to the source — a full byte-identity oracle for
+    geometry-aware reading order."""
     docs = _documents_repartitioned(spark, sf_dir)
 
     def run(batches):
@@ -399,7 +402,7 @@ def columns_reading_order_extract(spark: SparkSession, sf_dir: str,
                 url, buf = _synth_page(i, text, lang, fmt, 0)
                 r = extract_text(buf, positions=True)
                 urls.append(url)
-                texts.append(reading_order_text(r))
+                texts.append(reading_order_text(r, layout=layout))
             yield pd.DataFrame({"url": urls, "text": texts},
                                columns=["url", "text"])
 
@@ -643,6 +646,10 @@ def _synth_page(i: int, text: str, lang, fmt: str,
         from pdfspark.docgen import text_to_pdf_cjk_kerned
 
         html = text_to_pdf_cjk_kerned(text, meta_id=i)
+    elif fmt == "pdf_narrow_gutter":
+        from pdfspark.docgen import text_to_pdf_narrow_gutter
+
+        html = text_to_pdf_narrow_gutter(text, meta_id=i)
     elif fmt == "pdf_layout_mix":
         # heterogeneous layouts, chosen deterministically per doc:
         # plain flow / two-column visual order / kern-positioned words

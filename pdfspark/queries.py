@@ -1679,6 +1679,29 @@ def pdf_cjk_embedded_widths(spark, sf_dir):
 
 
 @register(
+    "pdf_density_columns",
+    oracle="SELECT doc_id, text FROM documents",
+)
+def pdf_density_columns(spark, sf_dir):
+    """Density-based column clustering behind the opt-in
+    layout='density' flag (VERDICT r3 next #5, builder ROADMAP #2):
+    each doc renders as a ragged two-column page with a 40pt gutter —
+    BELOW the pinned fixed policy's 60pt threshold, so the default
+    reconstruction cannot split it (its goldens stay untouched). The
+    density mode finds the x-band the union of glyph coverage leaves
+    empty across lines and restores column-major reading order
+    byte-identically."""
+    from pdfspark.pipeline import columns_reading_order_extract
+
+    ext = columns_reading_order_extract(
+        spark, sf_dir, fmt="pdf_narrow_gutter", layout="density")
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+
+
+@register(
     "pdf_layout_mix_extract",
     oracle="SELECT doc_id, text FROM documents",
 )
@@ -3658,7 +3681,7 @@ DRIVER_PRIORITY = [
     "multimodal_feature_extract",  # array<bigint> → '-'-joined string (r3 red)
     "pdf_struct_reading_order",  # multi-page no-/Pg degradation policy (ADVICE r3)
     # -- new in r4 (first verdict) --
-    "pdf_attachments",  # placeholder: swaps to pdf_density_columns when it lands
+    "pdf_density_columns",
     "pdf_cjk_embedded_widths",
     "pdf_kerned_wordbreak",  # placeholder: swaps to pdf_post_glyph_names
     "boilerplate_line_removal",

@@ -206,3 +206,30 @@ def test_cjk_kerned_wordbreak_requires_embedded_metrics():
     # only LINE-join separators survive (policy #4); the 9 intra-line
     # word breaks are unrecoverable under the uniform /DW fallback
     assert neg_out.count(" ") < expected.count(" ")
+
+
+def test_density_columns_narrow_gutter():
+    """layout='density' (opt-in; VERDICT r3 next #5): a ragged
+    two-column page with a 40pt gutter — below the pinned fixed 60pt
+    threshold — reconstructs byte-identically under density clustering,
+    while the fixed default (goldens untouched) cannot split it.
+    Density never splits short pages (< 3 baselines) and behaves as a
+    no-op on single-column flow."""
+    from pdfspark.docgen import text_to_pdf, text_to_pdf_narrow_gutter
+    from pdfspark.kernel.layout import reading_order_text
+
+    text = ("the fast key order sort table scan merge part window "
+            "small hash scan join order batch value line agg row")
+    r = extract_text(text_to_pdf_narrow_gutter(text, meta_id=2),
+                     positions=True)
+    assert r.error is None
+    assert reading_order_text(r, layout="density") == text
+    assert reading_order_text(r) != text  # fixed policy can't see 40pt
+    # plain single-column flow: density is a no-op (byte-identical)
+    plain = extract_text(text_to_pdf(text, meta_id=2), positions=True)
+    assert reading_order_text(plain, layout="density") == text
+    # a 2-line page never splits under density (no vertical evidence)
+    short = extract_text(text_to_pdf_narrow_gutter("one two", meta_id=3),
+                         positions=True)
+    out = reading_order_text(short, layout="density")
+    assert isinstance(out, str) and "one" in out
