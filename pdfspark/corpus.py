@@ -1043,6 +1043,15 @@ def all_cases() -> List[Case]:
              _cjk_text.translate(_ASCII_TO_CJK).replace(" ", ""),
              None, 1))
 
+    # ---- t51: 'post'-name-only symbolic TrueType (no cmap subtables,
+    # no ToUnicode): text recovers through post-2.0 glyph names →
+    # AGL; in-corpus so the post parser sits under the mutation fuzz
+    from pdfspark.docgen import text_to_pdf_postfont
+
+    add(Case("t51_post_glyph_names",
+             text_to_pdf_postfont("post name route 42", meta_id=51),
+             "post name route 42", None, 1))
+
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",
              b"<!doctype html><html><body>hello web</body></html>",

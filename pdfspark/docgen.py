@@ -675,3 +675,98 @@ def text_to_pdf_narrow_gutter(text: str, meta_id: int = 0) -> bytes:
         b"startxref\n%d\n%%%%EOF\n" % (size, xref_off)
     )
     return bytes(out)
+
+
+# ------------------------------------------------------------- post-name font
+
+def _post_ttf() -> bytes:
+    """Symbolic TrueType with NO cmap subtables and a 'post' 2.0 table
+    naming gids 32-122 after their ASCII chars (AGL names): the
+    code→gid identity + gid→name→Unicode last-resort path."""
+    from pdfspark.fixtures import build_minimal_ttf
+
+    agl = {32: "space"}
+    for i in range(26):
+        agl[97 + i] = chr(97 + i)
+        agl[65 + i] = chr(65 + i)
+    for i in range(10):
+        agl[48 + i] = (
+            "zero one two three four five six seven eight nine".split()[i]
+        )
+    names = [".notdef"] * 123
+    for code, nm in agl.items():
+        names[code] = nm
+    return build_minimal_ttf({}, post_names=names)
+
+
+_POST_TTF_CACHE: bytes = b""
+
+
+def text_to_pdf_postfont(text: str, meta_id: int = 0) -> bytes:
+    """Roundtrip generator for the 'post'-name fallback: a symbolic
+    TrueType (Flags 4, no /Encoding) whose embedded program has NO cmap
+    and no ToUnicode anywhere — text is recoverable ONLY through the
+    post-2.0 glyph names (gid==code identity, name→AGL→Unicode). Same
+    single-baseline layout as text_to_pdf so the pinned linearization
+    reproduces the text byte-identically."""
+    global _POST_TTF_CACHE
+    if not _POST_TTF_CACHE:
+        _POST_TTF_CACHE = _post_ttf()
+    ttf = _POST_TTF_CACHE
+    text = normalize_for_pdf(text)
+    chunk = 120
+    shows = "".join(
+        f"({_escape(text[i : i + chunk])}) Tj "
+        for i in range(0, max(len(text), 1), chunk)
+    )
+    content = f"BT /F1 12 Tf 72 720 Td {shows}ET".encode("latin-1")
+    data = zlib.compress(content, 6)
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    emit(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    emit(
+        4,
+        b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(data)
+        + data + b"\nendstream",
+    )
+    emit(
+        5,
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /PostOnly "
+        b"/FirstChar 32 /LastChar 122 /Widths [%s] "
+        b"/FontDescriptor 7 0 R >>"
+        % b" ".join(b"500" for _ in range(91)),
+    )
+    emit(6, b"<< /Title (doc %d) /Producer (pdfspark-docgen) >>" % meta_id)
+    emit(
+        7,
+        b"<< /Type /FontDescriptor /FontName /PostOnly /Flags 4 "
+        b"/FontFile2 8 0 R >>",
+    )
+    emit(
+        8,
+        b"<< /Length1 %d /Length %d >>\nstream\n" % (len(ttf), len(ttf))
+        + ttf + b"\nendstream",
+    )
+    size = max(offsets) + 1
+    xref_off = len(out)
+    out.extend(b"xref\n0 %d\n0000000000 65535 f \n" % size)
+    for n in range(1, size):
+        out.extend(b"%010d 00000 n \n" % offsets[n])
+    out.extend(
+        b"trailer\n<< /Size %d /Root 1 0 R /Info 6 0 R >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (size, xref_off)
+    )
+    return bytes(out)

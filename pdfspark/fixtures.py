@@ -269,7 +269,8 @@ def build_minimal_ttf(uni_to_gid: Dict[int, int],
                       fmt12_to_gid: Optional[Dict[int, int]] = None,
                       raw_subtables: Optional[list] = None,
                       hmtx_advances: Optional[list] = None,
-                      units_per_em: int = 1000) -> bytes:
+                      units_per_em: int = 1000,
+                      post_names: Optional[list] = None) -> bytes:
     """Minimal sfnt with only a 'cmap' table: a (3,1) format-4 subtable for
     ``uni_to_gid``, optionally a (3,0) format-6 symbol subtable, and
     optionally a (3,10) format-12 segmented-coverage subtable
@@ -322,6 +323,19 @@ def build_minimal_ttf(uni_to_gid: Dict[int, int],
         blobs += blob
     cmap += blobs
     tables = [(b"cmap", bytes(cmap))]
+    if post_names is not None:
+        # 'post' format 2.0: every name emitted as a custom (≥258)
+        # Pascal string, indexed by gid
+        post = bytearray(32)  # fixed header; numGlyphs follows at 32
+        struct.pack_into(">I", post, 0, 0x00020000)
+        post += struct.pack(">H", len(post_names))
+        post += b"".join(
+            struct.pack(">H", 258 + i) for i in range(len(post_names))
+        )
+        for nm in post_names:
+            nb = nm.encode("latin-1")[:255]
+            post += bytes([len(nb)]) + nb
+        tables.append((b"post", bytes(post)))
     if hmtx_advances is not None:
         # head: unitsPerEm at offset 18; everything else zero/defaults
         head = bytearray(54)

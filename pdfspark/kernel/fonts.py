@@ -326,6 +326,90 @@ def parse_ttf_hmetrics(data: bytes) -> Optional[Tuple[list, int]]:
         return None
 
 
+# Standard Macintosh glyph order (public sfnt spec, 'post' format 2.0:
+# glyphNameIndex < 258 selects from this table; ≥258 indexes the
+# table-local Pascal-string name array)
+_MAC_GLYPH_NAMES = (
+    ".notdef .null nonmarkingreturn space exclam quotedbl numbersign "
+    "dollar percent ampersand quotesingle parenleft parenright asterisk "
+    "plus comma hyphen period slash zero one two three four five six "
+    "seven eight nine colon semicolon less equal greater question at "
+    "A B C D E F G H I J K L M N O P Q R S T U V W X Y Z "
+    "bracketleft backslash bracketright asciicircum underscore grave "
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z "
+    "braceleft bar braceright asciitilde Adieresis Aring Ccedilla Eacute "
+    "Ntilde Odieresis Udieresis aacute agrave acircumflex adieresis "
+    "atilde aring ccedilla eacute egrave ecircumflex edieresis iacute "
+    "igrave icircumflex idieresis ntilde oacute ograve ocircumflex "
+    "odieresis otilde uacute ugrave ucircumflex udieresis dagger degree "
+    "cent sterling section bullet paragraph germandbls registered "
+    "copyright trademark acute dieresis notequal AE Oslash infinity "
+    "plusminus lessequal greaterequal yen mu partialdiff summation "
+    "product pi integral ordfeminine ordmasculine Omega ae oslash "
+    "questiondown exclamdown logicalnot radical florin approxequal "
+    "Delta guillemotleft guillemotright ellipsis nonbreakingspace "
+    "Agrave Atilde Otilde OE oe endash emdash quotedblleft "
+    "quotedblright quoteleft quoteright divide lozenge ydieresis "
+    "Ydieresis fraction currency guilsinglleft guilsinglright fi fl "
+    "daggerdbl periodcentered quotesinglbase quotedblbase perthousand "
+    "Acircumflex Ecircumflex Aacute Edieresis Egrave Iacute Icircumflex "
+    "Idieresis Igrave Oacute Ocircumflex apple Ograve Uacute Ucircumflex "
+    "Ugrave dotlessi circumflex tilde macron breve dotaccent ring "
+    "cedilla hungarumlaut ogonek caron Lslash lslash Scaron scaron "
+    "Zcaron zcaron brokenbar Eth eth Yacute yacute Thorn thorn minus "
+    "multiply onesuperior twosuperior threesuperior onehalf onequarter "
+    "threequarters franc Gbreve gbreve Idotaccent Scedilla scedilla "
+    "Cacute cacute Ccaron ccaron dcroat"
+).split()
+assert len(_MAC_GLYPH_NAMES) == 258
+
+
+def parse_ttf_post_names(data: bytes) -> Optional[Dict[int, str]]:
+    """'post' table format 2.0 → {gid: glyph_name}: the last-resort
+    code→name→Unicode source for symbolic TrueType fonts with no
+    ToUnicode and no usable cmap (SURVEY FN5 optional item; the
+    reference never reads 'post' — this exceeds it). Formats 1.0/3.0
+    carry no per-font names → None. Bounded by the table's own length;
+    never raises on truncation."""
+    if len(data) < 12:
+        return None
+    try:
+        num_tables = struct.unpack_from(">H", data, 4)[0]
+        post = None
+        for i in range(min(num_tables, 512)):
+            tag, _, off, length = struct.unpack_from(
+                ">4sIII", data, 12 + 16 * i)
+            if tag == b"post":
+                post = (off, length)
+                break
+        if post is None:
+            return None
+        off, length = post
+        end = min(off + length, len(data))
+        if struct.unpack_from(">I", data, off)[0] != 0x00020000:
+            return None
+        n_glyphs = struct.unpack_from(">H", data, off + 32)[0]
+        n_glyphs = min(n_glyphs, 65536, (end - off - 34) // 2)
+        idx = struct.unpack_from(f">{n_glyphs}H", data, off + 34)
+        # Pascal-string pool after the index array
+        pool: List[str] = []
+        p = off + 34 + 2 * n_glyphs
+        while p < end and len(pool) <= 65536:
+            ln = data[p]
+            pool.append(
+                data[p + 1 : p + 1 + ln].decode("latin-1", "replace"))
+            p += 1 + ln
+        out: Dict[int, str] = {}
+        for gid, k in enumerate(idx):
+            if k < 258:
+                out[gid] = _MAC_GLYPH_NAMES[k]
+            elif k - 258 < len(pool):
+                out[gid] = pool[k - 258]
+        return out or None
+    except struct.error:
+        return None
+
+
 # Hard ceiling on codes decoded per cmap subtable.  Unicode has 0x110000
 # codepoints; 2M leaves headroom for overlapping segments while bounding
 # TOTAL work (not just group count) against crafted fonts whose groups each
@@ -1117,8 +1201,6 @@ def _load_embedded_ttf(doc, descriptor: dict, f: Font) -> None:
     except PdfError:
         return
     subtables = parse_ttf_cmap_subtables(data)
-    if not subtables:
-        return
     # unicode source: (3,10) Microsoft UCS-4 (format 12) ⊇ (3,1) BMP,
     # else (0,*) Unicode platform
     uni_table = subtables.get((3, 10)) or subtables.get((3, 1))
@@ -1133,6 +1215,24 @@ def _load_embedded_ttf(doc, descriptor: dict, f: Font) -> None:
             inv.setdefault(gid, chr(code))
         f.gid_to_uni = inv
         f.uni_to_gid = dict(uni_table)
+    elif f.tounicode is None:
+        # LAST-RESORT text source (SURVEY FN5 optional; the reference
+        # never reads 'post'): symbolic fonts with no Unicode cmap —
+        # post-2.0 glyph names route gid→name→AGL→Unicode
+        names = parse_ttf_post_names(data)
+        if names:
+            post_inv: Dict[int, str] = {}
+            for gid, nm in names.items():
+                uni = glyph_name_to_unicode(nm)
+                if uni is not None:
+                    post_inv.setdefault(gid, uni)
+            f.gid_to_uni = post_inv
+            if not subtables:
+                # no cmap AT ALL (common in subset embeds): the only
+                # remaining code→glyph assumption is identity
+                f.code_to_gid = {g: g for g in names if g < 256}
+    if not subtables:
+        return
     # code source for simple symbolic fonts: (1,0) or (3,0)
     code_table = subtables.get((1, 0)) or subtables.get((3, 0)) or uni_table
     if code_table:

@@ -650,6 +650,10 @@ def _synth_page(i: int, text: str, lang, fmt: str,
         from pdfspark.docgen import text_to_pdf_narrow_gutter
 
         html = text_to_pdf_narrow_gutter(text, meta_id=i)
+    elif fmt == "pdf_post":
+        from pdfspark.docgen import text_to_pdf_postfont
+
+        html = text_to_pdf_postfont(text, meta_id=i)
     elif fmt == "pdf_layout_mix":
         # heterogeneous layouts, chosen deterministically per doc:
         # plain flow / two-column visual order / kern-positioned words

@@ -536,3 +536,75 @@ def test_parse_ttf_hmetrics_truncated_is_none():
     # garbage never raises
     assert parse_ttf_hmetrics(b"\x00\x01\x00\x00" + b"\xff" * 40) in (
         None, parse_ttf_hmetrics(b"\x00\x01\x00\x00" + b"\xff" * 40))
+
+
+def test_post_table_glyph_names_fallback():
+    """SURVEY FN5 optional item (VERDICT r3 next #6): a symbolic
+    TrueType with NO ToUnicode and NO cmap subtables falls back to the
+    'post' 2.0 glyph names — gid→name→AGL→Unicode, code→gid identity
+    (the only assumption left for cmap-less subset embeds)."""
+    from pdfspark.fixtures import PdfBuilder, build_minimal_ttf, _simple_show
+    from pdfspark.kernel.extract import extract_text
+    from pdfspark.kernel.fonts import parse_ttf_post_names
+
+    # gid i shows char: gid 0 .notdef; 65..67 via custom names A B C
+    names = [".notdef"] * 65 + ["A", "B", "C"]
+    ttf = build_minimal_ttf({}, post_names=names)
+    parsed = parse_ttf_post_names(ttf)
+    assert parsed[65] == "A" and parsed[67] == "C"
+    b = PdfBuilder()
+    ffnum = b.add_stream(f"<< /Length1 {len(ttf)} >>", ttf)
+    fd = b.add(
+        "<< /Type /FontDescriptor /FontName /SymPost /Flags 4 "
+        f"/FontFile2 {ffnum} 0 R >>"
+    )
+    fnt = b.add(
+        "<< /Type /Font /Subtype /TrueType /BaseFont /SymPost "
+        f"/FirstChar 65 /LastChar 67 /Widths [500 500 500] "
+        f"/FontDescriptor {fd} 0 R >>"
+    )
+    cc = b.add_stream("<< >>", b"BT /F1 12 Tf 72 720 Td (ABC) Tj ET")
+    pg = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {fnt} 0 R >> >> /Contents {cc} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{pg} 0 R] /Count 1 >>", num=90)
+    rt = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    r = extract_text(b.build(rt))
+    assert r.error is None
+    assert r.text == "ABC"
+
+
+def test_post_table_standard_mac_indices():
+    """glyphNameIndex < 258 selects the standard Macintosh order."""
+    import struct as _s
+
+    from pdfspark.fixtures import build_minimal_ttf
+    from pdfspark.kernel.fonts import parse_ttf_post_names
+
+    # hand-build: indices [3 (space), 36 (A), 68 (a)]
+    post = bytearray(32)
+    _s.pack_into(">I", post, 0, 0x00020000)
+    post += _s.pack(">HHHH", 3, 3, 36, 68)
+    ttf = build_minimal_ttf({65: 1})  # base font, then graft post
+    # rebuild with raw table: easiest is append via builder path
+    from pdfspark.fixtures import build_minimal_ttf as _b
+    ttf2 = _b({}, post_names=["x"])  # layout template
+    # replace the post blob wholesale using the parser's own directory
+    n = _s.unpack_from(">H", ttf2, 4)[0]
+    for i in range(n):
+        tag, _, off, length = _s.unpack_from(">4sIII", ttf2, 12 + 16 * i)
+        if tag == b"post":
+            patched = bytearray(ttf2[:off]) + post + ttf2[off + length:]
+            _s.pack_into(">I", patched, 12 + 16 * i + 12, len(post))
+            parsed = parse_ttf_post_names(bytes(patched))
+            assert parsed == {0: "space", 1: "A", 2: "a"}
+            return
+    raise AssertionError("no post table in fixture")
+
+
+def test_post_table_garbage_never_raises():
+    from pdfspark.kernel.fonts import parse_ttf_post_names
+
+    for junk in (b"", b"\x00" * 12, b"\x00\x01\x00\x00" + b"\xff" * 64):
+        parse_ttf_post_names(junk)  # must not raise
