@@ -374,3 +374,120 @@ def quality_keeplist_stream(extracted: DataFrame) -> DataFrame:
     return extracted.select(
         "url", F.when(keep, 1).otherwise(0).alias("keep")
     )
+
+
+# ----------------------------------------------------- stream-side minhash
+
+_STREAM_BANDS_SCHEMA = "doc_id long, band int, sig string"
+
+
+def _plain_band_batches(batches):
+    """mapInPandas body: (doc_id, text) → (doc_id, band, sig) — the SAME
+    Arrow minhash kernel as the batch LSH queries (textops), without the
+    batch harness's synthesized mutants (a stream carries real rows)."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    import pandas as pd
+
+    from pdfspark.textops import minhash_band_sigs
+
+    for b in batches:
+        rows = []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            for band, sig in minhash_band_sigs(str(text)):
+                rows.append({"doc_id": int(doc_id), "band": band,
+                             "sig": sig})
+        yield pd.DataFrame(rows, columns=["doc_id", "band", "sig"])
+
+
+def build_band_index(docs: DataFrame) -> DataFrame:
+    """Historic band index from a (doc_id, text) corpus: (band, sig,
+    hist_id) rows — the precomputed table the incremental/stream dedup
+    topologies join against. At 10^12 scale this is written bucketed by
+    (band, sig) once per corpus rebuild."""
+    return docs.mapInPandas(
+        _plain_band_batches, _STREAM_BANDS_SCHEMA
+    ).withColumnRenamed("doc_id", "hist_id")
+
+
+def minhash_dedup_decisions(batch_docs: DataFrame,
+                            band_index: DataFrame) -> DataFrame:
+    """One increment's keep/drop decisions against a STATIC band index:
+    band the new docs (Arrow kernel), hash-join colliding (band, sig)
+    buckets — hot bands above the cap dropped exactly as in
+    dedup_incremental_minhash — and keep a doc iff NO band collides
+    (dup_of = smallest colliding historic doc otherwise). New docs are
+    never compared against each other: that is the incremental
+    contract, and what makes the streaming form state-free."""
+    from pdfspark.queries import _HOT_BAND_CAP
+
+    bands = batch_docs.select("doc_id", "text").mapInPandas(
+        _plain_band_batches, _STREAM_BANDS_SCHEMA
+    )
+    hist_sized = (
+        band_index.groupBy("band", "sig")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") <= _HOT_BAND_CAP)
+        .select("band", "sig")
+    )
+    hits = (
+        bands.join(band_index, ["band", "sig"])
+        .join(hist_sized, ["band", "sig"])
+        .groupBy("doc_id")
+        .agg(F.min("hist_id").alias("dup_of"))
+    )
+    return (
+        batch_docs.select("doc_id").distinct()
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", "dup_of",
+            F.when(F.col("dup_of").isNull(), F.lit(1)).otherwise(F.lit(0))
+            .alias("keep"),
+        )
+    )
+
+
+def run_minhash_stream_dedup_once(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    timeout_s: Optional[int] = 120,
+) -> bool:
+    """Stream-side minhash banding vs the static historic band index
+    (VERDICT r3 next #7; builder ROADMAP #5): drain a (doc_id, text)
+    stream, deciding keep/drop per micro-batch via foreachBatch — the
+    blessed topology when the reference side is a static table: zero
+    state store (the index never changes mid-stream, and increments are
+    never self-compared), checkpointed source offsets give exactly-once
+    over the per-batch parquet appends. Completes the
+    streaming-equals-batch story for the dedup family: the drained
+    output must equal dedup_incremental_minhash's batch answer
+    (test-pinned drain equivalence)."""
+    index = spark.read.parquet(index_dir)
+
+    def decide(batch_df: DataFrame, _batch_id: int) -> None:
+        minhash_dedup_decisions(batch_df, index).write.mode(
+            "append"
+        ).parquet(output_dir)
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = (
+        docs.writeStream.foreachBatch(decide)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        return q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
