@@ -396,6 +396,10 @@ def parse_ttf_post_names(data: bytes) -> Optional[Dict[int, str]]:
         p = off + 34 + 2 * n_glyphs
         while p < end and len(pool) <= 65536:
             ln = data[p]
+            if p + 1 + ln > end:
+                break  # truncated final string: never read past the
+                # table into the next table's bytes (a garbage-suffixed
+                # name would silently map a gid to the wrong character)
             pool.append(
                 data[p + 1 : p + 1 + ln].decode("latin-1", "replace"))
             p += 1 + ln

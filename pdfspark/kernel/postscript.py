@@ -277,13 +277,19 @@ class Interpreter:
         # shadowing systemdict) wins over the builtin operator table — a
         # Type1 program may legally redefine /put, /def, /array etc., and
         # dispatching the builtin first would silently execute the wrong
-        # code (ADVICE r3 #1).
-        try:
-            val = self._lookup(name)
-        except PSError:
+        # code (ADVICE r3 #1). Membership walk, not try/except around
+        # _lookup: builtins are the overwhelmingly common case and an
+        # exception per executed token would make this the hot path's
+        # slowest line.
+        val = None
+        for d in reversed(self.dicts):
+            if name in d:
+                val = d[name]
+                break
+        else:
             op = _OPERATORS.get(name)
             if op is None:
-                raise
+                raise PSError(f"undefined name {name!r}")
             op(self, depth)
             return
         if isinstance(val, PSBuiltin):

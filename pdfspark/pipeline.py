@@ -141,24 +141,32 @@ def write_output(df: DataFrame, target: str, fmt: str = "parquet",
     w.save(target)
 
 
-def _parquet_row_groups(path: str) -> int:
-    """Scan-width probe from parquet FOOTERS: total row-group count
-    across the file(s) at ``path``. Replaces ``df.rdd.getNumPartitions()``
-    in the synth-harness paths (VERDICT r3 wrong #3: the RDD handle
-    forces a plan conversion per invocation). Footer reads are O(files)
-    with no Spark job; a row group is the unit the scan parallelizes
-    over, so ``row_groups < shuffle.partitions`` is exactly the "scan
-    narrower than the cluster" condition the repartition guards.
-    Unknown/unreadable layout returns 0 (→ repartition, the safe side)."""
+def _parquet_scan_width(path: str, max_partition_bytes: int) -> int:
+    """Scan-width probe from parquet FOOTERS (no Spark job — replaces
+    the ``df.rdd.getNumPartitions()`` handle, VERDICT r3 wrong #3).
+
+    Spark splits a file into ceil(bytes / maxPartitionBytes) byte
+    ranges, but a parquet task only yields rows for row groups whose
+    midpoint falls in its range — so the EFFECTIVE width is
+    min(row_groups, byte_splits) per file (64 tiny row groups in a
+    10 MB file still scan ~1-wide; one giant row group in a 1 GB file
+    also scans 1-wide). Summed across files. Unknown/unreadable layout
+    returns 0 (→ repartition, the safe side)."""
     import pyarrow.parquet as pq
+
+    def one(f: str) -> int:
+        meta = pq.ParquetFile(f).metadata
+        byte_splits = max(
+            1, -(-os.path.getsize(f) // max_partition_bytes))
+        return min(meta.num_row_groups, byte_splits)
 
     try:
         if os.path.isdir(path):
             return sum(
-                pq.ParquetFile(os.path.join(path, f)).metadata.num_row_groups
+                one(os.path.join(path, f))
                 for f in os.listdir(path) if f.endswith(".parquet")
             )
-        return pq.ParquetFile(path).metadata.num_row_groups
+        return one(path)
     except Exception:
         return 0
 
@@ -171,7 +179,12 @@ def _documents_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "documents.parquet")
     docs = spark.read.parquet(path)
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if _parquet_row_groups(path) < nparts:
+    try:
+        mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes")
+                  .rstrip("b"))
+    except Exception:
+        mpb = 128 * 1024 * 1024
+    if _parquet_scan_width(path, mpb) < nparts:
         docs = docs.repartition(nparts, "doc_id")
     return docs
 

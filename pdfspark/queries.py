@@ -3654,7 +3654,7 @@ WITH lens AS (
   SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars FROM documents),
 ranked AS (
   SELECT doc_id, n_chars,
-    NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+    CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS decile
   FROM lens)
 SELECT decile,
   CAST(COUNT(*) AS BIGINT) AS n_docs,

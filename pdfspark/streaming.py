@@ -414,26 +414,45 @@ def build_band_index(docs: DataFrame) -> DataFrame:
     ).withColumnRenamed("doc_id", "hist_id")
 
 
+def sized_bands(band_index: DataFrame) -> DataFrame:
+    """The hot-band filter of a band index — (band, sig) buckets at or
+    under the cap (shared constant with dedup_incremental_minhash).
+    Static per index: compute (and persist) ONCE per stream, not per
+    micro-batch."""
+    from pdfspark.queries import _HOT_BAND_CAP
+
+    return (
+        band_index.groupBy("band", "sig")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") <= _HOT_BAND_CAP)
+        .select("band", "sig")
+    )
+
+
 def minhash_dedup_decisions(batch_docs: DataFrame,
-                            band_index: DataFrame) -> DataFrame:
+                            band_index: DataFrame,
+                            hist_sized: Optional[DataFrame] = None,
+                            ) -> DataFrame:
     """One increment's keep/drop decisions against a STATIC band index:
     band the new docs (Arrow kernel), hash-join colliding (band, sig)
     buckets — hot bands above the cap dropped exactly as in
     dedup_incremental_minhash — and keep a doc iff NO band collides
     (dup_of = smallest colliding historic doc otherwise). New docs are
     never compared against each other: that is the incremental
-    contract, and what makes the streaming form state-free."""
-    from pdfspark.queries import _HOT_BAND_CAP
+    contract, and what makes the streaming form state-free.
 
+    ``band_index`` is consumed by TWO plans (the hot-band aggregation
+    and the collision join) — if it comes straight from
+    build_band_index (a mapInPandas), persist() it first or the
+    minhash kernel runs twice (CLAUDE.md multi-consumer rule); a
+    parquet-backed index re-reads instead, and callers draining a
+    stream should pass a precomputed ``hist_sized`` so the aggregation
+    doesn't rerun per micro-batch."""
     bands = batch_docs.select("doc_id", "text").mapInPandas(
         _plain_band_batches, _STREAM_BANDS_SCHEMA
     )
-    hist_sized = (
-        band_index.groupBy("band", "sig")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") <= _HOT_BAND_CAP)
-        .select("band", "sig")
-    )
+    if hist_sized is None:
+        hist_sized = sized_bands(band_index)
     hits = (
         bands.join(band_index, ["band", "sig"])
         .join(hist_sized, ["band", "sig"])
@@ -469,10 +488,14 @@ def run_minhash_stream_dedup_once(
     streaming-equals-batch story for the dedup family: the drained
     output must equal dedup_incremental_minhash's batch answer
     (test-pinned drain equivalence)."""
-    index = spark.read.parquet(index_dir)
+    # static per stream: cache the index and its hot-band filter so no
+    # micro-batch re-reads the parquet or reruns the aggregation
+    index = spark.read.parquet(index_dir).persist()
+    hist_sized = sized_bands(index).persist()
+    hist_sized.count()  # materialize both caches before the first batch
 
     def decide(batch_df: DataFrame, _batch_id: int) -> None:
-        minhash_dedup_decisions(batch_df, index).write.mode(
+        minhash_dedup_decisions(batch_df, index, hist_sized).write.mode(
             "append"
         ).parquet(output_dir)
 
@@ -491,3 +514,5 @@ def run_minhash_stream_dedup_once(
         return q.awaitTermination(timeout_s)
     finally:
         q.stop()
+        hist_sized.unpersist(blocking=False)
+        index.unpersist(blocking=False)

@@ -213,8 +213,9 @@ def test_density_columns_narrow_gutter():
     two-column page with a 40pt gutter — below the pinned fixed 60pt
     threshold — reconstructs byte-identically under density clustering,
     while the fixed default (goldens untouched) cannot split it.
-    Density never splits short pages (< 3 baselines) and behaves as a
-    no-op on single-column flow."""
+    Density never splits SINGLE-baseline pages (DENSITY_MIN_LINES = 2
+    — one line's word gaps carry no vertical evidence) and behaves as
+    a no-op on single-column flow."""
     from pdfspark.docgen import text_to_pdf, text_to_pdf_narrow_gutter
     from pdfspark.kernel.layout import reading_order_text
 
@@ -228,8 +229,10 @@ def test_density_columns_narrow_gutter():
     # plain single-column flow: density is a no-op (byte-identical)
     plain = extract_text(text_to_pdf(text, meta_id=2), positions=True)
     assert reading_order_text(plain, layout="density") == text
-    # a 2-line page never splits under density (no vertical evidence)
+    # a SINGLE-baseline page never splits under density ("one two" →
+    # one ragged line per column, both on row 0)
     short = extract_text(text_to_pdf_narrow_gutter("one two", meta_id=3),
                          positions=True)
+    assert len({g.y for g in short.glyph_positions}) == 1
     out = reading_order_text(short, layout="density")
     assert isinstance(out, str) and "one" in out

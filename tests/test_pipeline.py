@@ -217,3 +217,26 @@ def test_extract_pages_positions_distributed(spark):
         t = texts[url]
         assert all(0 <= r.offset < len(t) for r in rs), url
     pages.unpersist()
+
+
+def test_parquet_scan_width_proxy(spark, tmp_path):
+    """The repartition guard's footer probe must model Spark's actual
+    parallelism: min(row_groups, byte_splits) per file — many tiny row
+    groups in a small file still scan ~1-wide (review r4 finding #1),
+    and one giant row group can't split either."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfspark.pipeline import _parquet_scan_width
+
+    p = str(tmp_path / "many_rg.parquet")
+    t = pa.table({"doc_id": list(range(640)),
+                  "text": ["x" * 100] * 640})
+    pq.write_table(t, p, row_group_size=10)  # 64 row groups, tiny file
+    assert pq.ParquetFile(p).metadata.num_row_groups == 64
+    # 64 row groups but one 128MB byte split → effective width 1
+    assert _parquet_scan_width(p, 128 * 1024 * 1024) == 1
+    # with a 4KB split size the row-group count becomes the limiter
+    assert 1 < _parquet_scan_width(p, 4096) <= 64
+    # unreadable → 0 (repartition, the safe side)
+    assert _parquet_scan_width(str(tmp_path / "nope.parquet"), 1) == 0
