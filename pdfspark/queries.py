@@ -849,6 +849,49 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     return spark.sql(_DECONTAM_SQL.format(posexplode=_POSEXPLODE_SPARK))
 
 
+# Exact-substring decontamination (ROADMAP r4 #7): the stricter sibling
+# of the 8-gram overlap — a document is contaminated when a benchmark
+# EXCERPT (a fixed character window of a benchmark doc) occurs in it
+# verbatim. instr() is literal and argument-identical in Spark and
+# DuckDB, so ONE SQL text serves both engines.
+_EXACT_DECONTAM_SQL = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(text, 1, CAST(FLOOR(length(text)*0.8) AS INT)) AS text
+  FROM documents WHERE doc_id % 3 = 0),
+bench AS (
+  SELECT doc_id AS bench_id, substr(text, 21, 80) AS excerpt
+  FROM documents
+  WHERE doc_id % 37 = 0 AND length(text) >= 125)
+SELECT d.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_hits,
+  MIN(b.bench_id) AS first_bench_id
+FROM docs d JOIN bench b ON instr(d.text, b.excerpt) > 0
+WHERE NOT (d.doc_id % 37 = 0 AND d.doc_id < 1000000)
+GROUP BY d.doc_id
+"""
+
+
+@register("decontaminate_exact_substring", oracle=_EXACT_DECONTAM_SQL)
+def decontaminate_exact_substring(spark, sf_dir):
+    """Benchmark decontamination by EXACT substring (the GPT-3-style
+    strict tier next to decontaminate_ngram_overlap's fuzzy one):
+    flag any corpus doc containing an 80-char benchmark excerpt
+    verbatim. The synthesized 80%-prefix mutants of benchmark docs are
+    the guaranteed contaminated set (the excerpt window sits inside
+    the kept prefix for docs ≥125 chars). Scale shape: the excerpt
+    set is tiny and BROADCASTS — the corpus side streams through a
+    broadcast nested-loop with a literal instr per (doc, excerpt),
+    linear in corpus size with no shuffle of the text (at 10^12 docs:
+    an Aho-Corasick automaton over the excerpt set inside one
+    mapInPandas — same topology, one pass); the only shuffle groups
+    hits per doc_id."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(_EXACT_DECONTAM_SQL)
+
+
 _SIMHASH_TAIL = """
 , words_d AS (SELECT DISTINCT doc_id, word FROM words),
 tok AS (
@@ -3700,7 +3743,10 @@ DRIVER_PRIORITY = [
     # oracle-gated at two SFs, and returns in r5.
     # -- output changed this round (needs a fresh verdict) --
     "multimodal_feature_extract",  # array<bigint> → '-'-joined string (r3 red)
-    "pdf_struct_reading_order",  # multi-page no-/Pg degradation policy (ADVICE r3)
+    # (pdf_struct_reading_order stays OUT: its r3-green driver output is
+    # unchanged — the ADVICE#5 fix only affects multi-page docs with no
+    # /Pg anywhere, and its generator always sets /Pg on a single page)
+    "decontaminate_exact_substring",
     # -- new in r4 (first verdict) --
     "pdf_density_columns",
     "pdf_cjk_embedded_widths",

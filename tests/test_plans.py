@@ -340,3 +340,14 @@ def test_r4_webtext_operators_plan_shape(spark):
     assert "Project [doc_id" in below_exchange \
         and "length(text" in below_exchange, plan
     assert "ntile(10)" in plan, plan
+
+
+def test_exact_decontamination_broadcasts_excerpts(spark):
+    """decontaminate_exact_substring's non-equi instr join must be a
+    BROADCAST nested loop (tiny excerpt set against the streaming
+    corpus — linear, no shuffle of text), never a CartesianProduct."""
+    from pdfspark.queries import QUERIES
+
+    plan = plan_of(QUERIES["decontaminate_exact_substring"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
