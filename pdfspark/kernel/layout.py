@@ -49,6 +49,10 @@ DENSITY_GUTTER_FRACTION = 1.5
 # (no vertical evidence to fill them); from two lines up, unaligned
 # word gaps cover each other and only a true gutter stays empty
 DENSITY_MIN_LINES = 2
+# density-mode baseline clustering: y values within this fraction of
+# the page-median advance merge into one line — super/subscript rises
+# (~0.33em ≈ 0.65×median advance) merge, real leading (≥1em) never does
+LINE_TOL_FRACTION = 0.8
 # word boundary when inter-glyph gap > this fraction of the line's
 # median glyph advance: a typographic space is ~0.25-0.33 em while
 # median lowercase advances are ~0.5 em, so 0.35×median ≈ 0.18 em sits
@@ -109,7 +113,10 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT,
                     c += 1
             return c
 
-        # 2. per column: lines by exact y, top-down, left-to-right
+        # 2. per column: lines by exact y (fixed) or y-clustered within
+        # a baseline tolerance (density — superscripts/subscripts sit a
+        # fraction of an em off the line and must not become their own
+        # "line" above it), top-down, left-to-right
         columns: dict = {}
         for g, s in slices:
             columns.setdefault(col_of(g.x), {}).setdefault(
@@ -118,6 +125,8 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT,
         col_texts = []
         for c in sorted(columns):
             lines = columns[c]
+            if layout == "density":
+                lines = _cluster_lines(lines, glyphs)
             line_texts = [
                 _assemble_line(sorted(lines[y]))
                 for y in sorted(lines, reverse=True)
@@ -125,6 +134,34 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT,
             col_texts.append(" ".join(t for t in line_texts if t))
         pages.append(" ".join(t for t in col_texts if t))
     return "\f".join(pages)
+
+
+def _cluster_lines(lines: dict, glyphs: List) -> dict:
+    """Density-mode baseline clustering: adjacent y values closer than
+    LINE_TOL_FRACTION × the page-median advance merge into one line
+    (keyed by the cluster's TOP y so ordering is unchanged). Real line
+    leading (≥1em) sits far above the tolerance (~0.4em), while
+    super/subscript rises (~0.33em) fall under it — so scripts join
+    their line instead of becoming a phantom line above/below it."""
+    if len(lines) < 2:
+        return lines
+    advances = sorted(g.w for g in glyphs if g.w > 0)
+    if not advances:
+        return lines
+    tol = LINE_TOL_FRACTION * advances[len(advances) // 2]
+    ys = sorted(lines, reverse=True)
+    merged: dict = {}
+    anchor = ys[0]
+    merged[anchor] = list(lines[anchor])
+    prev = anchor
+    for y in ys[1:]:
+        if prev - y <= tol:
+            merged[anchor].extend(lines[y])
+        else:
+            anchor = y
+            merged[anchor] = list(lines[y])
+        prev = y
+    return merged
 
 
 def _density_bounds(glyphs: List) -> List[float]:

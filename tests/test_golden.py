@@ -236,3 +236,33 @@ def test_density_columns_narrow_gutter():
     assert len({g.y for g in short.glyph_positions}) == 1
     out = reading_order_text(short, layout="density")
     assert isinstance(out, str) and "one" in out
+
+
+def test_density_mode_superscript_joins_its_line():
+    """Density-mode baseline clustering (LINE_TOL_FRACTION): a
+    superscript (Ts rise 4pt at 12pt Helvetica) must read INLINE in
+    its line, not as a phantom line above it; real 14pt leading still
+    separates lines. Fixed mode keeps the pinned exact-y behavior."""
+    from pdfspark.fixtures import BASE14, PdfBuilder
+    from pdfspark.kernel.layout import reading_order_text
+
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (energy mc) Tj 4 Ts (2) Tj 0 Ts "
+        b"( done) Tj 0 -14 Td (next line here) Tj ET"
+    )
+    c = b.add_stream("<< >>", content)
+    pg = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{pg} 0 R] /Count 1 >>", num=90)
+    rt = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    r = extract_text(b.build(rt), positions=True)
+    assert r.error is None
+    dens = reading_order_text(r, layout="density")
+    assert dens == "energy mc2 done next line here", repr(dens)
+    # fixed mode: the raised glyph is its own exact-y line ABOVE
+    fixed = reading_order_text(r)
+    assert fixed.startswith("2 "), repr(fixed)
