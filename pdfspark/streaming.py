@@ -516,3 +516,56 @@ def run_minhash_stream_dedup_once(
         q.stop()
         hist_sized.unpersist(blocking=False)
         index.unpersist(blocking=False)
+
+
+# ------------------------------------------------- per-domain window quota
+
+def domain_window_quota_stream(pages: DataFrame, quota: int = 3,
+                               window: str = "1 hour") -> DataFrame:
+    """Crawl-politeness / budget primitive: admit at most ``quota``
+    documents per (domain, event-time window) across the stream —
+    stateful_lang_quota's windowed sibling (that one is a TOTAL cap;
+    this one REFILLS each window). State per domain is a single
+    (window_start, used) pair: rows in the current window count
+    against the quota, a row in a NEWER window resets it, and a LATE
+    row from an OLDER window is dropped (quota decisions are monotone
+    — re-admitting after the budget moved on would double-spend it).
+    Within each micro-batch rows are processed in (warc_ts, url)
+    order, so admission is deterministic for in-order sources (crawl
+    logs are written in fetch order); the batch twin is
+    row_number() OVER (PARTITION BY domain, window ORDER BY ts, url)
+    <= quota, and equality is test-pinned."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    win_s = {"1 hour": 3600, "1 minute": 60}.get(window, 3600)
+
+    def admit(key, pdfs, state):
+        import pandas as pd
+
+        (win_start, used) = state.get if state.exists else (-1, 0)
+        rows = []
+        for pdf in pdfs:
+            for _, r in pdf.sort_values(["warc_ts", "url"]).iterrows():
+                w = (int(r["warc_ts"].timestamp()) // win_s) * win_s
+                if w > win_start:
+                    win_start, used = w, 0
+                elif w < win_start:
+                    continue  # late row from a spent window
+                if used < quota:
+                    used += 1
+                    rows.append({"domain": key[0], "url": r["url"],
+                                 "warc_ts": r["warc_ts"]})
+        state.update((win_start, used))
+        yield pd.DataFrame(
+            rows, columns=["domain", "url", "warc_ts"])
+
+    with_domain = pages.withColumn(
+        "domain", F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+    )
+    return with_domain.groupBy("domain").applyInPandasWithState(
+        admit,
+        outputStructType="domain string, url string, warc_ts timestamp",
+        stateStructType="win_start long, used long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -485,3 +485,70 @@ def test_minhash_stream_dedup_drain_equals_batch(spark, tmp_path):
     # the mutants really collide with their originals (recall sanity)
     dups = [d for d, dup, k in streamed if k == 0]
     assert len(dups) >= 0.9 * len(mutants)
+
+
+def test_domain_window_quota_matches_batch_row_number(spark, tmp_path):
+    """Per-domain windowed rate quota (politeness/budget primitive):
+    admit at most N per (domain, event-time window), refilling each
+    window. For an in-order source (crawl logs), the drained output
+    must equal the batch twin — row_number() OVER (PARTITION BY
+    domain, window ORDER BY ts, url) <= N — across multiple
+    micro-batches."""
+    import datetime
+
+    from pdfspark.streaming import domain_window_quota_stream
+
+    in_dir = str(tmp_path / "qin")
+    ckpt = str(tmp_path / "qckpt")
+    sink = str(tmp_path / "qout")
+
+    base = datetime.datetime(2025, 3, 1, 12, 0, 0)
+    rows = []
+    # 3 domains × 6 fetches spanning two 1-minute windows, in ts order
+    for i in range(6):
+        for d in ("a.test", "b.test", "c.test"):
+            ts = base + datetime.timedelta(seconds=13 * i)
+            rows.append((f"https://{d}/p{i:02d}", ts, b"%PDF-x", "t", "en"))
+    rows.sort(key=lambda r: r[1])
+    # two files in time order → two micro-batches
+    half = len(rows) // 2
+    for chunk in (rows[:half], rows[half:]):
+        spark.createDataFrame(
+            chunk, "url string, warc_ts timestamp, html binary, "
+            "text string, lang string"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    pages = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string")
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        domain_window_quota_stream(pages, quota=3, window="1 minute")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    got = {(r.domain, r.url) for r in spark.read.parquet(sink).collect()}
+    batch = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+        "text string, lang string"
+    ).selectExpr(
+        "regexp_extract(url, '^https?://([^/]+)/', 1) AS domain",
+        "url", "warc_ts",
+        "window(warc_ts, '1 minute').start AS w",
+    ).selectExpr(
+        "domain", "url",
+        "row_number() OVER (PARTITION BY domain, w "
+        "ORDER BY warc_ts, url) AS rn",
+    ).filter("rn <= 3")
+    expect = {(r.domain, r.url) for r in batch.collect()}
+    assert got == expect
+    # quota really binds: 6 fetches/domain over 2 windows → ≤ 6 admitted,
+    # and at least one window dropped something
+    assert len(got) < len(rows)
