@@ -169,14 +169,23 @@ def _density_bounds(glyphs: List) -> List[float]:
     [x, x+w) coverage interval; a hole between merged intervals wider
     than DENSITY_GUTTER_FRACTION × the page-median advance is a gutter
     (boundary at the hole's midpoint). Requires ≥ DENSITY_MIN_LINES
-    distinct baselines — a single line's word gaps are indistinguishable
-    from gutters without vertical evidence."""
-    if len({round(g.y, 3) for g in glyphs}) < DENSITY_MIN_LINES:
-        return []
+    CLUSTERED baselines — a single line's word gaps are
+    indistinguishable from gutters without vertical evidence, and a
+    super/subscript's raised baseline is part of its line, not a
+    second line (it must not unlock splitting by itself)."""
     advances = sorted(g.w for g in glyphs if g.w > 0)
     if not advances:
         return []
-    min_gutter = DENSITY_GUTTER_FRACTION * advances[len(advances) // 2]
+    med = advances[len(advances) // 2]
+    ys = sorted({round(g.y, 3) for g in glyphs}, reverse=True)
+    n_lines, prev = 1, ys[0]
+    for y in ys[1:]:
+        if prev - y > LINE_TOL_FRACTION * med:
+            n_lines += 1
+        prev = y
+    if n_lines < DENSITY_MIN_LINES:
+        return []
+    min_gutter = DENSITY_GUTTER_FRACTION * med
     ivals = sorted((g.x, g.x + max(g.w, 0.0)) for g in glyphs)
     merged: List[List[float]] = []
     for s, e in ivals:

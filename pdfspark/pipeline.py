@@ -141,6 +141,26 @@ def write_output(df: DataFrame, target: str, fmt: str = "parquet",
     w.save(target)
 
 
+def _parse_bytes_conf(v: str) -> int:
+    """Spark byte-size conf → bytes: bare digits, '…b', or k/m/g/t
+    suffixes (optionally with a trailing 'b', e.g. '64m', '1g',
+    '134217728b'). Unparseable values fall back to Spark's 128 MB
+    default rather than silently mis-sizing the scan-width probe."""
+    s = str(v).strip().lower()
+    mult = 1
+    if s.endswith("b"):
+        s = s[:-1]
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("t", 1 << 40)):
+        if s.endswith(suffix):
+            s, mult = s[:-1], m
+            break
+    try:
+        return int(s) * mult
+    except ValueError:
+        return 128 * 1024 * 1024
+
+
 def _parquet_scan_width(path: str, max_partition_bytes: int) -> int:
     """Scan-width probe from parquet FOOTERS (no Spark job — replaces
     the ``df.rdd.getNumPartitions()`` handle, VERDICT r3 wrong #3).
@@ -179,11 +199,8 @@ def _documents_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "documents.parquet")
     docs = spark.read.parquet(path)
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    try:
-        mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes")
-                  .rstrip("b"))
-    except Exception:
-        mpb = 128 * 1024 * 1024
+    mpb = _parse_bytes_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
     if _parquet_scan_width(path, mpb) < nparts:
         docs = docs.repartition(nparts, "doc_id")
     return docs

@@ -520,6 +520,19 @@ def run_minhash_stream_dedup_once(
 
 # ------------------------------------------------- per-domain window quota
 
+def _parse_window_seconds(window: str) -> int:
+    """'N second(s)/minute(s)/hour(s)/day(s)' → seconds. Raises on
+    anything else — a silently mis-bucketed quota is worse than an
+    error at stream construction."""
+    parts = window.strip().split()
+    units = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    if len(parts) == 2:
+        unit = parts[1].rstrip("s")
+        if parts[0].isdigit() and unit in units:
+            return int(parts[0]) * units[unit]
+    raise ValueError(f"unsupported window {window!r}")
+
+
 def domain_window_quota_stream(pages: DataFrame, quota: int = 3,
                                window: str = "1 hour") -> DataFrame:
     """Crawl-politeness / budget primitive: admit at most ``quota``
@@ -530,37 +543,49 @@ def domain_window_quota_stream(pages: DataFrame, quota: int = 3,
     against the quota, a row in a NEWER window resets it, and a LATE
     row from an OLDER window is dropped (quota decisions are monotone
     — re-admitting after the budget moved on would double-spend it).
-    Within each micro-batch rows are processed in (warc_ts, url)
-    order, so admission is deterministic for in-order sources (crawl
-    logs are written in fetch order); the batch twin is
-    row_number() OVER (PARTITION BY domain, window ORDER BY ts, url)
-    <= quota, and equality is test-pinned."""
+    Within each micro-batch a group's rows are CONCATENATED across
+    Arrow chunks and sorted once by (warc_ts, url) — a big domain
+    split across maxRecordsPerBatch chunks must not be chunk-sorted —
+    so admission is deterministic for in-order sources (crawl logs are
+    written in fetch order); the batch twin is row_number() OVER
+    (PARTITION BY domain, window ORDER BY ts, url) <= quota, and
+    equality is test-pinned. Window bucketing floors the epoch, which
+    matches Spark's window() exactly when the session timezone is UTC
+    (build_session pins it). Null timestamps are skipped (one bad row
+    must never wedge the checkpoint replay loop)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    win_s = {"1 hour": 3600, "1 minute": 60}.get(window, 3600)
+    win_s = _parse_window_seconds(window)
 
     def admit(key, pdfs, state):
         import pandas as pd
 
         (win_start, used) = state.get if state.exists else (-1, 0)
         rows = []
-        for pdf in pdfs:
-            for _, r in pdf.sort_values(["warc_ts", "url"]).iterrows():
-                w = (int(r["warc_ts"].timestamp()) // win_s) * win_s
-                if w > win_start:
-                    win_start, used = w, 0
-                elif w < win_start:
-                    continue  # late row from a spent window
-                if used < quota:
-                    used += 1
-                    rows.append({"domain": key[0], "url": r["url"],
-                                 "warc_ts": r["warc_ts"]})
+        chunks = list(pdfs)
+        if not chunks:  # timeout-style invocation: nothing to admit
+            state.update((win_start, used))
+            yield pd.DataFrame(columns=["domain", "url", "warc_ts"])
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf[pdf["warc_ts"].notna()]
+        pdf = pdf.sort_values(["warc_ts", "url"])
+        for url, ts in zip(pdf["url"], pdf["warc_ts"]):
+            w = (int(ts.timestamp()) // win_s) * win_s
+            if w > win_start:
+                win_start, used = w, 0
+            elif w < win_start:
+                continue  # late row from a spent window
+            if used < quota:
+                used += 1
+                rows.append({"domain": key[0], "url": url,
+                             "warc_ts": ts})
         state.update((win_start, used))
         yield pd.DataFrame(
             rows, columns=["domain", "url", "warc_ts"])
 
     with_domain = pages.withColumn(
-        "domain", F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+        "domain", F.regexp_extract("url", r"^https?://([^/]+)", 1)
     )
     return with_domain.groupBy("domain").applyInPandasWithState(
         admit,

@@ -266,3 +266,33 @@ def test_density_mode_superscript_joins_its_line():
     # fixed mode: the raised glyph is its own exact-y line ABOVE
     fixed = reading_order_text(r)
     assert fixed.startswith("2 "), repr(fixed)
+
+
+def test_density_single_line_with_superscript_never_splits():
+    """A superscript's raised baseline must not count as the 'second
+    line' that unlocks density column splitting: one visual line with
+    wide kerned gaps + a raised glyph stays ONE column (review r4.2
+    finding — the min-lines guard counts CLUSTERED baselines)."""
+    from pdfspark.fixtures import BASE14, PdfBuilder
+    from pdfspark.kernel.layout import reading_order_text
+
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    # one line, wide kern gaps (could read as coverage holes), one
+    # superscript glyph 4pt up — 2 raw baselines, 1 clustered line
+    content = (b"BT /F1 12 Tf 72 720 Td "
+               b"[(alpha) -800 (beta) -800 (gamma)] TJ "
+               b"4 Ts (1) Tj 0 Ts ET")
+    c = b.add_stream("<< >>", content)
+    pg = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{pg} 0 R] /Count 1 >>", num=90)
+    rt = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    r = extract_text(b.build(rt), positions=True)
+    assert r.error is None
+    out = reading_order_text(r, layout="density")
+    # word ORDER preserved (no column split reordering); the kern gaps
+    # may lawfully become spaces (word-break policy), never reordering
+    assert out.replace(" ", "") == "alphabetagamma1", repr(out)

@@ -240,3 +240,14 @@ def test_parquet_scan_width_proxy(spark, tmp_path):
     assert 1 < _parquet_scan_width(p, 4096) <= 64
     # unreadable → 0 (repartition, the safe side)
     assert _parquet_scan_width(str(tmp_path / "nope.parquet"), 1) == 0
+
+
+def test_parse_bytes_conf_suffixes():
+    from pdfspark.pipeline import _parse_bytes_conf
+
+    assert _parse_bytes_conf("134217728b") == 128 * 1024 * 1024
+    assert _parse_bytes_conf("64m") == 64 * 1024 * 1024
+    assert _parse_bytes_conf("1g") == 1 << 30
+    assert _parse_bytes_conf("4096") == 4096
+    assert _parse_bytes_conf("128mb") == 128 * 1024 * 1024
+    assert _parse_bytes_conf("garbage") == 128 * 1024 * 1024

@@ -552,3 +552,59 @@ def test_domain_window_quota_matches_batch_row_number(spark, tmp_path):
     # quota really binds: 6 fetches/domain over 2 windows → ≤ 6 admitted,
     # and at least one window dropped something
     assert len(got) < len(rows)
+
+
+def test_domain_quota_null_ts_and_custom_window(spark, tmp_path):
+    """Review r4.2 hardening: a NULL warc_ts row is skipped (never
+    wedges the checkpoint replay), arbitrary 'N minutes' windows
+    parse, and slashless URLs attribute to their real host instead of
+    pooling under ''."""
+    import datetime
+
+    import pytest as _pt
+
+    from pdfspark.streaming import (
+        _parse_window_seconds,
+        domain_window_quota_stream,
+    )
+
+    assert _parse_window_seconds("10 minutes") == 600
+    assert _parse_window_seconds("1 hour") == 3600
+    assert _parse_window_seconds("2 days") == 172800
+    with _pt.raises(ValueError):
+        _parse_window_seconds("sometimes")
+
+    in_dir = str(tmp_path / "nin")
+    ckpt = str(tmp_path / "nckpt")
+    sink = str(tmp_path / "nout")
+    base = datetime.datetime(2025, 3, 1, 12, 0, 0)
+    rows = [
+        ("https://a.test/p1", base, b"x", "t", "en"),
+        ("https://a.test", base + datetime.timedelta(seconds=1),
+         b"x", "t", "en"),  # slashless: still domain a.test
+        ("https://b.test/p1", None, b"x", "t", "en"),  # null ts: skipped
+        ("https://b.test/p2", base + datetime.timedelta(seconds=2),
+         b"x", "t", "en"),
+    ]
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+        "text string, lang string"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    pages = spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string").parquet(in_dir)
+    q = (
+        domain_window_quota_stream(pages, quota=1, window="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = {(r.domain, r.url) for r in spark.read.parquet(sink).collect()}
+    # quota=1 per domain per 10min: a.test admits its EARLIEST row only
+    # (the slashless URL grouped correctly); b.test admits p2 (null ts
+    # row skipped, not crashed on)
+    assert got == {("a.test", "https://a.test/p1"),
+                   ("b.test", "https://b.test/p2")}
