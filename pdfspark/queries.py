@@ -849,6 +849,102 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     return spark.sql(_DECONTAM_SQL.format(posexplode=_POSEXPLODE_SPARK))
 
 
+# Sign-LSH (random-hyperplane) ANN — the LSH-bucketed cosine path the
+# brief names beside IVF. All-integer and engine-exact: embeddings
+# quantize to BIGINT (the pinned ×1000 convention), hyperplanes are
+# ±1 vectors derived from md5 parity (identical in both engines), a
+# signature bit is the SIGN of an integer dot product, and bits pack
+# into two 8-bit band keys (OR-amplification, the minhash-banding
+# shape). Candidates = pairs sharing any band key; exact integer
+# cosine ranks within the candidate set only — the base is never
+# scanned per query. IMPLEMENTED + parity-tested in r4; REGISTERS in
+# the r5 window rotation (the 50-slot driver prefix is fully
+# committed to the r2-veteran rotation this round — see ROADMAP).
+_SIGNLSH_BODY = """
+WITH v AS (
+  SELECT vec_id,
+    {ltransform}(embedding,
+      x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+planes AS (
+  SELECT p.p, i.i,
+    CASE WHEN {hexparity} % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM ({p_gen}) p {cross} ({i_gen}) i),
+sigs AS (
+  SELECT v.vec_id, pl.p,
+    CASE WHEN SUM({qv_at} * pl.s) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM v {cross} planes pl GROUP BY v.vec_id, pl.p),
+bands AS (
+  SELECT vec_id, CAST(FLOOR(p / 8.0) AS BIGINT) AS band,
+    CAST(SUM(bit * CAST(POWER(2, p % 8) AS BIGINT)) AS BIGINT) AS bkey
+  FROM sigs GROUP BY vec_id, CAST(FLOOR(p / 8.0) AS BIGINT)),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, b.vec_id
+  FROM bands q JOIN bands b ON q.band = b.band AND q.bkey = b.bkey
+  WHERE q.vec_id < 5 AND q.vec_id <> b.vec_id),
+dots AS (
+  SELECT c.qid, c.vec_id,
+    {dot} AS dot,
+    {qnorm} AS qn,
+    {vnorm} AS vn
+  FROM cand c JOIN v vq ON vq.vec_id = c.qid
+              JOIN v vv ON vv.vec_id = c.vec_id)
+SELECT qid, vec_id AS neighbor_id,
+  CAST(ROUND(dot / (SQRT(qn) * SQRT(vn)), 6) AS DOUBLE) AS cosine, rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY dot / (SQRT(qn) * SQRT(vn)) DESC, vec_id
+  ) AS rnk
+  FROM dots) t
+WHERE rnk <= 5
+"""
+
+
+def _signlsh_spark_sql() -> str:
+    agg_sq = ("aggregate(transform({col}, x -> x*x), 0L,"
+              " (acc, x) -> acc + x)")
+    return _SIGNLSH_BODY.format(
+        ltransform="transform",
+        hexparity="CAST(conv(substr(md5(concat(CAST(p.p AS STRING), ':',"
+                  " CAST(i.i AS STRING))), 1, 1), 16, 10) AS BIGINT)",
+        p_gen="SELECT explode(sequence(0, 15)) AS p",
+        i_gen="SELECT explode(sequence(0, 63)) AS i",
+        cross=" CROSS JOIN ",
+        qv_at="v.qv[pl.i]",
+        dot="aggregate(zip_with(vq.qv, vv.qv, (a, b) -> a*b), 0L,"
+            " (acc, x) -> acc + x)",
+        qnorm=agg_sq.format(col="vq.qv"),
+        vnorm=agg_sq.format(col="vv.qv"),
+    )
+
+
+def _signlsh_duck_sql() -> str:
+    return _SIGNLSH_BODY.format(
+        ltransform="list_transform",
+        hexparity="CAST(concat('0x', substr(md5(CAST(p.p AS VARCHAR) ||"
+                  " ':' || CAST(i.i AS VARCHAR)), 1, 1)) AS BIGINT)",
+        p_gen="SELECT unnest(range(16)) AS p",
+        i_gen="SELECT unnest(range(64)) AS i",
+        cross=", ",
+        qv_at="v.qv[pl.i + 1]",
+        dot="list_sum(list_transform(range(64),"
+            " i -> vq.qv[i+1] * vv.qv[i+1]))",
+        qnorm="list_sum(list_transform(vq.qv, x -> x*x))",
+        vnorm="list_sum(list_transform(vv.qv, x -> x*x))",
+    )
+
+
+def _ann_signlsh_impl(spark, sf_dir):
+    """Sign-LSH bucketed top-k (unregistered until the r5 rotation —
+    parity-pinned by tests/test_oracle.py::test_signlsh_parity).
+    Scale shape: the 16×64 ±1 plane table is a constant broadcast;
+    signatures are one map-side aggregation per vector; the candidate
+    join is banded exactly like minhash LSH — no CartesianProduct, the
+    base is never scanned per query."""
+    _load(spark, sf_dir, "embeddings")
+    return spark.sql(_signlsh_spark_sql())
+
+
 # Exact-substring decontamination (ROADMAP r4 #7): the stricter sibling
 # of the 8-gram overlap — a document is contaminated when a benchmark
 # EXCERPT (a fixed character window of a benchmark doc) occurs in it

@@ -305,3 +305,35 @@ def test_jaccard_scores_mutated_pairs_high(spark):
     assert mutated, "mutated near-dups must surface"
     # 80% prefix of the same text ⇒ high shingle overlap
     assert all(v >= 3000 for v in mutated.values())
+
+
+def test_signlsh_parity(spark, duck):
+    """Sign-LSH (random-hyperplane) bucketed ANN — implemented r4,
+    registers in the r5 window rotation: the all-integer pipeline
+    (quantize → md5-parity ±1 planes → sign bits → two 8-bit band keys
+    → candidate join → exact integer cosine top-5) must agree between
+    engines exactly, return candidates for every query, and keep rnk
+    bounded."""
+    import pdfspark.queries as q
+
+    for t in ("embeddings",):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet") \
+            .createOrReplaceTempView(t)
+    df = q._ann_signlsh_impl(spark, SF_DIR)
+    n = _compare(df, duck, q._signlsh_duck_sql(), "signlsh")
+    assert n > 0
+    rows = df.collect()
+    qids = {r.qid for r in rows}
+    assert qids == {0, 1, 2, 3, 4}  # every query found bucket-mates
+    assert all(1 <= r.rnk <= 5 for r in rows)
+    assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+
+
+def test_signlsh_no_cartesian_plan(spark):
+    """The candidate join must be banded (hash join on (band, bkey)),
+    never an all-pairs product of the base."""
+    import pdfspark.queries as q
+
+    df = q._ann_signlsh_impl(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
