@@ -209,3 +209,115 @@ def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
             )
 
     return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+# ------------------------------------------------------------------- audio
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """Deterministic PCM WAV container for the audio-metadata harness:
+    every field is a closed-form function of doc_id so a SQL oracle can
+    recompute the expected metadata without touching bytes."""
+    import struct
+
+    channels = 1 + doc_id % 2
+    sample_rate = (8000, 16000, 44100)[doc_id % 3]
+    bits = 16
+    n_samples = 100 + (doc_id * 37) % 400
+    block = channels * bits // 8
+    data = bytes((doc_id + i) % 251 for i in range(n_samples * block))
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block, block, bits,
+    )
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav_header(payload: bytes):
+    """REAL (not stubbed) RIFF/WAVE container walk — header parsing
+    needs no codec. Returns (channels, sample_rate, bits, n_samples,
+    duration_ms) or None for malformed/truncated/non-WAV input; chunk
+    iteration is bounds-checked and capped so crafted sizes can never
+    loop or over-read (the kernel's one-bad-document rule)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        return None
+    pos, end = 12, min(len(payload), 12 + struct.unpack_from(
+        "<I", payload, 4)[0])
+    fmt = None
+    data_len = None
+    for _ in range(64):  # chunk-count bomb guard
+        if pos + 8 > end:
+            break
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8: pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data_len = min(size, max(0, len(payload) - pos - 8))
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        return None
+    _, channels, sample_rate, _, block_align, bits = fmt
+    if channels == 0 or sample_rate == 0 or block_align == 0:
+        return None
+    n_samples = data_len // block_align
+    duration_ms = n_samples * 1000 // sample_rate
+    return channels, sample_rate, bits, n_samples, duration_ms
+
+
+def decode_audio_meta(df: DataFrame) -> DataFrame:
+    """(doc_id, payload:binary) → typed audio metadata via one
+    Arrow-batched mapInPandas stage; malformed payloads yield an error
+    row, never an exception."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import sys
+
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
+        import pandas as pd
+
+        from pdfspark.multimodal import parse_wav_header
+
+        cols = [f.name for f in AUDIO_META_SCHEMA.fields]
+        for b in batches:
+            rows = []
+            for doc_id, p in zip(b["doc_id"], b["payload"]):
+                try:
+                    meta = parse_wav_header(
+                        bytes(p) if p is not None else b"")
+                except Exception:
+                    meta = None
+                if meta is None:
+                    rows.append({"doc_id": int(doc_id), "channels": None,
+                                 "sample_rate": None, "bits": None,
+                                 "n_samples": None, "duration_ms": None,
+                                 "error": "bad-wav"})
+                else:
+                    ch, sr, bits, ns, ms = meta
+                    rows.append({"doc_id": int(doc_id), "channels": ch,
+                                 "sample_rate": sr, "bits": bits,
+                                 "n_samples": ns, "duration_ms": ms,
+                                 "error": None})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, AUDIO_META_SCHEMA)

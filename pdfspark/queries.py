@@ -945,6 +945,68 @@ def _ann_signlsh_impl(spark, sf_dir):
     return spark.sql(_signlsh_spark_sql())
 
 
+# Audio modality: synth→parse roundtrip over REAL RIFF/WAVE header
+# parsing (multimodal.parse_wav_header — container walking needs no
+# codec, unlike pixel/sample decode which stays honestly gated). The
+# generator's fields are closed-form in doc_id, so the oracle
+# recomputes expected metadata without touching bytes. Unregistered
+# until the r5 window rotation (same queue as sign-LSH).
+_AUDIO_META_ORACLE = """
+SELECT doc_id,
+  CAST(1 + doc_id % 2 AS INT) AS channels,
+  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+       ELSE 44100 END AS INT) AS sample_rate,
+  CAST(16 AS INT) AS bits,
+  CAST(100 + (doc_id * 37) % 400 AS BIGINT) AS n_samples,
+  CAST(FLOOR((100 + (doc_id * 37) % 400) * 1000.0 /
+       (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        ELSE 44100 END)) AS BIGINT) AS duration_ms,
+  CAST(NULL AS {strtype}) AS error
+FROM documents
+"""
+
+
+def _audio_meta_impl(spark, sf_dir):
+    """Fused synth→parse audio metadata (one Python stage, the
+    roundtrip_extract shape): every doc_id becomes a deterministic PCM
+    WAV container whose header the REAL parser must read back exactly.
+    Parity-pinned by tests/test_oracle.py::test_audio_meta_parity."""
+    from pdfspark.multimodal import AUDIO_META_SCHEMA
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id")
+
+    def run(batches):
+        import sys
+
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
+        import pandas as pd
+
+        from pdfspark.multimodal import parse_wav_header, synth_wav
+
+        cols = [f.name for f in AUDIO_META_SCHEMA.fields]
+        for b in batches:
+            rows = []
+            for doc_id in b["doc_id"]:
+                i = int(doc_id)
+                meta = parse_wav_header(synth_wav(i))
+                if meta is None:
+                    rows.append({"doc_id": i, "channels": None,
+                                 "sample_rate": None, "bits": None,
+                                 "n_samples": None, "duration_ms": None,
+                                 "error": "bad-wav"})
+                else:
+                    ch, sr, bits, ns, ms = meta
+                    rows.append({"doc_id": i, "channels": ch,
+                                 "sample_rate": sr, "bits": bits,
+                                 "n_samples": ns, "duration_ms": ms,
+                                 "error": None})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(run, AUDIO_META_SCHEMA)
+
+
 # Exact-substring decontamination (ROADMAP r4 #7): the stricter sibling
 # of the 8-gram overlap — a document is contaminated when a benchmark
 # EXCERPT (a fixed character window of a benchmark doc) occurs in it

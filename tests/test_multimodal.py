@@ -80,3 +80,41 @@ def test_resize_fixed_output_dims(spark):
     again = {r.doc_id: bytes(r.resized)
              for r in resize_images(df, 8, 4).collect()}
     assert again == {k: bytes(v.resized) for k, v in rows.items()}
+
+
+def test_wav_header_parse_and_bomb_guards():
+    """REAL RIFF/WAVE walking (no codec): exact field readback on the
+    deterministic generator; garbage/truncation/crafted chunk sizes
+    are soft Nones, never exceptions or loops."""
+    from pdfspark.multimodal import parse_wav_header, synth_wav
+
+    assert parse_wav_header(synth_wav(7)) == (2, 16000, 16, 359, 22)
+    assert parse_wav_header(b"") is None
+    assert parse_wav_header(b"RIFF\xff\xff\xff\xffWAVE") is None
+    assert parse_wav_header(synth_wav(7)[:40]) is None
+    # crafted chunk size: huge size must not over-read or loop
+    import struct
+    evil = (b"RIFF" + struct.pack("<I", 1 << 30) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 1 << 30))
+    assert parse_wav_header(evil) is None
+    # extra unknown chunks before fmt/data still parse
+    w = synth_wav(3)
+    injected = w[:12] + b"LIST" + struct.pack("<I", 4) + b"info" + w[12:]
+    injected = (b"RIFF" + struct.pack("<I", len(injected) - 8)
+                + injected[8:])
+    assert parse_wav_header(injected) == parse_wav_header(w)
+
+
+def test_decode_audio_meta_distributed(spark):
+    """The mapInPandas stage: good + malformed payloads in one batch —
+    error rows, never task failures."""
+    from pdfspark.multimodal import decode_audio_meta, synth_wav
+
+    rows = [(0, bytearray(synth_wav(0))), (1, bytearray(b"junk")),
+            (2, bytearray(synth_wav(2)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.channels, r.error)
+           for r in decode_audio_meta(df).collect()}
+    assert got[0] == (1, None)
+    assert got[1] == (None, "bad-wav")
+    assert got[2] == (1, None)

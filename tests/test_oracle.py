@@ -337,3 +337,21 @@ def test_signlsh_no_cartesian_plan(spark):
     df = q._ann_signlsh_impl(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
+
+
+def test_audio_meta_parity(spark, duck):
+    """Audio modality (r5 registration queue): the fused synth→parse
+    WAV roundtrip must agree with the closed-form oracle — every
+    header field the REAL RIFF walker reads back equals the
+    generator's doc_id formulas."""
+    import pdfspark.queries as q
+
+    for t in ("documents",):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet") \
+            .createOrReplaceTempView(t)
+    df = q._audio_meta_impl(spark, SF_DIR)
+    n = _compare(df, duck,
+                 q._AUDIO_META_ORACLE.format(strtype="VARCHAR"),
+                 "audio_meta")
+    assert n > 0
+    assert all(r.error is None for r in df.collect())
