@@ -594,3 +594,59 @@ def domain_window_quota_stream(pages: DataFrame, quota: int = 3,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------- stream IVF assignment
+
+def ivf_assign_expr(seeds) -> "F.Column":
+    """Nearest-centroid cell id as a PURE column expression over the
+    quantized vector column ``qv`` (the pinned ×1000 BIGINT convention):
+    ``seeds`` is the bounded [(sid, [int, …]), …] centroid list (the
+    8-row IVF seed convention), inlined as an array-of-structs literal
+    so assignment runs entirely map-side in the JVM — no join, no
+    shuffle, no state; exactly what an embedding STREAM needs (window
+    functions and stateful argmax are unavailable there). Ties break
+    to the smallest sid, matching the batch assign CTE's
+    ROW_NUMBER ... ORDER BY dot DESC, sid."""
+    seed_structs = F.array(*[
+        F.struct(
+            F.lit(int(sid)).alias("sid"),
+            F.array(*[F.lit(int(x)) for x in sv]).alias("sv"),
+        )
+        for sid, sv in seeds
+    ])
+    scored = F.transform(
+        seed_structs,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("qv"), s["sv"], lambda a, b: a * b),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            ).alias("dot"),
+            (-s["sid"]).alias("neg_sid"),
+        ),
+    )
+    # struct ordering: (dot, neg_sid) ascending → the LAST element has
+    # the max dot, ties resolved to the largest neg_sid = smallest sid
+    return (-F.element_at(F.array_sort(scored), -1)["neg_sid"]) \
+        .cast("long").alias("cell")
+
+
+def quantize_embedding_col(col: str = "embedding") -> "F.Column":
+    """The pinned ×1000 integer quantization as a column (shared by
+    batch and stream paths — CAST DOUBLE inside the lambda, FLOOR+0.5,
+    per the float32-lambda oracle gotcha)."""
+    return F.transform(
+        F.col(col),
+        lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long"),
+    ).alias("qv")
+
+
+def ivf_assign_stream(embs: DataFrame, seeds) -> DataFrame:
+    """Embedding stream → (vec_id, cell): quantize + nearest-centroid
+    per micro-batch, fully map-side (the scale path: cell assignment
+    never shuffles; downstream per-cell search co-partitions on the
+    cell id). Works unchanged on batch DataFrames — the
+    drain-equals-batch test relies on exactly that."""
+    return embs.select(
+        "vec_id", quantize_embedding_col("embedding")
+    ).select("vec_id", ivf_assign_expr(seeds))

@@ -608,3 +608,72 @@ def test_domain_quota_null_ts_and_custom_window(spark, tmp_path):
     # row skipped, not crashed on)
     assert got == {("a.test", "https://a.test/p1"),
                    ("b.test", "https://b.test/p2")}
+
+
+def test_ivf_assign_stream_equals_batch_sql(spark, tmp_path):
+    """Stream-side IVF cell assignment (map-side argmax over a literal
+    seed array — no join/shuffle/state) must reproduce the batch SQL
+    assign CTE (ROW_NUMBER ... ORDER BY dot DESC, sid) for every
+    vector, drained across micro-batches."""
+    from pdfspark.streaming import ivf_assign_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .createOrReplaceTempView("embeddings")
+    assign_sql = """
+WITH v AS (
+  SELECT vec_id,
+    transform(embedding,
+      x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+seeds AS (SELECT vec_id AS sid, qv AS sv FROM v WHERE vec_id < 8)
+SELECT vec_id, sid AS cell FROM (
+  SELECT v.vec_id, s.sid,
+    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+      aggregate(zip_with(v.qv, s.sv, (a,b) -> a*b), 0L,
+                (acc,x) -> acc+x) DESC, s.sid) AS r
+  FROM v CROSS JOIN seeds s) t
+WHERE r = 1
+"""
+    expect = {(r.vec_id, r.cell) for r in spark.sql(assign_sql).collect()}
+    seeds = [
+        (r.vec_id, r.qv)
+        for r in spark.sql(
+            "SELECT vec_id, transform(embedding, x -> CAST(FLOOR("
+            "CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv "
+            "FROM embeddings WHERE vec_id < 8 ORDER BY vec_id"
+        ).collect()
+    ]
+    # batch-mode sanity first (same code path)
+    batch_got = {
+        (r.vec_id, r.cell)
+        for r in ivf_assign_stream(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), seeds
+        ).collect()
+    }
+    assert batch_got == expect
+    # streamed drain across micro-batches
+    in_dir = str(tmp_path / "iin")
+    sink = str(tmp_path / "iout")
+    ckpt = str(tmp_path / "ickpt")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs.filter("vec_id % 2 = 0").coalesce(1).write.parquet(
+        in_dir, mode="append")
+    embs.filter("vec_id % 2 = 1").coalesce(1).write.parquet(
+        in_dir, mode="append")
+    stream = (
+        spark.readStream.schema(embs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        ivf_assign_stream(stream, seeds)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = {(r.vec_id, r.cell) for r in spark.read.parquet(sink).collect()}
+    assert got == expect
+    assert len({c for _, c in got}) > 1  # multiple cells actually used
