@@ -284,6 +284,21 @@ def parse_wav_header(payload: bytes):
     return channels, sample_rate, bits, n_samples, duration_ms
 
 
+def wav_meta_row(doc_id: int, meta) -> dict:
+    """One AUDIO_META_SCHEMA row from a parse_wav_header result — the
+    SINGLE construction site shared by decode_audio_meta and the fused
+    harness (queries._audio_meta_impl), so the 'bad-wav' code and the
+    column set can never drift between the two paths."""
+    if meta is None:
+        return {"doc_id": doc_id, "channels": None, "sample_rate": None,
+                "bits": None, "n_samples": None, "duration_ms": None,
+                "error": "bad-wav"}
+    ch, sr, bits, ns, ms = meta
+    return {"doc_id": doc_id, "channels": ch, "sample_rate": sr,
+            "bits": bits, "n_samples": ns, "duration_ms": ms,
+            "error": None}
+
+
 def decode_audio_meta(df: DataFrame) -> DataFrame:
     """(doc_id, payload:binary) → typed audio metadata via one
     Arrow-batched mapInPandas stage; malformed payloads yield an error
@@ -296,7 +311,7 @@ def decode_audio_meta(df: DataFrame) -> DataFrame:
             sys.path.insert(0, REPO_ROOT)
         import pandas as pd
 
-        from pdfspark.multimodal import parse_wav_header
+        from pdfspark.multimodal import parse_wav_header, wav_meta_row
 
         cols = [f.name for f in AUDIO_META_SCHEMA.fields]
         for b in batches:
@@ -307,17 +322,7 @@ def decode_audio_meta(df: DataFrame) -> DataFrame:
                         bytes(p) if p is not None else b"")
                 except Exception:
                     meta = None
-                if meta is None:
-                    rows.append({"doc_id": int(doc_id), "channels": None,
-                                 "sample_rate": None, "bits": None,
-                                 "n_samples": None, "duration_ms": None,
-                                 "error": "bad-wav"})
-                else:
-                    ch, sr, bits, ns, ms = meta
-                    rows.append({"doc_id": int(doc_id), "channels": ch,
-                                 "sample_rate": sr, "bits": bits,
-                                 "n_samples": ns, "duration_ms": ms,
-                                 "error": None})
+                rows.append(wav_meta_row(int(doc_id), meta))
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(run, AUDIO_META_SCHEMA)

@@ -983,25 +983,19 @@ def _audio_meta_impl(spark, sf_dir):
             sys.path.insert(0, REPO_ROOT)
         import pandas as pd
 
-        from pdfspark.multimodal import parse_wav_header, synth_wav
+        from pdfspark.multimodal import (
+            parse_wav_header,
+            synth_wav,
+            wav_meta_row,
+        )
 
         cols = [f.name for f in AUDIO_META_SCHEMA.fields]
         for b in batches:
-            rows = []
-            for doc_id in b["doc_id"]:
-                i = int(doc_id)
-                meta = parse_wav_header(synth_wav(i))
-                if meta is None:
-                    rows.append({"doc_id": i, "channels": None,
-                                 "sample_rate": None, "bits": None,
-                                 "n_samples": None, "duration_ms": None,
-                                 "error": "bad-wav"})
-                else:
-                    ch, sr, bits, ns, ms = meta
-                    rows.append({"doc_id": i, "channels": ch,
-                                 "sample_rate": sr, "bits": bits,
-                                 "n_samples": ns, "duration_ms": ms,
-                                 "error": None})
+            rows = [
+                wav_meta_row(int(doc_id),
+                             parse_wav_header(synth_wav(int(doc_id))))
+                for doc_id in b["doc_id"]
+            ]
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.mapInPandas(run, AUDIO_META_SCHEMA)

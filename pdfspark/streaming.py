@@ -585,7 +585,7 @@ def domain_window_quota_stream(pages: DataFrame, quota: int = 3,
             rows, columns=["domain", "url", "warc_ts"])
 
     with_domain = pages.withColumn(
-        "domain", F.regexp_extract("url", r"^https?://([^/]+)", 1)
+        "domain", F.regexp_extract("url", r"^https?://([^/?#]+)", 1)
     )
     return with_domain.groupBy("domain").applyInPandasWithState(
         admit,

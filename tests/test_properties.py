@@ -240,3 +240,29 @@ def test_postscript_extractor_never_raises(data):
 
     enc = encoding_from_program(data)
     assert enc is None or isinstance(enc, dict)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048))
+def test_wav_header_never_raises_on_garbage(data):
+    """New binary parse path invariant (CLAUDE.md): arbitrary bytes —
+    raw, RIFF-prefixed, or a mutated valid container — must return a
+    tuple or None, never raise or loop."""
+    from pdfspark.multimodal import parse_wav_header, synth_wav
+
+    for buf in (data, b"RIFF" + data, b"RIFF\x10\x00\x00\x00WAVE" + data):
+        r = parse_wav_header(buf)
+        assert r is None or (isinstance(r, tuple) and len(r) == 5)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.data())
+def test_wav_header_survives_mutated_valid_containers(data):
+    from pdfspark.multimodal import parse_wav_header, synth_wav
+
+    base = synth_wav(data.draw(st.integers(0, 500)))
+    pos = data.draw(st.integers(0, len(base) - 1))
+    val = data.draw(st.integers(0, 255))
+    mutated = base[:pos] + bytes([val]) + base[pos + 1:]
+    r = parse_wav_header(mutated)
+    assert r is None or (isinstance(r, tuple) and len(r) == 5)

@@ -504,11 +504,16 @@ def test_domain_window_quota_matches_batch_row_number(spark, tmp_path):
 
     base = datetime.datetime(2025, 3, 1, 12, 0, 0)
     rows = []
-    # 3 domains × 6 fetches spanning two 1-minute windows, in ts order
+    # 3 domains × 6 fetches spanning two 1-minute windows, in ts order;
+    # slashless and query-string forms included so the stream and the
+    # batch twin must agree on HOST extraction (review r4.3 #2)
     for i in range(6):
         for d in ("a.test", "b.test", "c.test"):
             ts = base + datetime.timedelta(seconds=13 * i)
-            rows.append((f"https://{d}/p{i:02d}", ts, b"%PDF-x", "t", "en"))
+            url = (f"https://{d}?page={i}" if i == 2
+                   else f"https://{d}" if i == 4
+                   else f"https://{d}/p{i:02d}")
+            rows.append((url, ts, b"%PDF-x", "t", "en"))
     rows.sort(key=lambda r: r[1])
     # two files in time order → two micro-batches
     half = len(rows) // 2
@@ -539,7 +544,7 @@ def test_domain_window_quota_matches_batch_row_number(spark, tmp_path):
         rows, "url string, warc_ts timestamp, html binary, "
         "text string, lang string"
     ).selectExpr(
-        "regexp_extract(url, '^https?://([^/]+)/', 1) AS domain",
+        "regexp_extract(url, '^https?://([^/?#]+)', 1) AS domain",
         "url", "warc_ts",
         "window(warc_ts, '1 minute').start AS w",
     ).selectExpr(
