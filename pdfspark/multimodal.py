@@ -326,3 +326,139 @@ def decode_audio_meta(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(run, AUDIO_META_SCHEMA)
+
+
+# ------------------------------------------------------------------- video
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("timescale", T.IntegerType()),
+        T.StructField("duration_units", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def synth_mp4(doc_id: int) -> bytes:
+    """Deterministic ISO-BMFF (MP4) container: ftyp + moov/mvhd with
+    closed-form fields so a SQL oracle can recompute them from
+    doc_id."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    timescale = (600, 1000, 90000)[doc_id % 3]
+    duration = 1000 + (doc_id * 53) % 9000
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(b"mvhd", bytes(12)  # version/flags + creation/modification
+               + struct.pack(">II", timescale, duration)
+               + bytes(80))  # rate/volume/matrix/next_track padding
+    moov = box(b"moov", mvhd)
+    return ftyp + box(b"free", bytes(doc_id % 32)) + moov
+
+
+def parse_mp4_header(payload: bytes):
+    """REAL ISO-BMFF box walk (no codec): major brand from ftyp,
+    movie timescale/duration from moov→mvhd (version 0 and 1 layouts).
+    Returns (brand, timescale, duration_units, duration_ms) or None;
+    box iteration is bounds-checked and count-capped so crafted sizes
+    never loop or over-read."""
+    import struct
+
+    def walk(buf, start, end, depth=0):
+        found = {}
+        pos = start
+        for _ in range(64):  # box-count bomb guard
+            if pos + 8 > end:
+                break
+            size = struct.unpack_from(">I", buf, pos)[0]
+            btype = buf[pos + 4:pos + 8]
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    break
+                size = struct.unpack_from(">Q", buf, pos + 8)[0]
+                body_off = pos + 16
+            elif size == 0:  # box extends to end
+                size = end - pos
+                body_off = pos + 8
+            else:
+                body_off = pos + 8
+            if size < 8 or pos + size > end:
+                break
+            found.setdefault(btype, (body_off, pos + size))
+            pos += size
+        return found
+
+    top = walk(payload, 0, len(payload))
+    if b"ftyp" not in top or b"moov" not in top:
+        return None
+    f0, f1 = top[b"ftyp"]
+    if f1 - f0 < 4:
+        return None
+    brand = payload[f0:f0 + 4].decode("latin-1")
+    m0, m1 = top[b"moov"]
+    inner = walk(payload, m0, m1, 1)
+    if b"mvhd" not in inner:
+        return None
+    import struct as _s
+
+    h0, h1 = inner[b"mvhd"]
+    if h1 - h0 < 4:
+        return None
+    version = payload[h0]
+    try:
+        if version == 1:
+            timescale, duration = _s.unpack_from(">I", payload, h0 + 20)[0], \
+                _s.unpack_from(">Q", payload, h0 + 24)[0]
+        else:
+            timescale, duration = _s.unpack_from(
+                ">II", payload, h0 + 12)
+    except _s.error:
+        return None
+    if timescale == 0:
+        return None
+    return brand, timescale, duration, duration * 1000 // timescale
+
+
+def mp4_meta_row(doc_id: int, meta) -> dict:
+    """Single construction site for VIDEO_META_SCHEMA rows (same
+    anti-drift role as wav_meta_row)."""
+    if meta is None:
+        return {"doc_id": doc_id, "brand": None, "timescale": None,
+                "duration_units": None, "duration_ms": None,
+                "error": "bad-mp4"}
+    brand, ts, du, ms = meta
+    return {"doc_id": doc_id, "brand": brand, "timescale": ts,
+            "duration_units": du, "duration_ms": ms, "error": None}
+
+
+def decode_video_meta(df: DataFrame) -> DataFrame:
+    """(doc_id, payload:binary) → typed video metadata, one Arrow
+    stage; malformed payloads are error rows."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import sys
+
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
+        import pandas as pd
+
+        from pdfspark.multimodal import mp4_meta_row, parse_mp4_header
+
+        cols = [f.name for f in VIDEO_META_SCHEMA.fields]
+        for b in batches:
+            rows = []
+            for doc_id, p in zip(b["doc_id"], b["payload"]):
+                try:
+                    meta = parse_mp4_header(
+                        bytes(p) if p is not None else b"")
+                except Exception:
+                    meta = None
+                rows.append(mp4_meta_row(int(doc_id), meta))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, VIDEO_META_SCHEMA)

@@ -1001,6 +1001,56 @@ def _audio_meta_impl(spark, sf_dir):
     return docs.mapInPandas(run, AUDIO_META_SCHEMA)
 
 
+# Video modality twin of the audio harness: REAL ISO-BMFF (MP4) box
+# walking — ftyp brand + moov/mvhd timescale/duration; closed-form
+# generator fields, same r5 registration queue.
+_VIDEO_META_ORACLE = """
+SELECT doc_id,
+  'isom' AS brand,
+  CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+       ELSE 90000 END AS INT) AS timescale,
+  CAST(1000 + (doc_id * 53) % 9000 AS BIGINT) AS duration_units,
+  CAST(FLOOR((1000 + (doc_id * 53) % 9000) * 1000.0 /
+       (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        ELSE 90000 END)) AS BIGINT) AS duration_ms,
+  CAST(NULL AS {strtype}) AS error
+FROM documents
+"""
+
+
+def _video_meta_impl(spark, sf_dir):
+    """Fused synth→parse MP4 metadata (unregistered — r5 queue;
+    parity-pinned by tests/test_oracle.py::test_video_meta_parity)."""
+    from pdfspark.multimodal import VIDEO_META_SCHEMA
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id")
+
+    def run(batches):
+        import sys
+
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
+        import pandas as pd
+
+        from pdfspark.multimodal import (
+            mp4_meta_row,
+            parse_mp4_header,
+            synth_mp4,
+        )
+
+        cols = [f.name for f in VIDEO_META_SCHEMA.fields]
+        for b in batches:
+            rows = [
+                mp4_meta_row(int(doc_id),
+                             parse_mp4_header(synth_mp4(int(doc_id))))
+                for doc_id in b["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(run, VIDEO_META_SCHEMA)
+
+
 # Exact-substring decontamination (ROADMAP r4 #7): the stricter sibling
 # of the 8-gram overlap — a document is contaminated when a benchmark
 # EXCERPT (a fixed character window of a benchmark doc) occurs in it

@@ -118,3 +118,26 @@ def test_decode_audio_meta_distributed(spark):
     assert got[0] == (1, None)
     assert got[1] == (None, "bad-wav")
     assert got[2] == (1, None)
+
+
+def test_mp4_box_walk_and_bomb_guards():
+    """REAL ISO-BMFF walking: exact readback, version-1 mvhd layout,
+    64-bit largesize, crafted sizes and truncation all soft-fail."""
+    import struct
+
+    from pdfspark.multimodal import parse_mp4_header, synth_mp4
+
+    assert parse_mp4_header(synth_mp4(7)) == ("isom", 1000, 1371, 1371)
+    assert parse_mp4_header(b"") is None
+    assert parse_mp4_header(synth_mp4(7)[:16]) is None
+    # crafted size 0xffffffff must not over-read
+    evil = b"\xff\xff\xff\xffftyp" + b"isom" * 4
+    assert parse_mp4_header(evil) is None
+    # version-1 mvhd (64-bit duration at +24, timescale at +20)
+    def box(t, p):
+        return struct.pack(">I", 8 + len(p)) + t + p
+    mvhd1 = box(b"mvhd", bytes([1, 0, 0, 0]) + bytes(16)
+                + struct.pack(">I", 1000) + struct.pack(">Q", 2500)
+                + bytes(80))
+    mp4 = box(b"ftyp", b"mp42" + bytes(8)) + box(b"moov", mvhd1)
+    assert parse_mp4_header(mp4) == ("mp42", 1000, 2500, 2500)

@@ -355,3 +355,19 @@ def test_audio_meta_parity(spark, duck):
                  "audio_meta")
     assert n > 0
     assert all(r.error is None for r in df.collect())
+
+
+def test_video_meta_parity(spark, duck):
+    """Video modality (r5 queue): fused synth→parse MP4 roundtrip ==
+    closed-form oracle."""
+    import pdfspark.queries as q
+
+    for t in ("documents",):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet") \
+            .createOrReplaceTempView(t)
+    df = q._video_meta_impl(spark, SF_DIR)
+    n = _compare(df, duck,
+                 q._VIDEO_META_ORACLE.format(strtype="VARCHAR"),
+                 "video_meta")
+    assert n > 0
+    assert all(r.error is None for r in df.collect())

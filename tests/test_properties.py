@@ -266,3 +266,26 @@ def test_wav_header_survives_mutated_valid_containers(data):
     mutated = base[:pos] + bytes([val]) + base[pos + 1:]
     r = parse_wav_header(mutated)
     assert r is None or (isinstance(r, tuple) and len(r) == 5)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048))
+def test_mp4_header_never_raises_on_garbage(data):
+    from pdfspark.multimodal import parse_mp4_header
+
+    for buf in (data, b"\x00\x00\x00\x14ftypisom" + data):
+        r = parse_mp4_header(buf)
+        assert r is None or (isinstance(r, tuple) and len(r) == 4)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.data())
+def test_mp4_header_survives_mutated_valid_containers(data):
+    from pdfspark.multimodal import parse_mp4_header, synth_mp4
+
+    base = synth_mp4(data.draw(st.integers(0, 500)))
+    pos = data.draw(st.integers(0, len(base) - 1))
+    val = data.draw(st.integers(0, 255))
+    mutated = base[:pos] + bytes([val]) + base[pos + 1:]
+    r = parse_mp4_header(mutated)
+    assert r is None or (isinstance(r, tuple) and len(r) == 4)
