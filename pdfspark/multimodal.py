@@ -410,15 +410,21 @@ def parse_mp4_header(payload: bytes):
     if h1 - h0 < 4:
         return None
     version = payload[h0]
-    try:
-        if version == 1:
-            timescale, duration = _s.unpack_from(">I", payload, h0 + 20)[0], \
-                _s.unpack_from(">Q", payload, h0 + 24)[0]
-        else:
-            timescale, duration = _s.unpack_from(
-                ">II", payload, h0 + 12)
-    except _s.error:
-        return None
+    # Bounds are checked against the mvhd box END (h1), not the total
+    # payload: a crafted mvhd whose declared size is too short for its
+    # version's field layout must be an error row, never a silent read
+    # of the NEXT box's bytes (ADVICE r4 #1). v0 needs 20 bytes
+    # (ver/flags + 2×u32 times + u32 timescale + u32 duration), v1
+    # needs 32 (2×u64 times + u32 timescale + u64 duration).
+    if version == 1:
+        if h1 - h0 < 32:
+            return None
+        timescale = _s.unpack_from(">I", payload, h0 + 20)[0]
+        duration = _s.unpack_from(">Q", payload, h0 + 24)[0]
+    else:
+        if h1 - h0 < 20:
+            return None
+        timescale, duration = _s.unpack_from(">II", payload, h0 + 12)
     if timescale == 0:
         return None
     return brand, timescale, duration, duration * 1000 // timescale

@@ -483,8 +483,13 @@ def run_minhash_stream_dedup_once(
     stream, deciding keep/drop per micro-batch via foreachBatch — the
     blessed topology when the reference side is a static table: zero
     state store (the index never changes mid-stream, and increments are
-    never self-compared), checkpointed source offsets give exactly-once
-    over the per-batch parquet appends. Completes the
+    never self-compared). Sink is EXACTLY-ONCE: checkpointed source
+    offsets make each micro-batch replay deterministic, and every batch
+    lands in its own ``batch_id=N`` subpath with mode("overwrite") — a
+    retried batch overwrites its own partial output instead of
+    appending duplicate decision rows (ADVICE r4 #2; a blind append
+    sink would only be at-least-once). Readers see one partitioned
+    parquet table under output_dir. Completes the
     streaming-equals-batch story for the dedup family: the drained
     output must equal dedup_incremental_minhash's batch answer
     (test-pinned drain equivalence)."""
@@ -494,10 +499,12 @@ def run_minhash_stream_dedup_once(
     hist_sized = sized_bands(index).persist()
     hist_sized.count()  # materialize both caches before the first batch
 
-    def decide(batch_df: DataFrame, _batch_id: int) -> None:
+    def decide(batch_df: DataFrame, batch_id: int) -> None:
+        # batch_id-keyed subpath + overwrite = idempotent replay; the
+        # Hive-style name doubles as a discoverable partition column
         minhash_dedup_decisions(batch_df, index, hist_sized).write.mode(
-            "append"
-        ).parquet(output_dir)
+            "overwrite"
+        ).parquet(f"{output_dir}/batch_id={batch_id}")
 
     docs = (
         spark.readStream.schema("doc_id long, text string")

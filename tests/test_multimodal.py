@@ -141,3 +141,15 @@ def test_mp4_box_walk_and_bomb_guards():
                 + bytes(80))
     mp4 = box(b"ftyp", b"mp42" + bytes(8)) + box(b"moov", mvhd1)
     assert parse_mp4_header(mp4) == ("mp42", 1000, 2500, 2500)
+    # ADVICE r4 #1: a truncated mvhd whose declared size is shorter
+    # than its version's field layout must be None (error row), NOT a
+    # silent read of the NEXT box's bytes as metadata
+    short_v0 = box(b"mvhd", bytes(8))  # 12 bytes < 20-byte v0 layout
+    decoy = box(b"free", struct.pack(">II", 1000, 2500) + bytes(8))
+    assert parse_mp4_header(
+        box(b"ftyp", b"mp42" + bytes(8)) + box(b"moov", short_v0 + decoy)
+    ) is None
+    short_v1 = box(b"mvhd", bytes([1, 0, 0, 0]) + bytes(20))  # 24 < 32
+    assert parse_mp4_header(
+        box(b"ftyp", b"mp42" + bytes(8)) + box(b"moov", short_v1 + decoy)
+    ) is None
