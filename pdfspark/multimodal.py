@@ -2,12 +2,15 @@
 columns with typed metadata, decoded/feature-extracted in Arrow-batched
 ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the decode step is STUBBED:
-``_decode_image_stub`` derives deterministic metadata from the payload
-bytes, and ``decode_image_pixels`` raises ``NotImplementedError`` behind an
-import-try for Pillow. Everything Spark-side — schemas, batching,
-partitioning, UDF signatures — is real and tested (tests/test_multimodal.py),
-so swapping in a real codec is a one-function change.
+METADATA is real for all three modalities — container/header walking
+needs no codec: ``parse_image_header`` (PNG IHDR / JPEG SOF marker walk
+/ BMP DIB header), ``parse_wav_header`` (RIFF/WAVE) and
+``parse_mp4_header`` (ISO-BMFF). Only PIXEL/SAMPLE decode is honestly
+gated: ``decode_image_pixels`` raises ``NotImplementedError`` behind an
+import-try for Pillow (absent in this container). ``_decode_image_stub``
+survives solely as the opaque-payload plumbing stand-in for the
+batch-shape stages (frame sampling / byte features over arbitrary
+binary), whose driver-pinned oracles depend on its arithmetic.
 """
 
 from __future__ import annotations
@@ -38,8 +41,12 @@ FRAME_SCHEMA = T.StructType(
 
 
 def _decode_image_stub(payload: bytes) -> tuple:
-    """Deterministic fake decode: metadata derived from payload length.
-    A real decoder would parse the container header here."""
+    """Opaque-payload plumbing stand-in (NOT the image modality's
+    metadata path — that is parse_image_header): deterministic
+    pseudo-metadata from payload length, kept only because the
+    driver-pinned plumbing oracles (multimodal_meta /
+    multimodal_frame_sample) recompute exactly this arithmetic over
+    arbitrary non-image binary."""
     n = len(payload)
     return (1 + n % 640, 1 + (n * 7) % 480, 1 + n % 16)
 
@@ -440,6 +447,215 @@ def mp4_meta_row(doc_id: int, meta) -> dict:
     brand, ts, du, ms = meta
     return {"doc_id": doc_id, "brand": brand, "timescale": ts,
             "duration_units": du, "duration_ms": ms, "error": None}
+
+
+# ------------------------------------------------------------------- image
+
+IMAGE_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type → sample channels (0 gray, 2 RGB, 3 palette, 4 gray+A,
+# 6 RGBA); any other value is malformed
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _image_dims(doc_id: int):
+    """The shared closed-form dimensions of every synth_* image — one
+    site so the three generators and the SQL oracle can never drift."""
+    return 1 + (doc_id * 3) % 2048, 1 + (doc_id * 7) % 1536
+
+
+def synth_png(doc_id: int) -> bytes:
+    """Deterministic PNG (signature + IHDR + tiny IDAT + IEND, real
+    CRCs): dims from _image_dims, color type cycles gray/RGB/RGBA on
+    doc_id//3 so channel derivation is exercised."""
+    import struct
+    import zlib
+
+    w, h = _image_dims(doc_id)
+    color = (0, 2, 6)[(doc_id // 3) % 3]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(bytes(8))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def synth_jpeg(doc_id: int) -> bytes:
+    """Deterministic JPEG header stream (SOI + APP0/JFIF + DQT + SOF0 +
+    EOI): the marker walk must skip the non-SOF segments to reach
+    frame dims; component count alternates 1/3 on doc_id parity."""
+    import struct
+
+    w, h = _image_dims(doc_id)
+    ncomp = 3 if doc_id % 2 else 1
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return (b"\xff" + bytes([marker])
+                + struct.pack(">H", 2 + len(data)) + data)
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, bytes([0]) + bytes(64))
+    comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+    sof0 = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
+               + bytes([ncomp]) + comps)
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+def synth_bmp(doc_id: int) -> bytes:
+    """Deterministic BMP (BITMAPFILEHEADER + 40-byte
+    BITMAPINFOHEADER, no pixel data): bpp cycles 8/24/32 on
+    doc_id//3."""
+    import struct
+
+    w, h = _image_dims(doc_id)
+    bpp = (8, 24, 32)[(doc_id // 3) % 3]
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp,
+                      0, 0, 2835, 2835, 0, 0)
+    return b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + dib
+
+
+def synth_image(doc_id: int) -> bytes:
+    """Format dispatcher for the image-metadata harness: doc_id%3
+    cycles png/jpeg/bmp — matches the `fmt` column of the SQL
+    oracle."""
+    return (synth_png, synth_jpeg, synth_bmp)[doc_id % 3](doc_id)
+
+
+def parse_image_header(payload: bytes):
+    """REAL (not stubbed) image header parse — dims/depth/channels need
+    no codec, exactly like the WAV/MP4 container walks. Sniffs PNG
+    (signature + IHDR-first chunk), JPEG (SOI + bounded marker walk to
+    SOF0/SOF1/SOF2) and BMP (BITMAPCOREHEADER/BITMAPINFOHEADER+).
+    Returns (fmt, width, height, bit_depth, channels) or None for
+    malformed/truncated/unknown input; every read is bounds-checked and
+    the JPEG walk is marker-count capped so crafted lengths can never
+    loop or over-read (the kernel's one-bad-document rule).
+
+    Reference parity: connorskees/pdf decodes JPEG via src/filter/dct.rs
+    (zune-jpeg); dims-only is this repo's text-scope equivalent."""
+    import struct
+
+    n = len(payload)
+    if payload[:8] == _PNG_SIG:
+        if n < 26:
+            return None
+        clen, ctype = struct.unpack_from(">I4s", payload, 8)
+        if ctype != b"IHDR" or clen < 13 or n < 16 + 13:
+            return None
+        w, h, depth, color = struct.unpack_from(">IIBB", payload, 16)
+        ch = _PNG_CHANNELS.get(color)
+        if ch is None or w == 0 or h == 0 \
+                or w > 0x7FFFFFFF or h > 0x7FFFFFFF:
+            return None
+        return "png", w, h, depth, ch
+    if payload[:2] == b"\xff\xd8":
+        pos = 2
+        for _ in range(256):  # marker-count bomb guard
+            # fill bytes: any run of 0xFF collapses to one marker prefix
+            while pos + 1 < n and payload[pos] == 0xFF \
+                    and payload[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 2 > n or payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                continue  # standalone markers carry no length
+            if marker in (0xD9, 0xDA):
+                return None  # EOI / scan data before any SOF: no dims
+            if pos + 2 > n:
+                return None
+            seglen = struct.unpack_from(">H", payload, pos)[0]
+            if seglen < 2 or pos + seglen > n:
+                return None
+            if marker in (0xC0, 0xC1, 0xC2):
+                if seglen < 8:
+                    return None
+                precision = payload[pos + 2]
+                h, w = struct.unpack_from(">HH", payload, pos + 3)
+                ncomp = payload[pos + 7]
+                if w == 0 or h == 0 or ncomp == 0:
+                    return None
+                return "jpeg", w, h, precision, ncomp
+            pos += seglen
+        return None
+    if payload[:2] == b"BM":
+        if n < 26:
+            return None
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        if hdr_size >= 40:
+            if n < 30:
+                return None
+            w, h = struct.unpack_from("<ii", payload, 18)
+            bpp = struct.unpack_from("<H", payload, 28)[0]
+        elif hdr_size == 12:  # BITMAPCOREHEADER: 16-bit dims
+            w, h = struct.unpack_from("<HH", payload, 18)
+            bpp = struct.unpack_from("<H", payload, 24)[0]
+        else:
+            return None
+        h = abs(h)  # negative height = top-down row order
+        if w <= 0 or h == 0 or bpp == 0:
+            return None
+        return "bmp", w, h, min(bpp, 8), max(1, bpp // 8)
+    return None
+
+
+def image_meta_row(doc_id: int, meta) -> dict:
+    """Single construction site for IMAGE_HEADER_SCHEMA rows (same
+    anti-drift role as wav_meta_row / mp4_meta_row)."""
+    if meta is None:
+        return {"doc_id": doc_id, "fmt": None, "width": None,
+                "height": None, "bit_depth": None, "channels": None,
+                "error": "bad-image"}
+    fmt, w, h, depth, ch = meta
+    return {"doc_id": doc_id, "fmt": fmt, "width": w, "height": h,
+            "bit_depth": depth, "channels": ch, "error": None}
+
+
+def decode_image_header(df: DataFrame) -> DataFrame:
+    """(doc_id, payload:binary) → typed image metadata via one
+    Arrow-batched mapInPandas stage; malformed payloads yield an error
+    row, never an exception. The production image-modality metadata
+    path (the plumbing-shape decode_image_meta keeps the pinned
+    stub)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import sys
+
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
+        import pandas as pd
+
+        from pdfspark.multimodal import image_meta_row, parse_image_header
+
+        cols = [f.name for f in IMAGE_HEADER_SCHEMA.fields]
+        for b in batches:
+            rows = []
+            for doc_id, p in zip(b["doc_id"], b["payload"]):
+                try:
+                    meta = parse_image_header(
+                        bytes(p) if p is not None else b"")
+                except Exception:
+                    meta = None
+                rows.append(image_meta_row(int(doc_id), meta))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, IMAGE_HEADER_SCHEMA)
 
 
 def decode_video_meta(df: DataFrame) -> DataFrame:

@@ -935,7 +935,7 @@ def _signlsh_duck_sql() -> str:
 
 
 def _ann_signlsh_impl(spark, sf_dir):
-    """Sign-LSH bucketed top-k (unregistered until the r5 rotation —
+    """Sign-LSH bucketed top-k (registered r5 as ann_signlsh_topk;
     parity-pinned by tests/test_oracle.py::test_signlsh_parity).
     Scale shape: the 16×64 ±1 plane table is a constant broadcast;
     signatures are one map-side aggregation per vector; the candidate
@@ -945,12 +945,16 @@ def _ann_signlsh_impl(spark, sf_dir):
     return spark.sql(_signlsh_spark_sql())
 
 
+# r5 rotation: the queued entrants register under family-consistent
+# names (impl fns keep their test-referenced identities)
+register("ann_signlsh_topk", oracle=_signlsh_duck_sql())(_ann_signlsh_impl)
+
+
 # Audio modality: synth→parse roundtrip over REAL RIFF/WAVE header
 # parsing (multimodal.parse_wav_header — container walking needs no
 # codec, unlike pixel/sample decode which stays honestly gated). The
 # generator's fields are closed-form in doc_id, so the oracle
-# recomputes expected metadata without touching bytes. Unregistered
-# until the r5 window rotation (same queue as sign-LSH).
+# recomputes expected metadata without touching bytes.
 _AUDIO_META_ORACLE = """
 SELECT doc_id,
   CAST(1 + doc_id % 2 AS INT) AS channels,
@@ -966,6 +970,8 @@ FROM documents
 """
 
 
+@register("multimodal_audio_meta",
+          oracle=_AUDIO_META_ORACLE.format(strtype="VARCHAR"))
 def _audio_meta_impl(spark, sf_dir):
     """Fused synth→parse audio metadata (one Python stage, the
     roundtrip_extract shape): every doc_id becomes a deterministic PCM
@@ -1003,7 +1009,7 @@ def _audio_meta_impl(spark, sf_dir):
 
 # Video modality twin of the audio harness: REAL ISO-BMFF (MP4) box
 # walking — ftyp brand + moov/mvhd timescale/duration; closed-form
-# generator fields, same r5 registration queue.
+# generator fields.
 _VIDEO_META_ORACLE = """
 SELECT doc_id,
   'isom' AS brand,
@@ -1018,8 +1024,10 @@ FROM documents
 """
 
 
+@register("multimodal_video_meta",
+          oracle=_VIDEO_META_ORACLE.format(strtype="VARCHAR"))
 def _video_meta_impl(spark, sf_dir):
-    """Fused synth→parse MP4 metadata (unregistered — r5 queue;
+    """Fused synth→parse MP4 metadata (registered r5;
     parity-pinned by tests/test_oracle.py::test_video_meta_parity)."""
     from pdfspark.multimodal import VIDEO_META_SCHEMA
 
@@ -1049,6 +1057,69 @@ def _video_meta_impl(spark, sf_dir):
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.mapInPandas(run, VIDEO_META_SCHEMA)
+
+
+# Image modality (VERDICT r4 next #2): REAL header parsing — PNG IHDR,
+# JPEG SOF marker walk, BMP DIB header (multimodal.parse_image_header),
+# replacing the derived-from-length stub as the modality's metadata
+# path. Generator fields are closed-form in doc_id (format cycles
+# png/jpeg/bmp on doc_id%3; dims shared via _image_dims; channels from
+# color-type / component-count / bpp), so the oracle recomputes every
+# header field without touching bytes. Reference parity:
+# src/filter/dct.rs:10-20 decodes JPEG; dims-only is the text-scope
+# equivalent.
+_IMAGE_META_ORACLE = """
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+       ELSE 'bmp' END AS fmt,
+  CAST(1 + (doc_id * 3) % 2048 AS INT) AS width,
+  CAST(1 + (doc_id * 7) % 1536 AS INT) AS height,
+  CAST(8 AS INT) AS bit_depth,
+  CAST(CASE WHEN doc_id % 3 = 1
+            THEN CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END
+            ELSE CASE CAST(FLOOR(doc_id / 3.0) AS BIGINT) % 3
+                 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+       END AS INT) AS channels,
+  CAST(NULL AS {strtype}) AS error
+FROM documents
+"""
+
+
+@register("multimodal_image_meta",
+          oracle=_IMAGE_META_ORACLE.format(strtype="VARCHAR"))
+def _image_meta_impl(spark, sf_dir):
+    """Fused synth→parse image metadata (one Python stage): every
+    doc_id becomes a deterministic PNG/JPEG/BMP whose header the REAL
+    parser must read back exactly. Parity-pinned by
+    tests/test_oracle.py::test_image_meta_parity."""
+    from pdfspark.multimodal import IMAGE_HEADER_SCHEMA
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id")
+
+    def run(batches):
+        import sys
+
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
+        import pandas as pd
+
+        from pdfspark.multimodal import (
+            image_meta_row,
+            parse_image_header,
+            synth_image,
+        )
+
+        cols = [f.name for f in IMAGE_HEADER_SCHEMA.fields]
+        for b in batches:
+            rows = [
+                image_meta_row(int(doc_id),
+                               parse_image_header(synth_image(int(doc_id))))
+                for doc_id in b["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(run, IMAGE_HEADER_SCHEMA)
 
 
 # Exact-substring decontamination (ROADMAP r4 #7): the stricter sibling
@@ -3938,67 +4009,66 @@ def doc_length_percentile_buckets(spark, sf_dir):
 # history cede their slots (they remain registered, locally gated, and
 # fully oracled). Every name must stay registered in QUERIES.
 DRIVER_PRIORITY = [
-    # -- r4 rotation (VERDICT r3 next #2): every one of the 42 operators
-    # whose latest driver verdict is r2 rotates back in, so no query's
-    # verdict ages past 2 rounds. The r3 first-verdict cohort (all green
-    # in CORRECTNESS_r03) cedes its slots; it stays registered, locally
-    # oracle-gated at two SFs, and returns in r5.
-    # -- output changed this round (needs a fresh verdict) --
-    "multimodal_feature_extract",  # array<bigint> → '-'-joined string (r3 red)
-    # (pdf_struct_reading_order stays OUT: its r3-green driver output is
-    # unchanged — the ADVICE#5 fix only affects multi-page docs with no
-    # /Pg anywhere, and its generator always sets /Pg on a single page)
-    "decontaminate_exact_substring",
-    # -- new in r4 (first verdict) --
-    "pdf_density_columns",
-    "pdf_cjk_embedded_widths",
-    "pdf_post_glyph_names",
-    "boilerplate_line_removal",
-    "text_char_entropy",
-    "doc_length_percentile_buckets",
-    # -- r2 veterans, verdict age 2 rounds (registration-order groups) --
-    "q1_pricing_summary",
-    "q3_top_open_orders",
-    "top_orders_global",
-    "filter_pushdown_scan",
-    "orders_monthly_growth",
-    "window_running_sum",
-    "window_topk_per_group",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "pivot_status_by_priority",
-    "percentiles_exact",
-    "distinct_customers_exact",
-    "semi_join_active_customers",
-    "anti_join_inactive_customers",
-    "set_union_distinct",
-    "set_intersect_custkeys",
-    "set_except_custkeys",
-    "exists_subquery_multi_item_orders",
-    "correlated_subquery_above_avg",
-    "events_daily_rollup",
-    "events_json_extract",
-    "events_sessionization",
-    "pdf_extract_stats",
-    "pdf_magic_filter",
-    "pdf_doc_metadata",
-    "pdf_outlines",
-    "pdf_spans",
-    "pdf_regression_join",
-    "mixed_corpus_extract",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "embedding_cosine_neardup",
-    "ann_bruteforce_topk",
-    "ann_ivf_bucketed",
-    "ann_numpy_topk",
-    "multimodal_meta",
-    "text_token_count",
-    "text_lang_id",
-    "text_quality_score",
-    "text_fingerprint",
+    # -- r5 rotation (VERDICT r4 next #1): the four first-verdict
+    # entrants lead, then the r3 first-verdict cohort (last checked in
+    # CORRECTNESS_r03 — their verdicts age out after this round)
+    # returns to the window. The r4 cohort (all green in
+    # CORRECTNESS_r04) cedes its slots; it stays registered, locally
+    # oracle-gated at two SFs, and returns in r6. Three r3 veterans
+    # (embedding_norms, unpivot_order_year_counts,
+    # grouped_stats_apply_in_pandas) wait for r6's window.
+    # -- new in r5 (first verdict) --
+    "multimodal_image_meta",
+    "multimodal_audio_meta",
+    "multimodal_video_meta",
+    "ann_signlsh_topk",
+    # -- r3 veterans, verdict age 2 rounds (registration-order groups) --
+    "q5_region_revenue",
+    "html_extract_roundtrip",
+    "html_doc_titles",
+    "pdf_extract_roundtrip",
+    "pdf_extract_skew_aware",
+    "pdf_error_rows",
+    "pdf_multipage_roundtrip",
+    "pdf_multipage_spans",
+    "pdf_kerned_wordbreak",
+    "pdf_columns_reading_order",
+    "pdf_layout_mix_extract",
+    "pdf_struct_reading_order",
+    "pdf_annots_text",
+    "pdf_attachments",
+    "pdf_link_uris",
+    "events_funnel",
+    "asof_join_last_click",
+    "range_join_events_windows",
+    "window_range_interval_frame",
+    "session_window_agg",
+    "approx_distinct_urls",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_incremental_minhash",
+    "dedup_components",
+    "dedup_keeplist",
+    "dedup_canonical_url",
+    "dedup_paragraph_exact",
+    "decontaminate_ngram_overlap",
+    "ann_ivf_recall",
+    "ann_numpy_ivf",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "corpus_quality_filter",
+    "text_gopher_quality",
+    "text_repetition_signals",
+    "text_unigram_commonness",
+    "text_compression_ratio",
+    "text_pii_scrub",
+    "text_winnowing_neardup",
+    "token_count_pandas_udf",
+    "sample_stratified",
+    "sample_match_distribution",
+    "shard_pack_token_budget",
+    "shard_materialize",
+    "url_blocklist_filter",
 ]
 
 

@@ -153,3 +153,70 @@ def test_mp4_box_walk_and_bomb_guards():
     assert parse_mp4_header(
         box(b"ftyp", b"mp42" + bytes(8)) + box(b"moov", short_v1 + decoy)
     ) is None
+
+
+def test_image_header_walk_and_bomb_guards():
+    """REAL image header parsing: exact readback for all three synth
+    formats, and crafted/truncated headers all soft-fail (None), never
+    raise or over-read."""
+    import struct
+
+    from pdfspark.multimodal import (
+        _image_dims,
+        parse_image_header,
+        synth_bmp,
+        synth_image,
+        synth_jpeg,
+        synth_png,
+    )
+
+    # exact readback, format cycling, channel derivation
+    for doc_id in range(24):
+        w, h = _image_dims(doc_id)
+        meta = parse_image_header(synth_image(doc_id))
+        assert meta is not None, doc_id
+        fmt, mw, mh, depth, ch = meta
+        assert (mw, mh, depth) == (w, h, 8)
+        if doc_id % 3 == 0:
+            assert fmt == "png"
+            assert ch == (1, 3, 4)[(doc_id // 3) % 3]
+        elif doc_id % 3 == 1:
+            assert fmt == "jpeg"
+            assert ch == (3 if doc_id % 2 else 1)
+        else:
+            assert fmt == "bmp"
+            assert ch == (1, 3, 4)[(doc_id // 3) % 3]
+
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"not an image at all") is None
+    # truncation at every byte boundary must soft-fail or parse, never raise
+    for synth in (synth_png, synth_jpeg, synth_bmp):
+        full = synth(5)
+        for cut in range(len(full)):
+            parse_image_header(full[:cut])  # must not raise
+    # PNG whose first chunk is not IHDR
+    sig = b"\x89PNG\r\n\x1a\n"
+    evil = sig + struct.pack(">I", 13) + b"tEXt" + bytes(17)
+    assert parse_image_header(evil) is None
+    # PNG with an invalid color type
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 9, 0, 0, 0)
+    evil = sig + struct.pack(">I", 13) + b"IHDR" + ihdr + bytes(4)
+    assert parse_image_header(evil) is None
+    # JPEG: segment length larger than the payload must not over-read
+    evil = b"\xff\xd8\xff\xe0\xff\xff"
+    assert parse_image_header(evil) is None
+    # JPEG: SOS before any SOF → no dims available
+    evil = b"\xff\xd8" + b"\xff\xda" + struct.pack(">H", 4) + bytes(2)
+    assert parse_image_header(evil) is None
+    # JPEG: an endless run of fill bytes hits the marker-count guard
+    assert parse_image_header(b"\xff\xd8" + b"\xff\x01" * 1000) is None
+    # BMP: zero bpp / zero dims / unknown DIB header size
+    bad_dib = struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 0, 0, 0, 0, 0, 0, 0)
+    evil = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + bad_dib
+    assert parse_image_header(evil) is None
+    evil = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + struct.pack("<I", 17)
+    assert parse_image_header(evil) is None
+    # BMP: negative (top-down) height is normalized, not rejected
+    dib = struct.pack("<IiiHHIIiiII", 40, 6, -9, 1, 24, 0, 0, 0, 0, 0, 0)
+    bmp = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + dib
+    assert parse_image_header(bmp) == ("bmp", 6, 9, 8, 3)

@@ -358,8 +358,8 @@ def test_audio_meta_parity(spark, duck):
 
 
 def test_video_meta_parity(spark, duck):
-    """Video modality (r5 queue): fused synth→parse MP4 roundtrip ==
-    closed-form oracle."""
+    """Video modality (registered r5): fused synth→parse MP4 roundtrip
+    == closed-form oracle."""
     import pdfspark.queries as q
 
     for t in ("documents",):
@@ -371,3 +371,23 @@ def test_video_meta_parity(spark, duck):
                  "video_meta")
     assert n > 0
     assert all(r.error is None for r in df.collect())
+
+
+def test_image_meta_parity(spark, duck):
+    """Image modality (registered r5, VERDICT r4 next #2): the fused
+    synth→parse roundtrip over REAL PNG/JPEG/BMP header parsing must
+    agree with the closed-form oracle — format, dims, depth and
+    channel count all recomputed from doc_id, zero error rows."""
+    import pdfspark.queries as q
+
+    for t in ("documents",):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet") \
+            .createOrReplaceTempView(t)
+    df = q._image_meta_impl(spark, SF_DIR)
+    n = _compare(df, duck,
+                 q._IMAGE_META_ORACLE.format(strtype="VARCHAR"),
+                 "image_meta")
+    assert n > 0
+    rows = df.collect()
+    assert all(r.error is None for r in rows)
+    assert {r.fmt for r in rows} == {"png", "jpeg", "bmp"}

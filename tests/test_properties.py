@@ -289,3 +289,30 @@ def test_mp4_header_survives_mutated_valid_containers(data):
     mutated = base[:pos] + bytes([val]) + base[pos + 1:]
     r = parse_mp4_header(mutated)
     assert r is None or (isinstance(r, tuple) and len(r) == 4)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048))
+def test_image_header_never_raises_on_garbage(data):
+    """Image header parse path (r5): arbitrary bytes — raw or prefixed
+    with each format's magic — must return a tuple or None, never
+    raise or loop."""
+    from pdfspark.multimodal import parse_image_header
+
+    for buf in (data, b"\x89PNG\r\n\x1a\n" + data,
+                b"\xff\xd8" + data, b"BM" + data):
+        r = parse_image_header(buf)
+        assert r is None or (isinstance(r, tuple) and len(r) == 5)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_image_header_survives_mutated_valid_images(data):
+    from pdfspark.multimodal import parse_image_header, synth_image
+
+    base = synth_image(data.draw(st.integers(0, 500)))
+    pos = data.draw(st.integers(0, len(base) - 1))
+    val = data.draw(st.integers(0, 255))
+    mutated = base[:pos] + bytes([val]) + base[pos + 1:]
+    r = parse_image_header(mutated)
+    assert r is None or (isinstance(r, tuple) and len(r) == 5)
