@@ -3961,38 +3961,79 @@ def text_char_entropy(spark, sf_dir):
     ))
 
 
-# Corpus length-distribution audit: NTILE deciles over char length with
-# deterministic (length, doc_id) tie-break — the length-filter design
-# table every pretraining pipeline derives before choosing min/max-len
-# cutoffs.
-_LEN_DECILE_SQL = """
+# Corpus length-distribution audit (scale-shape form, VERDICT r4 next
+# #3): decile CUTPOINTS from approx_percentile — a mergeable sketch
+# aggregation with map-side combine, never a global sort — then bucket
+# assignment by comparing each doc's length against the broadcast
+# 9-element cutpoint array. Cross-engine exactness: in exact mode
+# (n_docs ≤ accuracy) Spark's sketch returns the ceil(p*N)-th smallest
+# value (1-indexed; QuantileSummaries.query rank = ceil(quantile *
+# count), verified empirically at N=10/13/37/500), which the oracle
+# recomputes as a ROW_NUMBER rank — the (p/10.0)*N product is the same
+# IEEE double op in both engines, so the rank can never differ. Bucket
+# semantics are value-based (1 + #cutpoints strictly below the value):
+# tied lengths always share a bucket, unlike NTILE's equal-count split
+# — and the assignment stays correct when the sketch turns
+# approximate at 10^12 docs (buckets are then approximate deciles,
+# the audit's contract).
+_LEN_DECILE_PS = "0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9"
+
+_LEN_DECILE_SPARK_SQL = f"""
 WITH lens AS (
   SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars FROM documents),
-ranked AS (
-  SELECT doc_id, n_chars,
-    CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS decile
-  FROM lens)
-SELECT decile,
+cuts AS (
+  SELECT approx_percentile(n_chars, array({_LEN_DECILE_PS}), 1000000)
+    AS cs FROM lens),
+assigned AS (
+  SELECT l.n_chars,
+    1 + aggregate(c.cs, 0,
+                  (acc, x) -> acc + IF(l.n_chars > x, 1, 0)) AS decile
+  FROM lens l CROSS JOIN cuts c)
+SELECT CAST(decile AS BIGINT) AS decile,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
   MIN(n_chars) AS min_chars,
   MAX(n_chars) AS max_chars,
   CAST(SUM(n_chars) AS BIGINT) AS total_chars
-FROM ranked GROUP BY decile
+FROM assigned GROUP BY decile
+"""
+
+_LEN_DECILE_SQL = """
+WITH lens AS (
+  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars FROM documents),
+n AS (SELECT COUNT(*) AS cnt FROM lens),
+ordered AS (
+  SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS rnk FROM lens),
+cuts AS (
+  SELECT o.n_chars AS cut
+  FROM ordered o, n, (SELECT unnest(range(1, 10)) AS i) g
+  WHERE o.rnk = CAST(CEIL((g.i / 10.0) * n.cnt) AS BIGINT)),
+assigned AS (
+  SELECT l.n_chars,
+    1 + (SELECT COUNT(*) FROM cuts c WHERE l.n_chars > c.cut) AS decile
+  FROM lens l)
+SELECT CAST(decile AS BIGINT) AS decile,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  MIN(n_chars) AS min_chars,
+  MAX(n_chars) AS max_chars,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM assigned GROUP BY decile
 """
 
 
 @register("doc_length_percentile_buckets", oracle=_LEN_DECILE_SQL)
 def doc_length_percentile_buckets(spark, sf_dir):
     """Length-decile profile of the corpus (docs per decile, char
-    bounds, mass): NTILE(10) with the (n_chars, doc_id) tie-break so
-    bucket assignment is engine-exact. Scale note: a global NTILE is a
-    single-partition sort at 100 TB — the production path would swap in
-    approx_percentile cutpoints + a broadcast range join (same shape as
-    doc-length filtering); at the audit's input size (one BIGINT pair
-    per doc — the TEXT never enters the window) the exact form stays
-    cheap and, unlike the approximation, is oracle-checkable."""
+    bounds, mass) — the length-filter design table every pretraining
+    pipeline derives before choosing min/max-len cutoffs. Scale shape
+    (r5): approx_percentile cutpoints (partial-aggregated sketch, no
+    global sort anywhere) + a one-row broadcast against the lens table;
+    the former exact-NTILE form was the suite's last single-partition
+    sort window. The DuckDB oracle recomputes the cutpoints exactly via
+    ROW_NUMBER rank = CEIL((i/10.0)*N) — tolerance-free because the
+    sketch is exact below its accuracy bound (see _LEN_DECILE_SPARK_SQL
+    comment)."""
     _load(spark, sf_dir, "documents")
-    return spark.sql(_LEN_DECILE_SQL)
+    return spark.sql(_LEN_DECILE_SPARK_SQL)
 
 
 # =========================================================================
@@ -4014,14 +4055,18 @@ DRIVER_PRIORITY = [
     # CORRECTNESS_r03 — their verdicts age out after this round)
     # returns to the window. The r4 cohort (all green in
     # CORRECTNESS_r04) cedes its slots; it stays registered, locally
-    # oracle-gated at two SFs, and returns in r6. Three r3 veterans
+    # oracle-gated at two SFs, and returns in r6. Four r3 veterans
     # (embedding_norms, unpivot_order_year_counts,
-    # grouped_stats_apply_in_pandas) wait for r6's window.
+    # grouped_stats_apply_in_pandas, url_blocklist_filter) wait for
+    # r6's window.
     # -- new in r5 (first verdict) --
     "multimodal_image_meta",
     "multimodal_audio_meta",
     "multimodal_video_meta",
     "ann_signlsh_topk",
+    # -- output changed in r5 (needs a fresh verdict): NTILE window →
+    # approx_percentile cutpoint buckets --
+    "doc_length_percentile_buckets",
     # -- r3 veterans, verdict age 2 rounds (registration-order groups) --
     "q5_region_revenue",
     "html_extract_roundtrip",
@@ -4068,7 +4113,6 @@ DRIVER_PRIORITY = [
     "sample_match_distribution",
     "shard_pack_token_budget",
     "shard_materialize",
-    "url_blocklist_filter",
 ]
 
 
