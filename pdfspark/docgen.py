@@ -770,3 +770,85 @@ def text_to_pdf_postfont(text: str, meta_id: int = 0) -> bytes:
         b"startxref\n%d\n%%%%EOF\n" % (size, xref_off)
     )
     return bytes(out)
+
+
+def text_to_pdf_table(text: str, meta_id: int = 0,
+                      n_cols: int = 3) -> bytes:
+    """Grid/table layout whose content stream is written CELL-BY-CELL
+    in COLUMN order — the typical table-generator pattern that defeats
+    plain linearization (stream order reads the table column-major,
+    interleaving rows). Cells are consecutive word PAIRS of the source
+    text placed row-major into an n_cols-wide grid; each table column
+    starts 40pt after the widest cell of the previous column (Helvetica
+    AFM widths, so every inter-cell gap is ≥40pt — above the pinned
+    TABLE_CELL_GAP_PT — while intra-cell spaces are explicit space
+    glyphs with zero kern gap). layout.table_cells must read back every
+    (row, col, cell_text) byte-exactly; reading_order_text with
+    layout='table' restores the full row-major text."""
+    from pdfspark.kernel.base14 import _HELVETICA
+
+    def cell_width(s: str) -> float:
+        return sum(_HELVETICA.get(c, 556) for c in s) * 12.0 / 1000.0
+
+    text = normalize_for_pdf(text)
+    words = text.split(" ")
+    cells = [" ".join(words[2 * k:2 * k + 2])
+             for k in range((len(words) + 1) // 2)]
+    n_rows = (len(cells) + n_cols - 1) // n_cols
+    stops = [72.0]
+    for c in range(1, n_cols):
+        wmax = max(
+            (cell_width(cells[r * n_cols + c - 1]) for r in range(n_rows)
+             if r * n_cols + c - 1 < len(cells)),
+            default=0.0,
+        )
+        stops.append(stops[-1] + wmax + 40.0)
+    ops = []
+    for c in range(n_cols):  # column-major stream order — the point
+        for r in range(n_rows):
+            k = r * n_cols + c
+            if k < len(cells) and cells[k]:
+                y = 740 - 18 * r
+                ops.append(
+                    f"BT /F1 12 Tf {stops[c]:.2f} {y} Td "
+                    f"({_escape(cells[k])}) Tj ET "
+                )
+    content = "".join(ops).encode("latin-1")
+    data = zlib.compress(content, 6)
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    emit(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    emit(
+        4,
+        b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(data)
+        + data + b"\nendstream",
+    )
+    emit(
+        5,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+    )
+    emit(6, b"<< /Title (doc %d) /Producer (pdfspark-docgen) >>" % meta_id)
+    size = max(offsets) + 1
+    xref_off = len(out)
+    out.extend(b"xref\n0 %d\n0000000000 65535 f \n" % size)
+    for n in range(1, size):
+        out.extend(b"%010d 00000 n \n" % offsets[n])
+    out.extend(
+        b"trailer\n<< /Size %d /Root 1 0 R /Info 6 0 R >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (size, xref_off)
+    )
+    return bytes(out)

@@ -73,6 +73,10 @@ class GlyphPos(NamedTuple):
     x: float
     y: float
     w: float = 0.0
+    # device-space em size: the length of the (0, Tf-size) vector
+    # through Tm∘CTM — what "the font size" means after scaling
+    # matrices; feeds size-aware line clustering (kernel/layout.py)
+    size: float = 0.0
 
 
 class ExtractResult(NamedTuple):
@@ -137,8 +141,8 @@ def extract_text(buf: bytes, positions: bool = False,
             spans.append(Span(i, off, off + len(t)))
             if glyph_positions is not None:
                 glyph_positions.extend(
-                    GlyphPos(i, off + o, x, y, w)
-                    for o, x, y, w in page_pos[i]
+                    GlyphPos(i, off + o, x, y, w, sz)
+                    for o, x, y, w, sz in page_pos[i]
                 )
             off += len(t) + 1  # the \f separator
         title, created = _doc_metadata(doc)
@@ -559,7 +563,14 @@ class _PageInterp:
         if self.positions is not None:
             # per-glyph path: one matrix read + one advance per glyph —
             # the Trm origin the reference computes per glyph
-            # (`src/render/mod.rs:1273-1315`), exposed as geometry
+            # (`src/render/mod.rs:1273-1315`), exposed as geometry.
+            # Device em size is constant within a show (advances only
+            # translate Tm): length of the (0, size) vector through
+            # Trm, computed once
+            m0 = mat_mul(ts.tm, self.gs.ctm)
+            bx, by = apply(m0, 0.0, 0.0)
+            sx, sy = apply(m0, 0.0, ts.font_size)
+            dev_size = ((sx - bx) ** 2 + (sy - by) ** 2) ** 0.5
             for g in font.decode(bytes(raw)):
                 gx, gy = apply(mat_mul(ts.tm, self.gs.ctm), 0.0, ts.rise)
                 off = self.out_len
@@ -569,7 +580,7 @@ class _PageInterp:
                      + (ts.word_spacing if g.is_space else 0.0)) * ts.h_scale
                 )
                 nx, _ = apply(mat_mul(ts.tm, self.gs.ctm), 0.0, ts.rise)
-                self.positions.append((off, gx, gy, nx - gx))
+                self.positions.append((off, gx, gy, nx - gx, dev_size))
                 if self.runs is not None and not self.mc_suppress:
                     self.runs.append((self._mcid(), g.text))
             _, self.last_y = apply(mat_mul(ts.tm, self.gs.ctm), 0.0, 0.0)

@@ -51,13 +51,36 @@ DENSITY_GUTTER_FRACTION = 1.5
 DENSITY_MIN_LINES = 2
 # density-mode baseline clustering: y values within this fraction of
 # the page-median advance merge into one line — super/subscript rises
-# (~0.33em ≈ 0.65×median advance) merge, real leading (≥1em) never does
+# (~0.33em ≈ 0.65×median advance) merge, real leading (≥1em) never does.
+# FALLBACK ONLY since r5: used when glyphs carry no device size (older
+# position tuples) — the primary rule is LINE_SIZE_TOL_FRACTION below.
 LINE_TOL_FRACTION = 0.8
+# size-aware line clustering (r5, VERDICT r4 next #5): two adjacent
+# baselines merge when their gap is under this fraction of the LARGER
+# of the two lines' median device em sizes. 0.4 em: a superscript rise
+# (~0.33 em of the BODY size — the body line is the larger side of the
+# comparison, so a small-size script never shrinks the tolerance)
+# merges, real leading (≥1 em of the body size) never does. On uniform
+# 12pt Helvetica this equals the old advance-based constant exactly
+# (0.4×12pt = 0.8×6pt-median-advance = 4.8pt), which is why the
+# pre-r5 density goldens hold unchanged.
+LINE_SIZE_TOL_FRACTION = 0.4
 # word boundary when inter-glyph gap > this fraction of the line's
 # median glyph advance: a typographic space is ~0.25-0.33 em while
 # median lowercase advances are ~0.5 em, so 0.35×median ≈ 0.18 em sits
 # between kern-adjustment noise (≲0.12 em) and real inter-word gaps
 WORD_GAP_FRACTION = 0.35
+# table mode (opt-in, layout="table" / table_cells): a CELL boundary is
+# an intra-line gap wider than this many points — far above word gaps
+# (explicit space glyphs consume their own advance, kerned word gaps
+# are ≲0.35 em ≈ 4pt at 12pt) and comfortably below real inter-cell
+# gutters (table generators/typesetters leave ≥2-3 ems between columns)
+TABLE_CELL_GAP_PT = 20.0
+# grid-aligned x-stop clustering: cell start-x values across rows fuse
+# into one table-column stop when within this many points of the
+# cluster's last member (single-linkage — real typeset tables align
+# column starts exactly; 2pt absorbs numeric jitter)
+TABLE_STOP_TOL_PT = 2.0
 
 
 def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT,
@@ -66,10 +89,13 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT,
     ``positions=True``). Returns "" for error documents.
 
     ``layout``: "fixed" (the pinned default — column split at x-value
-    gaps > ``col_gap``) or "density" (opt-in — split at x-bands the
+    gaps > ``col_gap``), "density" (opt-in — split at x-bands the
     union of glyph coverage leaves empty; finds ragged/narrow gutters
     the fixed threshold misses, with its OWN goldens and oracle query —
-    the default's goldens are untouched)."""
+    the default's goldens are untouched), or "table" (opt-in — grid
+    pages read ROW-major: no column split at all, each baseline reads
+    straight across its cells left-to-right; the structured per-cell
+    surface is ``table_cells``)."""
     if r.text is None:
         return ""
     if not r.glyph_positions:
@@ -83,21 +109,15 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT,
         if not glyphs:
             pages.append(r.text[span.start:span.end])
             continue
-        glyphs.sort(key=lambda g: g.offset)
-        # glyph i's contributed text = [offset_i, offset_{i+1}) minus any
-        # interpreter-inserted separators ("\n" between baselines, "\f"
-        # between pages — geometry replaces both)
-        slices = []
-        for i, g in enumerate(glyphs):
-            end = (glyphs[i + 1].offset if i + 1 < len(glyphs)
-                   else span.end)
-            slices.append(
-                (g, r.text[g.offset:end].replace("\n", "").replace("\f", ""))
-            )
+        slices = _glyph_slices(r, span, glyphs)
         # 1. column boundaries: fixed x-gap policy, or coverage-hole
         # (density) policy under the opt-in flag
         if layout == "density":
             bounds = _density_bounds(glyphs)
+        elif layout == "table":
+            # tables read across the grid: a column split would read
+            # column-major — exactly the order a table must NOT read in
+            bounds = []
         else:
             xs = sorted({round(g.x, 3) for g in glyphs})
             bounds = [
@@ -136,26 +156,78 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT,
     return "\f".join(pages)
 
 
-def _cluster_lines(lines: dict, glyphs: List) -> dict:
-    """Density-mode baseline clustering: adjacent y values closer than
-    LINE_TOL_FRACTION × the page-median advance merge into one line
-    (keyed by the cluster's TOP y so ordering is unchanged). Real line
-    leading (≥1em) sits far above the tolerance (~0.4em), while
-    super/subscript rises (~0.33em) fall under it — so scripts join
-    their line instead of becoming a phantom line above/below it."""
-    if len(lines) < 2:
-        return lines
+def _glyph_slices(r: ExtractResult, span, glyphs: List) -> List[tuple]:
+    """(glyph, contributed-text) pairs for one page: glyph i's text =
+    [offset_i, offset_{i+1}) minus any interpreter-inserted separators
+    ("\\n" between baselines, "\\f" between pages — geometry replaces
+    both). SORTS ``glyphs`` by offset in place."""
+    glyphs.sort(key=lambda g: g.offset)
+    slices = []
+    for i, g in enumerate(glyphs):
+        end = (glyphs[i + 1].offset if i + 1 < len(glyphs)
+               else span.end)
+        slices.append(
+            (g, r.text[g.offset:end].replace("\n", "").replace("\f", ""))
+        )
+    return slices
+
+
+def _line_sizes(glyphs: List) -> dict:
+    """Per-baseline median device em size (GlyphPos.size), keyed by
+    round(y, 3) — {} when no glyph carries a size (older tuples), which
+    switches clustering to the advance-based fallback."""
+    by_y: dict = {}
+    for g in glyphs:
+        sz = getattr(g, "size", 0.0)
+        if sz > 0:
+            by_y.setdefault(round(g.y, 3), []).append(sz)
+    return {
+        y: sorted(szs)[len(szs) // 2] for y, szs in by_y.items()
+    }
+
+
+def _advance_tol(glyphs: List) -> float:
+    """The pre-r5 fallback tolerance: LINE_TOL_FRACTION × page-median
+    advance (0 when the page has no positive advances)."""
     advances = sorted(g.w for g in glyphs if g.w > 0)
     if not advances:
+        return 0.0
+    return LINE_TOL_FRACTION * advances[len(advances) // 2]
+
+
+def _merge_tol(prev_y: float, y: float, sizes: dict,
+               fallback: float) -> float:
+    """Gap tolerance for merging baseline ``y`` into the line at
+    ``prev_y``: LINE_SIZE_TOL_FRACTION × the larger of the two lines'
+    median device sizes — the body line dominates, so a small-size
+    super/subscript still merges into a large-font line. Falls back to
+    the advance-based constant when either line carries no size."""
+    a, b = sizes.get(round(prev_y, 3), 0.0), sizes.get(round(y, 3), 0.0)
+    if a > 0 and b > 0:
+        return LINE_SIZE_TOL_FRACTION * max(a, b)
+    return fallback
+
+
+def _cluster_lines(lines: dict, glyphs: List) -> dict:
+    """Density-mode baseline clustering: adjacent y values closer than
+    the merge tolerance fuse into one line (keyed by the cluster's TOP
+    y so ordering is unchanged). The tolerance is size-aware (r5):
+    0.4 em of the larger line's median device font size — so a
+    superscript over 24pt body (rise ~8pt) merges even on a page whose
+    OTHER text is small, where the old global advance-based constant
+    (still the no-size fallback) mis-clustered it into a phantom line.
+    Real line leading (≥1 em of the body size) never merges."""
+    if len(lines) < 2:
         return lines
-    tol = LINE_TOL_FRACTION * advances[len(advances) // 2]
+    fallback = _advance_tol(glyphs)
+    sizes = _line_sizes(glyphs)
     ys = sorted(lines, reverse=True)
     merged: dict = {}
     anchor = ys[0]
     merged[anchor] = list(lines[anchor])
     prev = anchor
     for y in ys[1:]:
-        if prev - y <= tol:
+        if prev - y <= _merge_tol(prev, y, sizes, fallback):
             merged[anchor].extend(lines[y])
         else:
             anchor = y
@@ -177,10 +249,12 @@ def _density_bounds(glyphs: List) -> List[float]:
     if not advances:
         return []
     med = advances[len(advances) // 2]
+    fallback = LINE_TOL_FRACTION * med
+    sizes = _line_sizes(glyphs)
     ys = sorted({round(g.y, 3) for g in glyphs}, reverse=True)
     n_lines, prev = 1, ys[0]
     for y in ys[1:]:
-        if prev - y > LINE_TOL_FRACTION * med:
+        if prev - y > _merge_tol(prev, y, sizes, fallback):
             n_lines += 1
         prev = y
     if n_lines < DENSITY_MIN_LINES:
@@ -199,6 +273,86 @@ def _density_bounds(glyphs: List) -> List[float]:
         for i in range(len(merged) - 1)
         if merged[i + 1][0] - merged[i][1] > min_gutter
     ]
+
+
+def table_cells(r: ExtractResult) -> List[tuple]:
+    """Structured table extraction (layout tier 3, VERDICT r4 next #4):
+    grid-aligned x-stop clustering over GlyphPos → one
+    ``(page, row_idx, col_idx, cell_text)`` tuple per cell.
+
+    Pinned policy:
+
+    1. Lines by exact baseline y (as the fixed mode), top-to-bottom.
+    2. Within a line, a horizontal gap wider than ``TABLE_CELL_GAP_PT``
+       between one glyph's end (x + w) and the next glyph's start is a
+       CELL boundary (word gaps — explicit space glyphs or kerned
+       breaks ≲0.35 em — sit far below it).
+    3. Cell start-x values across ALL rows cluster into the page's
+       x-stops (single-linkage, ``TABLE_STOP_TOL_PT``); a cell's
+       col_idx is its start's stop-cluster rank (left-to-right).
+    4. row_idx is the line's top-down rank; cell text assembles with
+       the same kerned-word-break policy as every other mode
+       (_assemble_line).
+
+    The reference renders table glyphs at positions like any others and
+    has no table notion (`src/render/mod.rs:1273-1315`) — this surface
+    exceeds it: content streams written cell-by-cell in COLUMN order
+    (a common generator pattern) linearize interleaved, while the grid
+    reconstruction reads them back cell-exact. Returns [] for error
+    documents or pages without positions."""
+    if r.text is None or not r.glyph_positions:
+        return []
+    by_page: dict = {}
+    for g in r.glyph_positions:
+        by_page.setdefault(g.page, []).append(g)
+    out: List[tuple] = []
+    for span in r.spans:
+        glyphs = by_page.get(span.page, [])
+        if not glyphs:
+            continue
+        slices = _glyph_slices(r, span, glyphs)
+        lines: dict = {}
+        for g, s in slices:
+            lines.setdefault(round(g.y, 3), []).append(
+                (g.x, g.offset, s, g.w)
+            )
+        # rows top-down; segments split at cell-gap boundaries
+        rows: List[List[List[tuple]]] = []
+        for y in sorted(lines, reverse=True):
+            gl = sorted(lines[y])
+            segs: List[List[tuple]] = [[gl[0]]]
+            for i in range(1, len(gl)):
+                x = gl[i][0]
+                px, _, _, pw = gl[i - 1]
+                if x - (px + pw) > TABLE_CELL_GAP_PT:
+                    segs.append([gl[i]])
+                else:
+                    segs[-1].append(gl[i])
+            rows.append(segs)
+        # x-stop clustering across all rows (single-linkage)
+        starts = sorted(seg[0][0] for row in rows for seg in row)
+        clusters: List[List[float]] = []
+        for x in starts:
+            if clusters and x - clusters[-1][-1] <= TABLE_STOP_TOL_PT:
+                clusters[-1].append(x)
+            else:
+                clusters.append([x])
+        anchors = [c[0] for c in clusters]
+
+        def col_of(x: float) -> int:
+            c = 0
+            for i, a in enumerate(anchors):
+                if x >= a - 1e-9:
+                    c = i
+            return c
+
+        for row_idx, segs in enumerate(rows):
+            for seg in segs:
+                out.append(
+                    (span.page, row_idx, col_of(seg[0][0]),
+                     _assemble_line(seg))
+                )
+    return out
 
 
 def _assemble_line(glyphs: List[tuple]) -> str:

@@ -439,6 +439,50 @@ def columns_reading_order_extract(spark: SparkSession, sf_dir: str,
     return docs.mapInPandas(run, "url string, text string")
 
 
+def table_cells_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused harness for structured table extraction (layout tier 3):
+    synthesize grid PDFs whose content streams are written cell-by-cell
+    in COLUMN order (fmt 'pdf_table' — plain linearization provably
+    interleaves rows), extract with glyph positions, and emit ONE ROW
+    PER CELL via layout.table_cells — (url, row_idx, col_idx,
+    cell_text), each cell byte-identical to its source word pair. Same
+    single-Python-stage shape as roundtrip_extract; the 1→N cell
+    explosion happens inside the Arrow batch, so no array column ever
+    crosses the driver boundary (CLAUDE.md scalar-output rule)."""
+    docs = _documents_repartitioned(spark, sf_dir)
+
+    def run(batches):
+        import sys
+
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
+        import pandas as pd
+
+        from pdfspark.kernel.extract import extract_text
+        from pdfspark.kernel.layout import table_cells
+
+        for b in batches:
+            urls, rows_, cols_, texts = [], [], [], []
+            for doc_id, text, lang in zip(b["doc_id"], b["text"], b["lang"]):
+                i = int(doc_id)
+                url, buf = _synth_page(i, text, lang, "pdf_table", 0)
+                r = extract_text(buf, positions=True)
+                for _page, row_idx, col_idx, cell in table_cells(r):
+                    urls.append(url)
+                    rows_.append(row_idx)
+                    cols_.append(col_idx)
+                    texts.append(cell)
+            yield pd.DataFrame(
+                {"url": urls, "row_idx": rows_, "col_idx": cols_,
+                 "cell_text": texts},
+                columns=["url", "row_idx", "col_idx", "cell_text"],
+            )
+
+    return docs.mapInPandas(
+        run, "url string, row_idx long, col_idx long, cell_text string"
+    )
+
+
 def extract_pages_skew_aware(
     pages: DataFrame,
     nsalt: Optional[int] = None,
@@ -684,6 +728,10 @@ def _synth_page(i: int, text: str, lang, fmt: str,
         from pdfspark.docgen import text_to_pdf_postfont
 
         html = text_to_pdf_postfont(text, meta_id=i)
+    elif fmt == "pdf_table":
+        from pdfspark.docgen import text_to_pdf_table
+
+        html = text_to_pdf_table(text, meta_id=i)
     elif fmt == "pdf_layout_mix":
         # heterogeneous layouts, chosen deterministically per doc:
         # plain flow / two-column visual order / kern-positioned words

@@ -2038,6 +2038,51 @@ def pdf_density_columns(spark, sf_dir):
     )
 
 
+# Structured table extraction (layout tier 3, VERDICT r4 next #4): the
+# generator places consecutive word PAIRS of documents.text row-major
+# into a 3-wide grid and writes the content stream COLUMN-major (plain
+# linearization provably interleaves rows); table_cells reconstructs
+# (row, col, cell) from grid-aligned x-stop clustering. The oracle
+# recomputes every cell arithmetically: cell k = words[2k]+' '+
+# words[2k+1], row k//3, col k%3 — byte identity per cell.
+_TABLE_CELLS_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+cells AS (
+  SELECT doc_id, ws,
+    unnest(range(CAST(CEIL(len(ws) / 2.0) AS BIGINT))) AS k
+  FROM words)
+SELECT doc_id,
+  CAST(FLOOR(k / 3.0) AS BIGINT) AS row_idx,
+  CAST(k % 3 AS BIGINT) AS col_idx,
+  ws[CAST(2 * k + 1 AS INT)] ||
+    CASE WHEN len(ws) >= 2 * k + 2
+         THEN ' ' || ws[CAST(2 * k + 2 AS INT)] ELSE '' END AS cell_text
+FROM cells
+"""
+
+
+@register("pdf_table_cells", oracle=_TABLE_CELLS_SQL)
+def pdf_table_cells(spark, sf_dir):
+    """Table detection (opt-in layout tier 3): every doc renders as a
+    3-column grid written cell-by-cell in COLUMN stream order — plain
+    extraction interleaves the rows, and the column modes would read it
+    column-major (also wrong: tables read row-major). table_cells
+    clusters cell start-x values into grid stops across rows and emits
+    one (row_idx, col_idx, cell_text) row per cell, byte-identical to
+    the source word pairs. Scale shape: ONE fused Python stage (synth +
+    extract + cell explosion inside the Arrow batch), no shuffle until
+    the driver's own collect."""
+    from pdfspark.pipeline import table_cells_extract
+
+    ext = table_cells_extract(spark, sf_dir)
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long")
+        .alias("doc_id"),
+        "row_idx", "col_idx", "cell_text",
+    )
+
+
 @register(
     "pdf_layout_mix_extract",
     oracle="SELECT doc_id, text FROM documents",
@@ -4055,11 +4100,12 @@ DRIVER_PRIORITY = [
     # CORRECTNESS_r03 — their verdicts age out after this round)
     # returns to the window. The r4 cohort (all green in
     # CORRECTNESS_r04) cedes its slots; it stays registered, locally
-    # oracle-gated at two SFs, and returns in r6. Four r3 veterans
+    # oracle-gated at two SFs, and returns in r6. Five r3 veterans
     # (embedding_norms, unpivot_order_year_counts,
-    # grouped_stats_apply_in_pandas, url_blocklist_filter) wait for
-    # r6's window.
+    # grouped_stats_apply_in_pandas, url_blocklist_filter,
+    # text_compression_ratio) wait for r6's window.
     # -- new in r5 (first verdict) --
+    "pdf_table_cells",
     "multimodal_image_meta",
     "multimodal_audio_meta",
     "multimodal_video_meta",
@@ -4105,7 +4151,6 @@ DRIVER_PRIORITY = [
     "text_gopher_quality",
     "text_repetition_signals",
     "text_unigram_commonness",
-    "text_compression_ratio",
     "text_pii_scrub",
     "text_winnowing_neardup",
     "token_count_pandas_udf",

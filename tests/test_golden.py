@@ -296,3 +296,78 @@ def test_density_single_line_with_superscript_never_splits():
     # word ORDER preserved (no column split reordering); the kern gaps
     # may lawfully become spaces (word-break policy), never reordering
     assert out.replace(" ", "") == "alphabetagamma1", repr(out)
+
+
+def test_density_size_aware_line_clustering_mixed_sizes():
+    """Size-aware baseline clustering (r5, VERDICT r4 next #5): a
+    superscript over a 24pt headline rises 8pt — ABOVE the old global
+    0.8×median-advance tolerance on a page dominated by 9pt body text
+    (the fallback tol computes ≈4pt here), so the pre-r5 constant
+    mis-clustered it into a phantom line. The per-line size rule
+    (0.4 em of the larger line) merges it; the 11pt body leading and
+    the 16pt headline-to-body gap still separate real lines."""
+    from pdfspark.fixtures import BASE14, PdfBuilder
+    from pdfspark.kernel.layout import _advance_tol, reading_order_text
+
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    content = (
+        b"BT /F1 24 Tf 72 720 Td (Energy mc) Tj 8 Ts (2) Tj 0 Ts "
+        b"( done) Tj ET "
+        b"BT /F1 9 Tf 72 680 Td (small body line one here) Tj "
+        b"0 -11 Td (small body line two here) Tj "
+        b"0 -11 Td (small body line three here) Tj ET"
+    )
+    c = b.add_stream("<< >>", content)
+    pg = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{pg} 0 R] /Count 1 >>", num=90)
+    rt = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    r = extract_text(b.build(rt), positions=True)
+    assert r.error is None
+    # the fixture really is the old rule's failure mode: the 8pt rise
+    # exceeds the advance-based fallback tolerance
+    assert _advance_tol(r.glyph_positions) < 8.0
+    # device em sizes reach the geometry layer (24pt and 9pt)
+    assert {round(g.size) for g in r.glyph_positions} == {9, 24}
+    dens = reading_order_text(r, layout="density")
+    assert dens == ("Energy mc2 done small body line one here "
+                    "small body line two here "
+                    "small body line three here"), repr(dens)
+
+
+def test_table_cells_grid_readback():
+    """Layout tier 3 (VERDICT r4 next #4): a 3-column grid written in
+    COLUMN stream order — plain linearization provably interleaves the
+    rows — reads back cell-exact through grid-aligned x-stop
+    clustering, and layout='table' restores the full row-major text
+    byte-identically."""
+    from pdfspark.docgen import text_to_pdf_table
+    from pdfspark.kernel.layout import reading_order_text, table_cells
+
+    text = ("the fast key order sort table scan merge part window "
+            "small hash scan join order batch value line agg row extra")
+    r = extract_text(text_to_pdf_table(text, meta_id=4), positions=True)
+    assert r.error is None
+    # stream order interleaves: linearized text is NOT the source
+    assert r.text != text
+    # row-major reconstruction is byte-identical
+    assert reading_order_text(r, layout="table") == text
+    # per-cell: word pairs at (k//3, k%3)
+    words = text.split(" ")
+    exp = [" ".join(words[2 * k:2 * k + 2])
+           for k in range((len(words) + 1) // 2)]
+    got = {(row, col): t for _page, row, col, t in table_cells(r)}
+    assert len(got) == len(exp)
+    for k, cell in enumerate(exp):
+        assert got[(k // 3, k % 3)] == cell, (k, cell, got)
+    # single-cell degenerate page: one row, one column
+    short = extract_text(text_to_pdf_table("one two", meta_id=5),
+                         positions=True)
+    assert table_cells(short) == [(0, 0, 0, "one two")]
+    # error documents yield [] (one-bad-document rule)
+    from pdfspark.kernel.extract import extract_text as _ex
+
+    assert table_cells(_ex(b"\x00junk", positions=True)) == []
