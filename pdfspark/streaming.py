@@ -603,6 +603,99 @@ def domain_window_quota_stream(pages: DataFrame, quota: int = 3,
     )
 
 
+# ------------------------------------------------------ stream shard packer
+
+def shard_pack_stream(docs: DataFrame, budget: Optional[int] = None,
+                      ) -> DataFrame:
+    """Streaming twin of shard_pack_token_budget (VERDICT r4 next #6 /
+    ROADMAP #5): assign each arriving document a training-shard id by
+    its STARTING token offset in arrival order, with the cumulative
+    token count carried across micro-batches in a one-row state. Token
+    counting runs JVM-side before the stateful stage (the SAME
+    whitespace split as the batch twin), so Python only cumsums. A
+    micro-batch's rows are CONCATENATED across Arrow chunks then
+    sorted once by doc_id (the r4 chunk-sort gotcha); for an in-order
+    source the drained output therefore equals the batch two-pass
+    prefix scan bit-for-bit (test-pinned drain==batch).
+
+    Scale note: one packer key is one sequential state row — inherent
+    to sequence packing, where every shard boundary depends on all
+    prior tokens. At 10^12 docs you run MANY independent packers; the
+    groupBy key (``packer``) is the fan-out axis (language, domain
+    bucket, source shard) and each key's state stays a single bigint.
+    The single-key form here is the one the batch oracle can check."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from pdfspark.queries import _SHARD_BUDGET
+
+    if budget is None:
+        budget = _SHARD_BUDGET
+
+    def pack(key, pdfs, state):
+        import pandas as pd
+
+        (offset,) = state.get if state.exists else (0,)
+        chunks = list(pdfs)
+        if not chunks:
+            state.update((offset,))
+            yield pd.DataFrame(
+                columns=["doc_id", "n_tokens", "shard_id"])
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+        rows = []
+        for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+            rows.append({"doc_id": int(doc_id), "n_tokens": int(n),
+                         "shard_id": offset // budget})
+            offset += int(n)
+        state.update((int(offset),))
+        yield pd.DataFrame(rows, columns=["doc_id", "n_tokens", "shard_id"])
+
+    tok = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        .alias("n_tokens"),
+        F.lit(0).alias("packer"),
+    )
+    return tok.groupBy("packer").applyInPandasWithState(
+        pack,
+        outputStructType="doc_id long, n_tokens long, shard_id long",
+        stateStructType="next_offset long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_shard_pack_stream_once(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    timeout_s: Optional[int] = 120,
+) -> bool:
+    """Drain a (doc_id, text) parquet stream through shard_pack_stream
+    into a parquet sink. The file sink is Spark's transactional
+    streaming sink (_spark_metadata manifest), so replays after partial
+    writes stay exactly-once without a batch_id-keyed subpath."""
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = (
+        shard_pack_stream(docs).writeStream
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        return q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+
+
 # --------------------------------------------------- stream IVF assignment
 
 def ivf_assign_expr(seeds) -> "F.Column":

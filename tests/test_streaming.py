@@ -682,3 +682,67 @@ WHERE r = 1
     got = {(r.vec_id, r.cell) for r in spark.read.parquet(sink).collect()}
     assert got == expect
     assert len({c for _, c in got}) > 1  # multiple cells actually used
+
+
+def test_shard_pack_stream_carry_matches_batch_prefix_scan(spark, tmp_path):
+    """Streaming shard packer (VERDICT r4 next #6): token-budget shard
+    assignment with the cumulative offset CARRIED across micro-batches
+    in applyInPandasWithState. The whole sf0.001 documents table
+    streams in three doc_id-ordered files (maxFilesPerTrigger=1, so
+    the carry state crosses real micro-batch boundaries); the drained
+    output must equal shard_pack_token_budget's distributed two-pass
+    prefix scan bit-for-bit — same doc_ids, token counts and shard
+    boundaries, including shards that straddle a micro-batch edge."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfspark.queries import QUERIES
+    from pdfspark.streaming import run_shard_pack_stream_once
+
+    sf_dir = "/root/testdata/sf0.001"
+    in_dir = tmp_path / "pin"
+    out_dir = str(tmp_path / "pout")
+    ckpt = str(tmp_path / "pckpt")
+    in_dir.mkdir()
+
+    rows = sorted(
+        ((int(r.doc_id), r.text) for r in
+         spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .select("doc_id", "text").collect()),
+    )
+    third = len(rows) // 3
+    chunks = [rows[:third], rows[third:2 * third], rows[2 * third:]]
+    for k, chunk in enumerate(chunks):
+        path = str(in_dir / f"chunk{k}.parquet")
+        pq.write_table(
+            pa.table(
+                {"doc_id": [d for d, _ in chunk],
+                 "text": [t for _, t in chunk]},
+                schema=pa.schema([("doc_id", pa.int64()),
+                                  ("text", pa.string())]),
+            ),
+            path,
+        )
+        # explicit increasing mtimes: the file source orders by
+        # modification time, and the carry is order-sensitive
+        os.utime(path, (1_000_000 + k, 1_000_000 + k))
+
+    run_shard_pack_stream_once(spark, str(in_dir), out_dir, ckpt)
+
+    streamed = {
+        (r.doc_id, r.n_tokens, r.shard_id)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r.doc_id, r.n_tokens, r.shard_id)
+        for r in QUERIES["shard_pack_token_budget"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == len(rows)
+    # the carry genuinely spans batches: the first doc of batch 2/3
+    # continues the running offset (its shard is not reset to 0)
+    first_of_b2 = chunks[1][0][0]
+    b2_shard = {s for d, _, s in streamed if d == first_of_b2}
+    assert b2_shard != {0}
