@@ -1165,6 +1165,140 @@ def decontaminate_exact_substring(spark, sf_dir):
     return spark.sql(_EXACT_DECONTAM_SQL)
 
 
+# Span-excision decontamination: the REMOVAL tier above flagging —
+# every occurrence of every benchmark excerpt is excised from the
+# corpus text (the Llama/GPT-4-report style "remove the contaminated
+# span, keep the document"). The excerpt set is a one-row broadcast
+# ARRAY folded over the text with replace(): Spark aggregate() and
+# DuckDB list_reduce(list_prepend(...)) are both left folds over the
+# bench_id-sorted excerpt list, so chained excisions (and any matches
+# an earlier excision exposes) resolve identically. Output hashes the
+# cleaned text (scalar-column rule).
+_SPAN_EXCISE_SPARK_SQL = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(text, 1, CAST(FLOOR(length(text)*0.8) AS INT)) AS text
+  FROM documents WHERE doc_id % 3 = 0),
+bench AS (
+  SELECT doc_id AS bench_id, substr(text, 21, 80) AS excerpt
+  FROM documents
+  WHERE doc_id % 37 = 0 AND length(text) >= 125),
+exc AS (
+  SELECT transform(array_sort(collect_list(struct(bench_id, excerpt))),
+                   s -> s.excerpt) AS arr
+  FROM bench)
+SELECT d.doc_id,
+  CAST(size(filter(e.arr, x -> instr(d.text, x) > 0)) AS BIGINT)
+    AS n_excised,
+  md5(aggregate(e.arr, d.text, (acc, x) -> replace(acc, x, '')))
+    AS clean_md5
+FROM docs d CROSS JOIN exc e
+"""
+
+_SPAN_EXCISE_DUCK_SQL = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(text, 1, CAST(FLOOR(length(text)*0.8) AS INT)) AS text
+  FROM documents WHERE doc_id % 3 = 0),
+bench AS (
+  SELECT doc_id AS bench_id, substr(text, 21, 80) AS excerpt
+  FROM documents
+  WHERE doc_id % 37 = 0 AND length(text) >= 125),
+exc AS (
+  SELECT array_agg(excerpt ORDER BY bench_id) AS arr FROM bench)
+SELECT d.doc_id,
+  CAST(len(list_filter(e.arr, x -> instr(d.text, x) > 0)) AS BIGINT)
+    AS n_excised,
+  md5(list_reduce(list_prepend(d.text, e.arr),
+                  (acc, x) -> replace(acc, x, ''))) AS clean_md5
+FROM docs d CROSS JOIN exc e
+"""
+
+
+@register("decontaminate_span_excise", oracle=_SPAN_EXCISE_DUCK_SQL)
+def decontaminate_span_excise(spark, sf_dir):
+    """Benchmark decontamination by SPAN EXCISION (the removal tier
+    next to the flagging tiers decontaminate_ngram_overlap /
+    decontaminate_exact_substring): strip every verbatim benchmark
+    excerpt from every corpus doc, keep the document. The synthesized
+    80%-prefix mutants of benchmark docs are the guaranteed excision
+    set. Scale shape: the excerpt array is ONE broadcast row against
+    the streaming corpus (BroadcastNestedLoopJoin, no text shuffle —
+    the same topology as exact-substring; at 10^12 docs the fold
+    becomes an Aho-Corasick pass in one mapInPandas); zero joins or
+    shuffles besides the one-row broadcast."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(_SPAN_EXCISE_SPARK_SQL)
+
+
+# Hashed-feature linear quality classifier (the fastText-style scoring
+# stage of CCNet/RefinedWeb-type pipelines) — tokens hash into a small
+# feature space, a broadcast weight table scores each bucket, and the
+# per-doc score is one map-side-combined SUM. Weights here are a
+# deterministic function of the bucket id (a stand-in for trained
+# parameters — the TOPOLOGY is the operator; swap the 64-row table for
+# a real model's weights and nothing else changes). All integers.
+_QCLS_BUCKETS = 64
+
+_QCLS_SPARK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, word
+  FROM documents LATERAL VIEW explode(split(trim(text), ' ')) t AS word
+  WHERE word != ''),
+feat AS (
+  SELECT doc_id,
+    CAST(conv(substr(md5(word), 1, 4), 16, 10) AS BIGINT) % {_QCLS_BUCKETS}
+      AS bucket
+  FROM tok),
+weights AS (
+  SELECT b, CAST((b * 7) % 13 - 6 AS BIGINT) AS w
+  FROM (SELECT explode(sequence(0, {_QCLS_BUCKETS - 1})) AS b))
+SELECT f.doc_id,
+  CAST(SUM(w.w) AS BIGINT) AS score,
+  CAST(CASE WHEN SUM(w.w) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM feat f JOIN weights w ON f.bucket = w.b
+GROUP BY f.doc_id
+"""
+
+_QCLS_DUCK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, word
+  FROM documents, UNNEST(string_split(trim(text), ' ')) t(word)
+  WHERE word != ''),
+feat AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(word), 1, 4)) AS BIGINT) % {_QCLS_BUCKETS}
+      AS bucket
+  FROM tok),
+weights AS (
+  SELECT b, CAST((b * 7) % 13 - 6 AS BIGINT) AS w
+  FROM (SELECT unnest(range({_QCLS_BUCKETS})) AS b))
+SELECT f.doc_id,
+  CAST(SUM(w.w) AS BIGINT) AS score,
+  CAST(CASE WHEN SUM(w.w) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM feat f JOIN weights w ON f.bucket = w.b
+GROUP BY f.doc_id
+"""
+
+
+@register("quality_classifier_linear", oracle=_QCLS_DUCK_SQL)
+def quality_classifier_linear(spark, sf_dir):
+    """Linear quality classifier over hashed token features: every
+    token occurrence hashes (md5, engine-identical) into a
+    64-bucket feature space; a broadcast weight table scores buckets;
+    the doc score is an integer SUM with map-side partial aggregation.
+    Keep/drop at score ≥ 0. Scale shape: tokenize+hash are map-side,
+    the weight join BROADCASTS (64 rows), and the only shuffle is the
+    partial-aggregated per-doc sum — linear in corpus size, no text
+    ever shuffles."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(_QCLS_SPARK_SQL)
+
+
 _SIMHASH_TAIL = """
 , words_d AS (SELECT DISTINCT doc_id, word FROM words),
 tok AS (
@@ -4100,16 +4234,21 @@ DRIVER_PRIORITY = [
     # CORRECTNESS_r03 — their verdicts age out after this round)
     # returns to the window. The r4 cohort (all green in
     # CORRECTNESS_r04) cedes its slots; it stays registered, locally
-    # oracle-gated at two SFs, and returns in r6. Five r3 veterans
+    # oracle-gated at two SFs, and returns in r6. Seven r3 veterans
     # (embedding_norms, unpivot_order_year_counts,
     # grouped_stats_apply_in_pandas, url_blocklist_filter,
-    # text_compression_ratio) wait for r6's window.
+    # text_compression_ratio, text_winnowing_neardup,
+    # sample_match_distribution) wait for r6's window — the ledger rule
+    # allows a verdict to age 2 rounds, so the rotation period is 3
+    # rounds and 103+ registered queries fit a 50-slot window.
     # -- new in r5 (first verdict) --
     "pdf_table_cells",
     "multimodal_image_meta",
     "multimodal_audio_meta",
     "multimodal_video_meta",
     "ann_signlsh_topk",
+    "decontaminate_span_excise",
+    "quality_classifier_linear",
     # -- output changed in r5 (needs a fresh verdict): NTILE window →
     # approx_percentile cutpoint buckets --
     "doc_length_percentile_buckets",
@@ -4152,10 +4291,8 @@ DRIVER_PRIORITY = [
     "text_repetition_signals",
     "text_unigram_commonness",
     "text_pii_scrub",
-    "text_winnowing_neardup",
     "token_count_pandas_udf",
     "sample_stratified",
-    "sample_match_distribution",
     "shard_pack_token_budget",
     "shard_materialize",
 ]

@@ -349,6 +349,24 @@ def test_r4_webtext_operators_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_r5_pipeline_operators_plan_shape(spark):
+    """decontaminate_span_excise folds a ONE-ROW broadcast excerpt
+    array over the streaming corpus (BroadcastNestedLoopJoin, never a
+    CartesianProduct, no text shuffle); quality_classifier_linear
+    broadcasts the 64-row weight table (BroadcastHashJoin) and
+    partial-aggregates the per-doc score before its exchange."""
+    from pdfspark.queries import QUERIES
+
+    plan = plan_of(QUERIES["decontaminate_span_excise"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+    plan = plan_of(QUERIES["quality_classifier_linear"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
 def test_exact_decontamination_broadcasts_excerpts(spark):
     """decontaminate_exact_substring's non-equi instr join must be a
     BROADCAST nested loop (tiny excerpt set against the streaming
