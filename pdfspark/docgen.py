@@ -852,3 +852,41 @@ def text_to_pdf_table(text: str, meta_id: int = 0,
         b"startxref\n%d\n%%%%EOF\n" % (size, xref_off)
     )
     return bytes(out)
+
+
+def text_to_html_linkfarm(text: str, doc_id: int = 0,
+                          words_per_block: int = 12) -> bytes:
+    """Common-Crawl-style page whose boilerplate is LINK FARMS in plain
+    <div>s — invisible to the pinned tag policy (div is a content tag;
+    the farms would pollute extract_html's output) and removable only
+    by the link-density heuristic (html_extract.extract_html_content_
+    blocks). The document text splits into ``words_per_block``-word
+    paragraphs (closed-form, so a SQL oracle recomputes every kept
+    block); the first paragraph carries a small INLINE link (<50%
+    density — must be kept, text unchanged) proving the rule is
+    density, not tag presence."""
+    import html as _html
+
+    words = text.split(" ")
+    n = words_per_block
+    paras = [" ".join(words[k * n:(k + 1) * n])
+             for k in range((len(words) + n - 1) // n)]
+    farm = ('<div><a href="/h">home pages</a> <a href="/a">about '
+            'archive</a> <a href="/c">contact sitemap menu</a></div>')
+    parts = [
+        '<!doctype html><html lang="en"><head><title>doc %d</title>'
+        '</head><body>' % doc_id,
+        farm,
+    ]
+    for k, p in enumerate(paras):
+        if k == 0 and p.count(" ") >= 3:
+            first, rest = p.split(" ", 1)
+            body = '<a href="/x">%s</a> %s' % (
+                _html.escape(first), _html.escape(rest))
+        else:
+            body = _html.escape(p)
+        parts.append("<p>%s</p>" % body)
+        if k % 2 == 1:
+            parts.append(farm)
+    parts.append(farm + "</body></html>")
+    return "".join(parts).encode("utf-8")

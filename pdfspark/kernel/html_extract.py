@@ -108,6 +108,72 @@ class _Extractor(HTMLParser):
         self._flush_block()
 
 
+# link-density boilerplate tier (opt-in, r5): a block whose characters
+# are MORE THAN HALF inside <a> subtrees is navigation/boilerplate —
+# the jusText/Readability-family heuristic for farms the tag policy
+# cannot see (a <div> of links is boilerplate; <nav> already drops).
+# Counts are RAW data characters (pre-collapse), integer-exact:
+# keep iff 2*link_chars <= total_chars.
+LINK_DENSITY_KEEP = (2, 1)  # keep iff link*2 <= total*1
+
+
+class _DensityExtractor(_Extractor):
+    """Per-block link-char accounting on top of the PINNED tag policy
+    (which it must not alter — it only adds counters): block_stats[i]
+    is (link_raw, total_raw) for blocks[i]."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._a_depth = 0
+        self._cur_link = 0
+        self._cur_total = 0
+        self.block_stats: List[tuple] = []
+
+    def _flush_block(self) -> None:
+        before = len(self.blocks)
+        super()._flush_block()
+        if len(self.blocks) > before:
+            self.block_stats.append((self._cur_link, self._cur_total))
+        self._cur_link = 0
+        self._cur_total = 0
+
+    def handle_starttag(self, tag, attrs):
+        super().handle_starttag(tag, attrs)
+        if tag == "a" and self._drop_depth == 0:
+            self._a_depth += 1
+
+    def handle_endtag(self, tag):
+        super().handle_endtag(tag)
+        if tag == "a" and self._a_depth > 0:
+            self._a_depth -= 1
+
+    def handle_data(self, data):
+        super().handle_data(data)
+        if self._drop_depth == 0:
+            self._cur_total += len(data)
+            if self._a_depth > 0:
+                self._cur_link += len(data)
+
+
+def extract_html_content_blocks(buf: bytes) -> List[tuple]:
+    """DOM-heuristic main-content tier: the pinned tag policy plus the
+    link-density rule — returns ``[(block_idx, block_text), …]`` for
+    the KEPT blocks only, re-indexed densely (a dropped farm consumes
+    no index). [] on parse failure (one-bad-document rule)."""
+    try:
+        parser = _DensityExtractor()
+        parser.feed(_decode(buf))
+        parser.close()
+        lm, tm = LINK_DENSITY_KEEP
+        out: List[tuple] = []
+        for text, (link, total) in zip(parser.blocks, parser.block_stats):
+            if link * lm <= total * tm:
+                out.append((len(out), text))
+        return out
+    except Exception:
+        return []
+
+
 _ENC_RE = re.compile(rb"charset=[\"']?([A-Za-z0-9_\-]+)", re.I)
 
 

@@ -1165,6 +1165,69 @@ def decontaminate_exact_substring(spark, sf_dir):
     return spark.sql(_EXACT_DECONTAM_SQL)
 
 
+# DOM-heuristic boilerplate removal by LINK DENSITY (jusText/
+# Readability family): link farms in plain <div>s are invisible to the
+# pinned tag policy (div is a content tag) and removable only by the
+# density rule — a block more than half of whose characters sit inside
+# <a> subtrees is navigation. The generator splits documents.text into
+# 12-word paragraphs (closed-form) interleaved with farm divs; the
+# first paragraph carries a small inline link that must SURVIVE
+# (density below the bar), proving the rule is density, not tag
+# presence. The oracle recomputes every kept block from word indexes.
+_LINK_DENSITY_DUCK_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+w AS (
+  SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS i
+  FROM words)
+SELECT doc_id,
+  CAST(FLOOR(i / 12.0) AS BIGINT) AS block_idx,
+  string_agg(word, ' ' ORDER BY i) AS block_text
+FROM w GROUP BY doc_id, block_idx
+"""
+
+
+@register("html_link_density_blocks", oracle=_LINK_DENSITY_DUCK_SQL)
+def html_link_density_blocks(spark, sf_dir):
+    """Link-density main-content blocks (the north rule's "DOM
+    heuristics" tier beyond tag stripping): one fused Python stage
+    synthesizes link-farm pages and emits each KEPT block as a row —
+    farms dropped, paragraphs byte-identical, dense re-indexing. Scale
+    shape: pure map (synth + parse + filter inside the Arrow batch),
+    zero shuffles before the driver's collect."""
+    from pdfspark.pipeline import REPO_ROOT as _RR, _documents_repartitioned
+
+    docs = _documents_repartitioned(spark, sf_dir)
+
+    def run(batches):
+        import sys
+
+        if _RR not in sys.path:
+            sys.path.insert(0, _RR)
+        import pandas as pd
+
+        from pdfspark.docgen import text_to_html_linkfarm
+        from pdfspark.kernel.html_extract import extract_html_content_blocks
+
+        for b in batches:
+            ids, idxs, texts = [], [], []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                i = int(doc_id)
+                for idx, blk in extract_html_content_blocks(
+                        text_to_html_linkfarm(text, i)):
+                    ids.append(i)
+                    idxs.append(idx)
+                    texts.append(blk)
+            yield pd.DataFrame(
+                {"doc_id": ids, "block_idx": idxs, "block_text": texts},
+                columns=["doc_id", "block_idx", "block_text"],
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, block_idx long, block_text string"
+    )
+
+
 # Span-excision decontamination: the REMOVAL tier above flagging —
 # every occurrence of every benchmark excerpt is excised from the
 # corpus text (the Llama/GPT-4-report style "remove the contaminated
@@ -4234,13 +4297,14 @@ DRIVER_PRIORITY = [
     # CORRECTNESS_r03 — their verdicts age out after this round)
     # returns to the window. The r4 cohort (all green in
     # CORRECTNESS_r04) cedes its slots; it stays registered, locally
-    # oracle-gated at two SFs, and returns in r6. Seven r3 veterans
+    # oracle-gated at two SFs, and returns in r6. Eight r3 veterans
     # (embedding_norms, unpivot_order_year_counts,
     # grouped_stats_apply_in_pandas, url_blocklist_filter,
     # text_compression_ratio, text_winnowing_neardup,
-    # sample_match_distribution) wait for r6's window — the ledger rule
-    # allows a verdict to age 2 rounds, so the rotation period is 3
-    # rounds and 103+ registered queries fit a 50-slot window.
+    # sample_match_distribution, session_window_agg) wait for r6's
+    # window — the ledger rule allows a verdict to age 2 rounds, so
+    # the rotation period is 3 rounds and 106 registered queries fit
+    # a 50-slot window.
     # -- new in r5 (first verdict) --
     "pdf_table_cells",
     "multimodal_image_meta",
@@ -4249,6 +4313,7 @@ DRIVER_PRIORITY = [
     "ann_signlsh_topk",
     "decontaminate_span_excise",
     "quality_classifier_linear",
+    "html_link_density_blocks",
     # -- output changed in r5 (needs a fresh verdict): NTILE window →
     # approx_percentile cutpoint buckets --
     "doc_length_percentile_buckets",
@@ -4272,7 +4337,6 @@ DRIVER_PRIORITY = [
     "asof_join_last_click",
     "range_join_events_windows",
     "window_range_interval_frame",
-    "session_window_agg",
     "approx_distinct_urls",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",

@@ -85,3 +85,38 @@ def test_title_captured():
     p.feed(html.decode())
     p.close()
     assert p.title == "My Page"
+
+
+def test_link_density_blocks_drop_farms_keep_inline_links():
+    """The jusText-style density tier (r5): link farms in plain <div>s
+    — which the pinned tag policy KEEPS — drop under the >50%
+    link-char rule; content paragraphs survive byte-identically, a
+    small inline link inside a paragraph survives (density, not tag
+    presence), and kept blocks re-index densely."""
+    from pdfspark.docgen import text_to_html_linkfarm
+    from pdfspark.kernel.html_extract import (
+        extract_html,
+        extract_html_content_blocks,
+    )
+
+    text = ("the fast key order sort table scan merge part window small "
+            "hash scan join order batch value line agg row extra words")
+    buf = text_to_html_linkfarm(text, 7)
+    words = text.split(" ")
+    exp = [(k, " ".join(words[k * 12:(k + 1) * 12]))
+           for k in range((len(words) + 11) // 12)]
+    assert extract_html_content_blocks(buf) == exp
+    # the farms really are invisible to the tag policy (the point)
+    assert "sitemap" in extract_html(buf).text
+    # a block that is MOSTLY one link drops even inside <p>
+    mostly_link = (b'<html><body><p><a href="/x">all link text here'
+                   b'</a> y</p><p>real content words</p></body></html>')
+    assert extract_html_content_blocks(mostly_link) == \
+        [(0, "real content words")]
+    # malformed input: [] not an exception
+    assert extract_html_content_blocks(b"\x00<div><a>") == \
+        extract_html_content_blocks(b"\x00<div><a>")  # no raise
+    # unbalanced </a> clamps rather than corrupting counts
+    assert extract_html_content_blocks(
+        b"<html><body></a><p>plain words here</p></body></html>"
+    ) == [(0, "plain words here")]
