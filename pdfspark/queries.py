@@ -1165,6 +1165,48 @@ def decontaminate_exact_substring(spark, sf_dir):
     return spark.sql(_EXACT_DECONTAM_SQL)
 
 
+# Temperature-scaled source mixing (the T5/Llama p_i ∝ n_i^α rule,
+# α=0.5): per-source token mass → sqrt-damped mixture weight. All
+# cross-engine-fragile steps stay integer: the only float op is ONE
+# correctly-rounded IEEE sqrt per source (identical in both engines),
+# immediately pinned to an integer milli-sqrt; the normalization is
+# integer division of integer sums, so summation order can't drift.
+_SRC_MIX_TMPL = """
+WITH mass AS (
+  SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM({ntok}) AS BIGINT) AS token_mass
+  FROM documents GROUP BY source),
+damp AS (
+  SELECT source, n_docs, token_mass,
+    CAST(FLOOR(SQRT(CAST(token_mass AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+      AS msqrt
+  FROM mass)
+SELECT source, n_docs, token_mass,
+  CAST((msqrt * 10000) {intdiv} (SUM(msqrt) OVER ()) AS BIGINT)
+    AS weight_bp
+FROM damp
+"""
+
+
+@register(
+    "source_mixture_weights",
+    oracle=_SRC_MIX_TMPL.format(
+        ntok="len(string_split_regex(trim(text), '\\s+'))", intdiv="//"),
+)
+def source_mixture_weights(spark, sf_dir):
+    """Pretraining-mixture design table: token mass per source and the
+    temperature-damped (α=0.5) sampling weight in integer basis points
+    — the upweight-the-tail step between corpus stats and the
+    stratified samplers. Scale shape: ONE map-side-combined per-source
+    aggregation over the corpus (the only pass that touches text); the
+    sqrt/normalize window runs on the handful of source rows the
+    aggregation emits — at 10^12 docs that is still ~dozens of rows."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(_SRC_MIX_TMPL.format(
+        ntok="size(split(trim(text), '\\\\s+'))", intdiv="DIV"))
+
+
 # DOM-heuristic boilerplate removal by LINK DENSITY (jusText/
 # Readability family): link farms in plain <div>s are invisible to the
 # pinned tag policy (div is a content tag) and removable only by the
@@ -4297,14 +4339,14 @@ DRIVER_PRIORITY = [
     # CORRECTNESS_r03 — their verdicts age out after this round)
     # returns to the window. The r4 cohort (all green in
     # CORRECTNESS_r04) cedes its slots; it stays registered, locally
-    # oracle-gated at two SFs, and returns in r6. Eight r3 veterans
+    # oracle-gated at two SFs, and returns in r6. Nine r3 veterans
     # (embedding_norms, unpivot_order_year_counts,
     # grouped_stats_apply_in_pandas, url_blocklist_filter,
     # text_compression_ratio, text_winnowing_neardup,
-    # sample_match_distribution, session_window_agg) wait for r6's
-    # window — the ledger rule allows a verdict to age 2 rounds, so
-    # the rotation period is 3 rounds and 106 registered queries fit
-    # a 50-slot window.
+    # sample_match_distribution, session_window_agg,
+    # range_join_events_windows) wait for r6's window — the ledger
+    # rule allows a verdict to age 2 rounds, so the rotation period is
+    # 3 rounds and 107 registered queries fit a 50-slot window.
     # -- new in r5 (first verdict) --
     "pdf_table_cells",
     "multimodal_image_meta",
@@ -4314,6 +4356,7 @@ DRIVER_PRIORITY = [
     "decontaminate_span_excise",
     "quality_classifier_linear",
     "html_link_density_blocks",
+    "source_mixture_weights",
     # -- output changed in r5 (needs a fresh verdict): NTILE window →
     # approx_percentile cutpoint buckets --
     "doc_length_percentile_buckets",
@@ -4335,7 +4378,6 @@ DRIVER_PRIORITY = [
     "pdf_link_uris",
     "events_funnel",
     "asof_join_last_click",
-    "range_join_events_windows",
     "window_range_interval_frame",
     "approx_distinct_urls",
     "dedup_ngram_jaccard",
