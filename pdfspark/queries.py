@@ -4346,7 +4346,7 @@ DRIVER_PRIORITY = [
     # sample_match_distribution, session_window_agg,
     # range_join_events_windows) wait for r6's window — the ledger
     # rule allows a verdict to age 2 rounds, so the rotation period is
-    # 3 rounds and 107 registered queries fit a 50-slot window.
+    # 3 rounds and 108 registered queries fit a 50-slot window.
     # -- new in r5 (first verdict) --
     "pdf_table_cells",
     "multimodal_image_meta",
