@@ -879,7 +879,11 @@ def text_to_html_linkfarm(text: str, doc_id: int = 0,
         farm,
     ]
     for k, p in enumerate(paras):
-        if k == 0 and p.count(" ") >= 3:
+        # the inline link must SURVIVE the keep rule (2·link ≤ total),
+        # so guard on CHAR density, not word count — a long first word
+        # over a short tail would otherwise flip the block to
+        # boilerplate and diverge from the oracle (review r5 #2)
+        if k == 0 and " " in p and 2 * len(p.split(" ", 1)[0]) <= len(p):
             first, rest = p.split(" ", 1)
             body = '<a href="/x">%s</a> %s' % (
                 _html.escape(first), _html.escape(rest))

@@ -136,6 +136,11 @@ class _DensityExtractor(_Extractor):
             self.block_stats.append((self._cur_link, self._cur_total))
         self._cur_link = 0
         self._cur_total = 0
+        # PINNED: link state never crosses a block boundary. html.parser
+        # emits no endtag for unclosed <a>, so without this reset one
+        # malformed anchor would count every later block as 100% link
+        # text and empty the document (review r5 #1).
+        self._a_depth = 0
 
     def handle_starttag(self, tag, attrs):
         super().handle_starttag(tag, attrs)

@@ -143,10 +143,18 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT,
                 round(g.y, 3), []
             ).append((g.x, g.offset, s, g.w))
         col_texts = []
+        # page-level clustering inputs, computed ONCE — not per column
+        # (review r5 #5: the sort-advances and per-baseline-size passes
+        # are O(n log n) over all page glyphs)
+        if layout == "density":
+            page_tol = _advance_tol(glyphs)
+            page_sizes = _line_sizes(glyphs)
         for c in sorted(columns):
             lines = columns[c]
             if layout == "density":
-                lines = _cluster_lines(lines, glyphs)
+                lines = _cluster_lines(lines, glyphs,
+                                       fallback=page_tol,
+                                       sizes=page_sizes)
             line_texts = [
                 _assemble_line(sorted(lines[y]))
                 for y in sorted(lines, reverse=True)
@@ -208,7 +216,8 @@ def _merge_tol(prev_y: float, y: float, sizes: dict,
     return fallback
 
 
-def _cluster_lines(lines: dict, glyphs: List) -> dict:
+def _cluster_lines(lines: dict, glyphs: List, fallback: float = None,
+                   sizes: dict = None) -> dict:
     """Density-mode baseline clustering: adjacent y values closer than
     the merge tolerance fuse into one line (keyed by the cluster's TOP
     y so ordering is unchanged). The tolerance is size-aware (r5):
@@ -216,11 +225,15 @@ def _cluster_lines(lines: dict, glyphs: List) -> dict:
     superscript over 24pt body (rise ~8pt) merges even on a page whose
     OTHER text is small, where the old global advance-based constant
     (still the no-size fallback) mis-clustered it into a phantom line.
-    Real line leading (≥1 em of the body size) never merges."""
+    Real line leading (≥1 em of the body size) never merges.
+    ``fallback``/``sizes`` accept the page-level precomputed values
+    (callers clustering several columns of one page pass them once)."""
     if len(lines) < 2:
         return lines
-    fallback = _advance_tol(glyphs)
-    sizes = _line_sizes(glyphs)
+    if fallback is None:
+        fallback = _advance_tol(glyphs)
+    if sizes is None:
+        sizes = _line_sizes(glyphs)
     ys = sorted(lines, reverse=True)
     merged: dict = {}
     anchor = ys[0]

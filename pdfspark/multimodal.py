@@ -609,9 +609,24 @@ def parse_image_header(payload: bytes):
         else:
             return None
         h = abs(h)  # negative height = top-down row order
-        if w <= 0 or h == 0 or bpp == 0:
+        if w <= 0 or h == 0:
             return None
-        return "bmp", w, h, min(bpp, 8), max(1, bpp // 8)
+        # legal BMP bit depths only — anything else is an error row,
+        # never invented metadata (review r5 #4). ≤8bpp are paletted/
+        # gray single-channel at the stated depth; 16bpp defaults to
+        # RGB555 (5 bits/sample, 3 channels) absent BITFIELDS; 24/32
+        # are 8-bit BGR(A).
+        if bpp in (1, 2, 4, 8):
+            depth, ch = bpp, 1
+        elif bpp == 16:
+            depth, ch = 5, 3
+        elif bpp == 24:
+            depth, ch = 8, 3
+        elif bpp == 32:
+            depth, ch = 8, 4
+        else:
+            return None
+        return "bmp", w, h, depth, ch
     return None
 
 

@@ -1314,7 +1314,11 @@ bench AS (
   FROM documents
   WHERE doc_id % 37 = 0 AND length(text) >= 125),
 exc AS (
-  SELECT array_agg(excerpt ORDER BY bench_id) AS arr FROM bench)
+  -- COALESCE: array_agg over zero rows is NULL in DuckDB while
+  -- Spark's collect_list is [] — an empty benchmark set must fold to
+  -- the identity on BOTH engines (review r5 #3)
+  SELECT COALESCE(array_agg(excerpt ORDER BY bench_id),
+                  CAST([] AS VARCHAR[])) AS arr FROM bench)
 SELECT d.doc_id,
   CAST(len(list_filter(e.arr, x -> instr(d.text, x) > 0)) AS BIGINT)
     AS n_excised,

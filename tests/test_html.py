@@ -113,10 +113,26 @@ def test_link_density_blocks_drop_farms_keep_inline_links():
                    b'</a> y</p><p>real content words</p></body></html>')
     assert extract_html_content_blocks(mostly_link) == \
         [(0, "real content words")]
-    # malformed input: [] not an exception
-    assert extract_html_content_blocks(b"\x00<div><a>") == \
-        extract_html_content_blocks(b"\x00<div><a>")  # no raise
+    # malformed input: a concrete deterministic value, not an exception
+    # (html.parser tolerates the stray NUL as block text)
+    assert extract_html_content_blocks(b"\x00<div><a>") == [(0, "\x00")]
     # unbalanced </a> clamps rather than corrupting counts
     assert extract_html_content_blocks(
         b"<html><body></a><p>plain words here</p></body></html>"
     ) == [(0, "plain words here")]
+    # UNCLOSED <a> must not leak link state past its block: one
+    # malformed anchor would otherwise count every later block as
+    # 100% link text and empty the document (review r5 #1)
+    leaked = extract_html_content_blocks(
+        b'<html><body><p><a href="/x">click here</p>'
+        b"<p>a real content paragraph with many plain words</p>"
+        b"</body></html>"
+    )
+    assert (0, "a real content paragraph with many plain words") in leaked
+    # generator guard is CHAR density (review r5 #2): a first word
+    # longer than the rest of the block must not get the inline link
+    # (it would flip the whole block to boilerplate and diverge from
+    # the closed-form oracle)
+    tricky = "antidisestablishmentarianism is a war"
+    got = extract_html_content_blocks(text_to_html_linkfarm(tricky, 1))
+    assert got == [(0, tricky)]

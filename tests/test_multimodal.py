@@ -220,3 +220,13 @@ def test_image_header_walk_and_bomb_guards():
     dib = struct.pack("<IiiHHIIiiII", 40, 6, -9, 1, 24, 0, 0, 0, 0, 0, 0)
     bmp = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + dib
     assert parse_image_header(bmp) == ("bmp", 6, 9, 8, 3)
+    # legal non-synth bit depths map correctly; illegal ones are error
+    # rows, never invented metadata (review r5 #4)
+    def bmp_with(bpp):
+        d = struct.pack("<IiiHHIIiiII", 40, 6, 9, 1, bpp,
+                        0, 0, 0, 0, 0, 0)
+        return b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + d
+    assert parse_image_header(bmp_with(16)) == ("bmp", 6, 9, 5, 3)
+    assert parse_image_header(bmp_with(4)) == ("bmp", 6, 9, 4, 1)
+    assert parse_image_header(bmp_with(0)) is None
+    assert parse_image_header(bmp_with(13)) is None

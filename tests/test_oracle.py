@@ -391,3 +391,33 @@ def test_image_meta_parity(spark, duck):
     rows = df.collect()
     assert all(r.error is None for r in rows)
     assert {r.fmt for r in rows} == {"png", "jpeg", "bmp"}
+
+
+def test_span_excise_empty_bench_set_engine_parity(spark, duck):
+    """Review r5 #3: with ZERO qualifying benchmark docs, DuckDB's
+    array_agg is NULL while Spark's collect_list is [] — the oracle's
+    COALESCE must keep both engines at the identity fold (n_excised=0,
+    clean_md5 = md5 of the unmodified text) instead of NULLing every
+    row."""
+    import pdfspark.queries as q
+
+    # a corpus where no doc satisfies doc_id % 37 = 0 AND len >= 125
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("documents")
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM ("
+                 "VALUES (1, 'alpha beta gamma'),"
+                 " (2, 'delta epsilon zeta')) t(doc_id, text)")
+    n = _compare(spark.sql(q._SPAN_EXCISE_SPARK_SQL), duck,
+                 q._SPAN_EXCISE_DUCK_SQL, "span_excise_empty")
+    assert n == 2
+    rows = spark.sql(q._SPAN_EXCISE_SPARK_SQL).collect()
+    assert all(r.n_excised == 0 for r in rows)
+    # restore the real view for any test running after us
+    spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    duck.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
