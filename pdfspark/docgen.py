@@ -773,7 +773,7 @@ def text_to_pdf_postfont(text: str, meta_id: int = 0) -> bytes:
 
 
 def text_to_pdf_table(text: str, meta_id: int = 0,
-                      n_cols: int = 3) -> bytes:
+                      n_cols: int = 3, skip_every: int = 0) -> bytes:
     """Grid/table layout whose content stream is written CELL-BY-CELL
     in COLUMN order — the typical table-generator pattern that defeats
     plain linearization (stream order reads the table column-major,
@@ -784,7 +784,16 @@ def text_to_pdf_table(text: str, meta_id: int = 0,
     TABLE_CELL_GAP_PT — while intra-cell spaces are explicit space
     glyphs with zero kern gap). layout.table_cells must read back every
     (row, col, cell_text) byte-exactly; reading_order_text with
-    layout='table' restores the full row-major text."""
+    layout='table' restores the full row-major text.
+
+    ``skip_every`` > 0 makes the grid SPARSE: cell k is omitted when
+    k % skip_every == skip_every - 1 (closed-form, so the oracle
+    filters the same k). Column stops still derive from ALL cells (a
+    table's geometry is designed before data goes missing), and with
+    3 columns and skip_every ≥ 4 no row or column can vanish entirely
+    (consecutive k can't all hit the residue; a column's sole member
+    k=c<3 never does), so row/col ranks stay aligned with the dense
+    arithmetic."""
     from pdfspark.kernel.base14 import _HELVETICA
 
     def cell_width(s: str) -> float:
@@ -807,6 +816,8 @@ def text_to_pdf_table(text: str, meta_id: int = 0,
     for c in range(n_cols):  # column-major stream order — the point
         for r in range(n_rows):
             k = r * n_cols + c
+            if skip_every and k % skip_every == skip_every - 1:
+                continue
             if k < len(cells) and cells[k]:
                 y = 740 - 18 * r
                 ops.append(

@@ -439,7 +439,8 @@ def columns_reading_order_extract(spark: SparkSession, sf_dir: str,
     return docs.mapInPandas(run, "url string, text string")
 
 
-def table_cells_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def table_cells_extract(spark: SparkSession, sf_dir: str,
+                        fmt: str = "pdf_table") -> DataFrame:
     """Fused harness for structured table extraction (layout tier 3):
     synthesize grid PDFs whose content streams are written cell-by-cell
     in COLUMN order (fmt 'pdf_table' — plain linearization provably
@@ -465,7 +466,7 @@ def table_cells_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             urls, rows_, cols_, texts = [], [], [], []
             for doc_id, text, lang in zip(b["doc_id"], b["text"], b["lang"]):
                 i = int(doc_id)
-                url, buf = _synth_page(i, text, lang, "pdf_table", 0)
+                url, buf = _synth_page(i, text, lang, fmt, 0)
                 r = extract_text(buf, positions=True)
                 for _page, row_idx, col_idx, cell in table_cells(r):
                     urls.append(url)
@@ -732,6 +733,10 @@ def _synth_page(i: int, text: str, lang, fmt: str,
         from pdfspark.docgen import text_to_pdf_table
 
         html = text_to_pdf_table(text, meta_id=i)
+    elif fmt == "pdf_table_sparse":
+        from pdfspark.docgen import text_to_pdf_table
+
+        html = text_to_pdf_table(text, meta_id=i, skip_every=5)
     elif fmt == "pdf_layout_mix":
         # heterogeneous layouts, chosen deterministically per doc:
         # plain flow / two-column visual order / kern-positioned words

@@ -2326,6 +2326,44 @@ def pdf_table_cells(spark, sf_dir):
     )
 
 
+# Sparse-table twin (r6 entrant queue — built + parity-tested r5,
+# registers in the r6 rotation): real tables have missing cells; the
+# generator omits cell k when k%5==4 and the reconstruction must emit
+# exactly the surviving (row, col, cell) set — row/col ranks provably
+# aligned with the dense arithmetic (see text_to_pdf_table docstring).
+_TABLE_SPARSE_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+cells AS (
+  SELECT doc_id, ws,
+    unnest(range(CAST(CEIL(len(ws) / 2.0) AS BIGINT))) AS k
+  FROM words)
+SELECT doc_id,
+  CAST(FLOOR(k / 3.0) AS BIGINT) AS row_idx,
+  CAST(k % 3 AS BIGINT) AS col_idx,
+  ws[CAST(2 * k + 1 AS INT)] ||
+    CASE WHEN len(ws) >= 2 * k + 2
+         THEN ' ' || ws[CAST(2 * k + 2 AS INT)] ELSE '' END AS cell_text
+FROM cells
+WHERE k % 5 <> 4
+"""
+
+
+def _table_sparse_impl(spark, sf_dir):
+    """Sparse-grid table extraction (r6 queue; parity-pinned by
+    tests/test_oracle.py::test_table_sparse_parity): same fused stage
+    as pdf_table_cells over fmt='pdf_table_sparse' (every 5th cell
+    omitted at generation)."""
+    from pdfspark.pipeline import table_cells_extract
+
+    ext = table_cells_extract(spark, sf_dir, fmt="pdf_table_sparse")
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long")
+        .alias("doc_id"),
+        "row_idx", "col_idx", "cell_text",
+    )
+
+
 @register(
     "pdf_layout_mix_extract",
     oracle="SELECT doc_id, text FROM documents",

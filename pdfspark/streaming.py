@@ -603,6 +603,45 @@ def domain_window_quota_stream(pages: DataFrame, quota: int = 3,
     )
 
 
+# ------------------------------------------- stream quality classification
+
+def quality_classifier_score_expr(col: str = "text") -> "F.Column":
+    """The hashed-feature linear score of quality_classifier_linear as
+    ONE pure JVM column expression — what a document STREAM needs
+    (no explode, no join, no shuffle, no state): fold the token array,
+    hashing each token into the 64-bucket space (md5, engine- and
+    batch-identical) and adding the bucket's weight inline. The weight
+    formula ((b*7)%13-6) is the same deterministic stand-in as the
+    batch query's broadcast table; swap both for trained weights
+    together."""
+    return F.expr(
+        f"aggregate("
+        f"  filter(split(trim({col}), ' '), w -> w != ''),"
+        f"  CAST(0 AS BIGINT),"
+        f"  (acc, w) -> acc"
+        f"    + ((CAST(conv(substr(md5(w), 1, 4), 16, 10) AS BIGINT)"
+        f"        % 64) * 7) % 13 - 6"
+        f")"
+    ).alias("score")
+
+
+def quality_classifier_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) stream → (doc_id, score, keep): the in-stream
+    twin of quality_classifier_linear, entirely map-side. Works
+    unchanged on batch DataFrames — the drain-equals-batch test relies
+    on exactly that. Edge divergence by design: a TOKEN-LESS doc
+    (empty/all-space text) scores 0 here but emits NO row from the
+    batch explode+group form; the synthetic corpus has no such docs,
+    and a production caller should decide which contract it wants
+    before registering the pair as oracle twins."""
+    scored = docs.select("doc_id", quality_classifier_score_expr())
+    return scored.select(
+        "doc_id", "score",
+        F.when(F.col("score") >= 0, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("keep"),
+    )
+
+
 # ------------------------------------------------------ stream shard packer
 
 def shard_pack_stream(docs: DataFrame, budget: Optional[int] = None,

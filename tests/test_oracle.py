@@ -421,3 +421,21 @@ def test_span_excise_empty_bench_set_engine_parity(spark, duck):
         "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
         f"read_parquet('{SF_DIR}/documents.parquet')"
     )
+
+
+def test_table_sparse_parity(spark, duck):
+    """Sparse-table extraction (r6 registration queue): with every 5th
+    cell omitted at generation, the grid reconstruction must emit
+    exactly the surviving (row, col, cell) set — row and column ranks
+    aligned with the dense arithmetic even around the holes."""
+    import pdfspark.queries as q
+
+    for t in ("documents",):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet") \
+            .createOrReplaceTempView(t)
+    df = q._table_sparse_impl(spark, SF_DIR)
+    n = _compare(df, duck, q._TABLE_SPARSE_SQL, "table_sparse")
+    assert n > 0
+    # holes really exist: fewer cells than the dense query
+    dense = QUERIES["pdf_table_cells"](spark, SF_DIR).count()
+    assert df.count() < dense

@@ -746,3 +746,51 @@ def test_shard_pack_stream_carry_matches_batch_prefix_scan(spark, tmp_path):
     first_of_b2 = chunks[1][0][0]
     b2_shard = {s for d, _, s in streamed if d == first_of_b2}
     assert b2_shard != {0}
+
+
+def test_quality_classifier_stream_matches_batch(spark, tmp_path):
+    """In-stream hashed-feature quality scoring (stateless JVM
+    expression — no explode/join/shuffle): the drained output must
+    equal quality_classifier_linear's batch answer row-for-row, with
+    the stream delivering documents across multiple micro-batches."""
+    from pdfspark.queries import QUERIES
+    from pdfspark.streaming import quality_classifier_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    in_dir = str(tmp_path / "qin")
+    sink = str(tmp_path / "qout")
+    ckpt = str(tmp_path / "qckpt")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode("append") \
+        .parquet(in_dir)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append") \
+        .parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        quality_classifier_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    streamed = {
+        (r.doc_id, r.score, r.keep)
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch = {
+        (r.doc_id, r.score, r.keep)
+        for r in QUERIES["quality_classifier_linear"](spark, sf_dir)
+        .collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == docs.count()
+    assert {k for _, _, k in streamed} == {0, 1}  # both classes occur
