@@ -136,13 +136,22 @@ class _DensityExtractor(_Extractor):
             self.block_stats.append((self._cur_link, self._cur_total))
         self._cur_link = 0
         self._cur_total = 0
-        # PINNED: link state never crosses a block boundary. html.parser
-        # emits no endtag for unclosed <a>, so without this reset one
-        # malformed anchor would count every later block as 100% link
-        # text and empty the document (review r5 #1).
-        self._a_depth = 0
+
+    # PINNED: anchors auto-close at non-void BLOCK-FORMING tags (p,
+    # div, li, td, …) but legitimately span void/inline breaks (<br>).
+    # Rationale (review r5 #1 + r5.2 #1): html.parser emits no endtag
+    # for unclosed <a>, so without a boundary one malformed anchor
+    # counts every later block as 100% link text and empties the
+    # document; resetting at EVERY flush instead would let nav farms
+    # written '<a>home<br>pages<br>archive</a>' read as content. This
+    # diverges from the browser adoption-agency model (which
+    # reconstructs anchors into following blocks) deliberately — for
+    # content extraction, under-linking a malformed page beats
+    # emptying it.
 
     def handle_starttag(self, tag, attrs):
+        if tag in BLOCK_TAGS and tag not in _VOID:
+            self._a_depth = 0
         super().handle_starttag(tag, attrs)
         if tag == "a" and self._drop_depth == 0:
             self._a_depth += 1
@@ -151,6 +160,8 @@ class _DensityExtractor(_Extractor):
         super().handle_endtag(tag)
         if tag == "a" and self._a_depth > 0:
             self._a_depth -= 1
+        elif tag in BLOCK_TAGS and tag not in _VOID:
+            self._a_depth = 0
 
     def handle_data(self, data):
         super().handle_data(data)

@@ -614,9 +614,13 @@ def quality_classifier_score_expr(col: str = "text") -> "F.Column":
     formula ((b*7)%13-6) is the same deterministic stand-in as the
     batch query's broadcast table; swap both for trained weights
     together."""
+    # coalesce: NULL text must score 0 like empty text (a NULL array
+    # would otherwise propagate score=NULL into the sink — review
+    # r5.2 #3); token-less docs therefore score 0 / keep 1 here while
+    # the batch explode+group form emits no row for them at all
     return F.expr(
         f"aggregate("
-        f"  filter(split(trim({col}), ' '), w -> w != ''),"
+        f"  filter(split(trim(coalesce({col}, '')), ' '), w -> w != ''),"
         f"  CAST(0 AS BIGINT),"
         f"  (acc, w) -> acc"
         f"    + ((CAST(conv(substr(md5(w), 1, 4), 16, 10) AS BIGINT)"
@@ -630,10 +634,10 @@ def quality_classifier_stream(docs: DataFrame) -> DataFrame:
     twin of quality_classifier_linear, entirely map-side. Works
     unchanged on batch DataFrames — the drain-equals-batch test relies
     on exactly that. Edge divergence by design: a TOKEN-LESS doc
-    (empty/all-space text) scores 0 here but emits NO row from the
-    batch explode+group form; the synthetic corpus has no such docs,
-    and a production caller should decide which contract it wants
-    before registering the pair as oracle twins."""
+    (NULL, empty or all-space text) scores 0 / keep 1 here but emits
+    NO row from the batch explode+group form; the synthetic corpus has
+    no such docs, and a production caller should decide which contract
+    it wants before registering the pair as oracle twins."""
     scored = docs.select("doc_id", quality_classifier_score_expr())
     return scored.select(
         "doc_id", "score",

@@ -129,6 +129,15 @@ def test_link_density_blocks_drop_farms_keep_inline_links():
         b"</body></html>"
     )
     assert (0, "a real content paragraph with many plain words") in leaked
+    # anchors legitimately SPAN <br> (void break): a nav farm written
+    # as one anchor with <br> separators is still 100% link text in
+    # every block (review r5.2 #1 — the block-boundary reset must not
+    # fire on void tags)
+    farm_br = extract_html_content_blocks(
+        b'<html><body><div><a href="/h">home<br>pages<br>archive</a>'
+        b"</div><p>genuine article text here</p></body></html>"
+    )
+    assert farm_br == [(0, "genuine article text here")]
     # generator guard is CHAR density (review r5 #2): a first word
     # longer than the rest of the block must not get the inline link
     # (it would flip the whole block to boilerplate and diverge from

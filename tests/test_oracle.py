@@ -401,41 +401,48 @@ def test_span_excise_empty_bench_set_engine_parity(spark, duck):
     row."""
     import pdfspark.queries as q
 
-    # a corpus where no doc satisfies doc_id % 37 = 0 AND len >= 125
-    spark.createDataFrame(
-        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
-        "doc_id long, text string",
-    ).createOrReplaceTempView("documents")
-    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM ("
-                 "VALUES (1, 'alpha beta gamma'),"
-                 " (2, 'delta epsilon zeta')) t(doc_id, text)")
-    n = _compare(spark.sql(q._SPAN_EXCISE_SPARK_SQL), duck,
-                 q._SPAN_EXCISE_DUCK_SQL, "span_excise_empty")
-    assert n == 2
-    rows = spark.sql(q._SPAN_EXCISE_SPARK_SQL).collect()
-    assert all(r.n_excised == 0 for r in rows)
-    # restore the real view for any test running after us
-    spark.read.parquet(f"{SF_DIR}/documents.parquet") \
-        .createOrReplaceTempView("documents")
-    duck.execute(
-        "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{SF_DIR}/documents.parquet')"
-    )
+    # a corpus where no doc satisfies doc_id % 37 = 0 AND len >= 125;
+    # try/finally: the swapped views are shared (module-scoped duck
+    # fixture, session Spark catalog) — a failure here must not
+    # cascade into later tests (review r5.2 #2)
+    try:
+        spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+            "doc_id long, text string",
+        ).createOrReplaceTempView("documents")
+        duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM ("
+                     "VALUES (1, 'alpha beta gamma'),"
+                     " (2, 'delta epsilon zeta')) t(doc_id, text)")
+        n = _compare(spark.sql(q._SPAN_EXCISE_SPARK_SQL), duck,
+                     q._SPAN_EXCISE_DUCK_SQL, "span_excise_empty")
+        assert n == 2
+        rows = spark.sql(q._SPAN_EXCISE_SPARK_SQL).collect()
+        assert all(r.n_excised == 0 for r in rows)
+    finally:
+        spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+            .createOrReplaceTempView("documents")
+        duck.execute(
+            "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        )
 
 
 def test_table_sparse_parity(spark, duck):
     """Sparse-table extraction (r6 registration queue): with every 5th
     cell omitted at generation, the grid reconstruction must emit
     exactly the surviving (row, col, cell) set — row and column ranks
-    aligned with the dense arithmetic even around the holes."""
+    aligned with the dense arithmetic even around the holes. (The
+    harness reads parquet directly — no temp view needed; one fused
+    execution, hole count checked against the oracle-side dense
+    count.)"""
     import pdfspark.queries as q
 
-    for t in ("documents",):
-        spark.read.parquet(f"{SF_DIR}/{t}.parquet") \
-            .createOrReplaceTempView(t)
     df = q._table_sparse_impl(spark, SF_DIR)
     n = _compare(df, duck, q._TABLE_SPARSE_SQL, "table_sparse")
     assert n > 0
-    # holes really exist: fewer cells than the dense query
-    dense = QUERIES["pdf_table_cells"](spark, SF_DIR).count()
-    assert df.count() < dense
+    # holes really exist: fewer cells than the DENSE oracle's count
+    # (computed in DuckDB — no second fused Spark execution)
+    dense = duck.sql(
+        f"SELECT COUNT(*) FROM ({q._TABLE_CELLS_SQL})"
+    ).fetchone()[0]
+    assert n < dense
