@@ -905,3 +905,32 @@ def text_to_html_linkfarm(text: str, doc_id: int = 0,
             parts.append(farm)
     parts.append(farm + "</body></html>")
     return "".join(parts).encode("utf-8")
+
+
+def text_to_html_table(text: str, doc_id: int = 0,
+                       n_cols: int = 3) -> bytes:
+    """HTML-table twin of text_to_pdf_table: consecutive word PAIRS of
+    the document text fill an n_cols-wide <table> row-major — the SAME
+    closed-form cell arithmetic, so queries._TABLE_CELLS_SQL serves as
+    the oracle for BOTH modalities. Boilerplate (head/nav) surrounds
+    the table so the cell extractor proves it scopes to table content."""
+    import html as _html
+
+    text = normalize_for_pdf(text)
+    words = text.split(" ")
+    cells = [" ".join(words[2 * k:2 * k + 2])
+             for k in range((len(words) + 1) // 2)]
+    n_rows = (len(cells) + n_cols - 1) // n_cols
+    rows = []
+    for r in range(n_rows):
+        tds = "".join(
+            "<td>%s</td>" % _html.escape(cells[r * n_cols + c])
+            for c in range(n_cols) if r * n_cols + c < len(cells)
+        )
+        rows.append("<tr>%s</tr>" % tds)
+    return (
+        '<!doctype html><html lang="en"><head><title>doc %d</title>'
+        "</head><body><nav>site menu chrome</nav><table>%s</table>"
+        "<footer>copyright footer</footer></body></html>"
+        % (doc_id, "".join(rows))
+    ).encode("utf-8")

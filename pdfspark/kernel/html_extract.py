@@ -190,6 +190,87 @@ def extract_html_content_blocks(buf: bytes) -> List[tuple]:
         return []
 
 
+class _TableCellExtractor(HTMLParser):
+    """Structured <table> extraction (the HTML twin of the PDF layout
+    tier's table_cells): one (table_idx, row_idx, col_idx, text) per
+    cell of each OUTERMOST table — nested tables flatten into their
+    enclosing cell's text (the common rendering), tracked by a depth
+    counter. Cell text collapses whitespace like the block policy."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.cells: List[tuple] = []
+        self._table_depth = 0
+        self._table_idx = -1
+        self._row_idx = -1
+        self._col_idx = -1
+        self._in_cell = False
+        self._cur: List[str] = []
+
+    def _flush_cell(self) -> None:
+        if self._in_cell:
+            text = _WS.sub(" ", "".join(self._cur)).strip()
+            self.cells.append(
+                (self._table_idx, self._row_idx, self._col_idx, text)
+            )
+        self._cur = []
+        self._in_cell = False
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "table":
+            if self._in_cell:
+                self._cur.append(" ")  # nested table = inline break
+            if self._table_depth == 0:
+                self._table_idx += 1
+                self._row_idx = -1
+            self._table_depth += 1
+        elif self._table_depth == 1:
+            if tag == "tr":
+                self._flush_cell()
+                self._row_idx += 1
+                self._col_idx = -1
+            elif tag in ("td", "th"):
+                self._flush_cell()
+                self._col_idx += 1
+                self._in_cell = True
+        elif (self._table_depth > 1 and self._in_cell
+              and tag in ("tr", "td", "th")):
+            self._cur.append(" ")  # nested rows/cells stay word-separated
+
+    def handle_endtag(self, tag):
+        if tag == "table":
+            if self._table_depth == 1:
+                self._flush_cell()
+            elif self._in_cell:
+                self._cur.append(" ")
+            self._table_depth = max(0, self._table_depth - 1)
+        elif self._table_depth == 1 and tag in ("td", "th", "tr"):
+            self._flush_cell()
+        elif (self._table_depth > 1 and self._in_cell
+              and tag in ("tr", "td", "th")):
+            self._cur.append(" ")
+
+    def handle_data(self, data):
+        if self._in_cell:
+            self._cur.append(data)
+
+    def close(self):
+        super().close()
+        self._flush_cell()
+
+
+def extract_html_table_cells(buf: bytes) -> List[tuple]:
+    """All table cells of a page as ``[(table_idx, row_idx, col_idx,
+    cell_text), …]``; [] on parse failure (one-bad-document rule)."""
+    try:
+        parser = _TableCellExtractor()
+        parser.feed(_decode(buf))
+        parser.close()
+        return parser.cells
+    except Exception:
+        return []
+
+
 _ENC_RE = re.compile(rb"charset=[\"']?([A-Za-z0-9_\-]+)", re.I)
 
 

@@ -2364,6 +2364,48 @@ def _table_sparse_impl(spark, sf_dir):
     )
 
 
+def _html_table_cells_impl(spark, sf_dir):
+    """HTML-table structured extraction (r6 queue; parity-pinned by
+    tests/test_oracle.py::test_html_table_cells_parity): the <table>
+    twin of pdf_table_cells — the generator fills a 3-wide table with
+    the SAME word-pair cell arithmetic, so _TABLE_CELLS_SQL is the
+    oracle for both modalities. One fused map stage; surrounding
+    nav/footer chrome proves the extractor scopes to table content."""
+    from pdfspark.pipeline import REPO_ROOT as _RR, _documents_repartitioned
+
+    docs = _documents_repartitioned(spark, sf_dir)
+
+    def run(batches):
+        import sys
+
+        if _RR not in sys.path:
+            sys.path.insert(0, _RR)
+        import pandas as pd
+
+        from pdfspark.docgen import text_to_html_table
+        from pdfspark.kernel.html_extract import extract_html_table_cells
+
+        for b in batches:
+            ids, rows_, cols_, texts = [], [], [], []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                i = int(doc_id)
+                for _t, row_idx, col_idx, cell in extract_html_table_cells(
+                        text_to_html_table(text, i)):
+                    ids.append(i)
+                    rows_.append(row_idx)
+                    cols_.append(col_idx)
+                    texts.append(cell)
+            yield pd.DataFrame(
+                {"doc_id": ids, "row_idx": rows_, "col_idx": cols_,
+                 "cell_text": texts},
+                columns=["doc_id", "row_idx", "col_idx", "cell_text"],
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, row_idx long, col_idx long, cell_text string"
+    )
+
+
 @register(
     "pdf_layout_mix_extract",
     oracle="SELECT doc_id, text FROM documents",

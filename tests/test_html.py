@@ -145,3 +145,27 @@ def test_link_density_blocks_drop_farms_keep_inline_links():
     tricky = "antidisestablishmentarianism is a war"
     got = extract_html_content_blocks(text_to_html_linkfarm(tricky, 1))
     assert got == [(0, tricky)]
+
+
+def test_html_table_cell_extractor_scoping():
+    """The table-cell extractor scopes to table content (chrome outside
+    tables never leaks in), th counts as a cell, nested tables flatten
+    into their enclosing cell, and malformed input yields []."""
+    from pdfspark.kernel.html_extract import extract_html_table_cells
+
+    page = (b"<html><body><nav>menu</nav>"
+            b"<table><tr><th>h1</th><th>h2</th></tr>"
+            b"<tr><td>a b</td><td>c</td></tr></table>"
+            b"<p>prose</p>"
+            b"<table><tr><td>x<table><tr><td>inner</td></tr></table>"
+            b"y</td></tr></table>"
+            b"</body></html>")
+    got = extract_html_table_cells(page)
+    assert got == [
+        (0, 0, 0, "h1"), (0, 0, 1, "h2"),
+        (0, 1, 0, "a b"), (0, 1, 1, "c"),
+        (1, 0, 0, "x inner y"),
+    ]
+    assert extract_html_table_cells(b"<table><tr><td>open") == \
+        [(0, 0, 0, "open")]
+    assert extract_html_table_cells(b"") == []

@@ -446,3 +446,15 @@ def test_table_sparse_parity(spark, duck):
         f"SELECT COUNT(*) FROM ({q._TABLE_CELLS_SQL})"
     ).fetchone()[0]
     assert n < dense
+
+
+def test_html_table_cells_parity(spark, duck):
+    """HTML-table structured extraction (r6 registration queue): the
+    <table> modality must emit the identical (row, col, cell) set as
+    the PDF grid — both generators share the word-pair arithmetic, so
+    the dense-table SQL is the oracle for both."""
+    import pdfspark.queries as q
+
+    df = q._html_table_cells_impl(spark, SF_DIR)
+    n = _compare(df, duck, q._TABLE_CELLS_SQL, "html_table_cells")
+    assert n > 0
