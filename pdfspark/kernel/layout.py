@@ -141,20 +141,19 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT,
         for g, s in slices:
             columns.setdefault(col_of(g.x), {}).setdefault(
                 round(g.y, 3), []
-            ).append((g.x, g.offset, s, g.w))
+            ).append((g.x, g.offset, s, g.w, g.size))
         col_texts = []
-        # page-level clustering inputs, computed ONCE — not per column
-        # (review r5 #5: the sort-advances and per-baseline-size passes
-        # are O(n log n) over all page glyphs)
+        # the advance fallback is page-level and computed ONCE (review
+        # r5 #5); per-baseline SIZES are computed inside _cluster_lines
+        # from each column's own entries — two columns sharing a
+        # rounded y with different body sizes must not pollute each
+        # other's merge tolerance (r5.3)
         if layout == "density":
             page_tol = _advance_tol(glyphs)
-            page_sizes = _line_sizes(glyphs)
         for c in sorted(columns):
             lines = columns[c]
             if layout == "density":
-                lines = _cluster_lines(lines, glyphs,
-                                       fallback=page_tol,
-                                       sizes=page_sizes)
+                lines = _cluster_lines(lines, glyphs, fallback=page_tol)
             line_texts = [
                 _assemble_line(sorted(lines[y]))
                 for y in sorted(lines, reverse=True)
@@ -226,14 +225,22 @@ def _cluster_lines(lines: dict, glyphs: List, fallback: float = None,
     OTHER text is small, where the old global advance-based constant
     (still the no-size fallback) mis-clustered it into a phantom line.
     Real line leading (≥1 em of the body size) never merges.
-    ``fallback``/``sizes`` accept the page-level precomputed values
-    (callers clustering several columns of one page pass them once)."""
+    ``fallback`` accepts the page-level precomputed advance tolerance;
+    ``sizes`` (y → median em) defaults to a PER-COLUMN computation
+    from the entries' own size field when the line tuples carry one —
+    page-keyed sizes would let two columns that share a rounded y with
+    different body sizes pollute each other's tolerance (r5.3)."""
     if len(lines) < 2:
         return lines
     if fallback is None:
         fallback = _advance_tol(glyphs)
     if sizes is None:
-        sizes = _line_sizes(glyphs)
+        by_y: dict = {}
+        for y, entries in lines.items():
+            szs = [e[4] for e in entries if len(e) > 4 and e[4] > 0]
+            if szs:
+                by_y[y] = sorted(szs)[len(szs) // 2]
+        sizes = by_y if by_y else _line_sizes(glyphs)
     ys = sorted(lines, reverse=True)
     merged: dict = {}
     anchor = ys[0]
@@ -375,13 +382,13 @@ def _assemble_line(glyphs: List[tuple]) -> str:
     is already there."""
     if not glyphs:
         return ""
-    advances = sorted(w for _, _, _, w in glyphs if w > 0)
+    advances = sorted(g[3] for g in glyphs if g[3] > 0)
     median_w = advances[len(advances) // 2] if advances else 0.0
     threshold = WORD_GAP_FRACTION * median_w
     parts = [glyphs[0][2]]
     for i in range(1, len(glyphs)):
-        x, _, s, _ = glyphs[i]
-        px, _, ps, pw = glyphs[i - 1]
+        x, s = glyphs[i][0], glyphs[i][2]
+        px, ps, pw = glyphs[i - 1][0], glyphs[i - 1][2], glyphs[i - 1][3]
         gap = x - (px + pw)
         if (threshold > 0 and gap > threshold
                 and not ps.endswith(" ") and not s.startswith(" ")):

@@ -371,3 +371,37 @@ def test_table_cells_grid_readback():
     from pdfspark.kernel.extract import extract_text as _ex
 
     assert table_cells(_ex(b"\x00junk", positions=True)) == []
+
+
+def test_density_per_column_size_clustering():
+    """r5.3: baseline-size tolerances are PER COLUMN — two columns
+    sharing a rounded y with different body sizes must not pollute
+    each other. Col A is 9pt body with MORE glyphs at the shared
+    y=720, so a page-keyed median there would be 9pt; col B is a 24pt
+    headline whose 7pt superscript rises 8pt — page-keyed tolerance
+    0.4×max(7,9)=3.6pt would emit a phantom '2' line, per-column
+    0.4×max(7,24)=9.6pt merges it."""
+    from pdfspark.fixtures import BASE14, PdfBuilder
+    from pdfspark.kernel.layout import reading_order_text
+
+    b = PdfBuilder()
+    f1 = b.add(BASE14)
+    content = (
+        b"BT /F1 9 Tf 72 720 Td (alpha beta words here) Tj "
+        b"0 -11 Td (gamma delta words too) Tj "
+        b"0 -11 Td (third small line here) Tj ET "
+        b"BT /F1 24 Tf 400 720 Td (Energy mc) Tj "
+        b"/F1 7 Tf 8 Ts (2) Tj 0 Ts /F1 24 Tf ( done) Tj ET"
+    )
+    c = b.add_stream("<< >>", content)
+    pg = b.add(
+        f"<< /Type /Page /Parent 90 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {f1} 0 R >> >> /Contents {c} 0 R >>"
+    )
+    b.add(f"<< /Type /Pages /Kids [{pg} 0 R] /Count 1 >>", num=90)
+    rt = b.add("<< /Type /Catalog /Pages 90 0 R >>", num=91)
+    r = extract_text(b.build(rt), positions=True)
+    assert r.error is None
+    dens = reading_order_text(r, layout="density")
+    assert "Energy mc2 done" in dens, repr(dens)
+    assert "alpha beta words here" in dens
