@@ -739,6 +739,96 @@ def run_shard_pack_stream_once(
         q.stop()
 
 
+def shard_pack_stream_watermarked(docs: DataFrame,
+                                  delay_s: int = 60,
+                                  budget: Optional[int] = None,
+                                  ) -> DataFrame:
+    """Late-data-tolerant shard packer: the in-order packer's contract
+    breaks if the source delivers out of order (crawl logs have
+    bounded jitter), so this variant holds a REORDER BUFFER in state —
+    rows wait until the manually-tracked watermark (max event time
+    seen minus ``delay_s``) passes them, then emit in (ts, doc_id)
+    order with the same cumulative-offset carry. Rows later than an
+    already-emitted frontier would break determinism; the watermark
+    guarantees that can't happen for jitter ≤ delay_s, and a row
+    arriving LATER than the watermark (> delay_s out of order) is
+    dropped with shard_id = -1 (an explicit quarantine row, never a
+    silent reorder of sealed shards). State per packer key is
+    (next_offset, max_ts, parallel buffer arrays) — bounded by the
+    source's jitter window, not the stream length.
+
+    Drain contract (test-pinned): the emitted rows equal the batch
+    prefix scan over the (ts, doc_id)-sorted input restricted to
+    ts ≤ final watermark; rows inside the final delay window stay
+    buffered (a live stream emits them as the watermark advances)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from pdfspark.queries import _SHARD_BUDGET
+
+    if budget is None:
+        budget = _SHARD_BUDGET
+
+    def pack(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            offset, max_ts, b_doc, b_ts, b_tok = state.get
+            buf = list(zip(b_ts, b_doc, b_tok))
+        else:
+            offset, max_ts, buf = 0, -(1 << 62), []
+        # the frontier sealed by PRIOR emissions: a row at or before it
+        # arrived > delay_s out of order — quarantine (-1), because
+        # emitting it now would put its tokens after shards its ts
+        # belongs before
+        frontier = max_ts - delay_s
+        chunks = list(pdfs)
+        rows = []
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            for doc_id, ts, n in zip(pdf["doc_id"], pdf["ts_s"],
+                                     pdf["n_tokens"]):
+                ts = int(ts)
+                if ts <= frontier:
+                    rows.append({"doc_id": int(doc_id),
+                                 "n_tokens": int(n), "shard_id": -1})
+                    continue
+                buf.append((ts, int(doc_id), int(n)))
+                max_ts = max(max_ts, ts)
+        wm = max_ts - delay_s
+        buf.sort()
+        keep = []
+        for ts, doc_id, n in buf:
+            if ts <= wm:
+                rows.append({"doc_id": doc_id, "n_tokens": n,
+                             "shard_id": offset // budget})
+                offset += n
+            else:
+                keep.append((ts, doc_id, n))
+        state.update((int(offset), int(max_ts),
+                      [d for _, d, _ in keep],
+                      [t for t, _, _ in keep],
+                      [n for _, _, n in keep]))
+        yield pd.DataFrame(rows,
+                           columns=["doc_id", "n_tokens", "shard_id"])
+
+    tok = docs.select(
+        "doc_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        .alias("n_tokens"),
+        F.lit(0).alias("packer"),
+    )
+    return tok.groupBy("packer").applyInPandasWithState(
+        pack,
+        outputStructType="doc_id long, n_tokens long, shard_id long",
+        stateStructType=("next_offset long, max_ts long, "
+                        "buf_doc array<long>, buf_ts array<long>, "
+                        "buf_tok array<long>"),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --------------------------------------------------- stream IVF assignment
 
 def ivf_assign_expr(seeds) -> "F.Column":

@@ -794,3 +794,95 @@ def test_quality_classifier_stream_matches_batch(spark, tmp_path):
     assert streamed == batch
     assert len(streamed) == docs.count()
     assert {k for _, _, k in streamed} == {0, 1}  # both classes occur
+
+
+def test_watermarked_shard_pack_reorders_within_delay(spark, tmp_path):
+    """Late-tolerant shard packer: rows arrive out of order with
+    jitter under the watermark delay across THREE micro-batches; the
+    emitted rows must equal the batch prefix scan over the
+    (ts, doc_id)-sorted input restricted to ts <= final watermark
+    (rows inside the final delay window stay buffered), and a row
+    arriving beyond the delay is quarantined with shard_id = -1, never
+    silently reordered into sealed shards."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfspark.queries import _SHARD_BUDGET
+    from pdfspark.streaming import shard_pack_stream_watermarked
+
+    sf_dir = "/root/testdata/sf0.001"
+    in_dir = tmp_path / "win"
+    in_dir.mkdir()
+
+    base = sorted(
+        (int(r.doc_id), r.text) for r in
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").collect()
+    )
+    # event time = 1000 + rank; delivery order = rank + bounded jitter
+    # (±15 s < delay 60 s), split into 3 files
+    rows = []
+    for rank, (doc_id, text) in enumerate(base):
+        j = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 31 - 15
+        rows.append((rank + j, 1000 + rank, doc_id, text))
+    rows.sort()
+    third = len(rows) // 3
+    chunks = [rows[:third], rows[third:2 * third], rows[2 * third:]]
+    # a hopeless straggler in the last file: ts far behind the frontier
+    chunks[2] = chunks[2] + [(0, 1000, 999999, "late words here")]
+    for k, chunk in enumerate(chunks):
+        path = str(in_dir / f"chunk{k}.parquet")
+        pq.write_table(
+            pa.table(
+                {"doc_id": [d for _, _, d, _ in chunk],
+                 "ts": [t for _, t, _, _ in chunk],
+                 "text": [x for _, _, _, x in chunk]},
+                schema=pa.schema([("doc_id", pa.int64()),
+                                  ("ts", pa.int64()),
+                                  ("text", pa.string())]),
+            ),
+            path,
+        )
+        os.utime(path, (2_000_000 + k, 2_000_000 + k))
+
+    sink = str(tmp_path / "wout")
+    ckpt = str(tmp_path / "wckpt")
+    stream = (
+        spark.readStream.schema("doc_id long, ts long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(str(in_dir))
+    )
+    q = (
+        shard_pack_stream_watermarked(stream, delay_s=60)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    got = [(r.doc_id, r.n_tokens, r.shard_id)
+           for r in spark.read.parquet(sink).collect()]
+    quarantined = [(d, s) for d, _, s in got if s == -1]
+    assert quarantined == [(999999, -1)]
+
+    # batch twin: (ts, doc_id)-sorted prefix scan over ts <= final wm
+    max_ts = 1000 + len(base) - 1
+    wm = max_ts - 60
+    ordered = sorted((1000 + rank, doc_id, text)
+                     for rank, (doc_id, text) in enumerate(base))
+    expect, offset = set(), 0
+    for ts, doc_id, text in ordered:
+        n = len([w for w in text.strip().split() if w]) or 1
+        if ts <= wm:
+            expect.add((doc_id, n, offset // _SHARD_BUDGET))
+            offset += n
+    emitted = {r for r in got if r[2] != -1}
+    # token counts must match the JVM split exactly — compare via the
+    # emitted set itself
+    assert emitted == expect, (
+        sorted(emitted - expect)[:5], sorted(expect - emitted)[:5])
+    assert len(emitted) == sum(1 for t, _, _ in ordered if t <= wm)
