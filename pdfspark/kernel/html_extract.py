@@ -193,14 +193,19 @@ def extract_html_content_blocks(buf: bytes) -> List[tuple]:
 class _TableCellExtractor(HTMLParser):
     """Structured <table> extraction (the HTML twin of the PDF layout
     tier's table_cells): one (table_idx, row_idx, col_idx, text) per
-    cell of each OUTERMOST table — nested tables flatten into their
-    enclosing cell's text (the common rendering), tracked by a depth
-    counter. Cell text collapses whitespace like the block policy."""
+    cell of each OUTERMOST table. Follows the module's pinned policy —
+    DROP_TAGS subtrees (script/style/…) never contribute cell text,
+    block-level tags (including <br>, <p> and nested tables) inside a
+    cell become single word separators, whitespace collapses. A <td>
+    directly under <table> gets the implicit row browsers synthesize
+    (row 0); each new outermost table resets both counters (review
+    r5.4 #2-#4)."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.cells: List[tuple] = []
         self._table_depth = 0
+        self._drop_depth = 0
         self._table_idx = -1
         self._row_idx = -1
         self._col_idx = -1
@@ -217,27 +222,36 @@ class _TableCellExtractor(HTMLParser):
         self._in_cell = False
 
     def handle_starttag(self, tag, attrs):
+        if tag in DROP_TAGS:
+            if tag not in _VOID:
+                self._drop_depth += 1
+            return
         if tag == "table":
             if self._in_cell:
                 self._cur.append(" ")  # nested table = inline break
             if self._table_depth == 0:
                 self._table_idx += 1
                 self._row_idx = -1
-            self._table_depth += 1
-        elif self._table_depth == 1:
-            if tag == "tr":
-                self._flush_cell()
-                self._row_idx += 1
                 self._col_idx = -1
-            elif tag in ("td", "th"):
-                self._flush_cell()
-                self._col_idx += 1
-                self._in_cell = True
-        elif (self._table_depth > 1 and self._in_cell
-              and tag in ("tr", "td", "th")):
-            self._cur.append(" ")  # nested rows/cells stay word-separated
+            self._table_depth += 1
+        elif self._table_depth == 1 and tag == "tr":
+            self._flush_cell()
+            self._row_idx += 1
+            self._col_idx = -1
+        elif self._table_depth == 1 and tag in ("td", "th"):
+            self._flush_cell()
+            if self._row_idx < 0:
+                self._row_idx = 0  # implicit <tr> for td-under-table
+            self._col_idx += 1
+            self._in_cell = True
+        elif self._in_cell and tag in BLOCK_TAGS:
+            self._cur.append(" ")  # block break inside a cell
 
     def handle_endtag(self, tag):
+        if tag in DROP_TAGS and tag not in _VOID:
+            if self._drop_depth > 0:
+                self._drop_depth -= 1
+            return
         if tag == "table":
             if self._table_depth == 1:
                 self._flush_cell()
@@ -246,12 +260,15 @@ class _TableCellExtractor(HTMLParser):
             self._table_depth = max(0, self._table_depth - 1)
         elif self._table_depth == 1 and tag in ("td", "th", "tr"):
             self._flush_cell()
-        elif (self._table_depth > 1 and self._in_cell
-              and tag in ("tr", "td", "th")):
+        elif self._in_cell and tag in BLOCK_TAGS:
             self._cur.append(" ")
 
+    def handle_startendtag(self, tag, attrs):
+        if self._in_cell and tag in BLOCK_TAGS:
+            self._cur.append(" ")  # XML-style voids, e.g. <br/>
+
     def handle_data(self, data):
-        if self._in_cell:
+        if self._in_cell and self._drop_depth == 0:
             self._cur.append(data)
 
     def close(self):

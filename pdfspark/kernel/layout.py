@@ -179,15 +179,23 @@ def _glyph_slices(r: ExtractResult, span, glyphs: List) -> List[tuple]:
     return slices
 
 
-def _line_sizes(glyphs: List) -> dict:
-    """Per-baseline median device em size (GlyphPos.size), keyed by
+def _line_sizes(glyphs: List, agg=None) -> dict:
+    """Per-baseline device em size (GlyphPos.size), keyed by
     round(y, 3) — {} when no glyph carries a size (older tuples), which
-    switches clustering to the advance-based fallback."""
+    switches clustering to the advance-based fallback. Default
+    aggregate is the median; the min-lines GATE passes ``agg=max``
+    (see _density_bounds): before columns exist, a shared y mixes the
+    columns' sizes, and the gate must be CONSERVATIVE — counting with
+    the max size merges any rise a per-column pass could merge, so a
+    superscript can never unlock splitting that clustering would then
+    undo (review r5.4 #6)."""
     by_y: dict = {}
     for g in glyphs:
         sz = getattr(g, "size", 0.0)
         if sz > 0:
             by_y.setdefault(round(g.y, 3), []).append(sz)
+    if agg is max:
+        return {y: max(szs) for y, szs in by_y.items()}
     return {
         y: sorted(szs)[len(szs) // 2] for y, szs in by_y.items()
     }
@@ -270,7 +278,9 @@ def _density_bounds(glyphs: List) -> List[float]:
         return []
     med = advances[len(advances) // 2]
     fallback = LINE_TOL_FRACTION * med
-    sizes = _line_sizes(glyphs)
+    # max-size aggregation: the gate must merge at least everything
+    # per-column clustering will merge (see _line_sizes docstring)
+    sizes = _line_sizes(glyphs, agg=max)
     ys = sorted({round(g.y, 3) for g in glyphs}, reverse=True)
     n_lines, prev = 1, ys[0]
     for y in ys[1:]:

@@ -758,9 +758,13 @@ def shard_pack_stream_watermarked(docs: DataFrame,
     source's jitter window, not the stream length.
 
     Drain contract (test-pinned): the emitted rows equal the batch
-    prefix scan over the (ts, doc_id)-sorted input restricted to
-    ts ≤ final watermark; rows inside the final delay window stay
-    buffered (a live stream emits them as the watermark advances)."""
+    prefix scan over the (ts, doc_id)-sorted ADMITTED input — rows
+    that arrived within the delay — restricted to ts ≤ final
+    watermark. Quarantined rows are excluded from the scan entirely
+    (their tokens never enter the offset stream), so a batch oracle
+    must filter them out too, not merely sort by ts (review r5.4 #5);
+    rows inside the final delay window stay buffered (a live stream
+    emits them as the watermark advances)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from pdfspark.queries import _SHARD_BUDGET
@@ -811,11 +815,16 @@ def shard_pack_stream_watermarked(docs: DataFrame,
         yield pd.DataFrame(rows,
                            columns=["doc_id", "n_tokens", "shard_id"])
 
-    tok = docs.select(
+    # null-ts rows are unorderable — drop them JVM-side BEFORE the
+    # stateful stage (the CLAUDE.md null-event-time rule: one bad row
+    # must never wedge the checkpoint replay loop — a NaN in the
+    # pandas long column would raise in int()); null text coalesces so
+    # n_tokens stays non-null (review r5.4 #1)
+    tok = docs.filter(F.col("ts").isNotNull()).select(
         "doc_id",
         F.col("ts").cast("long").alias("ts_s"),
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
-        .alias("n_tokens"),
+        F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))),
+                       r"\s+")).cast("long").alias("n_tokens"),
         F.lit(0).alias("packer"),
     )
     return tok.groupBy("packer").applyInPandasWithState(

@@ -169,3 +169,28 @@ def test_html_table_cell_extractor_scoping():
     assert extract_html_table_cells(b"<table><tr><td>open") == \
         [(0, 0, 0, "open")]
     assert extract_html_table_cells(b"") == []
+
+
+def test_html_table_cells_policy_conformance():
+    """Review r5.4 #2-#4: DROP_TAGS subtrees never leak into cell
+    text, block breaks inside a cell become word separators, a <td>
+    directly under <table> gets the implicit browser row, and counters
+    reset per outermost table."""
+    from pdfspark.kernel.html_extract import extract_html_table_cells
+
+    assert extract_html_table_cells(
+        b"<table><tr><td>a<script>var x=1;</script>b</td></tr></table>"
+    ) == [(0, 0, 0, "ab")]
+    assert extract_html_table_cells(
+        b"<table><tr><td>line one<br>line two</td></tr></table>"
+    ) == [(0, 0, 0, "line one line two")]
+    assert extract_html_table_cells(
+        b"<table><tr><td><p>one</p><p>two</p></td></tr></table>"
+    ) == [(0, 0, 0, "one two")]
+    assert extract_html_table_cells(
+        b"<table><tr><td>x<br/>y</td></tr></table>"
+    ) == [(0, 0, 0, "x y")]
+    # implicit <tr> + per-table counter reset
+    assert extract_html_table_cells(
+        b"<table><td>a</td></table><table><td>b</td></table>"
+    ) == [(0, 0, 0, "a"), (1, 0, 0, "b")]

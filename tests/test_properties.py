@@ -316,3 +316,40 @@ def test_image_header_survives_mutated_valid_images(data):
     mutated = base[:pos] + bytes([val]) + base[pos + 1:]
     r = parse_image_header(mutated)
     assert r is None or (isinstance(r, tuple) and len(r) == 5)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=2048))
+def test_html_extractors_never_raise_on_garbage(data):
+    """HTML parse paths (CLAUDE.md new-parse-path invariant): raw
+    garbage, html-prefixed garbage, and tag soup must return their
+    contract types, never raise."""
+    from pdfspark.kernel.html_extract import (
+        extract_html,
+        extract_html_content_blocks,
+        extract_html_table_cells,
+    )
+
+    for buf in (data, b"<html><body>" + data,
+                b"<table><tr><td>" + data):
+        r = extract_html(buf)
+        assert r.text is None or isinstance(r.text, str)
+        blocks = extract_html_content_blocks(buf)
+        assert all(isinstance(t, str) for _, t in blocks)
+        cells = extract_html_table_cells(buf)
+        assert all(isinstance(c, tuple) and len(c) == 4 for c in cells)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.data())
+def test_html_table_cells_survive_mutated_valid_pages(data):
+    from pdfspark.docgen import text_to_html_table
+    from pdfspark.kernel.html_extract import extract_html_table_cells
+
+    base = text_to_html_table("alpha beta gamma delta epsilon zeta",
+                              data.draw(st.integers(0, 500)))
+    pos = data.draw(st.integers(0, len(base) - 1))
+    val = data.draw(st.integers(0, 255))
+    mutated = base[:pos] + bytes([val]) + base[pos + 1:]
+    cells = extract_html_table_cells(mutated)
+    assert all(isinstance(c, tuple) and len(c) == 4 for c in cells)

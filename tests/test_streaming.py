@@ -835,11 +835,19 @@ def test_watermarked_shard_pack_reorders_within_delay(spark, tmp_path):
     chunks[2] = chunks[2] + [(0, 1000, 999999, "late words here")]
     for k, chunk in enumerate(chunks):
         path = str(in_dir / f"chunk{k}.parquet")
+        doc_ids = [d for _, _, d, _ in chunk]
+        tss = [t for _, t, _, _ in chunk]
+        texts = [x for _, _, _, x in chunk]
+        if k == 0:
+            # a null-event-time row must be DROPPED before the state
+            # stage (unorderable; review r5.4 #1), never wedge the
+            # query or appear in the output
+            doc_ids.append(888888)
+            tss.append(None)
+            texts.append("null ts row")
         pq.write_table(
             pa.table(
-                {"doc_id": [d for _, _, d, _ in chunk],
-                 "ts": [t for _, t, _, _ in chunk],
-                 "text": [x for _, _, _, x in chunk]},
+                {"doc_id": doc_ids, "ts": tss, "text": texts},
                 schema=pa.schema([("doc_id", pa.int64()),
                                   ("ts", pa.int64()),
                                   ("text", pa.string())]),
@@ -868,6 +876,7 @@ def test_watermarked_shard_pack_reorders_within_delay(spark, tmp_path):
            for r in spark.read.parquet(sink).collect()]
     quarantined = [(d, s) for d, _, s in got if s == -1]
     assert quarantined == [(999999, -1)]
+    assert all(d != 888888 for d, _, _ in got)  # null-ts row dropped
 
     # batch twin: (ts, doc_id)-sorted prefix scan over ts <= final wm
     max_ts = 1000 + len(base) - 1
