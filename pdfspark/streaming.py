@@ -649,7 +649,7 @@ def quality_classifier_stream(docs: DataFrame) -> DataFrame:
 # ------------------------------------------------------ stream shard packer
 
 def shard_pack_stream(docs: DataFrame, budget: Optional[int] = None,
-                      ) -> DataFrame:
+                      key_col: Optional[str] = None) -> DataFrame:
     """Streaming twin of shard_pack_token_budget (VERDICT r4 next #6 /
     ROADMAP #5): assign each arriving document a training-shard id by
     its STARTING token offset in arrival order, with the cumulative
@@ -663,16 +663,23 @@ def shard_pack_stream(docs: DataFrame, budget: Optional[int] = None,
 
     Scale note: one packer key is one sequential state row — inherent
     to sequence packing, where every shard boundary depends on all
-    prior tokens. At 10^12 docs you run MANY independent packers; the
-    groupBy key (``packer``) is the fan-out axis (language, domain
-    bucket, source shard) and each key's state stays a single bigint.
-    The single-key form here is the one the batch oracle can check."""
+    prior tokens. At 10^12 docs you run MANY independent packers: pass
+    ``key_col`` (language, domain bucket, source shard) and each key
+    packs its own shard sequence in parallel, each with a
+    single-bigint state; the output then carries the key as
+    ``packer`` (shards are namespaced per key). The default
+    single-key form is the one the global batch oracle can check; the
+    per-key drain is pinned against a per-key prefix scan
+    (test_shard_pack_stream_per_key_packers)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from pdfspark.queries import _SHARD_BUDGET
 
     if budget is None:
         budget = _SHARD_BUDGET
+    keyed = key_col is not None
+    out_cols = (["packer"] if keyed else []) \
+        + ["doc_id", "n_tokens", "shard_id"]
 
     def pack(key, pdfs, state):
         import pandas as pd
@@ -681,27 +688,32 @@ def shard_pack_stream(docs: DataFrame, budget: Optional[int] = None,
         chunks = list(pdfs)
         if not chunks:
             state.update((offset,))
-            yield pd.DataFrame(
-                columns=["doc_id", "n_tokens", "shard_id"])
+            yield pd.DataFrame(columns=out_cols)
             return
         pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
         rows = []
         for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
-            rows.append({"doc_id": int(doc_id), "n_tokens": int(n),
-                         "shard_id": offset // budget})
+            row = {"doc_id": int(doc_id), "n_tokens": int(n),
+                   "shard_id": offset // budget}
+            if keyed:
+                row["packer"] = key[0]
+            rows.append(row)
             offset += int(n)
         state.update((int(offset),))
-        yield pd.DataFrame(rows, columns=["doc_id", "n_tokens", "shard_id"])
+        yield pd.DataFrame(rows, columns=out_cols)
 
     tok = docs.select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("long")
         .alias("n_tokens"),
-        F.lit(0).alias("packer"),
+        (F.col(key_col).cast("string") if keyed else F.lit(0))
+        .alias("packer"),
     )
+    out_schema = ("packer string, " if keyed else "") \
+        + "doc_id long, n_tokens long, shard_id long"
     return tok.groupBy("packer").applyInPandasWithState(
         pack,
-        outputStructType="doc_id long, n_tokens long, shard_id long",
+        outputStructType=out_schema,
         stateStructType="next_offset long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

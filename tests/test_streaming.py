@@ -895,3 +895,69 @@ def test_watermarked_shard_pack_reorders_within_delay(spark, tmp_path):
     assert emitted == expect, (
         sorted(emitted - expect)[:5], sorted(expect - emitted)[:5])
     assert len(emitted) == sum(1 for t, _, _ in ordered if t <= wm)
+
+
+def test_shard_pack_stream_per_key_packers(spark, tmp_path):
+    """Per-key packers (the 10^12-doc fan-out axis): keyed by the
+    documents' language column, every key packs its OWN shard
+    sequence with its own carry — the drained output must equal a
+    per-key prefix scan in doc_id order, across multiple
+    micro-batches."""
+    from pyspark.sql import Window, functions as F
+
+    from pdfspark.streaming import shard_pack_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    in_dir = str(tmp_path / "kin")
+    sink = str(tmp_path / "kout")
+    ckpt = str(tmp_path / "kckpt")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text", "lang")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode("append") \
+        .parquet(in_dir)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append") \
+        .parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        shard_pack_stream(stream, key_col="lang")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    streamed = {
+        (r.packer, r.doc_id, r.n_tokens, r.shard_id)
+        for r in spark.read.parquet(sink).collect()
+    }
+    # batch twin: per-lang prefix scan — BUT the stream delivered all
+    # even doc_ids before all odd ones, so the carry order is
+    # (parity, doc_id) within each key
+    w = (Window.partitionBy("lang")
+         .orderBy(F.col("doc_id") % 2, "doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    from pdfspark.queries import _SHARD_BUDGET
+
+    tok = docs.select(
+        "lang", "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        .alias("n_tokens"),
+    )
+    batch = {
+        (r.lang, r.doc_id, r.n_tokens, r.shard_id)
+        for r in tok.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "lang", "doc_id", "n_tokens",
+            F.floor((F.col("cum") - F.col("n_tokens"))
+                    / float(_SHARD_BUDGET)).cast("long").alias("shard_id"),
+        ).collect()
+    }
+    assert streamed == batch
+    assert len({p for p, _, _, _ in streamed}) > 1  # several packers ran
