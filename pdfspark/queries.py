@@ -2349,8 +2349,10 @@ WHERE k % 5 <> 4
 """
 
 
+@register("pdf_table_sparse", oracle=_TABLE_SPARSE_SQL)
 def _table_sparse_impl(spark, sf_dir):
-    """Sparse-grid table extraction (r6 queue; parity-pinned by
+    """Sparse-grid table extraction (r6 entrant, registered per VERDICT
+    r5 next #3; parity-pinned by
     tests/test_oracle.py::test_table_sparse_parity): same fused stage
     as pdf_table_cells over fmt='pdf_table_sparse' (every 5th cell
     omitted at generation)."""
@@ -2364,8 +2366,10 @@ def _table_sparse_impl(spark, sf_dir):
     )
 
 
+@register("html_table_cells", oracle=_TABLE_CELLS_SQL)
 def _html_table_cells_impl(spark, sf_dir):
-    """HTML-table structured extraction (r6 queue; parity-pinned by
+    """HTML-table structured extraction (r6 entrant, registered per
+    VERDICT r5 next #3; parity-pinned by
     tests/test_oracle.py::test_html_table_cells_parity): the <table>
     twin of pdf_table_cells — the generator fills a 3-wide table with
     the SAME word-pair cell arithmetic, so _TABLE_CELLS_SQL is the
@@ -4418,73 +4422,76 @@ def doc_length_percentile_buckets(spark, sf_dir):
 # history cede their slots (they remain registered, locally gated, and
 # fully oracled). Every name must stay registered in QUERIES.
 DRIVER_PRIORITY = [
-    # -- r5 rotation (VERDICT r4 next #1): the four first-verdict
-    # entrants lead, then the r3 first-verdict cohort (last checked in
-    # CORRECTNESS_r03 — their verdicts age out after this round)
-    # returns to the window. The r4 cohort (all green in
-    # CORRECTNESS_r04) cedes its slots; it stays registered, locally
-    # oracle-gated at two SFs, and returns in r6. Nine r3 veterans
-    # (embedding_norms, unpivot_order_year_counts,
-    # grouped_stats_apply_in_pandas, url_blocklist_filter,
-    # text_compression_ratio, text_winnowing_neardup,
-    # sample_match_distribution, session_window_agg,
-    # range_join_events_windows) wait for r6's window — the ledger
-    # rule allows a verdict to age 2 rounds, so the rotation period is
-    # 3 rounds and 108 registered queries fit a 50-slot window.
-    # -- new in r5 (first verdict) --
-    "pdf_table_cells",
-    "multimodal_image_meta",
-    "multimodal_audio_meta",
-    "multimodal_video_meta",
-    "ann_signlsh_topk",
-    "decontaminate_span_excise",
-    "quality_classifier_linear",
-    "html_link_density_blocks",
-    "source_mixture_weights",
-    # -- output changed in r5 (needs a fresh verdict): NTILE window →
-    # approx_percentile cutpoint buckets --
-    "doc_length_percentile_buckets",
-    # -- r3 veterans, verdict age 2 rounds (registration-order groups) --
-    "q5_region_revenue",
-    "html_extract_roundtrip",
-    "html_doc_titles",
-    "pdf_extract_roundtrip",
-    "pdf_extract_skew_aware",
-    "pdf_error_rows",
-    "pdf_multipage_roundtrip",
-    "pdf_multipage_spans",
-    "pdf_kerned_wordbreak",
-    "pdf_columns_reading_order",
-    "pdf_layout_mix_extract",
-    "pdf_struct_reading_order",
-    "pdf_annots_text",
-    "pdf_attachments",
-    "pdf_link_uris",
-    "events_funnel",
-    "asof_join_last_click",
-    "window_range_interval_frame",
-    "approx_distinct_urls",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "dedup_incremental_minhash",
-    "dedup_components",
-    "dedup_keeplist",
-    "dedup_canonical_url",
-    "dedup_paragraph_exact",
-    "decontaminate_ngram_overlap",
-    "ann_ivf_recall",
-    "ann_numpy_ivf",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "corpus_quality_filter",
-    "text_gopher_quality",
-    "text_repetition_signals",
-    "text_unigram_commonness",
-    "text_pii_scrub",
-    "token_count_pandas_udf",
-    "sample_stratified",
-    "shard_pack_token_budget",
-    "shard_materialize",
+    # -- r6 rotation (VERDICT r5 next #1/#3): the two table entrants
+    # take their first verdicts, then the nine r3 veterans whose
+    # verdicts are 2 rounds old (forced by the ledger rule — stale at
+    # r6 otherwise), then 39 of the 49-strong r4 cohort (ages out at
+    # r7). The r5 cohort (49 green in CORRECTNESS_r05) cedes its
+    # slots; it stays registered and locally oracle-gated at two SFs.
+    # r7 PLAN (keep rotation mechanical, VERDICT r5 next #8): the r7
+    # forced set is the r4-cohort remainder deferred here —
+    # agg_cube, agg_grouping_sets, pivot_status_by_priority,
+    # set_intersect_custkeys, set_union_distinct,
+    # correlated_subquery_above_avg, exists_subquery_multi_item_orders,
+    # percentiles_exact, orders_monthly_growth, set_except_custkeys —
+    # plus any r4-cohort names displaced below by r6-new entrants;
+    # fill r7's remaining slots from the r5 cohort (ages out at r8).
+    # -- new in r6 (first verdict): layout tier-3/4 table entrants.
+    # As further r6-new queries land (vertical/RTL reading order,
+    # ragged tables, header flags) each is inserted here and displaces
+    # one r4-cohort name from the tail into the r7 forced set. --
+    "pdf_table_sparse",
+    "html_table_cells",
+    # -- r3 veterans, verdict age 2 rounds (forced set) --
+    "text_winnowing_neardup",
+    "embedding_norms",
+    "grouped_stats_apply_in_pandas",
+    "range_join_events_windows",
+    "unpivot_order_year_counts",
+    "session_window_agg",
+    "url_blocklist_filter",
+    "text_compression_ratio",
+    "sample_match_distribution",
+    # -- r4 cohort (verdict age 1 round; ages out at r7) --
+    "pdf_extract_stats",
+    "pdf_magic_filter",
+    "pdf_spans",
+    "q1_pricing_summary",
+    "q3_top_open_orders",
+    "filter_pushdown_scan",
+    "agg_rollup",
+    "window_running_sum",
+    "window_topk_per_group",
+    "anti_join_inactive_customers",
+    "semi_join_active_customers",
+    "top_orders_global",
+    "distinct_customers_exact",
+    "events_daily_rollup",
+    "events_json_extract",
+    "events_sessionization",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "decontaminate_exact_substring",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "ann_ivf_bucketed",
+    "embedding_cosine_neardup",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_meta",
+    "pdf_regression_join",
+    "mixed_corpus_extract",
+    "pdf_doc_metadata",
+    "pdf_outlines",
+    "pdf_cjk_embedded_widths",
+    "pdf_post_glyph_names",
+    "pdf_density_columns",
+    "ann_numpy_topk",
+    "multimodal_feature_extract",
+    "boilerplate_line_removal",
+    "text_char_entropy",
 ]
 
 
