@@ -149,8 +149,19 @@ class _DensityExtractor(_Extractor):
     # content extraction, under-linking a malformed page beats
     # emptying it.
 
+    # Anchor state never changes inside dropped subtrees: the
+    # increment was always gated on _drop_depth == 0, and the
+    # decrement/reset must be symmetric (ADVICE r5 #3) — otherwise a
+    # stray </a> or block tag inside a dropped subtree (e.g.
+    # '<a>x<form></a></form>farm…</a>') closes an anchor opened
+    # OUTSIDE it, undercounting link chars and keeping a farm.
+    # DROP_TAGS ∩ BLOCK_TAGS is empty, so checking _drop_depth before
+    # super() in starttag (and after super() in endtag, which only
+    # mutates drop depth for DROP tags) reads the correct state.
+
     def handle_starttag(self, tag, attrs):
-        if tag in BLOCK_TAGS and tag not in _VOID:
+        if tag in BLOCK_TAGS and tag not in _VOID \
+                and self._drop_depth == 0:
             self._a_depth = 0
         super().handle_starttag(tag, attrs)
         if tag == "a" and self._drop_depth == 0:
@@ -158,6 +169,8 @@ class _DensityExtractor(_Extractor):
 
     def handle_endtag(self, tag):
         super().handle_endtag(tag)
+        if self._drop_depth > 0:
+            return
         if tag == "a" and self._a_depth > 0:
             self._a_depth -= 1
         elif tag in BLOCK_TAGS and tag not in _VOID:
@@ -226,6 +239,11 @@ class _TableCellExtractor(HTMLParser):
             if tag not in _VOID:
                 self._drop_depth += 1
             return
+        if self._drop_depth > 0:
+            # dropped subtrees contribute neither text NOR structure
+            # (ADVICE r5 #2): a <table> inside <nav> must not consume
+            # a table_idx or emit empty cells that shift real tables.
+            return
         if tag == "table":
             if self._in_cell:
                 self._cur.append(" ")  # nested table = inline break
@@ -252,6 +270,8 @@ class _TableCellExtractor(HTMLParser):
             if self._drop_depth > 0:
                 self._drop_depth -= 1
             return
+        if self._drop_depth > 0:
+            return  # same gate as starttag: no structure from drops
         if tag == "table":
             if self._table_depth == 1:
                 self._flush_cell()
@@ -264,6 +284,8 @@ class _TableCellExtractor(HTMLParser):
             self._cur.append(" ")
 
     def handle_startendtag(self, tag, attrs):
+        if self._drop_depth > 0:
+            return
         if self._in_cell and tag in BLOCK_TAGS:
             self._cur.append(" ")  # XML-style voids, e.g. <br/>
 

@@ -702,9 +702,14 @@ def shard_pack_stream(docs: DataFrame, budget: Optional[int] = None,
         state.update((int(offset),))
         yield pd.DataFrame(rows, columns=out_cols)
 
+    # coalesce: NULL text must count 0 tokens, not propagate NULL —
+    # a NULL n_tokens arrives as NaN in the pandas state function
+    # where int() raises, and checkpoint replay then re-delivers the
+    # same batch forever (same guard as the watermarked variant).
     tok = docs.select(
         "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))),
+                       r"\s+")).cast("long")
         .alias("n_tokens"),
         (F.col(key_col).cast("string") if keyed else F.lit(0))
         .alias("packer"),

@@ -194,3 +194,54 @@ def test_html_table_cells_policy_conformance():
     assert extract_html_table_cells(
         b"<table><td>a</td></table><table><td>b</td></table>"
     ) == [(0, 0, 0, "a"), (1, 0, 0, "b")]
+
+
+def test_html_table_inside_dropped_subtree_is_invisible():
+    """ADVICE r5 #2: a <table> inside a DROP_TAGS subtree (nav menus
+    are the canonical case) contributes neither text NOR structure —
+    it must not consume a table_idx, emit empty cells, or shift the
+    indices of real tables; a dropped subtree INSIDE a cell likewise
+    adds no block-break separators."""
+    from pdfspark.kernel.html_extract import extract_html_table_cells
+
+    page = (b"<html><body>"
+            b"<nav><table><tr><td>home</td><td>about</td></tr>"
+            b"</table></nav>"
+            b"<table><tr><td>real</td><td>data</td></tr></table>"
+            b"</body></html>")
+    assert extract_html_table_cells(page) == \
+        [(0, 0, 0, "real"), (0, 0, 1, "data")]
+    # nav table nested in a cell: structure AND text invisible, the
+    # enclosing cell unharmed (no stray separators from the drop)
+    assert extract_html_table_cells(
+        b"<table><tr><td>a<nav><table><tr><td>m</td></tr></table>"
+        b"</nav>b</td></tr></table>"
+    ) == [(0, 0, 0, "ab")]
+    # XML-style void block inside a dropped subtree inside a cell:
+    # no separator either
+    assert extract_html_table_cells(
+        b"<table><tr><td>a<form>x<br/>y</form>b</td></tr></table>"
+    ) == [(0, 0, 0, "ab")]
+
+
+def test_density_anchor_state_symmetric_across_drops():
+    """ADVICE r5 #3: a stray </a> (or a block tag) inside a dropped
+    subtree must not close/reset an anchor opened OUTSIDE it — the
+    farm after the drop is still 100% link text and must drop."""
+    from pdfspark.kernel.html_extract import extract_html_content_blocks
+
+    # </a> inside the dropped <form> would otherwise zero _a_depth
+    # and keep the farm tail as "content"
+    page = (b"<html><body><div><a href=/x>home pages"
+            b"<form></a></form>"
+            b"archive sitemap contact terms privacy careers</a></div>"
+            b"<p>genuine article text here</p></body></html>")
+    assert extract_html_content_blocks(page) == \
+        [(0, "genuine article text here")]
+    # block tag inside a dropped subtree: same symmetry for the reset
+    page2 = (b"<html><body><div><a href=/x>home pages"
+             b"<form><p>junk</p></form>"
+             b"archive sitemap contact terms privacy careers</a></div>"
+             b"<p>genuine article text here</p></body></html>")
+    assert extract_html_content_blocks(page2) == \
+        [(0, "genuine article text here")]

@@ -961,3 +961,42 @@ def test_shard_pack_stream_per_key_packers(spark, tmp_path):
     }
     assert streamed == batch
     assert len({p for p, _, _, _ in streamed}) > 1  # several packers ran
+
+
+def test_shard_pack_stream_survives_null_text(spark, tmp_path):
+    """One bad document never kills the job — streaming edition
+    (ADVICE r5 #1): a NULL text row must NOT wedge shard_pack_stream.
+    Without the coalesce guard, size(split(trim(NULL))) is NULL, which
+    arrives as NaN in the pandas state function where int() raises;
+    the task fails and checkpoint replay re-delivers the same batch
+    forever. With the guard, NULL counts exactly like empty text and
+    the stream drains; the carry over subsequent rows is unaffected."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfspark.streaming import run_shard_pack_stream_once
+
+    in_dir = tmp_path / "nin"
+    out_dir = str(tmp_path / "nout")
+    ckpt = str(tmp_path / "nckpt")
+    in_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {"doc_id": [1, 2, 3, 4],
+             "text": ["alpha beta gamma", None, "", "delta"]},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("text", pa.string())]),
+        ),
+        str(in_dir / "chunk0.parquet"),
+    )
+
+    finished = run_shard_pack_stream_once(
+        spark, str(in_dir), out_dir, ckpt, timeout_s=120)
+    assert finished, "stream wedged on the NULL text row"
+
+    got = {(r.doc_id, r.n_tokens)
+           for r in spark.read.parquet(out_dir).collect()}
+    null_tok = {n for d, n in got if d == 2}
+    empty_tok = {n for d, n in got if d == 3}
+    assert null_tok == empty_tok  # NULL counts exactly like empty text
+    assert (1, 3) in got and (4, 1) in got  # carry rows intact
