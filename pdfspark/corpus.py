@@ -1052,6 +1052,23 @@ def all_cases() -> List[Case]:
              text_to_pdf_postfont("post name route 42", meta_id=51),
              "post name route 42", None, 1))
 
+    # ---- t52: vertical writing mode (Identity-V — extract.py policy
+    # #7): per-glyph displacement runs DOWN the page; the content
+    # stream writes the two 40-char columns in the REVERSE of reading
+    # order, so the pinned linearization yields column 2 then column 1
+    # ("\n"-joined by the baseline rule). The reading-order recovery
+    # (layout="vertical") is pinned in test_golden; in-corpus so the
+    # Identity-V + ToUnicode + vertical-advance path sits under the
+    # mutation/garbage property fuzz.
+    from pdfspark.docgen import text_to_pdf_vertical
+
+    _v_text = "vertical columns read right to left glyphs stack downward"
+    _v_cjk = _v_text.translate(_ASCII_TO_CJK)
+    add(Case("t52_vertical_identity_v",
+             text_to_pdf_vertical(_v_text, meta_id=52),
+             _v_cjk[40:] + "\n" + _v_cjk[:40],
+             None, 1))
+
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",
              b"<!doctype html><html><body>hello web</body></html>",

@@ -865,6 +865,109 @@ def text_to_pdf_table(text: str, meta_id: int = 0,
     return bytes(out)
 
 
+# ------------------------------------------------------------ vertical CJK
+
+def text_to_pdf_vertical(text: str, meta_id: int = 0,
+                         col_chars: int = 40) -> bytes:
+    """Vertical-writing-mode torture test (VERDICT r5 next #4): the a-z
+    text transliterates to hanzi (spaces and ASCII punctuation kept as
+    their own glyphs) and typesets in TRUE vertical mode — an
+    /Identity-V Type0 font whose per-glyph displacement runs DOWN the
+    page (kernel extract.py policy #7), one show op per vertical
+    column of ``col_chars`` characters, columns read RIGHT-to-left.
+
+    The content stream writes columns in LEFT-to-right physical order
+    — the reverse of reading order — so plain linearization provably
+    returns the text back-to-front at column granularity; only the
+    layout="vertical" reading-order policy (columns right-to-left,
+    baselines top-down, no joining whitespace) restores it
+    byte-identically. Reference anchor: the V CMap variants at
+    `src/font/cjk.rs:1-190` / `src/font/type0.rs:13-28`, which the
+    reference decodes but whose vertical displacement it never applies.
+
+    CIDs are Unicode code points (2-byte big-endian) under Identity-V;
+    the ToUnicode CMap maps the two ranges the transliteration can
+    produce (ASCII printable + the 26-hanzi alphabet) back identically.
+    No FontFile is embedded: horizontal widths never matter in
+    vertical mode, and the vertical advance comes from the /DW2
+    default (−1000 glyph units = one 12pt em per glyph here)."""
+    vtext = normalize_for_pdf(text).translate(_ASCII_TO_CJK)
+    n_cols = max(1, (len(vtext) + col_chars - 1) // col_chars)
+    pitch = 80.0  # x distance between column origins (> 60pt col gap)
+    ops = []
+    # physical left-to-right emission = reading order REVERSED:
+    # physical slot p holds reading column j = n_cols-1-p
+    for p in range(n_cols):
+        j = n_cols - 1 - p
+        chunk = vtext[j * col_chars:(j + 1) * col_chars]
+        if not chunk:
+            continue
+        x = 72.0 + p * pitch
+        hexs = "".join(f"{ord(c):04X}" for c in chunk)
+        ops.append(f"BT /F1 12 Tf {x:.2f} 740 Td <{hexs}> Tj ET ")
+    content = "".join(ops).encode("latin-1")
+    data = zlib.compress(content, 6)
+    tounicode = (
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CMapName /pdfspark-vert-identity def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfrange\n"
+        b"<0020> <007E> <0020>\n"
+        b"<4E00> <4E19> <4E00>\n"
+        b"endbfrange\nendcmap\nCMapName currentdict /CMap defineresource "
+        b"pop\nend\nend"
+    )
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    emit(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    emit(
+        4,
+        b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(data)
+        + data + b"\nendstream",
+    )
+    emit(
+        5,
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /VertCJK "
+        b"/Encoding /Identity-V /DescendantFonts [7 0 R] "
+        b"/ToUnicode 8 0 R >>",
+    )
+    emit(6, b"<< /Title (doc %d) /Producer (pdfspark-docgen) >>" % meta_id)
+    emit(
+        7,
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /VertCJK "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> >>",
+    )
+    emit(
+        8,
+        b"<< /Length %d >>\nstream\n" % len(tounicode)
+        + tounicode + b"\nendstream",
+    )
+    size = max(offsets) + 1
+    xref_off = len(out)
+    out.extend(b"xref\n0 %d\n0000000000 65535 f \n" % size)
+    for n in range(1, size):
+        out.extend(b"%010d 00000 n \n" % offsets[n])
+    out.extend(
+        b"trailer\n<< /Size %d /Root 1 0 R /Info 6 0 R >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (size, xref_off)
+    )
+    return bytes(out)
+
+
 def text_to_html_linkfarm(text: str, doc_id: int = 0,
                           words_per_block: int = 12) -> bytes:
     """Common-Crawl-style page whose boilerplate is LINK FARMS in plain

@@ -23,6 +23,15 @@ the oracle; goldens in tests/test_golden.py pin them):
    filter them — `src/render/mod.rs:1486-1520`).
 6. Unknown operators are ignored (operand stack cleared) everywhere, not
    just inside BX…EX — crash-tolerance inverts the reference's panic.
+7. Writing mode 1 (Identity-V, predefined *-V CMaps, embedded CMaps with
+   /WMode 1 — the reference lists the V variants in `src/font/cjk.rs:1-190`
+   but never applies vertical displacement): per-glyph displacement runs
+   DOWN the page — ty = w1y/1000·Tfs + Tc with w1y from /DW2 (default
+   −1000); Tw never applies (2-byte codes can't be code 32) and /W2
+   per-CID vertical metrics are unimplemented (uniform em-advance covers
+   real CJK). Text still accumulates in operator order (rule 1), so the
+   linearized text of a vertical page is the shows in stream order; the
+   READING-order reconstruction is kernel/layout.py layout="vertical".
 """
 
 from __future__ import annotations
@@ -571,14 +580,27 @@ class _PageInterp:
             bx, by = apply(m0, 0.0, 0.0)
             sx, sy = apply(m0, 0.0, ts.font_size)
             dev_size = ((sx - bx) ** 2 + (sy - by) ** 2) ** 0.5
+            vertical = font.wmode == 1
             for g in font.decode(bytes(raw)):
                 gx, gy = apply(mat_mul(ts.tm, self.gs.ctm), 0.0, ts.rise)
                 off = self.out_len
                 self._emit(g.text)
-                ts.advance(
-                    (g.advance / 1000.0 * ts.font_size + ts.char_spacing
-                     + (ts.word_spacing if g.is_space else 0.0)) * ts.h_scale
-                )
+                if vertical:
+                    # writing mode 1 (PDF 9.4.4): displacement runs
+                    # down the page — ty = w1y/1000·Tfs + Tc (Tw only
+                    # ever applies to single-byte code 32, which a
+                    # 2-byte CMap can't produce; Th is horizontal-only)
+                    ts.advance_v(
+                        font.v_advance / 1000.0 * ts.font_size
+                        + ts.char_spacing
+                    )
+                else:
+                    ts.advance(
+                        (g.advance / 1000.0 * ts.font_size
+                         + ts.char_spacing
+                         + (ts.word_spacing if g.is_space else 0.0))
+                        * ts.h_scale
+                    )
                 nx, _ = apply(mat_mul(ts.tm, self.gs.ctm), 0.0, ts.rise)
                 self.positions.append((off, gx, gy, nx - gx, dev_size))
                 if self.runs is not None and not self.mc_suppress:
@@ -586,6 +608,18 @@ class _PageInterp:
             _, self.last_y = apply(mat_mul(ts.tm, self.gs.ctm), 0.0, 0.0)
             return
         text, width_sum, n_glyphs, n_spaces = font.decode_fast(bytes(raw))
+        if font.wmode == 1:
+            # vertical batched advance: uniform per-glyph displacement
+            # (DW2; per-CID /W2 unimplemented), so one translate works
+            ts.advance_v(
+                n_glyphs * (font.v_advance / 1000.0 * ts.font_size
+                            + ts.char_spacing)
+            )
+            self._emit(text)
+            if self.runs is not None and text and not self.mc_suppress:
+                self.runs.append((self._mcid(), text))
+            _, self.last_y = apply(mat_mul(ts.tm, self.gs.ctm), 0.0, 0.0)
+            return
         # T12 advance, batched: Σ(w/1000·size + Tc + Tw·is_space) · Th —
         # one translate instead of one mat_mul per glyph
         tx = (
@@ -607,9 +641,17 @@ class _PageInterp:
             if isinstance(item, (bytes, PdfString)):
                 self._show(item)
             elif isinstance(item, (int, float)):
-                # kern: Tm ← translate(−n/1000·size·Th, 0)·Tm; NO space
-                tx = -float(item) / 1000.0 * self.ts.font_size * self.ts.h_scale
-                self.ts.advance(tx)
+                # kern: Tm ← translate(−n/1000·size·Th, 0)·Tm; NO space.
+                # Vertical mode: the same number displaces ty instead
+                # (PDF 9.4.3 — Tj applies along the writing direction)
+                f = self.ts.font
+                if f is not None and f.wmode == 1:
+                    self.ts.advance_v(
+                        -float(item) / 1000.0 * self.ts.font_size)
+                else:
+                    tx = (-float(item) / 1000.0 * self.ts.font_size
+                          * self.ts.h_scale)
+                    self.ts.advance(tx)
 
     # ------------------------------------------------------------ operators
 

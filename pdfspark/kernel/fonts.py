@@ -596,6 +596,7 @@ class Font:
         "widths", "first_char", "default_width", "cid_widths", "gid_to_uni",
         "code_to_gid", "cid_to_gid", "unicode_codes", "codec_cmap",
         "uni_to_gid", "gid_advances", "error", "_fast",
+        "wmode", "v_advance",
     )
 
     def __init__(self) -> None:
@@ -619,6 +620,16 @@ class Font:
         self.gid_advances: Optional[List[float]] = None
         self.error: Optional[str] = None
         self._fast = None  # lazy (chars[256], widths[256]) decode tables
+        # writing mode (PDF 9.7.5.2): 0 horizontal, 1 vertical. Set for
+        # Identity-V / predefined *-V CMaps / embedded CMaps whose
+        # stream dict carries /WMode 1. The reference lists every V
+        # variant (`src/font/cjk.rs:1-190`, `src/font/type0.rs:13-28`)
+        # but never applies vertical displacement; we do (extract._show)
+        self.wmode = 0
+        # vertical displacement w1y in glyph space (DW2[1], default
+        # −1000 = one em down per glyph; per-CID /W2 unimplemented —
+        # uniform vertical advances cover real CJK typesetting)
+        self.v_advance = -1000.0
 
     # -------------------------------------------------------------- decode
 
@@ -1103,6 +1114,10 @@ def _load_type0(doc, font_dict: dict, f: Font) -> None:
     enc = res(font_dict.get("Encoding"))
     if isinstance(enc, (str, Name)):
         name = str(enc)
+        # every predefined V CMap is its H sibling + writing mode 1
+        # (`src/font/cjk.rs:1-190` carries both variants per family)
+        if name.endswith("-V") or name == "V":
+            f.wmode = 1
         if name in ("Identity-H", "Identity-V"):
             f.cid_cmap = CidCMap.identity_2byte()
         else:
@@ -1127,6 +1142,9 @@ def _load_type0(doc, font_dict: dict, f: Font) -> None:
                 if f.tounicode is None:
                     f.error = "predefined-cmap"
     elif isinstance(enc, Stream):
+        wm = res(enc.dict.get("WMode"))
+        if isinstance(wm, (int, float)) and int(wm) == 1:
+            f.wmode = 1
         try:
             f.cid_cmap = CidCMap.parse(doc.decode(enc))
         except PdfError:
@@ -1142,6 +1160,12 @@ def _load_type0(doc, font_dict: dict, f: Font) -> None:
             dw = res(df.get("DW"))
             if isinstance(dw, (int, float)):
                 f.default_width = float(dw)
+            # DW2 = [position-vector vy, displacement w1y]; only the
+            # displacement drives vertical layout (default −1000)
+            dw2 = res(df.get("DW2"))
+            if (isinstance(dw2, list) and len(dw2) >= 2
+                    and isinstance(dw2[1], (int, float))):
+                f.v_advance = float(dw2[1])
             f.cid_widths = _parse_cid_widths(doc, res(df.get("W")))
             fd = res(df.get("FontDescriptor"))
             if isinstance(fd, dict):

@@ -92,10 +92,16 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT,
     gaps > ``col_gap``), "density" (opt-in — split at x-bands the
     union of glyph coverage leaves empty; finds ragged/narrow gutters
     the fixed threshold misses, with its OWN goldens and oracle query —
-    the default's goldens are untouched), or "table" (opt-in — grid
+    the default's goldens are untouched), "table" (opt-in — grid
     pages read ROW-major: no column split at all, each baseline reads
     straight across its cells left-to-right; the structured per-cell
-    surface is ``table_cells``)."""
+    surface is ``table_cells``), or "vertical" (opt-in — CJK vertical
+    writing mode, VERDICT r5 next #4; PINNED policy: columns split by
+    the same fixed x-gap rule but read RIGHT-to-left, baselines within
+    a column read top-to-bottom, and cells join with NO separator in
+    either direction — vertical CJK has no inter-glyph whitespace, so
+    every space in the output must come from an actual space glyph in
+    the stream)."""
     if r.text is None:
         return ""
     if not r.glyph_positions:
@@ -118,7 +124,7 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT,
             # tables read across the grid: a column split would read
             # column-major — exactly the order a table must NOT read in
             bounds = []
-        else:
+        else:  # "fixed" and "vertical" share the x-gap column rule
             xs = sorted({round(g.x, 3) for g in glyphs})
             bounds = [
                 (xs[i] + xs[i + 1]) / 2.0
@@ -150,7 +156,11 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT,
         # other's merge tolerance (r5.3)
         if layout == "density":
             page_tol = _advance_tol(glyphs)
-        for c in sorted(columns):
+        # vertical policy: columns right-to-left, no joining whitespace
+        # (spaces come only from space glyphs in the stream)
+        vertical = layout == "vertical"
+        sep = "" if vertical else " "
+        for c in sorted(columns, reverse=vertical):
             lines = columns[c]
             if layout == "density":
                 lines = _cluster_lines(lines, glyphs, fallback=page_tol)
@@ -158,8 +168,8 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT,
                 _assemble_line(sorted(lines[y]))
                 for y in sorted(lines, reverse=True)
             ]
-            col_texts.append(" ".join(t for t in line_texts if t))
-        pages.append(" ".join(t for t in col_texts if t))
+            col_texts.append(sep.join(t for t in line_texts if t))
+        pages.append(sep.join(t for t in col_texts if t))
     return "\f".join(pages)
 
 

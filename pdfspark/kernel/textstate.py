@@ -91,6 +91,14 @@ class TextState:
         (`src/render/mod.rs:1273-1315`)."""
         self.tm = mat_mul(translate(tx, 0.0), self.tm)
 
+    def advance_v(self, ty: float) -> None:
+        """Vertical-mode post-glyph advance (writing mode 1): the
+        displacement runs along −y in text space, so Tm = translate(0,
+        ty) · Tm with ty normally negative (PDF 32000 9.4.4; the
+        reference carries the V CMap variants — `src/font/cjk.rs:1-190`
+        — but its renderer never applies vertical displacement)."""
+        self.tm = mat_mul(translate(0.0, ty), self.tm)
+
 
 class GraphicsState:
     """CTM + the text-relevant subset of the full graphics state

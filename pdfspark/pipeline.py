@@ -737,6 +737,10 @@ def _synth_page(i: int, text: str, lang, fmt: str,
         from pdfspark.docgen import text_to_pdf_table
 
         html = text_to_pdf_table(text, meta_id=i, skip_every=5)
+    elif fmt == "pdf_vertical":
+        from pdfspark.docgen import text_to_pdf_vertical
+
+        html = text_to_pdf_vertical(text, meta_id=i)
     elif fmt == "pdf_layout_mix":
         # heterogeneous layouts, chosen deterministically per doc:
         # plain flow / two-column visual order / kern-positioned words

@@ -2238,6 +2238,37 @@ def pdf_cjk_embedded_widths(spark, sf_dir):
 
 
 @register(
+    "pdf_vertical_reading_order",
+    oracle="SELECT doc_id, translate(text,"
+           " 'abcdefghijklmnopqrstuvwxyz',"
+           " '一丁丂七丄丅丆万丈"
+           "三上下丌不与丏丐丑"
+           "丒专且丕世丗丘丙')"
+           " AS text FROM documents",
+)
+def pdf_vertical_reading_order(spark, sf_dir):
+    """Vertical writing mode end-to-end (VERDICT r5 next #4): each doc
+    transliterates a-z→hanzi and typesets under /Identity-V with TRUE
+    vertical displacement (extract.py policy #7 — per-glyph Tm moves
+    DOWN the page), one show per 40-char column, columns written in
+    the REVERSE of reading order so plain linearization provably
+    returns the text back-to-front at column granularity. The
+    layout='vertical' policy (columns right-to-left, baselines
+    top-down, no joining whitespace — layout.py) restores the
+    transliterated text byte-identically; same translate() oracle as
+    the CJK query (engine-identical in Spark and DuckDB). Same fused
+    single-Python-stage plan shape as every roundtrip query."""
+    from pdfspark.pipeline import columns_reading_order_extract
+
+    ext = columns_reading_order_extract(
+        spark, sf_dir, fmt="pdf_vertical", layout="vertical")
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+
+
+@register(
     "pdf_post_glyph_names",
     oracle="SELECT doc_id, text FROM documents",
 )
@@ -4442,6 +4473,7 @@ DRIVER_PRIORITY = [
     # one r4-cohort name from the tail into the r7 forced set. --
     "pdf_table_sparse",
     "html_table_cells",
+    "pdf_vertical_reading_order",
     # -- r3 veterans, verdict age 2 rounds (forced set) --
     "text_winnowing_neardup",
     "embedding_norms",
@@ -4491,7 +4523,8 @@ DRIVER_PRIORITY = [
     "ann_numpy_topk",
     "multimodal_feature_extract",
     "boilerplate_line_removal",
-    "text_char_entropy",
+    # displaced to the r7 forced set by r6 entrants (see header
+    # comment): text_char_entropy
 ]
 
 

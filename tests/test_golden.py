@@ -124,6 +124,45 @@ def test_two_column_reading_order_reconstruction():
     assert reading_order_text(ExtractResult(None, [], 0, "xref", None)) == ""
 
 
+def test_vertical_reading_order_reconstruction():
+    """Vertical writing mode (VERDICT r5 next #4): an Identity-V page
+    stacks glyphs DOWN the page (extract.py policy #7) with columns
+    written left-to-right in the stream — the reverse of CJK reading
+    order. layout='vertical' (columns right-to-left, baselines
+    top-down, no joining whitespace) must restore the transliterated
+    source byte-identically; plain linearization provably returns the
+    columns back-to-front."""
+    from pdfspark.docgen import _ASCII_TO_CJK, text_to_pdf_vertical
+    from pdfspark.kernel.layout import reading_order_text
+
+    text = ("the fast key order sort table scan merge part window small "
+            "hash scan join order batch value line agg row")
+    expected = text.translate(_ASCII_TO_CJK)
+    r = extract_text(text_to_pdf_vertical(text, meta_id=9), positions=True)
+    assert r.error is None
+    assert reading_order_text(r, layout="vertical") == expected
+    # operator order is column-reversed — the case layout must solve
+    assert r.text != expected
+    assert r.text.replace("\n", "") == "".join(
+        expected[j * 40:(j + 1) * 40]
+        for j in reversed(range((len(expected) + 39) // 40))
+    )
+    # ≤ one column degrades to identity under both orders
+    short = extract_text(text_to_pdf_vertical("abc def", meta_id=1),
+                         positions=True)
+    exp2 = "abc def".translate(_ASCII_TO_CJK)
+    assert reading_order_text(short, layout="vertical") == exp2
+    assert short.text == exp2
+    # spaces come only from space glyphs: every source space survived
+    assert expected.count(" ") == \
+        reading_order_text(r, layout="vertical").count(" ")
+    # error documents never raise
+    from pdfspark.kernel.extract import ExtractResult
+
+    assert reading_order_text(
+        ExtractResult(None, [], 0, "xref", None), layout="vertical") == ""
+
+
 def test_reading_order_never_raises_across_corpus():
     """Layout reconstruction must be total: every golden (including
     error documents, empty pages, multi-page docs) flows through
