@@ -773,7 +773,9 @@ def text_to_pdf_postfont(text: str, meta_id: int = 0) -> bytes:
 
 
 def text_to_pdf_table(text: str, meta_id: int = 0,
-                      n_cols: int = 3, skip_every: int = 0) -> bytes:
+                      n_cols: int = 3, skip_every: int = 0,
+                      rowspan_every: int = 0,
+                      header_size: float = 0.0) -> bytes:
     """Grid/table layout whose content stream is written CELL-BY-CELL
     in COLUMN order — the typical table-generator pattern that defeats
     plain linearization (stream order reads the table column-major,
@@ -793,21 +795,62 @@ def text_to_pdf_table(text: str, meta_id: int = 0,
     3 columns and skip_every ≥ 4 no row or column can vanish entirely
     (consecutive k can't all hit the residue; a column's sole member
     k=c<3 never does), so row/col ranks stay aligned with the dense
-    arithmetic."""
-    from pdfspark.kernel.base14 import _HELVETICA
+    arithmetic.
 
-    def cell_width(s: str) -> float:
-        return sum(_HELVETICA.get(c, 556) for c in s) * 12.0 / 1000.0
+    ``rowspan_every`` > 0 makes cell k a vertically-centered 2-ROW
+    SPAN when k % rowspan_every == rowspan_every-1, it isn't skipped,
+    and a row exists below (k + n_cols < n_cells): the cell renders at
+    the MIDPOINT baseline between its row and the next (LaTeX
+    \\multirow typesetting) and the covered cell k + n_cols is not
+    drawn. layout.table_cells' anchor-linkage row clustering must fold
+    the midpoint baseline into the upper row. rowspan_every = 11 with
+    3 columns keeps midpoint gaps a strict minority of all baseline
+    gaps (2S < (R-1+S)/2), so the page-median gap stays the grid
+    pitch; spans land in different columns (11 ≡ 2 mod 3) and two
+    spans can never cover the same row twice (span sources differ by
+    ≥11 > 2·n_cols), so with skip_every=5 every row keeps ≥1 cell and
+    row ranks stay aligned with the dense arithmetic.
+
+    ``header_size`` > 0 renders ROW 0 at that font size (body stays
+    12pt): with 15pt the ratio is 1.25 ≥ the pinned
+    TABLE_HEADER_SIZE_RATIO, and the body median (median of per-row
+    medians) equals 12 whenever the table has ≥3 rows — so
+    table_cells_flagged flags exactly row 0 of ≥3-row tables, a
+    closed-form the oracle mirrors (is_header ⟺ k < n_cols AND
+    n_cells ≥ 2·n_cols + 1). Stops derive from each cell's OWN size,
+    so inter-column gaps stay ≥40pt under the wider header glyphs."""
+    from pdfspark.kernel.base14 import _HELVETICA
 
     text = normalize_for_pdf(text)
     words = text.split(" ")
     cells = [" ".join(words[2 * k:2 * k + 2])
              for k in range((len(words) + 1) // 2)]
     n_rows = (len(cells) + n_cols - 1) // n_cols
+
+    def size_of(k: int) -> float:
+        return (header_size if header_size and k < n_cols else 12.0)
+
+    def cell_width(k: int) -> float:
+        return sum(
+            _HELVETICA.get(c, 556) for c in cells[k]
+        ) * size_of(k) / 1000.0
+
+    def skipped(k: int) -> bool:
+        return bool(skip_every) and k % skip_every == skip_every - 1
+
+    def span_at(k: int) -> bool:
+        return (bool(rowspan_every)
+                and k % rowspan_every == rowspan_every - 1
+                and not skipped(k)
+                and k + n_cols < len(cells))
+
+    def covered(k: int) -> bool:
+        return k >= n_cols and span_at(k - n_cols)
+
     stops = [72.0]
     for c in range(1, n_cols):
         wmax = max(
-            (cell_width(cells[r * n_cols + c - 1]) for r in range(n_rows)
+            (cell_width(r * n_cols + c - 1) for r in range(n_rows)
              if r * n_cols + c - 1 < len(cells)),
             default=0.0,
         )
@@ -816,12 +859,12 @@ def text_to_pdf_table(text: str, meta_id: int = 0,
     for c in range(n_cols):  # column-major stream order — the point
         for r in range(n_rows):
             k = r * n_cols + c
-            if skip_every and k % skip_every == skip_every - 1:
+            if skipped(k) or covered(k):
                 continue
             if k < len(cells) and cells[k]:
-                y = 740 - 18 * r
+                y = 740 - 18 * r - (9 if span_at(k) else 0)
                 ops.append(
-                    f"BT /F1 12 Tf {stops[c]:.2f} {y} Td "
+                    f"BT /F1 {size_of(k):g} Tf {stops[c]:.2f} {y} Td "
                     f"({_escape(cells[k])}) Tj ET "
                 )
     content = "".join(ops).encode("latin-1")

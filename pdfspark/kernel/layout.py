@@ -81,6 +81,27 @@ TABLE_CELL_GAP_PT = 20.0
 # cluster's last member (single-linkage — real typeset tables align
 # column starts exactly; 2pt absorbs numeric jitter)
 TABLE_STOP_TOL_PT = 2.0
+# rowspan survival (layout tier 4a, VERDICT r5 next #5): a ROWSPAN
+# cell rendered vertically centered across two grid rows (the LaTeX
+# \multirow / HTML rowspan typesetting) puts its baseline at the
+# MIDPOINT between the rows — 0.5× the grid's baseline pitch from
+# each. Baselines therefore cluster into rows by ANCHOR linkage: a
+# baseline closer than this fraction of the page's MEDIAN
+# inter-baseline gap to the current row's anchor joins that row (the
+# spanning cell belongs to the row it STARTS in); a full pitch away
+# starts the next row. On uniform grids every gap equals the pitch, so
+# nothing merges and the dense/sparse goldens are bit-identical —
+# 0.75 sits halfway between the 0.5-pitch midpoint baseline and the
+# 1.0-pitch next row. Anchor (not single) linkage is load-bearing:
+# single linkage would chain the next row through the midpoint
+# baseline (0.5 + 0.5 pitch) into one giant row.
+TABLE_ROW_SPAN_FRACTION = 0.75
+# header-row flag (layout tier 4b, VERDICT r5 next #6): a row reads as
+# a header when its median glyph device-em size is at least this ratio
+# of the page's body size (the median of per-row median sizes). Real
+# header styling is ≥1.25× (14pt over 11, 16 over 12); intra-row size
+# jitter never reaches 1.2×. Rows without size data are never headers.
+TABLE_HEADER_SIZE_RATIO = 1.2
 
 
 def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT,
@@ -322,16 +343,22 @@ def table_cells(r: ExtractResult) -> List[tuple]:
 
     Pinned policy:
 
-    1. Lines by exact baseline y (as the fixed mode), top-to-bottom.
-    2. Within a line, a horizontal gap wider than ``TABLE_CELL_GAP_PT``
+    1. Baselines cluster into ROWS top-to-bottom by ANCHOR linkage
+       (tier 4a): a baseline closer than ``TABLE_ROW_SPAN_FRACTION`` ×
+       the page's median inter-baseline gap to the current row's
+       anchor joins it — a vertically-centered 2-row rowspan cell
+       (baseline at the 0.5-pitch midpoint) lands in the row it starts
+       in, while uniform grids (every gap = the pitch) never merge, so
+       dense/sparse output is bit-identical to the pre-4a policy.
+    2. Within a row, a horizontal gap wider than ``TABLE_CELL_GAP_PT``
        between one glyph's end (x + w) and the next glyph's start is a
        CELL boundary (word gaps — explicit space glyphs or kerned
        breaks ≲0.35 em — sit far below it).
     3. Cell start-x values across ALL rows cluster into the page's
        x-stops (single-linkage, ``TABLE_STOP_TOL_PT``); a cell's
        col_idx is its start's stop-cluster rank (left-to-right).
-    4. row_idx is the line's top-down rank; cell text assembles with
-       the same kerned-word-break policy as every other mode
+    4. row_idx is the row cluster's top-down rank; cell text assembles
+       with the same kerned-word-break policy as every other mode
        (_assemble_line).
 
     The reference renders table glyphs at positions like any others and
@@ -340,6 +367,17 @@ def table_cells(r: ExtractResult) -> List[tuple]:
     (a common generator pattern) linearize interleaved, while the grid
     reconstruction reads them back cell-exact. Returns [] for error
     documents or pages without positions."""
+    return [t[:4] for t in table_cells_flagged(r)]
+
+
+def table_cells_flagged(r: ExtractResult) -> List[tuple]:
+    """``table_cells`` plus the tier-4b header flag: one ``(page,
+    row_idx, col_idx, cell_text, is_header)`` per cell, where
+    ``is_header`` is True iff the row's median glyph device-em size is
+    ≥ ``TABLE_HEADER_SIZE_RATIO`` × the page's body size (the median
+    of per-row median sizes — so a page that is ALL 14pt has no header
+    rows, and intra-row jitter never flags). Rows whose glyphs carry
+    no size (older position tuples) are never headers."""
     if r.text is None or not r.glyph_positions:
         return []
     by_page: dict = {}
@@ -354,21 +392,41 @@ def table_cells(r: ExtractResult) -> List[tuple]:
         lines: dict = {}
         for g, s in slices:
             lines.setdefault(round(g.y, 3), []).append(
-                (g.x, g.offset, s, g.w)
+                (g.x, g.offset, s, g.w, getattr(g, "size", 0.0))
             )
+        # policy #1: baselines → row clusters (anchor linkage against
+        # the median inter-baseline gap; tier 4a)
+        ys = sorted(lines, reverse=True)
+        gaps = [ys[i] - ys[i + 1] for i in range(len(ys) - 1)]
+        tol = (TABLE_ROW_SPAN_FRACTION * sorted(gaps)[len(gaps) // 2]
+               if gaps else 0.0)
+        row_lines: List[List[tuple]] = [list(lines[ys[0]])]
+        anchor = ys[0]
+        for y in ys[1:]:
+            if tol > 0 and anchor - y < tol:
+                row_lines[-1].extend(lines[y])
+            else:
+                row_lines.append(list(lines[y]))
+                anchor = y
         # rows top-down; segments split at cell-gap boundaries
         rows: List[List[List[tuple]]] = []
-        for y in sorted(lines, reverse=True):
-            gl = sorted(lines[y])
+        row_sizes: List[float] = []
+        for entries in row_lines:
+            gl = sorted(entries)
             segs: List[List[tuple]] = [[gl[0]]]
             for i in range(1, len(gl)):
                 x = gl[i][0]
-                px, _, _, pw = gl[i - 1]
+                px, pw = gl[i - 1][0], gl[i - 1][3]
                 if x - (px + pw) > TABLE_CELL_GAP_PT:
                     segs.append([gl[i]])
                 else:
                     segs[-1].append(gl[i])
             rows.append(segs)
+            szs = sorted(e[4] for e in gl if e[4] > 0)
+            row_sizes.append(szs[len(szs) // 2] if szs else 0.0)
+        # tier 4b: body size = median of the rows that have sizes
+        sized = sorted(s for s in row_sizes if s > 0)
+        body = sized[len(sized) // 2] if sized else 0.0
         # x-stop clustering across all rows (single-linkage)
         starts = sorted(seg[0][0] for row in rows for seg in row)
         clusters: List[List[float]] = []
@@ -387,10 +445,13 @@ def table_cells(r: ExtractResult) -> List[tuple]:
             return c
 
         for row_idx, segs in enumerate(rows):
+            is_header = (body > 0 and row_sizes[row_idx] > 0
+                         and row_sizes[row_idx]
+                         >= TABLE_HEADER_SIZE_RATIO * body)
             for seg in segs:
                 out.append(
                     (span.page, row_idx, col_of(seg[0][0]),
-                     _assemble_line(seg))
+                     _assemble_line(seg), is_header)
                 )
     return out
 

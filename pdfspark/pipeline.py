@@ -440,7 +440,8 @@ def columns_reading_order_extract(spark: SparkSession, sf_dir: str,
 
 
 def table_cells_extract(spark: SparkSession, sf_dir: str,
-                        fmt: str = "pdf_table") -> DataFrame:
+                        fmt: str = "pdf_table",
+                        flagged: bool = False) -> DataFrame:
     """Fused harness for structured table extraction (layout tier 3):
     synthesize grid PDFs whose content streams are written cell-by-cell
     in COLUMN order (fmt 'pdf_table' — plain linearization provably
@@ -449,7 +450,12 @@ def table_cells_extract(spark: SparkSession, sf_dir: str,
     cell_text), each cell byte-identical to its source word pair. Same
     single-Python-stage shape as roundtrip_extract; the 1→N cell
     explosion happens inside the Arrow batch, so no array column ever
-    crosses the driver boundary (CLAUDE.md scalar-output rule)."""
+    crosses the driver boundary (CLAUDE.md scalar-output rule).
+
+    ``flagged=True`` adds the tier-4b header flag (layout.
+    table_cells_flagged) as an ``is_header`` 0/1 long column — long,
+    not boolean, so the driver's pandas canonicalization sorts it the
+    same way DuckDB's CAST(… AS BIGINT) does."""
     docs = _documents_repartitioned(spark, sf_dir)
 
     def run(batches):
@@ -460,28 +466,38 @@ def table_cells_extract(spark: SparkSession, sf_dir: str,
         import pandas as pd
 
         from pdfspark.kernel.extract import extract_text
-        from pdfspark.kernel.layout import table_cells
+        from pdfspark.kernel.layout import table_cells, table_cells_flagged
 
         for b in batches:
-            urls, rows_, cols_, texts = [], [], [], []
+            urls, rows_, cols_, texts, hdrs = [], [], [], [], []
             for doc_id, text, lang in zip(b["doc_id"], b["text"], b["lang"]):
                 i = int(doc_id)
                 url, buf = _synth_page(i, text, lang, fmt, 0)
                 r = extract_text(buf, positions=True)
-                for _page, row_idx, col_idx, cell in table_cells(r):
-                    urls.append(url)
-                    rows_.append(row_idx)
-                    cols_.append(col_idx)
-                    texts.append(cell)
-            yield pd.DataFrame(
-                {"url": urls, "row_idx": rows_, "col_idx": cols_,
-                 "cell_text": texts},
-                columns=["url", "row_idx", "col_idx", "cell_text"],
-            )
+                if flagged:
+                    for (_pg, row_idx, col_idx, cell,
+                         is_hdr) in table_cells_flagged(r):
+                        urls.append(url)
+                        rows_.append(row_idx)
+                        cols_.append(col_idx)
+                        texts.append(cell)
+                        hdrs.append(int(is_hdr))
+                else:
+                    for _pg, row_idx, col_idx, cell in table_cells(r):
+                        urls.append(url)
+                        rows_.append(row_idx)
+                        cols_.append(col_idx)
+                        texts.append(cell)
+            data = {"url": urls, "row_idx": rows_, "col_idx": cols_,
+                    "cell_text": texts}
+            if flagged:
+                data["is_header"] = hdrs
+            yield pd.DataFrame(data, columns=list(data))
 
-    return docs.mapInPandas(
-        run, "url string, row_idx long, col_idx long, cell_text string"
-    )
+    schema = "url string, row_idx long, col_idx long, cell_text string"
+    if flagged:
+        schema += ", is_header long"
+    return docs.mapInPandas(run, schema)
 
 
 def extract_pages_skew_aware(
@@ -741,6 +757,17 @@ def _synth_page(i: int, text: str, lang, fmt: str,
         from pdfspark.docgen import text_to_pdf_vertical
 
         html = text_to_pdf_vertical(text, meta_id=i)
+    elif fmt == "pdf_table_ragged":
+        # sparse cells + vertically-centered 2-row spans (tier 4a)
+        from pdfspark.docgen import text_to_pdf_table
+
+        html = text_to_pdf_table(text, meta_id=i, skip_every=5,
+                                 rowspan_every=11)
+    elif fmt == "pdf_table_header":
+        # row 0 at 15pt over a 12pt body (tier 4b header flag)
+        from pdfspark.docgen import text_to_pdf_table
+
+        html = text_to_pdf_table(text, meta_id=i, header_size=15.0)
     elif fmt == "pdf_layout_mix":
         # heterogeneous layouts, chosen deterministically per doc:
         # plain flow / two-column visual order / kern-positioned words

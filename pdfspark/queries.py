@@ -2380,6 +2380,98 @@ WHERE k % 5 <> 4
 """
 
 
+# Ragged/rowspan twin (layout tier 4a, VERDICT r5 next #5): cells go
+# missing (k%5==4) AND every 11th cell renders as a vertically-centered
+# 2-row span at the midpoint baseline, covering the cell below it
+# (k+3). The reconstruction's anchor-linkage row clustering must fold
+# each midpoint baseline into its upper row; the oracle removes skipped
+# cells and covered cells ((k-3)%11==10 with an UNskipped source) in
+# closed form. Generator invariants (text_to_pdf_table docstring):
+# midpoint gaps stay a minority so the page-median gap is the grid
+# pitch, and every row keeps ≥1 cell so ranks match the arithmetic.
+_TABLE_RAGGED_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+cells AS (
+  SELECT doc_id, ws,
+    unnest(range(CAST(CEIL(len(ws) / 2.0) AS BIGINT))) AS k,
+    CAST(CEIL(len(ws) / 2.0) AS BIGINT) AS n_cells
+  FROM words)
+SELECT doc_id,
+  CAST(FLOOR(k / 3.0) AS BIGINT) AS row_idx,
+  CAST(k % 3 AS BIGINT) AS col_idx,
+  ws[CAST(2 * k + 1 AS INT)] ||
+    CASE WHEN len(ws) >= 2 * k + 2
+         THEN ' ' || ws[CAST(2 * k + 2 AS INT)] ELSE '' END AS cell_text
+FROM cells
+WHERE k % 5 <> 4
+  AND NOT (k >= 3 AND (k - 3) % 11 = 10 AND (k - 3) % 5 <> 4)
+"""
+
+
+@register("pdf_table_ragged", oracle=_TABLE_RAGGED_SQL)
+def _table_ragged_impl(spark, sf_dir):
+    """Ragged + rowspan table extraction (layout tier 4a): same fused
+    stage as pdf_table_cells over fmt='pdf_table_ragged' — sparse grid
+    plus vertically-centered 2-row spans whose midpoint baselines the
+    anchor-linkage row clustering (layout.py policy #1,
+    TABLE_ROW_SPAN_FRACTION) must assign to the row each span starts
+    in. Scale shape unchanged: one Python stage, no shuffle."""
+    from pdfspark.pipeline import table_cells_extract
+
+    ext = table_cells_extract(spark, sf_dir, fmt="pdf_table_ragged")
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long")
+        .alias("doc_id"),
+        "row_idx", "col_idx", "cell_text",
+    )
+
+
+# Header-flag twin (layout tier 4b, VERDICT r5 next #6): row 0 renders
+# at 15pt over a 12pt body; a row is a header iff its median device-em
+# size ≥ 1.2× the body median (median of per-row medians) — which on
+# this generator reduces to "row 0 of a ≥3-row table" (n_cells ≥ 7):
+# with 1-2 rows the 15pt row IS the body median (or the sorted-median
+# index lands on it) and nothing flags. is_header is a 0/1 BIGINT in
+# both engines (driver scalar-column + factorize-sort rule).
+_TABLE_HEADER_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+cells AS (
+  SELECT doc_id, ws,
+    unnest(range(CAST(CEIL(len(ws) / 2.0) AS BIGINT))) AS k,
+    CAST(CEIL(len(ws) / 2.0) AS BIGINT) AS n_cells
+  FROM words)
+SELECT doc_id,
+  CAST(FLOOR(k / 3.0) AS BIGINT) AS row_idx,
+  CAST(k % 3 AS BIGINT) AS col_idx,
+  ws[CAST(2 * k + 1 AS INT)] ||
+    CASE WHEN len(ws) >= 2 * k + 2
+         THEN ' ' || ws[CAST(2 * k + 2 AS INT)] ELSE '' END AS cell_text,
+  CAST(CASE WHEN k < 3 AND n_cells >= 7 THEN 1 ELSE 0 END AS BIGINT)
+    AS is_header
+FROM cells
+"""
+
+
+@register("pdf_table_header_flag", oracle=_TABLE_HEADER_SQL)
+def _table_header_impl(spark, sf_dir):
+    """Header-row detection (layout tier 4b): the flagged table
+    surface (table_cells_flagged, TABLE_HEADER_SIZE_RATIO over
+    GlyphPos.size) over fmt='pdf_table_header' — row 0 at 15pt, body
+    12pt. Every cell byte-identical AND every is_header bit exact
+    against the closed-form oracle."""
+    from pdfspark.pipeline import table_cells_extract
+
+    ext = table_cells_extract(spark, sf_dir, fmt="pdf_table_header",
+                              flagged=True)
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long")
+        .alias("doc_id"),
+        "row_idx", "col_idx", "cell_text", "is_header",
+    )
+
+
 @register("pdf_table_sparse", oracle=_TABLE_SPARSE_SQL)
 def _table_sparse_impl(spark, sf_dir):
     """Sparse-grid table extraction (r6 entrant, registered per VERDICT
@@ -4474,6 +4566,8 @@ DRIVER_PRIORITY = [
     "pdf_table_sparse",
     "html_table_cells",
     "pdf_vertical_reading_order",
+    "pdf_table_ragged",
+    "pdf_table_header_flag",
     # -- r3 veterans, verdict age 2 rounds (forced set) --
     "text_winnowing_neardup",
     "embedding_norms",
@@ -4521,10 +4615,9 @@ DRIVER_PRIORITY = [
     "pdf_post_glyph_names",
     "pdf_density_columns",
     "ann_numpy_topk",
-    "multimodal_feature_extract",
-    "boilerplate_line_removal",
     # displaced to the r7 forced set by r6 entrants (see header
-    # comment): text_char_entropy
+    # comment): text_char_entropy, boilerplate_line_removal,
+    # multimodal_feature_extract
 ]
 
 

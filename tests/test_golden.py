@@ -412,6 +412,82 @@ def test_table_cells_grid_readback():
     assert table_cells(_ex(b"\x00junk", positions=True)) == []
 
 
+def test_table_ragged_rowspan_readback():
+    """Layout tier 4a (VERDICT r5 next #5): a sparse grid whose every
+    11th cell renders as a vertically-centered 2-ROW span — its
+    baseline at the midpoint between two grid rows, the cell below it
+    covered — reads back cell-exact: anchor-linkage row clustering
+    (TABLE_ROW_SPAN_FRACTION × median baseline gap) folds each
+    midpoint baseline into the row the span STARTS in, and no phantom
+    rows shift the ranks."""
+    from pdfspark.docgen import text_to_pdf_table
+    from pdfspark.kernel.layout import table_cells
+
+    text = ("the fast key order sort table scan merge part window "
+            "small hash scan join order batch value line agg row extra "
+            "words more data flow node edge graph tree leaf root branch")
+    words = text.split(" ")
+    cells = [" ".join(words[2 * k:2 * k + 2])
+             for k in range((len(words) + 1) // 2)]
+    n = len(cells)
+
+    def skipped(k):
+        return k % 5 == 4
+
+    def span_at(k):
+        return k % 11 == 10 and not skipped(k) and k + 3 < n
+
+    assert any(span_at(k) for k in range(n))  # fixture really spans
+    r = extract_text(
+        text_to_pdf_table(text, meta_id=6, skip_every=5, rowspan_every=11),
+        positions=True)
+    assert r.error is None
+    got = sorted(table_cells(r))
+    exp = sorted(
+        (0, k // 3, k % 3, cells[k]) for k in range(n)
+        if not skipped(k) and not (k >= 3 and span_at(k - 3))
+    )
+    assert got == exp
+    # no phantom rows: the top-down row count equals the grid's
+    assert max(row for _p, row, _c, _t in got) == (n + 2) // 3 - 1
+    # the anchor-linkage hazard is exercised by EVERY span: the row
+    # below a span sits 0.5 pitch under the midpoint baseline, so
+    # single linkage would chain it into the upper row — the exact
+    # match above plus the row-count bound prove it stayed separate.
+    # (Adjacent-row spans are structurally impossible at the pinned
+    # generator settings: span sources differ by ≥11 > 2·n_cols, and
+    # denser spans would flip the page-median gap to the half-pitch —
+    # outside the policy's documented precondition.)
+
+
+def test_table_header_flag():
+    """Layout tier 4b (VERDICT r5 next #6): a 15pt header row over a
+    12pt body flags is_header on exactly row 0 (ratio 1.25 ≥ the
+    pinned 1.2); a uniform-size table flags nothing (the body median
+    IS every row); a 2-row table flags nothing (the sorted-median
+    index lands on the large row, so no row clears the ratio)."""
+    from pdfspark.docgen import text_to_pdf_table
+    from pdfspark.kernel.layout import table_cells, table_cells_flagged
+
+    text = ("the fast key order sort table scan merge part window "
+            "small hash scan join order batch value line agg row extra")
+    r = extract_text(text_to_pdf_table(text, meta_id=8, header_size=15.0),
+                     positions=True)
+    flagged = table_cells_flagged(r)
+    assert {row for _p, row, _c, _t, h in flagged if h} == {0}
+    # the flag is an add-on: cells identical to the unflagged surface
+    assert [t[:4] for t in flagged] == table_cells(r)
+    # uniform size: no headers
+    r2 = extract_text(text_to_pdf_table(text, meta_id=9), positions=True)
+    assert not any(h for *_rest, h in table_cells_flagged(r2))
+    # 2-row table (<= 2 rows): never flags even with a big row 0
+    r3 = extract_text(
+        text_to_pdf_table("a b c d e f g h i j k l", meta_id=10,
+                          header_size=15.0),
+        positions=True)
+    assert not any(h for *_rest, h in table_cells_flagged(r3))
+
+
 def test_density_per_column_size_clustering():
     """r5.3: baseline-size tolerances are PER COLUMN — two columns
     sharing a rounded y with different body sizes must not pollute
