@@ -1069,6 +1069,23 @@ def all_cases() -> List[Case]:
              _v_cjk[40:] + "\n" + _v_cjk[:40],
              None, 1))
 
+    # ---- t53: RTL script (Identity-H Hebrew, layout tier 4c): each
+    # line's show op stores the string in VISUAL order (logical
+    # reversed), so the pinned linearization yields every line
+    # character-reversed, "\n"-joined by the baseline rule. The
+    # reading-order recovery (layout="rtl") is pinned in test_golden;
+    # in-corpus so the Identity-H + ToUnicode + mirror path sits under
+    # the mutation/garbage property fuzz.
+    from pdfspark.docgen import _ASCII_TO_HEB, text_to_pdf_rtl, wrap_words
+
+    _r_text = ("mirror lines restore logical order when "
+               "read back right to left")
+    _r_heb = _r_text.translate(_ASCII_TO_HEB)
+    add(Case("t53_rtl_identity_h",
+             text_to_pdf_rtl(_r_text, meta_id=53),
+             "\n".join(line[::-1] for line in wrap_words(_r_heb, 40)),
+             None, 1))
+
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",
              b"<!doctype html><html><body>hello web</body></html>",

@@ -122,7 +122,14 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT,
     a column read top-to-bottom, and cells join with NO separator in
     either direction — vertical CJK has no inter-glyph whitespace, so
     every space in the output must come from an actual space glyph in
-    the stream)."""
+    the stream), or "rtl" (opt-in — right-to-left scripts, layout tier
+    4c; PINNED policy: columns split by the fixed x-gap rule but read
+    RIGHT-to-left, baselines top-down, and each line assembles in
+    DESCENDING x order via the horizontal mirror transform, which
+    preserves inter-glyph gaps so the same kerned word-break rule
+    applies; lines and columns join with a single space as in fixed
+    mode. Pure-RTL pages only — bidi mixed-direction runs are
+    explicitly out of scope and would need their own pinned policy)."""
     if r.text is None:
         return ""
     if not r.glyph_positions:
@@ -180,15 +187,31 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT,
         # vertical policy: columns right-to-left, no joining whitespace
         # (spaces come only from space glyphs in the stream)
         vertical = layout == "vertical"
+        # rtl policy: columns right-to-left AND each line assembled by
+        # DESCENDING x — implemented as the exact horizontal MIRROR
+        # (x, w) → (-(x+w), w), under which consecutive-glyph gaps are
+        # preserved ( -(x_i+w_i) - (-(x_{i-1}+w_{i-1}) + w_{i-1}) =
+        # x_{i-1} - (x_i + w_i), the physical gap read right-to-left ),
+        # so _assemble_line's kerned word-break rule applies unchanged
+        rtl = layout == "rtl"
         sep = "" if vertical else " "
-        for c in sorted(columns, reverse=vertical):
+        for c in sorted(columns, reverse=vertical or rtl):
             lines = columns[c]
             if layout == "density":
                 lines = _cluster_lines(lines, glyphs, fallback=page_tol)
-            line_texts = [
-                _assemble_line(sorted(lines[y]))
-                for y in sorted(lines, reverse=True)
-            ]
+            if rtl:
+                line_texts = [
+                    _assemble_line(sorted(
+                        (-(e[0] + e[3]), e[1], e[2], e[3], e[4])
+                        for e in lines[y]
+                    ))
+                    for y in sorted(lines, reverse=True)
+                ]
+            else:
+                line_texts = [
+                    _assemble_line(sorted(lines[y]))
+                    for y in sorted(lines, reverse=True)
+                ]
             col_texts.append(sep.join(t for t in line_texts if t))
         pages.append(sep.join(t for t in col_texts if t))
     return "\f".join(pages)

@@ -757,6 +757,12 @@ def _synth_page(i: int, text: str, lang, fmt: str,
         from pdfspark.docgen import text_to_pdf_vertical
 
         html = text_to_pdf_vertical(text, meta_id=i)
+    elif fmt == "pdf_rtl":
+        # Hebrew transliteration, lines stored in visual (reversed)
+        # order — needs layout='rtl' to read back (tier 4c)
+        from pdfspark.docgen import text_to_pdf_rtl
+
+        html = text_to_pdf_rtl(text, meta_id=i)
     elif fmt == "pdf_table_ragged":
         # sparse cells + vertically-centered 2-row spans (tier 4a)
         from pdfspark.docgen import text_to_pdf_table

@@ -488,6 +488,37 @@ def test_table_header_flag():
     assert not any(h for *_rest, h in table_cells_flagged(r3))
 
 
+def test_rtl_reading_order_readback():
+    """Layout tier 4c (RTL half of VERDICT r5 missing #1): a Hebrew
+    page whose every line is stored in VISUAL order (logical reversed)
+    reads back byte-identically under layout='rtl' — columns
+    right-to-left, lines assembled by descending x via the
+    gap-preserving mirror transform — while plain linearization
+    provably returns each line character-reversed."""
+    from pdfspark.docgen import _ASCII_TO_HEB, text_to_pdf_rtl, wrap_words
+    from pdfspark.kernel.layout import reading_order_text
+
+    text = ("right to left scripts read the other way and the mirror "
+            "must restore logical order exactly for every line")
+    heb = text.translate(_ASCII_TO_HEB)
+    r = extract_text(text_to_pdf_rtl(text, meta_id=7), positions=True)
+    assert r.error is None
+    assert reading_order_text(r, layout="rtl") == heb
+    # plain linearization is the visual form: every line reversed
+    assert r.text == "\n".join(
+        line[::-1] for line in wrap_words(heb, 40))
+    assert r.text != heb
+    # interior spaces come from space GLYPHS, mirrored into place —
+    # the word count survives the round trip
+    assert reading_order_text(r, layout="rtl").count(" ") == text.count(" ")
+    # wrap invariant the byte-identity depends on: single-space join
+    # of the wrapped lines restores the input
+    assert " ".join(wrap_words(heb, 40)) == heb
+    # error/edge paths
+    assert reading_order_text(
+        extract_text(b"\x00junk", positions=True), layout="rtl") == ""
+
+
 def test_density_per_column_size_clustering():
     """r5.3: baseline-size tolerances are PER COLUMN — two columns
     sharing a rounded y with different body sizes must not pollute
