@@ -1209,3 +1209,65 @@ def text_to_html_table(text: str, doc_id: int = 0,
         "<footer>copyright footer</footer></body></html>"
         % (doc_id, "".join(rows))
     ).encode("utf-8")
+
+
+def text_to_html_spantable(text: str, doc_id: int = 0) -> bytes:
+    """HTML grid-table torture test (the <table> twin of the PDF
+    ragged/header tiers): consecutive word PAIRS fill a 3-slot-wide
+    table whose rows follow a deterministic ``row % 9`` pattern —
+
+    - row ≡ 3 (mod 9): TWO cells, the first ``colspan=2`` (grid cols
+      0-1) and the second at grid col 2;
+    - row ≡ 5 (mod 9): three cells, the FIRST ``rowspan=2`` — it
+      covers slot (row+1, 0);
+    - row ≡ 6 (mod 9): the covered row — TWO cells, which the grid
+      algorithm must place at cols 1 and 2 (col 0 is occupied by the
+      span above);
+    - every other row: three plain cells;
+    - row 0 uses <th> (is_header).
+
+    Cells are consumed row-major until the word pairs run out (a
+    partial last row keeps whatever cells remain; a trailing rowspan
+    with no next row covers nothing). Every quantity is closed-form —
+    cells-per-row is 2 for row%9 ∈ {3,6} else 3, so a SUM() OVER
+    running total recovers each row's first cell index — which is
+    exactly what queries._TABLE_SPANS_SQL mirrors. Boilerplate
+    (nav/footer) surrounds the table so the extractor proves it
+    scopes to table content; a <table> inside <nav> additionally
+    proves dropped subtrees consume no table_idx."""
+    import html as _html
+
+    text = normalize_for_pdf(text)
+    words = text.split(" ")
+    cells = [" ".join(words[2 * k:2 * k + 2])
+             for k in range((len(words) + 1) // 2)]
+    rows = []
+    k = 0
+    r = 0
+    while k < len(cells):
+        tag = "th" if r == 0 else "td"
+        mode = r % 9
+        tds = []
+        if mode == 3:
+            specs = [(' colspan="2"', 1), ("", 1)]
+        elif mode == 5:
+            specs = [(' rowspan="2"', 1), ("", 1), ("", 1)]
+        elif mode == 6:
+            specs = [("", 1), ("", 1)]
+        else:
+            specs = [("", 1), ("", 1), ("", 1)]
+        for attr, _ in specs:
+            if k >= len(cells):
+                break
+            tds.append("<%s%s>%s</%s>"
+                       % (tag, attr, _html.escape(cells[k]), tag))
+            k += 1
+        rows.append("<tr>%s</tr>" % "".join(tds))
+        r += 1
+    return (
+        '<!doctype html><html lang="en"><head><title>doc %d</title>'
+        "</head><body><nav>menu<table><tr><td>chrome</td></tr></table>"
+        "</nav><table>%s</table>"
+        "<footer>copyright footer</footer></body></html>"
+        % (doc_id, "".join(rows))
+    ).encode("utf-8")

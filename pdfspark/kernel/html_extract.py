@@ -310,6 +310,161 @@ def extract_html_table_cells(buf: bytes) -> List[tuple]:
         return []
 
 
+# span clamp for the grid surface: the HTML spec clamps colspan to
+# 1000 and rowspan to 65534; we clamp both to _SPAN_CLAMP and prune
+# the pending-occupancy set to rows the parser can still reach, so a
+# crafted <td rowspan=65534 colspan=1000> wall can't allocate
+# unbounded memory (bomb guard, one-bad-document rule).
+_SPAN_CLAMP = 512
+_GRID_OCCUPANCY_CAP = 65536
+
+
+class _TableGridExtractor(HTMLParser):
+    """Grid-resolved <table> extraction (the HTML twin of the PDF
+    layout 4a/4b tiers): one (table_idx, row_idx, col_idx, text,
+    is_header) per cell of each OUTERMOST table, where col_idx is the
+    GRID column after colspan/rowspan resolution — the HTML
+    table-grid algorithm: a cell occupies colspan × rowspan slots, a
+    new cell takes the smallest free column at or right of the running
+    scan position, and covered slots are never re-emitted (matching
+    the PDF ragged tier, which emits a span at its origin only).
+    ``is_header`` is True exactly for <th> cells.
+
+    Span attributes parse as positive integers; missing, invalid, or
+    0 → 1 (colspan=0's span-to-end-of-colgroup semantics are out of
+    scope), clamped to ``_SPAN_CLAMP``; the occupancy set is capped at
+    ``_GRID_OCCUPANCY_CAP`` live slots (beyond it further rowspan
+    marking truncates — a bomb guard, not a layout policy). Text
+    policy is identical to the pinned _TableCellExtractor: DROP_TAGS
+    subtrees contribute neither text nor structure, block tags inside
+    a cell become word separators, whitespace collapses, a <td>
+    directly under <table> gets the implicit row 0. The sequential
+    surface (_TableCellExtractor) stays pinned and untouched — the
+    two differ exactly on span inputs."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.cells: List[tuple] = []
+        self._table_depth = 0
+        self._drop_depth = 0
+        self._table_idx = -1
+        self._row_idx = -1
+        self._next_col = 0
+        self._cell_col = -1
+        self._is_header = False
+        self._occ: set = set()
+        self._in_cell = False
+        self._cur: List[str] = []
+
+    @staticmethod
+    def _span(attrs, name: str) -> int:
+        for k, v in attrs:
+            if k == name:
+                try:
+                    return max(1, min(_SPAN_CLAMP, int(v)))
+                except (TypeError, ValueError):
+                    return 1
+        return 1
+
+    def _flush_cell(self) -> None:
+        if self._in_cell:
+            text = _WS.sub(" ", "".join(self._cur)).strip()
+            self.cells.append(
+                (self._table_idx, self._row_idx, self._cell_col, text,
+                 self._is_header)
+            )
+        self._cur = []
+        self._in_cell = False
+
+    def handle_starttag(self, tag, attrs):
+        if tag in DROP_TAGS:
+            if tag not in _VOID:
+                self._drop_depth += 1
+            return
+        if self._drop_depth > 0:
+            return  # dropped subtrees: no text, no structure
+        if tag == "table":
+            if self._in_cell:
+                self._cur.append(" ")  # nested table = inline break
+            if self._table_depth == 0:
+                self._table_idx += 1
+                self._row_idx = -1
+                self._next_col = 0
+                self._occ = set()
+            self._table_depth += 1
+        elif self._table_depth == 1 and tag == "tr":
+            self._flush_cell()
+            self._row_idx += 1
+            self._next_col = 0
+            # spans from finished rows can never occupy again
+            self._occ = {e for e in self._occ if e[0] >= self._row_idx}
+        elif self._table_depth == 1 and tag in ("td", "th"):
+            self._flush_cell()
+            if self._row_idx < 0:
+                self._row_idx = 0  # implicit <tr> for td-under-table
+            c = self._next_col
+            while (self._row_idx, c) in self._occ:
+                c += 1
+            cs = self._span(attrs, "colspan")
+            rs = self._span(attrs, "rowspan")
+            for rr in range(self._row_idx + 1, self._row_idx + rs):
+                for cc in range(c, c + cs):
+                    if len(self._occ) >= _GRID_OCCUPANCY_CAP:
+                        break
+                    self._occ.add((rr, cc))
+            self._cell_col = c
+            self._next_col = c + cs
+            self._is_header = tag == "th"
+            self._in_cell = True
+        elif self._in_cell and tag in BLOCK_TAGS:
+            self._cur.append(" ")  # block break inside a cell
+
+    def handle_endtag(self, tag):
+        if tag in DROP_TAGS and tag not in _VOID:
+            if self._drop_depth > 0:
+                self._drop_depth -= 1
+            return
+        if self._drop_depth > 0:
+            return
+        if tag == "table":
+            if self._table_depth == 1:
+                self._flush_cell()
+            elif self._in_cell:
+                self._cur.append(" ")
+            self._table_depth = max(0, self._table_depth - 1)
+        elif self._table_depth == 1 and tag in ("td", "th", "tr"):
+            self._flush_cell()
+        elif self._in_cell and tag in BLOCK_TAGS:
+            self._cur.append(" ")
+
+    def handle_startendtag(self, tag, attrs):
+        if self._drop_depth > 0:
+            return
+        if self._in_cell and tag in BLOCK_TAGS:
+            self._cur.append(" ")
+
+    def handle_data(self, data):
+        if self._in_cell and self._drop_depth == 0:
+            self._cur.append(data)
+
+    def close(self):
+        super().close()
+        self._flush_cell()
+
+
+def extract_html_table_grid(buf: bytes) -> List[tuple]:
+    """Grid-resolved table cells of a page as ``[(table_idx, row_idx,
+    col_idx, cell_text, is_header), …]``; [] on parse failure
+    (one-bad-document rule)."""
+    try:
+        parser = _TableGridExtractor()
+        parser.feed(_decode(buf))
+        parser.close()
+        return parser.cells
+    except Exception:
+        return []
+
+
 _ENC_RE = re.compile(rb"charset=[\"']?([A-Za-z0-9_\-]+)", re.I)
 
 

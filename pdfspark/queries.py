@@ -2563,6 +2563,104 @@ def _html_table_cells_impl(spark, sf_dir):
     )
 
 
+# Grid-resolved HTML table twin (layout 4a/4b on the HTML modality):
+# the generator's row%9 pattern (docgen.text_to_html_spantable) gives
+# every row a closed-form width (2 for row%9 in {3,6}, else 3), so a
+# running SUM() OVER recovers each row's first cell index and the grid
+# column arithmetic is a CASE over (row%9, i): the colspan row's
+# second cell jumps to col 2, the covered row shifts right by one
+# (col 0 occupied by the rowspan above). Rows generate forward from a
+# generous range (every row holds ≥2 cells ⇒ ceil(n/2)+1 rows always
+# suffice) and filter to cells_before < n — no inversion needed.
+_TABLE_SPANS_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+base AS (
+  SELECT doc_id, ws,
+         CAST(CEIL(len(ws) / 2.0) AS BIGINT) AS n_cells
+  FROM words),
+rows_ AS (
+  SELECT doc_id, ws, n_cells,
+         unnest(range(CAST(CEIL(n_cells / 2.0) AS BIGINT) + 1)) AS r
+  FROM base),
+sized AS (
+  SELECT *, CASE WHEN r % 9 IN (3, 6) THEN 2 ELSE 3 END AS w
+  FROM rows_),
+cum AS (
+  SELECT *, COALESCE(SUM(w) OVER (
+      PARTITION BY doc_id ORDER BY r
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ), 0) AS cells_before
+  FROM sized),
+cells AS (
+  SELECT doc_id, ws, n_cells, r, cells_before,
+         unnest(range(CAST(
+             LEAST(w, n_cells - cells_before) AS BIGINT))) AS i
+  FROM cum WHERE cells_before < n_cells)
+SELECT doc_id,
+  r AS row_idx,
+  CAST(CASE WHEN r % 9 = 3 AND i = 1 THEN 2
+            WHEN r % 9 = 6 THEN i + 1
+            ELSE i END AS BIGINT) AS col_idx,
+  ws[CAST(2 * (cells_before + i) + 1 AS INT)] ||
+    CASE WHEN len(ws) >= 2 * (cells_before + i) + 2
+         THEN ' ' || ws[CAST(2 * (cells_before + i) + 2 AS INT)]
+         ELSE '' END AS cell_text,
+  CAST(CASE WHEN r = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_header
+FROM cells
+"""
+
+
+@register("html_table_spans", oracle=_TABLE_SPANS_SQL)
+def _html_table_spans_impl(spark, sf_dir):
+    """Grid-resolved HTML table extraction (layout 4a/4b, HTML
+    modality): colspan/rowspan attributes resolve through the HTML
+    table-grid algorithm (html_extract._TableGridExtractor — smallest
+    free column at/right of the scan position, covered slots never
+    re-emitted) and <th> cells carry is_header — every grid col_idx
+    and header bit exact against the closed-form oracle. Same fused
+    single-Python-stage shape as html_table_cells; the sequential
+    surface stays pinned and untouched. Exceeds the reference, which
+    has no DOM table model at all."""
+    from pdfspark.pipeline import REPO_ROOT as _RR, _documents_repartitioned
+
+    docs = _documents_repartitioned(spark, sf_dir)
+
+    def run(batches):
+        import sys
+
+        if _RR not in sys.path:
+            sys.path.insert(0, _RR)
+        import pandas as pd
+
+        from pdfspark.docgen import text_to_html_spantable
+        from pdfspark.kernel.html_extract import extract_html_table_grid
+
+        for b in batches:
+            ids, rows_, cols_, texts, hdrs = [], [], [], [], []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                i = int(doc_id)
+                for (_t, row_idx, col_idx, cell,
+                     is_hdr) in extract_html_table_grid(
+                        text_to_html_spantable(text, i)):
+                    ids.append(i)
+                    rows_.append(row_idx)
+                    cols_.append(col_idx)
+                    texts.append(cell)
+                    hdrs.append(int(is_hdr))
+            yield pd.DataFrame(
+                {"doc_id": ids, "row_idx": rows_, "col_idx": cols_,
+                 "cell_text": texts, "is_header": hdrs},
+                columns=["doc_id", "row_idx", "col_idx", "cell_text",
+                         "is_header"],
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, row_idx long, col_idx long, cell_text string,"
+             " is_header long"
+    )
+
+
 @register(
     "pdf_layout_mix_extract",
     oracle="SELECT doc_id, text FROM documents",
@@ -4599,6 +4697,7 @@ DRIVER_PRIORITY = [
     "pdf_rtl_reading_order",
     "pdf_table_ragged",
     "pdf_table_header_flag",
+    "html_table_spans",
     # -- r3 veterans, verdict age 2 rounds (forced set) --
     "text_winnowing_neardup",
     "embedding_norms",
@@ -4644,10 +4743,9 @@ DRIVER_PRIORITY = [
     "pdf_outlines",
     "pdf_cjk_embedded_widths",
     "pdf_post_glyph_names",
-    "pdf_density_columns",
     # displaced to the r7 forced set by r6 entrants (see header
     # comment): text_char_entropy, boilerplate_line_removal,
-    # multimodal_feature_extract, ann_numpy_topk
+    # multimodal_feature_extract, ann_numpy_topk, pdf_density_columns
 ]
 
 

@@ -224,6 +224,77 @@ def test_html_table_inside_dropped_subtree_is_invisible():
     ) == [(0, 0, 0, "ab")]
 
 
+def test_html_table_grid_span_resolution():
+    """Grid surface (layout 4a/4b, HTML modality): colspan/rowspan
+    resolve through the HTML table-grid algorithm — a cell takes the
+    smallest free column at/right of the scan position, covered slots
+    are never re-emitted — and <th> carries is_header."""
+    from pdfspark.kernel.html_extract import extract_html_table_grid
+
+    # colspan shifts the NEXT cell; rowspan occupies the row below
+    page = (b"<table>"
+            b'<tr><th colspan="2">wide</th><th>c</th></tr>'
+            b'<tr><td rowspan="2">tall</td><td>x</td><td>y</td></tr>'
+            b"<tr><td>p</td><td>q</td></tr>"
+            b"</table>")
+    assert extract_html_table_grid(page) == [
+        (0, 0, 0, "wide", True), (0, 0, 2, "c", True),
+        (0, 1, 0, "tall", False), (0, 1, 1, "x", False),
+        (0, 1, 2, "y", False),
+        (0, 2, 1, "p", False), (0, 2, 2, "q", False),
+    ]
+    # a cell spanning BOTH ways blocks a 2x2 block of slots
+    assert extract_html_table_grid(
+        b'<table><tr><td colspan="2" rowspan="2">big</td><td>r</td></tr>'
+        b"<tr><td>s</td></tr></table>"
+    ) == [(0, 0, 0, "big", False), (0, 0, 2, "r", False),
+          (0, 1, 2, "s", False)]
+    # two rowspans from the same row both cover the next row
+    assert extract_html_table_grid(
+        b'<table><tr><td rowspan="2">a</td><td rowspan="2">b</td>'
+        b"<td>c</td></tr><tr><td>d</td></tr></table>"
+    ) == [(0, 0, 0, "a", False), (0, 0, 1, "b", False),
+          (0, 0, 2, "c", False), (0, 1, 2, "d", False)]
+
+
+def test_html_table_grid_policy_edges():
+    """Span attribute hygiene and pinned-policy conformance: invalid /
+    0 / huge spans clamp, dropped subtrees contribute neither text nor
+    structure, nested tables flatten inline, the sequential surface is
+    untouched by spans, and garbage yields []."""
+    from pdfspark.kernel.html_extract import (
+        _SPAN_CLAMP, extract_html_table_cells, extract_html_table_grid)
+
+    # colspan=0 / junk -> 1 (span-to-colgroup-end out of scope)
+    assert extract_html_table_grid(
+        b'<table><tr><td colspan="0">a</td><td colspan="x">b</td>'
+        b"</tr></table>"
+    ) == [(0, 0, 0, "a", False), (0, 0, 1, "b", False)]
+    # huge spans clamp; the NEXT cell lands at the clamped column
+    got = extract_html_table_grid(
+        b'<table><tr><td colspan="99999">w</td><td>n</td></tr></table>')
+    assert got == [(0, 0, 0, "w", False), (0, 0, _SPAN_CLAMP, "n", False)]
+    # dropped subtree: no table_idx consumed, no cells
+    assert extract_html_table_grid(
+        b"<nav><table><tr><td>m</td></tr></table></nav>"
+        b'<table><tr><td rowspan="2">r</td><td>s</td></tr>'
+        b"<tr><td>t</td></tr></table>"
+    ) == [(0, 0, 0, "r", False), (0, 0, 1, "s", False),
+          (0, 1, 1, "t", False)]
+    # nested table flattens into the cell; spans inside it are ignored
+    # for the OUTER grid
+    assert extract_html_table_grid(
+        b'<table><tr><td>x<table><tr><td colspan="3">inner</td></tr>'
+        b"</table>y</td><td>z</td></tr></table>"
+    ) == [(0, 0, 0, "x inner y", False), (0, 0, 1, "z", False)]
+    # the PINNED sequential surface ignores spans entirely
+    assert extract_html_table_cells(
+        b'<table><tr><td colspan="2">a</td><td>b</td></tr></table>'
+    ) == [(0, 0, 0, "a"), (0, 0, 1, "b")]
+    assert extract_html_table_grid(b"\x00\xffgarbage") == []
+    assert extract_html_table_grid(b"") == []
+
+
 def test_density_anchor_state_symmetric_across_drops():
     """ADVICE r5 #3: a stray </a> (or a block tag) inside a dropped
     subtree must not close/reset an anchor opened OUTSIDE it — the

@@ -328,6 +328,7 @@ def test_html_extractors_never_raise_on_garbage(data):
         extract_html,
         extract_html_content_blocks,
         extract_html_table_cells,
+        extract_html_table_grid,
     )
 
     for buf in (data, b"<html><body>" + data,
@@ -338,6 +339,8 @@ def test_html_extractors_never_raise_on_garbage(data):
         assert all(isinstance(t, str) for _, t in blocks)
         cells = extract_html_table_cells(buf)
         assert all(isinstance(c, tuple) and len(c) == 4 for c in cells)
+        grid = extract_html_table_grid(buf)
+        assert all(isinstance(c, tuple) and len(c) == 5 for c in grid)
 
 
 @settings(max_examples=80, deadline=None)
