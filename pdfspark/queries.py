@@ -4454,6 +4454,127 @@ def dedup_paragraph_exact(spark, sf_dir):
     return spark.sql(_PARA_DEDUP_SPARK)
 
 
+# Within-corpus exact-substring span dedup (the suffix-array sibling
+# from the builder ROADMAP #7, after Lee et al. 2022 "Deduplicating
+# Training Data": remove every repeated passage, keeping one canonical
+# copy). Word-level 20-gram occurrences hash with md5 (cross-engine
+# rule: md5 only); a gram occurring >1 time keeps ONLY its global-first
+# occurrence (min of doc_id*2^20+pos — valid while docs stay under 1M
+# words, which shard packing enforces upstream); every other occurrence
+# marks its 20 word slots covered, and a word survives iff NO covering
+# span exists. Overlapping spans need no interval merging — coverage is
+# tested per word slot. The rebuild is an order-pinned fold in BOTH
+# engines (string_agg ORDER BY / array_sort over (i, w) structs).
+_SUBSTR_SPANS_N = 20
+_SUBSTR_SPANS_DUCK = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT doc_id, ws,
+         unnest(range(CAST(len(ws) - 19 AS BIGINT))) AS p
+  FROM words WHERE len(ws) >= 20),
+hashed AS (
+  SELECT doc_id, p,
+         md5(array_to_string(
+             ws[CAST(p + 1 AS INT):CAST(p + 20 AS INT)], ' ')) AS h
+  FROM grams),
+dups AS (
+  SELECT h, MIN(doc_id * 1048576 + p) AS first_key
+  FROM hashed GROUP BY h HAVING COUNT(*) > 1),
+spans AS (
+  SELECT o.doc_id, o.p FROM hashed o JOIN dups d ON o.h = d.h
+  WHERE o.doc_id * 1048576 + o.p <> d.first_key),
+covered AS (
+  SELECT DISTINCT doc_id, p + unnest(range(20)) AS i FROM spans),
+toks AS (
+  SELECT doc_id, unnest(range(CAST(len(ws) AS BIGINT))) AS i, ws
+  FROM words),
+kept AS (
+  SELECT t.doc_id, t.i, t.ws[CAST(t.i + 1 AS INT)] AS w
+  FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = t.doc_id AND c.i = t.i)),
+agg AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS txt,
+         COUNT(*) AS kept_words
+  FROM kept GROUP BY doc_id)
+SELECT b.doc_id,
+  COALESCE(a.txt, '') AS text,
+  CAST(len(b.ws) - COALESCE(a.kept_words, 0) AS BIGINT) AS removed_words
+FROM words b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("dedup_substring_spans", oracle=_SUBSTR_SPANS_DUCK)
+def dedup_substring_spans(spark, sf_dir):
+    """Within-corpus exact-substring dedup with span excision (Lee et
+    al. 2022 ExactSubstr, re-expressed as hash-grouped n-grams instead
+    of a suffix array): every word-level 20-gram occurring more than
+    once in the corpus is excised EVERYWHERE except its global-first
+    occurrence, and each document's cleaned text plus removed-word
+    count comes back byte-exact against the oracle.
+
+    100-TB shape — deliberately different from the benchmark
+    decontamination family: the duplicate-gram set comes from a
+    SELF-groupBy (map-side-combined count + min over 32-byte digests,
+    plan-tested partial/final pair) and joins back on the digest as a
+    plain EQUI-join — Catalyst broadcasts it at toy SFs where the
+    estimate fits and degrades to a shuffle join at scale, both
+    correct because the key is hashable (never a nested loop, never a
+    cartesian — plan-tested). Covered word slots explode at most 20
+    rows per duplicated occurrence (bounded fan-out), the
+    word-survival test is a left-anti equi-join, and the rebuild
+    shuffles once per doc_id. No driver collects anywhere."""
+    n = _SUBSTR_SPANS_N
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    g = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    grams = g.where(F.size("ws") >= n).select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, size(ws) - {n}),"
+            f" i -> md5(array_join(slice(ws, i + 1, {n}), ' ')))"
+        )).alias("p", "h"),
+    )
+    key = (F.col("doc_id") * F.lit(1048576) + F.col("p")).cast("long")
+    dups = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"), F.min(key).alias("first_key"))
+        .where(F.col("c") > 1)
+        .select("h", "first_key")
+    )
+    spans = (
+        grams.join(dups, "h")
+        .where(key != F.col("first_key"))
+        .select("doc_id", "p")
+    )
+    covered = spans.select(
+        "doc_id", F.explode(F.expr(f"sequence(p, p + {n - 1})")).alias("i")
+    ).distinct()
+    toks = g.select("doc_id", F.posexplode("ws").alias("i", "w"))
+    kept = toks.join(covered, ["doc_id", "i"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "w"))),
+                lambda x: x["w"],
+            ),
+            " ",
+        ).alias("txt"),
+        F.count(F.lit(1)).alias("kept_words"),
+    )
+    return (
+        g.select("doc_id", F.size("ws").alias("total"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("txt", F.lit("")).alias("text"),
+            (F.col("total") - F.coalesce("kept_words", F.lit(0)))
+            .cast("long").alias("removed_words"),
+        )
+    )
+
+
 # CCNet-style boilerplate removal at chunk granularity: a chunk (12-word
 # "line") occurring in MORE THAN ONE distinct document is boilerplate;
 # only its canonical occurrence (min doc_id) survives, every other doc
@@ -4698,6 +4819,7 @@ DRIVER_PRIORITY = [
     "pdf_table_ragged",
     "pdf_table_header_flag",
     "html_table_spans",
+    "dedup_substring_spans",
     # -- r3 veterans, verdict age 2 rounds (forced set) --
     "text_winnowing_neardup",
     "embedding_norms",
@@ -4742,10 +4864,10 @@ DRIVER_PRIORITY = [
     "pdf_doc_metadata",
     "pdf_outlines",
     "pdf_cjk_embedded_widths",
-    "pdf_post_glyph_names",
     # displaced to the r7 forced set by r6 entrants (see header
     # comment): text_char_entropy, boilerplate_line_removal,
-    # multimodal_feature_extract, ann_numpy_topk, pdf_density_columns
+    # multimodal_feature_extract, ann_numpy_topk, pdf_density_columns,
+    # pdf_post_glyph_names
 ]
 
 

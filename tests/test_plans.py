@@ -376,3 +376,21 @@ def test_exact_decontamination_broadcasts_excerpts(spark):
     plan = plan_of(QUERIES["decontaminate_exact_substring"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_substring_span_dedup_is_shuffle_join_not_broadcast(spark):
+    """dedup_substring_spans (r6): every join is keyed on the digest
+    or (doc_id, i) — an EQUI-join that Catalyst may broadcast at toy
+    SFs and shuffles at scale, but NEVER a nested loop or cartesian;
+    the dup detection must partial-aggregate (map-side combined
+    count/min) before its exchange; the word-survival test is a plain
+    equi-anti-join."""
+    from pdfspark.queries import QUERIES
+
+    plan = plan_of(QUERIES["dedup_substring_spans"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # partial + final aggregation around the digest exchange
+    assert plan.count("HashAggregate") >= 2, plan
+    # the anti-join survival test exists and is an equi-join
+    assert "LeftAnti" in plan, plan
