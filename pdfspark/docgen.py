@@ -1211,6 +1211,39 @@ def text_to_html_table(text: str, doc_id: int = 0,
     ).encode("utf-8")
 
 
+def text_to_html_outline(text: str, doc_id: int = 0) -> bytes:
+    """Heading-outline page: words split into 8-word groups; group k
+    becomes a HEADING when k % 4 == 0 (level cycling h1→h2→h3 by
+    heading ordinal: level = 1 + (k/4) % 3), otherwise a <p>
+    paragraph — so heading_ord = k/4, and the heading text is the
+    group's words joined, all closed-form for the SQL oracle. A
+    heading inside <nav> plus an anchor-only (empty-text) heading
+    prove the extractor's drop gating and empty-skip policy consume
+    no ord_idx; headings carry an inline <em> to prove inline tags
+    flow."""
+    import html as _html
+
+    text = normalize_for_pdf(text)
+    words = text.split(" ")
+    parts = []
+    n_groups = (len(words) + 7) // 8
+    for k in range(n_groups):
+        grp = _html.escape(" ".join(words[8 * k:8 * k + 8]))
+        if k % 4 == 0:
+            lvl = 1 + (k // 4) % 3
+            # inline <em> wraps the whole text — flows, no separator
+            parts.append("<h%d><em>%s</em></h%d>" % (lvl, grp, lvl))
+        else:
+            parts.append("<p>%s</p>" % grp)
+    return (
+        '<!doctype html><html lang="en"><head><title>doc %d</title>'
+        "</head><body><nav><h1>site chrome heading</h1>menu</nav>"
+        '<h2><a id="top"></a></h2>%s'
+        "<footer>copyright footer</footer></body></html>"
+        % (doc_id, "".join(parts))
+    ).encode("utf-8")
+
+
 def text_to_html_spantable(text: str, doc_id: int = 0) -> bytes:
     """HTML grid-table torture test (the <table> twin of the PDF
     ragged/header tiers): consecutive word PAIRS fill a 3-slot-wide

@@ -465,6 +465,89 @@ def extract_html_table_grid(buf: bytes) -> List[tuple]:
         return []
 
 
+_HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+
+class _OutlineExtractor(HTMLParser):
+    """Document heading outline: one (ord_idx, level, text) per
+    <h1>-<h6> element, in document order. Pinned policy — DROP_TAGS
+    subtrees contribute no headings (a nav's section links are
+    chrome, not structure), text inside a heading follows the
+    module's rules (inline tags flow, block tags become word
+    separators, whitespace collapses), a new heading start while one
+    is open flushes the previous (HTML forbids nesting them), and a
+    heading that collapses to EMPTY text is skipped without consuming
+    an ord_idx (anchor-only headings are layout artifacts)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.headings: List[tuple] = []
+        self._drop_depth = 0
+        self._level = 0
+        self._cur: List[str] = []
+
+    def _flush(self) -> None:
+        if self._level:
+            text = _WS.sub(" ", "".join(self._cur)).strip()
+            if text:
+                self.headings.append(
+                    (len(self.headings), self._level, text)
+                )
+        self._level = 0
+        self._cur = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in DROP_TAGS:
+            if tag not in _VOID:
+                self._drop_depth += 1
+            return
+        if self._drop_depth > 0:
+            return
+        if tag in _HEADING_TAGS:
+            self._flush()
+            self._level = int(tag[1])
+        elif self._level and tag in BLOCK_TAGS:
+            self._cur.append(" ")
+
+    def handle_endtag(self, tag):
+        if tag in DROP_TAGS and tag not in _VOID:
+            if self._drop_depth > 0:
+                self._drop_depth -= 1
+            return
+        if self._drop_depth > 0:
+            return
+        if tag in _HEADING_TAGS:
+            self._flush()
+        elif self._level and tag in BLOCK_TAGS:
+            self._cur.append(" ")
+
+    def handle_startendtag(self, tag, attrs):
+        if self._drop_depth > 0:
+            return
+        if self._level and tag in BLOCK_TAGS:
+            self._cur.append(" ")
+
+    def handle_data(self, data):
+        if self._level and self._drop_depth == 0:
+            self._cur.append(data)
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def extract_html_outline(buf: bytes) -> List[tuple]:
+    """Heading outline of a page as ``[(ord_idx, level, text), …]``;
+    [] on parse failure (one-bad-document rule)."""
+    try:
+        parser = _OutlineExtractor()
+        parser.feed(_decode(buf))
+        parser.close()
+        return parser.headings
+    except Exception:
+        return []
+
+
 _ENC_RE = re.compile(rb"charset=[\"']?([A-Za-z0-9_\-]+)", re.I)
 
 

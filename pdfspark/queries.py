@@ -2661,6 +2661,72 @@ def _html_table_spans_impl(spark, sf_dir):
     )
 
 
+# Heading-outline twin: group k of 8 words is a heading iff k%4==0,
+# heading_ord = k/4 (exact — k is a multiple of 4), level cycles
+# 1+(ord%3). The generator's nav heading and anchor-only empty heading
+# must NOT appear (drop gating + empty-skip consume no ord_idx).
+_OUTLINE_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, ws,
+         unnest(range(CAST(CEIL(len(ws) / 8.0) AS BIGINT))) AS k
+  FROM words)
+SELECT doc_id,
+  CAST(FLOOR(k / 4.0) AS BIGINT) AS heading_ord,
+  CAST(1 + (CAST(FLOOR(k / 4.0) AS BIGINT) % 3) AS BIGINT) AS level,
+  array_to_string(
+    ws[CAST(8 * k + 1 AS INT):CAST(LEAST(8 * k + 8, len(ws)) AS INT)],
+    ' ') AS heading_text
+FROM g WHERE k % 4 = 0
+"""
+
+
+@register("html_heading_outline", oracle=_OUTLINE_SQL)
+def _html_heading_outline_impl(spark, sf_dir):
+    """Heading-outline extraction (DOM structure tier): <h1>-<h6>
+    elements in document order with their level and ordinal
+    (html_extract._OutlineExtractor) — nav-chrome headings and
+    anchor-only empty headings consume no ordinal, inline tags flow
+    into heading text. Byte-exact against the closed-form oracle over
+    the 8-word-group generator. Same fused single-Python-stage shape
+    as the other HTML modality queries."""
+    from pdfspark.pipeline import REPO_ROOT as _RR, _documents_repartitioned
+
+    docs = _documents_repartitioned(spark, sf_dir)
+
+    def run(batches):
+        import sys
+
+        if _RR not in sys.path:
+            sys.path.insert(0, _RR)
+        import pandas as pd
+
+        from pdfspark.docgen import text_to_html_outline
+        from pdfspark.kernel.html_extract import extract_html_outline
+
+        for b in batches:
+            ids, ords, lvls, texts = [], [], [], []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                i = int(doc_id)
+                for ord_idx, level, htext in extract_html_outline(
+                        text_to_html_outline(text, i)):
+                    ids.append(i)
+                    ords.append(ord_idx)
+                    lvls.append(level)
+                    texts.append(htext)
+            yield pd.DataFrame(
+                {"doc_id": ids, "heading_ord": ords, "level": lvls,
+                 "heading_text": texts},
+                columns=["doc_id", "heading_ord", "level", "heading_text"],
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, heading_ord long, level long,"
+             " heading_text string"
+    )
+
+
 @register(
     "pdf_layout_mix_extract",
     oracle="SELECT doc_id, text FROM documents",
@@ -4820,6 +4886,7 @@ DRIVER_PRIORITY = [
     "pdf_table_header_flag",
     "html_table_spans",
     "dedup_substring_spans",
+    "html_heading_outline",
     # -- r3 veterans, verdict age 2 rounds (forced set) --
     "text_winnowing_neardup",
     "embedding_norms",
@@ -4863,11 +4930,10 @@ DRIVER_PRIORITY = [
     "mixed_corpus_extract",
     "pdf_doc_metadata",
     "pdf_outlines",
-    "pdf_cjk_embedded_widths",
     # displaced to the r7 forced set by r6 entrants (see header
     # comment): text_char_entropy, boilerplate_line_removal,
     # multimodal_feature_extract, ann_numpy_topk, pdf_density_columns,
-    # pdf_post_glyph_names
+    # pdf_post_glyph_names, pdf_cjk_embedded_widths
 ]
 
 

@@ -295,6 +295,35 @@ def test_html_table_grid_policy_edges():
     assert extract_html_table_grid(b"") == []
 
 
+def test_html_heading_outline_policy():
+    """Outline surface: h1-h6 in document order with level; DROP_TAGS
+    headings and empty (anchor-only) headings consume no ord_idx;
+    inline tags flow, block tags inside a heading separate words; an
+    unclosed heading flushes at the next heading start; garbage
+    yields []."""
+    from pdfspark.kernel.html_extract import extract_html_outline
+
+    page = (b"<html><body><nav><h1>chrome</h1></nav>"
+            b'<h2><a id="t"></a></h2>'
+            b"<h1>Main <em>Title</em></h1>"
+            b"<p>prose</p>"
+            b"<h3>part<br>two</h3>"
+            b"<h2>next section"  # unclosed: flushed by the next h tag
+            b"<h6>deep</h6>"
+            b"</body></html>")
+    assert extract_html_outline(page) == [
+        (0, 1, "Main Title"),
+        (1, 3, "part two"),
+        (2, 2, "next section"),
+        (3, 6, "deep"),
+    ]
+    assert extract_html_outline(b"") == []
+    assert extract_html_outline(b"\x00\xffgarbage<h1") == []
+    # a dropped subtree INSIDE a heading contributes nothing
+    assert extract_html_outline(
+        b"<h2>a<script>x</script>b</h2>") == [(0, 2, "ab")]
+
+
 def test_density_anchor_state_symmetric_across_drops():
     """ADVICE r5 #3: a stray </a> (or a block tag) inside a dropped
     subtree must not close/reset an anchor opened OUTSIDE it — the

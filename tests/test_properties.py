@@ -327,6 +327,7 @@ def test_html_extractors_never_raise_on_garbage(data):
     from pdfspark.kernel.html_extract import (
         extract_html,
         extract_html_content_blocks,
+        extract_html_outline,
         extract_html_table_cells,
         extract_html_table_grid,
     )
@@ -341,6 +342,8 @@ def test_html_extractors_never_raise_on_garbage(data):
         assert all(isinstance(c, tuple) and len(c) == 4 for c in cells)
         grid = extract_html_table_grid(buf)
         assert all(isinstance(c, tuple) and len(c) == 5 for c in grid)
+        outline = extract_html_outline(buf)
+        assert all(isinstance(c, tuple) and len(c) == 3 for c in outline)
 
 
 @settings(max_examples=80, deadline=None)
