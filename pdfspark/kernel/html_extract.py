@@ -548,6 +548,78 @@ def extract_html_outline(buf: bytes) -> List[tuple]:
         return []
 
 
+class _SectionExtractor(_OutlineExtractor):
+    """Section chunking on top of the outline policy: each emitted
+    heading additionally carries its SECTION text — all content text
+    after the heading's end up to the next heading start (or document
+    end), under the module's pinned text rules (DROP_TAGS subtrees
+    contribute nothing, block tags become word separators, whitespace
+    collapses). Text before the first emitted heading is preamble and
+    belongs to no section; a skipped (empty) heading neither starts a
+    section nor breaks the current one. This is the training-data
+    chunking primitive: one (heading, section) pair per document
+    region."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._sections: List[List[str]] = []
+
+    def _flush(self) -> None:
+        before = len(self.headings)
+        super()._flush()
+        if len(self.headings) > before:
+            self._sections.append([])
+
+    def handle_starttag(self, tag, attrs):
+        super().handle_starttag(tag, attrs)
+        if (self._drop_depth == 0 and not self._level
+                and tag not in DROP_TAGS
+                and tag in BLOCK_TAGS and self._sections):
+            self._sections[-1].append(" ")
+
+    def handle_endtag(self, tag):
+        super().handle_endtag(tag)
+        if (self._drop_depth == 0 and not self._level
+                and tag not in DROP_TAGS
+                and tag in BLOCK_TAGS and self._sections):
+            self._sections[-1].append(" ")
+
+    def handle_startendtag(self, tag, attrs):
+        super().handle_startendtag(tag, attrs)
+        if (self._drop_depth == 0 and not self._level
+                and tag in BLOCK_TAGS and self._sections):
+            self._sections[-1].append(" ")
+
+    def handle_data(self, data):
+        if self._level:
+            super().handle_data(data)
+        elif self._drop_depth == 0 and self._sections:
+            self._sections[-1].append(data)
+
+    def sections(self) -> List[tuple]:
+        out = []
+        for (ord_idx, level, text), body in zip(self.headings,
+                                                self._sections):
+            out.append(
+                (ord_idx, level, text,
+                 _WS.sub(" ", "".join(body)).strip())
+            )
+        return out
+
+
+def extract_html_sections(buf: bytes) -> List[tuple]:
+    """Section chunks of a page as ``[(ord_idx, level, heading_text,
+    section_text), …]``; [] on parse failure (one-bad-document
+    rule)."""
+    try:
+        parser = _SectionExtractor()
+        parser.feed(_decode(buf))
+        parser.close()
+        return parser.sections()
+    except Exception:
+        return []
+
+
 _ENC_RE = re.compile(rb"charset=[\"']?([A-Za-z0-9_\-]+)", re.I)
 
 

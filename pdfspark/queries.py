@@ -2727,6 +2727,79 @@ def _html_heading_outline_impl(spark, sf_dir):
     )
 
 
+# Section twin over the SAME outline generator: heading ord o sits at
+# group k=4o; its section is the (up to) three paragraph groups that
+# follow — a CONTIGUOUS word range, 0-based words 8(k+1)..8(k+4), so
+# the oracle is one clamped array slice. A heading whose section is
+# empty (trailing heading) yields '' in both engines.
+_SECTIONS_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, ws,
+         unnest(range(CAST(CEIL(len(ws) / 8.0) AS BIGINT))) AS k
+  FROM words)
+SELECT doc_id,
+  CAST(FLOOR(k / 4.0) AS BIGINT) AS heading_ord,
+  CAST(1 + (CAST(FLOOR(k / 4.0) AS BIGINT) % 3) AS BIGINT) AS level,
+  array_to_string(
+    ws[CAST(8 * k + 1 AS INT):CAST(LEAST(8 * k + 8, len(ws)) AS INT)],
+    ' ') AS heading_text,
+  COALESCE(array_to_string(
+    ws[CAST(8 * k + 9 AS INT):CAST(LEAST(8 * k + 32, len(ws)) AS INT)],
+    ' '), '') AS section_text
+FROM g WHERE k % 4 = 0
+"""
+
+
+@register("html_section_chunks", oracle=_SECTIONS_SQL)
+def _html_section_chunks_impl(spark, sf_dir):
+    """Section chunking (the training-data chunking primitive): each
+    emitted heading carries its section — all content text to the
+    next heading start — under the pinned text rules
+    (html_extract._SectionExtractor: drops contribute nothing,
+    preamble belongs to no section, skipped empty headings neither
+    start nor break sections). Byte-exact headings AND sections
+    against the clamped-slice oracle; same fused single-stage
+    shape."""
+    from pdfspark.pipeline import REPO_ROOT as _RR, _documents_repartitioned
+
+    docs = _documents_repartitioned(spark, sf_dir)
+
+    def run(batches):
+        import sys
+
+        if _RR not in sys.path:
+            sys.path.insert(0, _RR)
+        import pandas as pd
+
+        from pdfspark.docgen import text_to_html_outline
+        from pdfspark.kernel.html_extract import extract_html_sections
+
+        for b in batches:
+            ids, ords, lvls, hts, sts = [], [], [], [], []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                i = int(doc_id)
+                for ord_idx, level, htext, stext in extract_html_sections(
+                        text_to_html_outline(text, i)):
+                    ids.append(i)
+                    ords.append(ord_idx)
+                    lvls.append(level)
+                    hts.append(htext)
+                    sts.append(stext)
+            yield pd.DataFrame(
+                {"doc_id": ids, "heading_ord": ords, "level": lvls,
+                 "heading_text": hts, "section_text": sts},
+                columns=["doc_id", "heading_ord", "level",
+                         "heading_text", "section_text"],
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, heading_ord long, level long,"
+             " heading_text string, section_text string"
+    )
+
+
 @register(
     "pdf_layout_mix_extract",
     oracle="SELECT doc_id, text FROM documents",
@@ -4887,6 +4960,7 @@ DRIVER_PRIORITY = [
     "html_table_spans",
     "dedup_substring_spans",
     "html_heading_outline",
+    "html_section_chunks",
     # -- r3 veterans, verdict age 2 rounds (forced set) --
     "text_winnowing_neardup",
     "embedding_norms",
@@ -4929,11 +5003,10 @@ DRIVER_PRIORITY = [
     "pdf_regression_join",
     "mixed_corpus_extract",
     "pdf_doc_metadata",
-    "pdf_outlines",
     # displaced to the r7 forced set by r6 entrants (see header
     # comment): text_char_entropy, boilerplate_line_removal,
     # multimodal_feature_extract, ann_numpy_topk, pdf_density_columns,
-    # pdf_post_glyph_names, pdf_cjk_embedded_widths
+    # pdf_post_glyph_names, pdf_cjk_embedded_widths, pdf_outlines
 ]
 
 

@@ -324,6 +324,30 @@ def test_html_heading_outline_policy():
         b"<h2>a<script>x</script>b</h2>") == [(0, 2, "ab")]
 
 
+def test_html_section_chunks_policy():
+    """Section surface: each emitted heading carries the content text
+    up to the next heading; preamble belongs to no section; dropped
+    subtrees (nav/footer) contribute nothing; a skipped empty heading
+    neither starts nor breaks a section; a trailing heading gets
+    ''."""
+    from pdfspark.kernel.html_extract import extract_html_sections
+
+    page = (b"<html><body>preamble text<nav><h1>chrome</h1>menu</nav>"
+            b'<h2><a id="t"></a></h2>'
+            b"<h1>Main</h1><p>alpha beta</p><p>gamma</p>"
+            b'<h2><a id="mid"></a></h2>delta'
+            b"<h3>Sub</h3>eps<footer>foot</footer>"
+            b"<h2>Tail</h2>"
+            b"</body></html>")
+    assert extract_html_sections(page) == [
+        (0, 1, "Main", "alpha beta gamma delta"),
+        (1, 3, "Sub", "eps"),
+        (2, 2, "Tail", ""),
+    ]
+    assert extract_html_sections(b"") == []
+    assert extract_html_sections(b"\x00\xffgarbage") == []
+
+
 def test_density_anchor_state_symmetric_across_drops():
     """ADVICE r5 #3: a stray </a> (or a block tag) inside a dropped
     subtree must not close/reset an anchor opened OUTSIDE it — the

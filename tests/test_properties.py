@@ -328,6 +328,7 @@ def test_html_extractors_never_raise_on_garbage(data):
         extract_html,
         extract_html_content_blocks,
         extract_html_outline,
+        extract_html_sections,
         extract_html_table_cells,
         extract_html_table_grid,
     )
@@ -344,6 +345,8 @@ def test_html_extractors_never_raise_on_garbage(data):
         assert all(isinstance(c, tuple) and len(c) == 5 for c in grid)
         outline = extract_html_outline(buf)
         assert all(isinstance(c, tuple) and len(c) == 3 for c in outline)
+        secs = extract_html_sections(buf)
+        assert all(isinstance(c, tuple) and len(c) == 4 for c in secs)
 
 
 @settings(max_examples=80, deadline=None)
