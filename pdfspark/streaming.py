@@ -909,3 +909,124 @@ def ivf_assign_stream(embs: DataFrame, seeds) -> DataFrame:
     return embs.select(
         "vec_id", quantize_embedding_col("embedding")
     ).select("vec_id", ivf_assign_expr(seeds))
+
+
+# --------------------------------------- stream substring excision vs index
+
+def gram_hash_grams(docs: DataFrame, n: int = 20) -> DataFrame:
+    """(doc_id, p, h) word-level n-gram digests of a (doc_id, text)
+    corpus — one md5 per overlapping n-gram, computed as a single JVM
+    expression (transform/sequence/slice/md5: no Python in the path).
+    Shared by the index build and the per-batch probe so both sides
+    hash identically."""
+    return docs.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).where(F.size("ws") >= n).select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, size(ws) - {n}),"
+            f" i -> md5(array_join(slice(ws, i + 1, {n}), ' ')))"
+        )).alias("p", "h"),
+    )
+
+
+def build_gram_index(docs: DataFrame, n: int = 20) -> DataFrame:
+    """Historic n-gram digest index from a (doc_id, text) corpus: the
+    DISTINCT digests of every overlapping word n-gram — the static
+    table the streaming excision joins against (the streaming sibling
+    of dedup_substring_spans' self-groupBy dup set; at 10^12 scale
+    this is written bucketed by digest once per corpus rebuild)."""
+    return gram_hash_grams(docs, n).select("h").distinct()
+
+
+def substring_excise_against_index(batch_docs: DataFrame,
+                                   gram_index: DataFrame,
+                                   n: int = 20) -> DataFrame:
+    """One increment's span excision against a STATIC digest index:
+    every word n-gram of a batch doc whose digest hits the index marks
+    its n word slots covered (history grams excise ALL stream
+    occurrences — there is no keep-first here: the kept canonical copy
+    lives in the history corpus the index was built from), and a word
+    survives iff no covering span exists. Returns (doc_id, text,
+    removed_words) with cleaned text rebuilt order-pinned.
+
+    Per-doc independent given the static index, so draining a stream
+    through this per micro-batch equals running it once over the
+    union — the state-free streaming contract, same as the minhash
+    incremental. All joins are digest / (doc_id, i) equi-joins; the
+    covered fan-out is bounded at n rows per hit."""
+    g = batch_docs.select("doc_id", F.split("text", " ").alias("ws"))
+    spans = (
+        gram_hash_grams(batch_docs, n)
+        .join(gram_index, "h")
+        .select("doc_id", "p")
+    )
+    covered = spans.select(
+        "doc_id", F.explode(F.expr(f"sequence(p, p + {n - 1})")).alias("i")
+    ).distinct()
+    toks = g.select("doc_id", F.posexplode("ws").alias("i", "w"))
+    kept = toks.join(covered, ["doc_id", "i"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "w"))),
+                lambda x: x["w"],
+            ),
+            " ",
+        ).alias("txt"),
+        F.count(F.lit(1)).alias("kept_words"),
+    )
+    return (
+        g.select("doc_id", F.size("ws").alias("total"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("txt", F.lit("")).alias("text"),
+            (F.col("total") - F.coalesce("kept_words", F.lit(0)))
+            .cast("long").alias("removed_words"),
+        )
+    )
+
+
+def run_substring_excise_stream_once(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    n: int = 20,
+    timeout_s: Optional[int] = 120,
+) -> bool:
+    """Stream-side exact-substring excision vs a static historic gram
+    index (the streaming twin of dedup_substring_spans, ROADMAP r7
+    #3a): drain a (doc_id, text) stream, excising history-duplicated
+    spans per micro-batch via foreachBatch — zero state store (the
+    index never changes mid-stream and docs are never compared to each
+    other). Sink is EXACTLY-ONCE by the same batch_id=N subpath +
+    overwrite contract as the minhash stream dedup (ADVICE r4 #2).
+    Drain equals the batch function over the union of all inputs
+    (test-pinned)."""
+    index = spark.read.parquet(index_dir).persist()
+    index.count()  # materialize before the first batch
+
+    def excise(batch_df: DataFrame, batch_id: int) -> None:
+        substring_excise_against_index(batch_df, index, n).write.mode(
+            "overwrite"
+        ).parquet(f"{output_dir}/batch_id={batch_id}")
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = (
+        docs.writeStream.foreachBatch(excise)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        return q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+        index.unpersist(blocking=False)

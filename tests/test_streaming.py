@@ -1000,3 +1000,74 @@ def test_shard_pack_stream_survives_null_text(spark, tmp_path):
     empty_tok = {n for d, n in got if d == 3}
     assert null_tok == empty_tok  # NULL counts exactly like empty text
     assert (1, 3) in got and (4, 1) in got  # carry rows intact
+
+
+def test_substring_excise_stream_matches_batch(spark, tmp_path):
+    """Stream-side exact-substring excision vs a static gram index
+    (streaming twin of dedup_substring_spans): the drained output must
+    equal substring_excise_against_index over the union of all inputs,
+    across multiple micro-batches — per-doc independence given the
+    static index IS the state-free contract. Fixtures pin the edge
+    cases: a doc with a history-duplicated span (excised), an
+    untouched doc, a doc that is ONE long history passage (fully
+    excised to ''), and a doc shorter than n (never hashed, never
+    touched)."""
+    from pdfspark.streaming import (
+        build_gram_index,
+        run_substring_excise_stream_once,
+        substring_excise_against_index,
+    )
+
+    n = 5
+    in_dir = str(tmp_path / "sin")
+    idx_dir = str(tmp_path / "sidx")
+    out_dir = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+
+    passage = "the quick brown fox jumps over the lazy dog"
+    hist = spark.createDataFrame(
+        [(1, f"history opens here {passage} and closes here"),
+         (2, "another record with wholly different words inside")],
+        "doc_id long, text string")
+    build_gram_index(hist, n).write.mode("overwrite").parquet(idx_dir)
+
+    batches = [
+        # span of the history passage embedded mid-doc
+        [(100, f"fresh prose then {passage} then fresh prose again")],
+        # untouched + fully-excised (the doc IS a history passage)
+        [(101, "completely novel sentence with no overlap at all"),
+         (102, passage)],
+        # shorter than n words: never hashed
+        [(103, "tiny doc here")],
+    ]
+    for chunk in batches:
+        spark.createDataFrame(chunk, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+
+    assert run_substring_excise_stream_once(
+        spark, in_dir, idx_dir, out_dir, ckpt, n=n)
+
+    streamed = {
+        (r.doc_id, r.text, r.removed_words)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    index = spark.read.parquet(idx_dir)
+    union = spark.createDataFrame(
+        [row for chunk in batches for row in chunk],
+        "doc_id long, text string")
+    batch = {
+        (r.doc_id, r.text, r.removed_words)
+        for r in substring_excise_against_index(union, index, n).collect()
+    }
+    assert streamed == batch
+    by_id = {d: (t, rm) for d, t, rm in streamed}
+    # the embedded passage is excised, the surrounding prose survives
+    assert by_id[100][0] == "fresh prose then then fresh prose again"
+    assert by_id[100][1] == len(passage.split(" "))
+    # untouched doc comes back byte-identical with zero removed
+    assert by_id[101] == (
+        "completely novel sentence with no overlap at all", 0)
+    # a doc that IS a history passage excises to empty
+    assert by_id[102] == ("", len(passage.split(" ")))
+    # sub-n docs are never hashed, never touched
+    assert by_id[103] == ("tiny doc here", 0)
