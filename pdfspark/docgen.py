@@ -910,6 +910,78 @@ def text_to_pdf_table(text: str, meta_id: int = 0,
 
 # ------------------------------------------------------------ vertical CJK
 
+def _emit_identity_type0_pdf(content: bytes, base_font: bytes,
+                             encoding: bytes, cmap_name: bytes,
+                             bfrange2: bytes, meta_id: int) -> bytes:
+    """Shared single-page Identity-encoded Type0 PDF scaffolding for
+    the writing-mode generators (review r6.1 #4): one content stream,
+    a Type0 font with no FontFile (CIDs = Unicode code points, widths
+    from /DW defaults), a ToUnicode CMap with the ASCII-printable
+    range plus one generator-specific ``bfrange2`` row, classic xref +
+    trailer. Byte-identical to the scaffolding both generators
+    previously inlined."""
+    data = zlib.compress(content, 6)
+    tounicode = (
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CMapName /" + cmap_name + b" def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfrange\n"
+        b"<0020> <007E> <0020>\n"
+        + bfrange2 + b"\n"
+        b"endbfrange\nendcmap\nCMapName currentdict /CMap defineresource "
+        b"pop\nend\nend"
+    )
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    emit(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    emit(
+        4,
+        b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(data)
+        + data + b"\nendstream",
+    )
+    emit(
+        5,
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /" + base_font +
+        b" /Encoding /" + encoding +
+        b" /DescendantFonts [7 0 R] /ToUnicode 8 0 R >>",
+    )
+    emit(6, b"<< /Title (doc %d) /Producer (pdfspark-docgen) >>" % meta_id)
+    emit(
+        7,
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /" + base_font +
+        b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> >>",
+    )
+    emit(
+        8,
+        b"<< /Length %d >>\nstream\n" % len(tounicode)
+        + tounicode + b"\nendstream",
+    )
+    size = max(offsets) + 1
+    xref_off = len(out)
+    out.extend(b"xref\n0 %d\n0000000000 65535 f \n" % size)
+    for n in range(1, size):
+        out.extend(b"%010d 00000 n \n" % offsets[n])
+    out.extend(
+        b"trailer\n<< /Size %d /Root 1 0 R /Info 6 0 R >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (size, xref_off)
+    )
+    return bytes(out)
+
+
 def text_to_pdf_vertical(text: str, meta_id: int = 0,
                          col_chars: int = 40) -> bytes:
     """Vertical-writing-mode torture test (VERDICT r5 next #4): the a-z
@@ -949,66 +1021,9 @@ def text_to_pdf_vertical(text: str, meta_id: int = 0,
         hexs = "".join(f"{ord(c):04X}" for c in chunk)
         ops.append(f"BT /F1 12 Tf {x:.2f} 740 Td <{hexs}> Tj ET ")
     content = "".join(ops).encode("latin-1")
-    data = zlib.compress(content, 6)
-    tounicode = (
-        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
-        b"/CMapName /pdfspark-vert-identity def\n/CMapType 2 def\n"
-        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
-        b"2 beginbfrange\n"
-        b"<0020> <007E> <0020>\n"
-        b"<4E00> <4E19> <4E00>\n"
-        b"endbfrange\nendcmap\nCMapName currentdict /CMap defineresource "
-        b"pop\nend\nend"
-    )
-    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
-    offsets = {}
-
-    def emit(num: int, body: bytes) -> None:
-        offsets[num] = len(out)
-        out.extend(b"%d 0 obj\n" % num)
-        out.extend(body)
-        out.extend(b"\nendobj\n")
-
-    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
-    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
-    emit(
-        3,
-        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
-    )
-    emit(
-        4,
-        b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(data)
-        + data + b"\nendstream",
-    )
-    emit(
-        5,
-        b"<< /Type /Font /Subtype /Type0 /BaseFont /VertCJK "
-        b"/Encoding /Identity-V /DescendantFonts [7 0 R] "
-        b"/ToUnicode 8 0 R >>",
-    )
-    emit(6, b"<< /Title (doc %d) /Producer (pdfspark-docgen) >>" % meta_id)
-    emit(
-        7,
-        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /VertCJK "
-        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
-        b"/Supplement 0 >> >>",
-    )
-    emit(
-        8,
-        b"<< /Length %d >>\nstream\n" % len(tounicode)
-        + tounicode + b"\nendstream",
-    )
-    size = max(offsets) + 1
-    xref_off = len(out)
-    out.extend(b"xref\n0 %d\n0000000000 65535 f \n" % size)
-    for n in range(1, size):
-        out.extend(b"%010d 00000 n \n" % offsets[n])
-    out.extend(
-        b"trailer\n<< /Size %d /Root 1 0 R /Info 6 0 R >>\n"
-        b"startxref\n%d\n%%%%EOF\n" % (size, xref_off)
-    )
-    return bytes(out)
+    return _emit_identity_type0_pdf(
+        content, b"VertCJK", b"Identity-V", b"pdfspark-vert-identity",
+        b"<4E00> <4E19> <4E00>", meta_id)
 
 
 # ------------------------------------------------------------ RTL Hebrew
@@ -1023,23 +1038,33 @@ _ASCII_TO_HEB = str.maketrans("abcdefghijklmnopqrstuvwxyz", HEB_ALPHABET)
 
 
 def wrap_words(text: str, line_chars: int) -> list:
-    """Greedy word wrap: pack space-separated words into lines of at
-    most ``line_chars`` (a single over-long word gets its own line);
+    """Greedy word wrap: pack space-separated tokens into lines of at
+    most ``line_chars`` (a single over-long token gets its own line);
     each break consumes exactly one inter-word space, so a single-space
-    join of the lines restores the input byte-identically. Shared by
-    the RTL generator and its corpus/golden expectations."""
+    join of the lines restores the input byte-identically — INCLUDING
+    empty tokens from leading/double spaces (a None sentinel
+    distinguishes "no line yet" from "line holding an empty token";
+    review r6.1 #1). The one shape a glyph emitter can't render — a
+    trailing EMPTY line (text ending in a space at a wrap boundary) —
+    is folded into the previous line as a trailing space, which the
+    join maps to the same bytes. Shared by the RTL generator and its
+    corpus/golden expectations."""
     lines: list = []
-    cur = ""
+    cur = None
     for w in text.split(" "):
-        if not cur:
+        if cur is None:
             cur = w
         elif len(cur) + 1 + len(w) <= line_chars:
             cur += " " + w
         else:
             lines.append(cur)
             cur = w
-    if cur:
+    if cur is not None:
         lines.append(cur)
+    if lines and lines[-1] == "":
+        lines.pop()
+        if lines:
+            lines[-1] += " "
     return lines
 
 
@@ -1078,66 +1103,9 @@ def text_to_pdf_rtl(text: str, meta_id: int = 0,
         y = 740.0 - 18.0 * i
         ops.append(f"BT /F1 12 Tf 72.00 {y:g} Td <{hexs}> Tj ET ")
     content = "".join(ops).encode("latin-1")
-    data = zlib.compress(content, 6)
-    tounicode = (
-        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
-        b"/CMapName /pdfspark-rtl-identity def\n/CMapType 2 def\n"
-        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
-        b"2 beginbfrange\n"
-        b"<0020> <007E> <0020>\n"
-        b"<05D0> <05E9> <05D0>\n"
-        b"endbfrange\nendcmap\nCMapName currentdict /CMap defineresource "
-        b"pop\nend\nend"
-    )
-    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
-    offsets = {}
-
-    def emit(num: int, body: bytes) -> None:
-        offsets[num] = len(out)
-        out.extend(b"%d 0 obj\n" % num)
-        out.extend(body)
-        out.extend(b"\nendobj\n")
-
-    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
-    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
-    emit(
-        3,
-        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
-    )
-    emit(
-        4,
-        b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(data)
-        + data + b"\nendstream",
-    )
-    emit(
-        5,
-        b"<< /Type /Font /Subtype /Type0 /BaseFont /RTLHeb "
-        b"/Encoding /Identity-H /DescendantFonts [7 0 R] "
-        b"/ToUnicode 8 0 R >>",
-    )
-    emit(6, b"<< /Title (doc %d) /Producer (pdfspark-docgen) >>" % meta_id)
-    emit(
-        7,
-        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /RTLHeb "
-        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
-        b"/Supplement 0 >> >>",
-    )
-    emit(
-        8,
-        b"<< /Length %d >>\nstream\n" % len(tounicode)
-        + tounicode + b"\nendstream",
-    )
-    size = max(offsets) + 1
-    xref_off = len(out)
-    out.extend(b"xref\n0 %d\n0000000000 65535 f \n" % size)
-    for n in range(1, size):
-        out.extend(b"%010d 00000 n \n" % offsets[n])
-    out.extend(
-        b"trailer\n<< /Size %d /Root 1 0 R /Info 6 0 R >>\n"
-        b"startxref\n%d\n%%%%EOF\n" % (size, xref_off)
-    )
-    return bytes(out)
+    return _emit_identity_type0_pdf(
+        content, b"RTLHeb", b"Identity-H", b"pdfspark-rtl-identity",
+        b"<05D0> <05E9> <05D0>", meta_id)
 
 
 def text_to_html_linkfarm(text: str, doc_id: int = 0,

@@ -466,7 +466,7 @@ def table_cells_extract(spark: SparkSession, sf_dir: str,
         import pandas as pd
 
         from pdfspark.kernel.extract import extract_text
-        from pdfspark.kernel.layout import table_cells, table_cells_flagged
+        from pdfspark.kernel.layout import table_cells_flagged
 
         for b in batches:
             urls, rows_, cols_, texts, hdrs = [], [], [], [], []
@@ -474,20 +474,16 @@ def table_cells_extract(spark: SparkSession, sf_dir: str,
                 i = int(doc_id)
                 url, buf = _synth_page(i, text, lang, fmt, 0)
                 r = extract_text(buf, positions=True)
-                if flagged:
-                    for (_pg, row_idx, col_idx, cell,
-                         is_hdr) in table_cells_flagged(r):
-                        urls.append(url)
-                        rows_.append(row_idx)
-                        cols_.append(col_idx)
-                        texts.append(cell)
-                        hdrs.append(int(is_hdr))
-                else:
-                    for _pg, row_idx, col_idx, cell in table_cells(r):
-                        urls.append(url)
-                        rows_.append(row_idx)
-                        cols_.append(col_idx)
-                        texts.append(cell)
+                # table_cells is table_cells_flagged minus the flag —
+                # one loop serves both shapes, the column is simply
+                # dropped when flagged=False (review r6.1 #5)
+                for (_pg, row_idx, col_idx, cell,
+                     is_hdr) in table_cells_flagged(r):
+                    urls.append(url)
+                    rows_.append(row_idx)
+                    cols_.append(col_idx)
+                    texts.append(cell)
+                    hdrs.append(int(is_hdr))
             data = {"url": urls, "row_idx": rows_, "col_idx": cols_,
                     "cell_text": texts}
             if flagged:

@@ -4664,17 +4664,18 @@ def dedup_substring_spans(spark, sf_dir):
     rows per duplicated occurrence (bounded fan-out), the
     word-survival test is a left-anti equi-join, and the rebuild
     shuffles once per doc_id. No driver collects anywhere."""
+    # gram hashing, slot coverage and the rebuild are the SAME code
+    # the streaming twin runs (streaming.py helpers; review r6.1 #3) —
+    # only the middle differs: within-corpus keep-first dup detection
+    # here vs a static history index there
+    from pdfspark.streaming import (
+        covered_slots, excise_covered, gram_hash_grams)
+
     n = _SUBSTR_SPANS_N
     _load(spark, sf_dir, "documents")
     docs = spark.table("documents")
     g = docs.select("doc_id", F.split("text", " ").alias("ws"))
-    grams = g.where(F.size("ws") >= n).select(
-        "doc_id",
-        F.posexplode(F.expr(
-            f"transform(sequence(0, size(ws) - {n}),"
-            f" i -> md5(array_join(slice(ws, i + 1, {n}), ' ')))"
-        )).alias("p", "h"),
-    )
+    grams = gram_hash_grams(docs, n)
     key = (F.col("doc_id") * F.lit(1048576) + F.col("p")).cast("long")
     dups = (
         grams.groupBy("h")
@@ -4687,31 +4688,7 @@ def dedup_substring_spans(spark, sf_dir):
         .where(key != F.col("first_key"))
         .select("doc_id", "p")
     )
-    covered = spans.select(
-        "doc_id", F.explode(F.expr(f"sequence(p, p + {n - 1})")).alias("i")
-    ).distinct()
-    toks = g.select("doc_id", F.posexplode("ws").alias("i", "w"))
-    kept = toks.join(covered, ["doc_id", "i"], "left_anti")
-    agg = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "w"))),
-                lambda x: x["w"],
-            ),
-            " ",
-        ).alias("txt"),
-        F.count(F.lit(1)).alias("kept_words"),
-    )
-    return (
-        g.select("doc_id", F.size("ws").alias("total"))
-        .join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("txt", F.lit("")).alias("text"),
-            (F.col("total") - F.coalesce("kept_words", F.lit(0)))
-            .cast("long").alias("removed_words"),
-        )
-    )
+    return excise_covered(g, covered_slots(spans, n))
 
 
 # CCNet-style boilerplate removal at chunk granularity: a chunk (12-word
@@ -4933,20 +4910,22 @@ def doc_length_percentile_buckets(spark, sf_dir):
 # history cede their slots (they remain registered, locally gated, and
 # fully oracled). Every name must stay registered in QUERIES.
 DRIVER_PRIORITY = [
-    # -- r6 rotation (VERDICT r5 next #1/#3): the two table entrants
-    # take their first verdicts, then the nine r3 veterans whose
-    # verdicts are 2 rounds old (forced by the ledger rule — stale at
-    # r6 otherwise), then 39 of the 49-strong r4 cohort (ages out at
+    # -- r6 rotation (VERDICT r5 next #1/#3): the TEN r6 entrants take
+    # their first verdicts, then the nine r3 veterans whose verdicts
+    # are 2 rounds old (forced by the ledger rule — stale at r6
+    # otherwise), then 31 of the 49-strong r4 cohort (ages out at
     # r7). The r5 cohort (49 green in CORRECTNESS_r05) cedes its
     # slots; it stays registered and locally oracle-gated at two SFs.
     # r7 PLAN (keep rotation mechanical, VERDICT r5 next #8): the r7
-    # forced set is the r4-cohort remainder deferred here —
-    # agg_cube, agg_grouping_sets, pivot_status_by_priority,
+    # FORCED set is 18 names — the r4-cohort remainder deferred here
+    # (agg_cube, agg_grouping_sets, pivot_status_by_priority,
     # set_intersect_custkeys, set_union_distinct,
     # correlated_subquery_above_avg, exists_subquery_multi_item_orders,
-    # percentiles_exact, orders_monthly_growth, set_except_custkeys —
-    # plus any r4-cohort names displaced below by r6-new entrants;
-    # fill r7's remaining slots from the r5 cohort (ages out at r8).
+    # percentiles_exact, orders_monthly_growth, set_except_custkeys)
+    # PLUS the eight r4-cohort names displaced below by r6 entrants
+    # (listed in the trailing comment); fill r7's remaining ~32 slots
+    # from the r5 cohort (ages out at r8; the ~17 that don't fit r7
+    # must lead r8).
     # -- new in r6 (first verdict): layout tier-3/4 table entrants.
     # As further r6-new queries land (vertical/RTL reading order,
     # ragged tables, header flags) each is inserted here and displaces

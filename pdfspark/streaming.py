@@ -939,6 +939,51 @@ def build_gram_index(docs: DataFrame, n: int = 20) -> DataFrame:
     return gram_hash_grams(docs, n).select("h").distinct()
 
 
+def covered_slots(spans: DataFrame, n: int) -> DataFrame:
+    """(doc_id, p) span origins → the DISTINCT (doc_id, i) word slots
+    they cover — bounded fan-out of n rows per span. Shared by the
+    batch dedup (queries.dedup_substring_spans) and the streaming
+    excision so a span can never mean different slots in the two."""
+    return spans.select(
+        "doc_id", F.explode(F.expr(f"sequence(p, p + {n - 1})")).alias("i")
+    ).distinct()
+
+
+def excise_covered(docs_ws: DataFrame, covered: DataFrame) -> DataFrame:
+    """Rebuild each doc minus its covered word slots: ``docs_ws`` is
+    (doc_id, ws array), ``covered`` is (doc_id, i) slots to remove; a
+    word survives iff no covering slot exists (left-anti equi-join),
+    and cleaned text reassembles order-pinned
+    (array_sort(collect_list(struct)) — the CLAUDE.md cross-engine
+    rebuild idiom). Returns (doc_id, text, removed_words); docs with
+    nothing removed come back byte-identical, fully-covered docs come
+    back ''. ONE implementation for the batch query and its streaming
+    twin (review r6.1 #3) — a divergence here would silently split
+    drain-equals-batch."""
+    toks = docs_ws.select("doc_id", F.posexplode("ws").alias("i", "w"))
+    kept = toks.join(covered, ["doc_id", "i"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "w"))),
+                lambda x: x["w"],
+            ),
+            " ",
+        ).alias("txt"),
+        F.count(F.lit(1)).alias("kept_words"),
+    )
+    return (
+        docs_ws.select("doc_id", F.size("ws").alias("total"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("txt", F.lit("")).alias("text"),
+            (F.col("total") - F.coalesce("kept_words", F.lit(0)))
+            .cast("long").alias("removed_words"),
+        )
+    )
+
+
 def substring_excise_against_index(batch_docs: DataFrame,
                                    gram_index: DataFrame,
                                    n: int = 20) -> DataFrame:
@@ -961,31 +1006,7 @@ def substring_excise_against_index(batch_docs: DataFrame,
         .join(gram_index, "h")
         .select("doc_id", "p")
     )
-    covered = spans.select(
-        "doc_id", F.explode(F.expr(f"sequence(p, p + {n - 1})")).alias("i")
-    ).distinct()
-    toks = g.select("doc_id", F.posexplode("ws").alias("i", "w"))
-    kept = toks.join(covered, ["doc_id", "i"], "left_anti")
-    agg = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "w"))),
-                lambda x: x["w"],
-            ),
-            " ",
-        ).alias("txt"),
-        F.count(F.lit(1)).alias("kept_words"),
-    )
-    return (
-        g.select("doc_id", F.size("ws").alias("total"))
-        .join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("txt", F.lit("")).alias("text"),
-            (F.col("total") - F.coalesce("kept_words", F.lit(0)))
-            .cast("long").alias("removed_words"),
-        )
-    )
+    return excise_covered(g, covered_slots(spans, n))
 
 
 def run_substring_excise_stream_once(

@@ -514,6 +514,15 @@ def test_rtl_reading_order_readback():
     # wrap invariant the byte-identity depends on: single-space join
     # of the wrapped lines restores the input
     assert " ".join(wrap_words(heb, 40)) == heb
+    # review r6.1 #1: empty tokens (leading/double/trailing spaces)
+    # survive the wrap AND the full rtl extraction roundtrip
+    for tricky in (" alpha beta", "a" * 40 + "  b", "a" * 40 + " ",
+                   "x  y   z", " "):
+        assert " ".join(wrap_words(tricky, 40)) == tricky
+        th = tricky.translate(_ASCII_TO_HEB)
+        tr = extract_text(text_to_pdf_rtl(tricky, meta_id=9),
+                          positions=True)
+        assert reading_order_text(tr, layout="rtl") == th, tricky
     # error/edge paths
     assert reading_order_text(
         extract_text(b"\x00junk", positions=True), layout="rtl") == ""
