@@ -394,3 +394,22 @@ def test_substring_span_dedup_is_shuffle_join_not_broadcast(spark):
     assert plan.count("HashAggregate") >= 2, plan
     # the anti-join survival test exists and is an equi-join
     assert "LeftAnti" in plan, plan
+
+
+def test_r6_fused_extractors_are_single_python_stage(spark):
+    """Every r6 extraction entrant is the same fused shape as the
+    flagship: ONE mapInPandas (synth + kernel in a single Arrow pass,
+    payload bytes never cross a stage boundary) and at most one
+    exchange (the doc_id repartition) — the shape that scales to
+    10^12 docs because the corpus streams through exactly one Python
+    stage with no shuffle of document content."""
+    from pdfspark.queries import QUERIES
+
+    for name in ("pdf_vertical_reading_order", "pdf_rtl_reading_order",
+                 "pdf_table_sparse", "pdf_table_ragged",
+                 "pdf_table_header_flag", "pdf_table_cells",
+                 "html_table_cells", "html_table_spans",
+                 "html_heading_outline", "html_section_chunks"):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert plan.count("MapInPandas") == 1, (name, plan)
+        assert plan.count("Exchange") <= 1, (name, plan)
