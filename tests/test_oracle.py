@@ -458,3 +458,54 @@ def test_html_table_cells_parity(spark, duck):
     df = q._html_table_cells_impl(spark, SF_DIR)
     n = _compare(df, duck, q._TABLE_CELLS_SQL, "html_table_cells")
     assert n > 0
+
+
+def test_r6_pairs_on_edge_corpus(spark, tmp_path):
+    """Cross-validate the r6 generator/oracle pairs on word counts the
+    testdata never produces (docs are 10-99 words there): 1-40 word
+    documents hit the sub-n-gram, single-heading-group, partial-row and
+    trailing-span edges of every closed-form oracle, plus two docs
+    sharing a 20-gram so the substring dedup stays non-vacuous. Exact
+    match of sorted stringified values, same as the driver compare."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SF_DIR}/documents.parquet")
+    base = src.to_pandas()
+    vocab = "alpha beta gamma delta eps zeta eta theta".split()
+    rows = []
+    for i in range(40):
+        text = " ".join(vocab[j % len(vocab)] for j in range(i + 1))
+        rows.append(dict(base.iloc[i % len(base)]))
+        rows[-1].update(doc_id=i, text=text, n_chars=len(text))
+    shared = " ".join(vocab[j % len(vocab)] for j in range(25))
+    for k, extra in enumerate(["pre " + shared, shared + " post"]):
+        rows.append(dict(base.iloc[k]))
+        rows[-1].update(doc_id=100 + k, text=extra, n_chars=len(extra))
+    edge_dir = str(tmp_path / "edge_sf")
+    os.makedirs(edge_dir)
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows), schema=src.schema,
+                             preserve_index=False),
+        f"{edge_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{edge_dir}/documents.parquet')")
+    try:
+        for name in ("pdf_table_ragged", "pdf_table_header_flag",
+                     "html_table_spans", "html_heading_outline",
+                     "html_section_chunks", "dedup_substring_spans",
+                     "pdf_rtl_reading_order", "pdf_table_sparse"):
+            sdf = QUERIES[name](spark, edge_dir).toPandas()
+            ddf = con.execute(ORACLES[name]).df()
+            cols = sorted(sdf.columns)
+            a = sdf[cols].sort_values(cols).reset_index(drop=True)
+            b = ddf[cols].sort_values(cols).reset_index(drop=True)
+            assert a.shape == b.shape, (name, a.shape, b.shape)
+            for c in cols:
+                assert (a[c].astype(str).values
+                        == b[c].astype(str).values).all(), (name, c)
+    finally:
+        con.close()
