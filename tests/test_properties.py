@@ -362,3 +362,35 @@ def test_html_table_cells_survive_mutated_valid_pages(data):
     mutated = base[:pos] + bytes([val]) + base[pos + 1:]
     cells = extract_html_table_cells(mutated)
     assert all(isinstance(c, tuple) and len(c) == 4 for c in cells)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_r6_layout_surfaces_survive_mutated_pdfs(data):
+    """The r6 layout surfaces (ragged/header tables via
+    table_cells_flagged, rtl/vertical reading order) on byte-flipped
+    variants of their own generators' output: contract types out,
+    never a raise — these generators aren't corpus cases, so the
+    corpus-sampling mutation tests never reach them."""
+    from pdfspark.docgen import (text_to_pdf_rtl, text_to_pdf_table,
+                                 text_to_pdf_vertical)
+    from pdfspark.kernel.extract import extract_text
+    from pdfspark.kernel.layout import reading_order_text, table_cells_flagged
+
+    text = "alpha beta gamma delta eps zeta eta theta iota kappa lam mu"
+    bases = [
+        text_to_pdf_table(text, 1, skip_every=5, rowspan_every=11),
+        text_to_pdf_table(text, 2, header_size=15.0),
+        text_to_pdf_rtl(text, 3),
+        text_to_pdf_vertical(text, 4),
+    ]
+    buf = bytearray(data.draw(st.sampled_from(bases)))
+    for _ in range(data.draw(st.integers(1, 8))):
+        pos = data.draw(st.integers(0, len(buf) - 1))
+        buf[pos] = data.draw(st.integers(0, 255))
+    r = extract_text(bytes(buf), positions=True)
+    assert r.text is None or isinstance(r.text, str)
+    cells = table_cells_flagged(r)
+    assert all(isinstance(c, tuple) and len(c) == 5 for c in cells)
+    assert isinstance(reading_order_text(r, layout="rtl"), str)
+    assert isinstance(reading_order_text(r, layout="vertical"), str)
