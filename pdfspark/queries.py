@@ -1756,28 +1756,22 @@ FROM cum
 """
 
 
-@register("shard_pack_token_budget", oracle=_SHARD_PACK_DUCK)
-def shard_pack_token_budget(spark, sf_dir):
-    """Token-budget shard packing as a DISTRIBUTED prefix scan. A naive
-    global running sum is a single-task window (the oracle does exactly
-    that — fine for DuckDB, fatal at 10^12 docs); here it is the
-    textbook two-pass scan: (1) per-block partial sums (block =
-    doc_id div 64) — one map-side-combined shuffle; (2) the tiny
+def _two_pass_shard_ids(spark, tok):
+    """The textbook distributed prefix scan over a (doc_id, n_tokens)
+    table: (1) per-block partial sums (block = doc_id div
+    ``_SHARD_BLOCK``) — one map-side-combined shuffle; (2) the tiny
     block-sum table comes to the driver for an exact sequential prefix
-    (bounded: n_docs/block rows; a loud cap refuses past 200k — at
-    10^12 docs the block size scales up to keep it ~1e6); (3) offsets
-    broadcast back and each block computes its intra-block cumsum in
-    parallel. Every doc's global token offset is exact, so shard
-    boundaries match the oracle bit-for-bit."""
-    _load(spark, sf_dir, "documents")
+    (bounded: a loud cap refuses past 200k blocks; at 10^12 docs the
+    block size scales up to keep it ~1e6); (3) offsets broadcast back
+    and each block computes its intra-block cumsum in parallel. Every
+    doc's global token offset is exact, so shard boundaries match a
+    single-task running-sum oracle bit-for-bit. Shared by
+    shard_pack_token_budget and curation_pipeline (one implementation
+    of the scan — a divergence would split their oracles)."""
     from pyspark.sql import Window
 
-    tok = spark.table("documents").select(
-        "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
-        .alias("n_tokens"),
-        F.floor(F.col("doc_id") / _SHARD_BLOCK).cast("long").alias("block"),
-    )
+    tok = tok.withColumn(
+        "block", F.floor(F.col("doc_id") / _SHARD_BLOCK).cast("long"))
     block_rows = tok.groupBy("block").agg(
         F.sum("n_tokens").alias("bsum")).collect()
     if len(block_rows) > 200_000:
@@ -1800,6 +1794,103 @@ def shard_pack_token_budget(spark, sf_dir):
             .cast("long").alias("shard_id"),
         )
     )
+
+
+@register("shard_pack_token_budget", oracle=_SHARD_PACK_DUCK)
+def shard_pack_token_budget(spark, sf_dir):
+    """Token-budget shard packing as a DISTRIBUTED prefix scan (the
+    _two_pass_shard_ids helper). A naive global running sum is a
+    single-task window (the oracle does exactly that — fine for
+    DuckDB, fatal at 10^12 docs)."""
+    _load(spark, sf_dir, "documents")
+    tok = spark.table("documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        .alias("n_tokens"),
+    )
+    return _two_pass_shard_ids(spark, tok)
+
+
+# End-to-end curation: the three stages a training-data pipeline chains
+# — quality filter, exact dedup, token-budget shard packing — composed
+# in ONE Spark plan. The corpus is documents ∪ deterministic FULL
+# copies (doc_id+1000000 for doc_id % 5 == 0; the testdata has no
+# stored exact dups, so the dedup stage would be vacuous without them).
+# The threshold keeps ~80% at every SF (quality_bp spans ~2500-7900
+# with median ~5400 at sf0.001/0.01/0.1 — probed, not guessed).
+_CURATION_QBP_MIN = 4000
+
+_CURATION_DUCK = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 5 = 0),
+scored AS (
+  SELECT doc_id, md5(text) AS h,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+    CAST(40 * LEAST(n_words, 100)
+       + FLOOR(CAST(6000 * n_distinct + n_words AS DOUBLE) / (2 * n_words))
+       + 6 * LEAST(n_chars, 500) AS BIGINT) AS quality_bp
+  FROM (SELECT doc_id, text,
+          len(string_split(trim(text), ' ')) AS n_words,
+          len(list_distinct(string_split(trim(text), ' '))) AS n_distinct,
+          LENGTH(text) AS n_chars
+        FROM corpus)),
+kept AS (SELECT * FROM scored WHERE quality_bp >= {_CURATION_QBP_MIN}),
+dedup AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens
+  FROM kept GROUP BY h),
+cum AS (
+  SELECT doc_id, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM dedup)
+SELECT doc_id, n_tokens,
+  CAST(FLOOR((cum - n_tokens) / {_SHARD_BUDGET}.0) AS BIGINT) AS shard_id
+FROM cum
+"""
+
+
+@register("curation_pipeline", oracle=_CURATION_DUCK)
+def curation_pipeline(spark, sf_dir):
+    """Quality filter → exact dedup → shard packing, one plan.
+
+    100-TB shape: the quality score and token count are computed
+    BEFORE the dedup shuffle, and `text` is dropped with them — the
+    groupBy(h) exchange carries only (h, doc_id, n_tokens), a
+    digest-only shuffle exactly like dedup_exact's. The quality
+    predicate (same integer-bp formula as text_quality_score) prunes
+    ~20% before that shuffle. Packing is the shared
+    _two_pass_shard_ids scan (no single-partition window; sparse
+    post-filter doc_ids are fine — block offsets come from actual
+    block sums). Total: two scalar-column shuffles plus one bounded
+    driver prefix, end to end."""
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    corpus = docs.unionAll(copies)
+    nw = F.size(F.split(F.trim("text"), " "))
+    nd = F.size(F.array_distinct(F.split(F.trim("text"), " ")))
+    nc = F.length("text")
+    scored = corpus.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        .alias("n_tokens"),
+        (40 * F.least(nw, F.lit(100))
+         + F.floor((6000 * nd + nw).cast("double") / (2 * nw))
+         + 6 * F.least(nc, F.lit(500))).cast("long").alias("quality_bp"),
+    )
+    kept = scored.filter(F.col("quality_bp") >= _CURATION_QBP_MIN)
+    dedup = (
+        kept.groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"),
+             F.min("n_tokens").alias("n_tokens"))
+        .select("doc_id", "n_tokens")
+    )
+    return _two_pass_shard_ids(spark, dedup)
 
 
 @register(
@@ -4910,10 +5001,10 @@ def doc_length_percentile_buckets(spark, sf_dir):
 # history cede their slots (they remain registered, locally gated, and
 # fully oracled). Every name must stay registered in QUERIES.
 DRIVER_PRIORITY = [
-    # -- r6 rotation (VERDICT r5 next #1/#3): the TEN r6 entrants take
+    # -- r6 rotation (VERDICT r5 next #1/#3): the ELEVEN r6 entrants take
     # their first verdicts, then the nine r3 veterans whose verdicts
     # are 2 rounds old (forced by the ledger rule — stale at r6
-    # otherwise), then 31 of the 49-strong r4 cohort (ages out at
+    # otherwise), then 30 of the 49-strong r4 cohort (ages out at
     # r7). The r5 cohort (49 green in CORRECTNESS_r05) cedes its
     # slots; it stays registered and locally oracle-gated at two SFs.
     # r7 PLAN (keep rotation mechanical, VERDICT r5 next #8): the r7
@@ -4922,7 +5013,7 @@ DRIVER_PRIORITY = [
     # set_intersect_custkeys, set_union_distinct,
     # correlated_subquery_above_avg, exists_subquery_multi_item_orders,
     # percentiles_exact, orders_monthly_growth, set_except_custkeys)
-    # PLUS the eight r4-cohort names displaced below by r6 entrants
+    # PLUS the nine r4-cohort names displaced below by r6 entrants
     # (listed in the trailing comment); fill r7's remaining ~32 slots
     # from the r5 cohort (ages out at r8; the ~17 that don't fit r7
     # must lead r8).
@@ -4940,6 +5031,7 @@ DRIVER_PRIORITY = [
     "dedup_substring_spans",
     "html_heading_outline",
     "html_section_chunks",
+    "curation_pipeline",
     # -- r3 veterans, verdict age 2 rounds (forced set) --
     "text_winnowing_neardup",
     "embedding_norms",
@@ -4981,11 +5073,11 @@ DRIVER_PRIORITY = [
     "multimodal_meta",
     "pdf_regression_join",
     "mixed_corpus_extract",
-    "pdf_doc_metadata",
     # displaced to the r7 forced set by r6 entrants (see header
     # comment): text_char_entropy, boilerplate_line_removal,
     # multimodal_feature_extract, ann_numpy_topk, pdf_density_columns,
-    # pdf_post_glyph_names, pdf_cjk_embedded_widths, pdf_outlines
+    # pdf_post_glyph_names, pdf_cjk_embedded_widths, pdf_outlines,
+    # pdf_doc_metadata
 ]
 
 

@@ -252,6 +252,25 @@ def test_shard_packing_window_is_not_single_partition(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_curation_pipeline_plan_shape(spark):
+    """End-to-end curation composes filter → dedup → pack without
+    losing any stage's scale property: no single-task window (the
+    pack scan stays two-pass), offsets arrive by broadcast, and the
+    dedup exchange is digest-only — `text` is projected away before
+    the groupBy(h) shuffle, so no exchange carries the document
+    body."""
+    from pdfspark.queries import QUERIES
+
+    df = QUERIES["curation_pipeline"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """The third skew tool (after two-tier salting and hot-key caps):
     AQE's runtime skew-join split. One hot key holds ~90% of the fact
