@@ -2891,6 +2891,77 @@ def _html_section_chunks_impl(spark, sf_dir):
     )
 
 
+# Section-aware shard packing (ROADMAP r6 #3b): the pack unit is the
+# SECTION CHUNK (heading + its section text), not the raw document —
+# shard boundaries always land on section edges, the chunking a
+# training pipeline actually emits. Global pack order is (doc_id,
+# heading_ord) encoded as doc_id*1024 + heading_ord so the shared
+# two-pass scan's single-bigint key applies unchanged; stride 1024 is
+# safe to 32k-word documents (heading_ord = words/32 by the outline
+# generator's construction; corpus max is ~500 words) — a production
+# corpus widens the stride or keys by a struct.
+_SECT_STRIDE = 1024
+
+_SHARD_SECTIONS_DUCK = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, ws,
+         unnest(range(CAST(CEIL(len(ws) / 8.0) AS BIGINT))) AS k
+  FROM words),
+sect AS (
+  SELECT doc_id,
+    CAST(FLOOR(k / 4.0) AS BIGINT) AS heading_ord,
+    array_to_string(
+      ws[CAST(8 * k + 1 AS INT):CAST(LEAST(8 * k + 8, len(ws)) AS INT)],
+      ' ') AS heading_text,
+    COALESCE(array_to_string(
+      ws[CAST(8 * k + 9 AS INT):CAST(LEAST(8 * k + 32, len(ws)) AS INT)],
+      ' '), '') AS section_text
+  FROM g WHERE k % 4 = 0),
+tok AS (
+  SELECT doc_id, heading_ord,
+    CAST(len(string_split_regex(
+      trim(heading_text || ' ' || section_text), '\\s+')) AS BIGINT)
+      AS n_tokens
+  FROM sect),
+cum AS (
+  SELECT doc_id, heading_ord, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY doc_id, heading_ord
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tok)
+SELECT doc_id, heading_ord, n_tokens,
+  CAST(FLOOR((cum - n_tokens) / {_SHARD_BUDGET}.0) AS BIGINT) AS shard_id
+FROM cum
+"""
+
+
+@register("shard_pack_sections", oracle=_SHARD_SECTIONS_DUCK)
+def shard_pack_sections(spark, sf_dir):
+    """Section-aware shard packing: html_section_chunks' fused
+    extractor feeds the shared _two_pass_shard_ids scan, so the
+    packer inherits both pinned surfaces — byte-exact section
+    chunking AND the no-single-partition prefix scan. 100-TB shape:
+    one Python stage (the section extractor), then two scalar-column
+    shuffles; section text never crosses an exchange (only the
+    encoded key + token count do)."""
+    sections = _html_section_chunks_impl(spark, sf_dir)
+    tok = sections.select(
+        (F.col("doc_id") * _SECT_STRIDE + F.col("heading_ord"))
+        .alias("doc_id"),
+        F.size(F.split(F.trim(F.concat_ws(
+            " ", "heading_text", "section_text")), r"\s+"))
+        .cast("long").alias("n_tokens"),
+    )
+    packed = _two_pass_shard_ids(spark, tok)
+    return packed.select(
+        F.floor(F.col("doc_id") / _SECT_STRIDE).cast("long")
+        .alias("doc_id"),
+        (F.col("doc_id") % _SECT_STRIDE).cast("long").alias("heading_ord"),
+        "n_tokens", "shard_id",
+    )
+
+
 @register(
     "pdf_layout_mix_extract",
     oracle="SELECT doc_id, text FROM documents",
@@ -5001,10 +5072,10 @@ def doc_length_percentile_buckets(spark, sf_dir):
 # history cede their slots (they remain registered, locally gated, and
 # fully oracled). Every name must stay registered in QUERIES.
 DRIVER_PRIORITY = [
-    # -- r6 rotation (VERDICT r5 next #1/#3): the ELEVEN r6 entrants take
+    # -- r6 rotation (VERDICT r5 next #1/#3): the TWELVE r6 entrants take
     # their first verdicts, then the nine r3 veterans whose verdicts
     # are 2 rounds old (forced by the ledger rule — stale at r6
-    # otherwise), then 30 of the 49-strong r4 cohort (ages out at
+    # otherwise), then 29 of the 49-strong r4 cohort (ages out at
     # r7). The r5 cohort (49 green in CORRECTNESS_r05) cedes its
     # slots; it stays registered and locally oracle-gated at two SFs.
     # r7 PLAN (keep rotation mechanical, VERDICT r5 next #8): the r7
@@ -5013,7 +5084,7 @@ DRIVER_PRIORITY = [
     # set_intersect_custkeys, set_union_distinct,
     # correlated_subquery_above_avg, exists_subquery_multi_item_orders,
     # percentiles_exact, orders_monthly_growth, set_except_custkeys)
-    # PLUS the nine r4-cohort names displaced below by r6 entrants
+    # PLUS the ten r4-cohort names displaced below by r6 entrants
     # (listed in the trailing comment); fill r7's remaining ~32 slots
     # from the r5 cohort (ages out at r8; the ~17 that don't fit r7
     # must lead r8).
@@ -5032,6 +5103,7 @@ DRIVER_PRIORITY = [
     "html_heading_outline",
     "html_section_chunks",
     "curation_pipeline",
+    "shard_pack_sections",
     # -- r3 veterans, verdict age 2 rounds (forced set) --
     "text_winnowing_neardup",
     "embedding_norms",
@@ -5072,12 +5144,11 @@ DRIVER_PRIORITY = [
     "text_fingerprint",
     "multimodal_meta",
     "pdf_regression_join",
-    "mixed_corpus_extract",
     # displaced to the r7 forced set by r6 entrants (see header
     # comment): text_char_entropy, boilerplate_line_removal,
     # multimodal_feature_extract, ann_numpy_topk, pdf_density_columns,
     # pdf_post_glyph_names, pdf_cjk_embedded_widths, pdf_outlines,
-    # pdf_doc_metadata
+    # pdf_doc_metadata, mixed_corpus_extract
 ]
 
 

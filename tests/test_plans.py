@@ -271,6 +271,24 @@ def test_curation_pipeline_plan_shape(spark):
             assert "text" not in line, line
 
 
+def test_shard_pack_sections_plan_shape(spark):
+    """Section-aware packing keeps both parents' scale properties:
+    the two-pass scan never collapses to a single-task window, block
+    offsets arrive by broadcast, and section/heading text stays
+    inside the fused Python stage — no exchange carries it (only the
+    encoded key + token count shuffle)."""
+    from pdfspark.queries import QUERIES
+
+    df = QUERIES["shard_pack_sections"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "section_text" not in line, line
+            assert "heading_text" not in line, line
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """The third skew tool (after two-tier salting and hot-key caps):
     AQE's runtime skew-join split. One hot key holds ~90% of the fact
