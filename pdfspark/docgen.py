@@ -775,7 +775,8 @@ def text_to_pdf_postfont(text: str, meta_id: int = 0) -> bytes:
 def text_to_pdf_table(text: str, meta_id: int = 0,
                       n_cols: int = 3, skip_every: int = 0,
                       rowspan_every: int = 0,
-                      header_size: float = 0.0) -> bytes:
+                      header_size: float = 0.0,
+                      colspan_every: int = 0) -> bytes:
     """Grid/table layout whose content stream is written CELL-BY-CELL
     in COLUMN order — the typical table-generator pattern that defeats
     plain linearization (stream order reads the table column-major,
@@ -818,7 +819,25 @@ def text_to_pdf_table(text: str, meta_id: int = 0,
     table_cells_flagged flags exactly row 0 of ≥3-row tables, a
     closed-form the oracle mirrors (is_header ⟺ k < n_cols AND
     n_cells ≥ 2·n_cols + 1). Stops derive from each cell's OWN size,
-    so inter-column gaps stay ≥40pt under the wider header glyphs."""
+    so inter-column gaps stay ≥40pt under the wider header glyphs.
+
+    ``colspan_every`` > 0 makes cell k a HORIZONTAL 2-column span when
+    k % colspan_every == colspan_every-1, it isn't in the last column
+    (k % n_cols < n_cols-1), cell k+1 exists, and neither k nor k+1 is
+    skipped/row-spanned: the cell renders cells[k] + ' ' + cells[k+1]
+    as ONE continuous show op at stop[c] whose char spacing (Tc) is
+    computed so the run's right edge lands at stop[c+1] + 10pt — past
+    the covered stop but provably short of stop[c+2] (unstretched
+    merged width ≤ wmax_c + space + wmax_{c+1} < the two stop gaps) —
+    and cell k+1 is not drawn. The glyph advance includes Tc
+    (extract.py records the full displacement), so intra-cell gaps
+    stay zero (explicit spaces, text reassembles byte-exactly) while
+    layout.table_cells_spanned sees a run covering exactly TWO
+    x-stops. When the merged text is already wide enough Tc is 0 and
+    the same bounds hold. colspan_every = 7 with 3 columns keeps
+    spans out of row 0 (k=6 is row 2) and off the last column
+    rotation; column 0 is never covered, and covered cells are a
+    sparse minority so every column keeps its stop anchor."""
     from pdfspark.kernel.base14 import _HELVETICA
 
     text = normalize_for_pdf(text)
@@ -847,6 +866,18 @@ def text_to_pdf_table(text: str, meta_id: int = 0,
     def covered(k: int) -> bool:
         return k >= n_cols and span_at(k - n_cols)
 
+    def span_h_at(k: int) -> bool:
+        return (bool(colspan_every)
+                and k % colspan_every == colspan_every - 1
+                and k % n_cols < n_cols - 1
+                and k + 1 < len(cells)
+                and not skipped(k) and not skipped(k + 1)
+                and not span_at(k) and not span_at(k + 1)
+                and not covered(k) and not covered(k + 1))
+
+    def covered_h(k: int) -> bool:
+        return k % n_cols > 0 and span_h_at(k - 1)
+
     stops = [72.0]
     for c in range(1, n_cols):
         wmax = max(
@@ -859,14 +890,27 @@ def text_to_pdf_table(text: str, meta_id: int = 0,
     for c in range(n_cols):  # column-major stream order — the point
         for r in range(n_rows):
             k = r * n_cols + c
-            if skipped(k) or covered(k):
+            if skipped(k) or covered(k) or covered_h(k):
                 continue
             if k < len(cells) and cells[k]:
                 y = 740 - 18 * r - (9 if span_at(k) else 0)
-                ops.append(
-                    f"BT /F1 {size_of(k):g} Tf {stops[c]:.2f} {y} Td "
-                    f"({_escape(cells[k])}) Tj ET "
-                )
+                if span_h_at(k):
+                    merged = cells[k] + " " + cells[k + 1]
+                    w0 = sum(
+                        _HELVETICA.get(ch, 556) for ch in merged
+                    ) * size_of(k) / 1000.0
+                    target = stops[c + 1] - stops[c] + 10.0
+                    tc = max(0.0, (target - w0) / max(1, len(merged)))
+                    ops.append(
+                        f"BT /F1 {size_of(k):g} Tf {tc:.3f} Tc "
+                        f"{stops[c]:.2f} {y} Td "
+                        f"({_escape(merged)}) Tj 0 Tc ET "
+                    )
+                else:
+                    ops.append(
+                        f"BT /F1 {size_of(k):g} Tf {stops[c]:.2f} {y} Td "
+                        f"({_escape(cells[k])}) Tj ET "
+                    )
     content = "".join(ops).encode("latin-1")
     data = zlib.compress(content, 6)
     out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")

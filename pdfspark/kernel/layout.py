@@ -401,6 +401,28 @@ def table_cells_flagged(r: ExtractResult) -> List[tuple]:
     of per-row median sizes — so a page that is ALL 14pt has no header
     rows, and intra-row jitter never flags). Rows whose glyphs carry
     no size (older position tuples) are never headers."""
+    return [t[:5] for t in _table_cells_full(r)]
+
+
+def table_cells_spanned(r: ExtractResult) -> List[tuple]:
+    """``table_cells`` plus the tier-5 colspan count: one ``(page,
+    row_idx, col_idx, cell_text, col_span)`` per cell, where
+    ``col_span`` = 1 + the number of FURTHER x-stop anchors the cell's
+    continuous glyph run reaches (its right edge ``max(x + w)`` is ≥
+    the anchor) — the physical signature of a merged cell, since a
+    normal cell always ends ≥ ``TABLE_CELL_GAP_PT`` short of the next
+    stop (a run that reached it would have been split into two cells
+    by policy #2). Uniform grids are provably all-1 (inter-column
+    gaps exceed the cell gap), so the pinned 4/5-column surfaces are
+    bit-identical with the span column dropped."""
+    return [(t[0], t[1], t[2], t[3], t[5]) for t in _table_cells_full(r)]
+
+
+def _table_cells_full(r: ExtractResult) -> List[tuple]:
+    """Shared grid reconstruction: ``(page, row_idx, col_idx,
+    cell_text, is_header, col_span)`` per cell — table_cells /
+    table_cells_flagged / table_cells_spanned are column slices of
+    this one pinned policy."""
     if r.text is None or not r.glyph_positions:
         return []
     by_page: dict = {}
@@ -472,9 +494,15 @@ def table_cells_flagged(r: ExtractResult) -> List[tuple]:
                          and row_sizes[row_idx]
                          >= TABLE_HEADER_SIZE_RATIO * body)
             for seg in segs:
+                col_idx = col_of(seg[0][0])
+                right = max(e[0] + e[3] for e in seg)
+                col_span = 1 + sum(
+                    1 for j in range(col_idx + 1, len(anchors))
+                    if anchors[j] <= right
+                )
                 out.append(
-                    (span.page, row_idx, col_of(seg[0][0]),
-                     _assemble_line(seg), is_header)
+                    (span.page, row_idx, col_idx,
+                     _assemble_line(seg), is_header, col_span)
                 )
     return out
 

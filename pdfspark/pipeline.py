@@ -441,7 +441,8 @@ def columns_reading_order_extract(spark: SparkSession, sf_dir: str,
 
 def table_cells_extract(spark: SparkSession, sf_dir: str,
                         fmt: str = "pdf_table",
-                        flagged: bool = False) -> DataFrame:
+                        flagged: bool = False,
+                        spanned: bool = False) -> DataFrame:
     """Fused harness for structured table extraction (layout tier 3):
     synthesize grid PDFs whose content streams are written cell-by-cell
     in COLUMN order (fmt 'pdf_table' — plain linearization provably
@@ -455,7 +456,9 @@ def table_cells_extract(spark: SparkSession, sf_dir: str,
     ``flagged=True`` adds the tier-4b header flag (layout.
     table_cells_flagged) as an ``is_header`` 0/1 long column — long,
     not boolean, so the driver's pandas canonicalization sorts it the
-    same way DuckDB's CAST(… AS BIGINT) does."""
+    same way DuckDB's CAST(… AS BIGINT) does. ``spanned=True`` adds
+    the tier-5 ``col_span`` long column (layout.table_cells_spanned)
+    instead."""
     docs = _documents_repartitioned(spark, sf_dir)
 
     def run(batches):
@@ -466,33 +469,38 @@ def table_cells_extract(spark: SparkSession, sf_dir: str,
         import pandas as pd
 
         from pdfspark.kernel.extract import extract_text
-        from pdfspark.kernel.layout import table_cells_flagged
+        from pdfspark.kernel.layout import _table_cells_full
 
         for b in batches:
-            urls, rows_, cols_, texts, hdrs = [], [], [], [], []
+            urls, rows_, cols_, texts, hdrs, spans = [], [], [], [], [], []
             for doc_id, text, lang in zip(b["doc_id"], b["text"], b["lang"]):
                 i = int(doc_id)
                 url, buf = _synth_page(i, text, lang, fmt, 0)
                 r = extract_text(buf, positions=True)
-                # table_cells is table_cells_flagged minus the flag —
-                # one loop serves both shapes, the column is simply
-                # dropped when flagged=False (review r6.1 #5)
-                for (_pg, row_idx, col_idx, cell,
-                     is_hdr) in table_cells_flagged(r):
+                # table_cells is the full surface minus the flag/span
+                # columns — one loop serves all three shapes, unused
+                # columns are simply dropped (review r6.1 #5)
+                for (_pg, row_idx, col_idx, cell, is_hdr,
+                     col_span) in _table_cells_full(r):
                     urls.append(url)
                     rows_.append(row_idx)
                     cols_.append(col_idx)
                     texts.append(cell)
                     hdrs.append(int(is_hdr))
+                    spans.append(col_span)
             data = {"url": urls, "row_idx": rows_, "col_idx": cols_,
                     "cell_text": texts}
             if flagged:
                 data["is_header"] = hdrs
+            if spanned:
+                data["col_span"] = spans
             yield pd.DataFrame(data, columns=list(data))
 
     schema = "url string, row_idx long, col_idx long, cell_text string"
     if flagged:
         schema += ", is_header long"
+    if spanned:
+        schema += ", col_span long"
     return docs.mapInPandas(run, schema)
 
 
@@ -770,6 +778,11 @@ def _synth_page(i: int, text: str, lang, fmt: str,
         from pdfspark.docgen import text_to_pdf_table
 
         html = text_to_pdf_table(text, meta_id=i, header_size=15.0)
+    elif fmt == "pdf_table_colspan":
+        # every 7th cell a horizontal 2-column span (tier 5 colspan)
+        from pdfspark.docgen import text_to_pdf_table
+
+        html = text_to_pdf_table(text, meta_id=i, colspan_every=7)
     elif fmt == "pdf_layout_mix":
         # heterogeneous layouts, chosen deterministically per doc:
         # plain flow / two-column visual order / kern-positioned words

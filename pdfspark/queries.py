@@ -2593,6 +2593,60 @@ def _table_header_impl(spark, sf_dir):
     )
 
 
+# Colspan twin (layout tier 5, ROADMAP r6 #2b): every 7th cell is a
+# HORIZONTAL 2-column span — the generator renders cells[k]+' '+
+# cells[k+1] as one continuous run whose char spacing puts its right
+# edge 10pt past the covered stop (provably short of the stop after;
+# see text_to_pdf_table docstring), and omits cell k+1. The extractor
+# counts the stops a run reaches (table_cells_spanned: right edge ≥
+# anchor) — a normal cell always ends ≥40pt short of the next stop,
+# so uniform grids are provably all-1. Closed form: span ⟺ k%7=6 AND
+# k%3<2 AND k+1<n_cells (k=6 is row 2, so spans never hit row 0);
+# covered ⟺ k≥7 AND k%7=0 AND k%3>0.
+_TABLE_COLSPAN_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+cells AS (
+  SELECT doc_id, ws,
+    unnest(range(CAST(CEIL(len(ws) / 2.0) AS BIGINT))) AS k,
+    CAST(CEIL(len(ws) / 2.0) AS BIGINT) AS n_cells
+  FROM words)
+SELECT doc_id,
+  CAST(FLOOR(k / 3.0) AS BIGINT) AS row_idx,
+  CAST(k % 3 AS BIGINT) AS col_idx,
+  ws[CAST(2 * k + 1 AS INT)] ||
+    CASE WHEN len(ws) >= 2 * k + 2
+         THEN ' ' || ws[CAST(2 * k + 2 AS INT)] ELSE '' END ||
+    CASE WHEN k % 7 = 6 AND k % 3 < 2 AND k + 1 < n_cells
+         THEN ' ' || ws[CAST(2 * k + 3 AS INT)] ||
+           CASE WHEN len(ws) >= 2 * k + 4
+                THEN ' ' || ws[CAST(2 * k + 4 AS INT)] ELSE '' END
+         ELSE '' END AS cell_text,
+  CAST(CASE WHEN k % 7 = 6 AND k % 3 < 2 AND k + 1 < n_cells
+       THEN 2 ELSE 1 END AS BIGINT) AS col_span
+FROM cells
+WHERE NOT (k >= 7 AND k % 7 = 0 AND k % 3 > 0)
+"""
+
+
+@register("pdf_table_colspan", oracle=_TABLE_COLSPAN_SQL)
+def _table_colspan_impl(spark, sf_dir):
+    """Colspan extraction (layout tier 5): the spanned table surface
+    (table_cells_spanned — col_span = x-stops the continuous glyph
+    run covers) over fmt='pdf_table_colspan'. Every cell byte-exact,
+    every col_span count exact against the closed-form oracle. Same
+    fused single-Python-stage shape, no shuffle."""
+    from pdfspark.pipeline import table_cells_extract
+
+    ext = table_cells_extract(spark, sf_dir, fmt="pdf_table_colspan",
+                              spanned=True)
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long")
+        .alias("doc_id"),
+        "row_idx", "col_idx", "cell_text", "col_span",
+    )
+
+
 @register("pdf_table_sparse", oracle=_TABLE_SPARSE_SQL)
 def _table_sparse_impl(spark, sf_dir):
     """Sparse-grid table extraction (r6 entrant, registered per VERDICT
@@ -5072,10 +5126,10 @@ def doc_length_percentile_buckets(spark, sf_dir):
 # history cede their slots (they remain registered, locally gated, and
 # fully oracled). Every name must stay registered in QUERIES.
 DRIVER_PRIORITY = [
-    # -- r6 rotation (VERDICT r5 next #1/#3): the TWELVE r6 entrants take
-    # their first verdicts, then the nine r3 veterans whose verdicts
-    # are 2 rounds old (forced by the ledger rule — stale at r6
-    # otherwise), then 29 of the 49-strong r4 cohort (ages out at
+    # -- r6 rotation (VERDICT r5 next #1/#3): the THIRTEEN r6 entrants
+    # take their first verdicts, then the nine r3 veterans whose
+    # verdicts are 2 rounds old (forced by the ledger rule — stale at
+    # r6 otherwise), then 28 of the 49-strong r4 cohort (ages out at
     # r7). The r5 cohort (49 green in CORRECTNESS_r05) cedes its
     # slots; it stays registered and locally oracle-gated at two SFs.
     # r7 PLAN (keep rotation mechanical, VERDICT r5 next #8): the r7
@@ -5084,7 +5138,7 @@ DRIVER_PRIORITY = [
     # set_intersect_custkeys, set_union_distinct,
     # correlated_subquery_above_avg, exists_subquery_multi_item_orders,
     # percentiles_exact, orders_monthly_growth, set_except_custkeys)
-    # PLUS the ten r4-cohort names displaced below by r6 entrants
+    # PLUS the eleven r4-cohort names displaced below by r6 entrants
     # (listed in the trailing comment); fill r7's remaining ~32 slots
     # from the r5 cohort (ages out at r8; the ~17 that don't fit r7
     # must lead r8).
@@ -5104,6 +5158,7 @@ DRIVER_PRIORITY = [
     "html_section_chunks",
     "curation_pipeline",
     "shard_pack_sections",
+    "pdf_table_colspan",
     # -- r3 veterans, verdict age 2 rounds (forced set) --
     "text_winnowing_neardup",
     "embedding_norms",
@@ -5143,12 +5198,11 @@ DRIVER_PRIORITY = [
     "text_token_count",
     "text_fingerprint",
     "multimodal_meta",
-    "pdf_regression_join",
     # displaced to the r7 forced set by r6 entrants (see header
     # comment): text_char_entropy, boilerplate_line_removal,
     # multimodal_feature_extract, ann_numpy_topk, pdf_density_columns,
     # pdf_post_glyph_names, pdf_cjk_embedded_widths, pdf_outlines,
-    # pdf_doc_metadata, mixed_corpus_extract
+    # pdf_doc_metadata, mixed_corpus_extract, pdf_regression_join
 ]
 
 

@@ -488,6 +488,46 @@ def test_table_header_flag():
     assert not any(h for *_rest, h in table_cells_flagged(r3))
 
 
+def test_table_colspan():
+    """Layout tier 5 (ROADMAP r6 #2b): every 7th cell renders as a
+    continuous run whose char spacing carries it 10pt past the next
+    x-stop (covered cell omitted); table_cells_spanned reports
+    col_span=2 on exactly those cells with the merged text byte-exact,
+    and a uniform grid is provably all-1 AND bit-identical to the
+    pinned 4-column surface with the span column dropped."""
+    from pdfspark.docgen import text_to_pdf_table
+    from pdfspark.kernel.layout import table_cells, table_cells_spanned
+
+    text = ("the fast key order sort table scan merge part window "
+            "small hash scan join order batch value line agg row extra "
+            "words more data flow node edge graph tree leaf root branch")
+    words = text.split(" ")
+    cells = [" ".join(words[2 * k:2 * k + 2])
+             for k in range((len(words) + 1) // 2)]
+    n = len(cells)
+
+    def span_h(k):
+        return k % 7 == 6 and k % 3 < 2 and k + 1 < n
+
+    assert any(span_h(k) for k in range(n))  # fixture really spans
+    r = extract_text(text_to_pdf_table(text, meta_id=11, colspan_every=7),
+                     positions=True)
+    assert r.error is None
+    got = sorted(table_cells_spanned(r))
+    exp = sorted(
+        (0, k // 3, k % 3,
+         cells[k] + (" " + cells[k + 1] if span_h(k) else ""),
+         2 if span_h(k) else 1)
+        for k in range(n) if not (k >= 7 and k % 7 == 0 and k % 3 > 0)
+    )
+    assert got == exp
+    # uniform grid: no spans, and the span surface is an add-on
+    r2 = extract_text(text_to_pdf_table(text, meta_id=12), positions=True)
+    sp2 = table_cells_spanned(r2)
+    assert all(s == 1 for *_rest, s in sp2)
+    assert [t[:4] for t in sp2] == table_cells(r2)
+
+
 def test_table_combined_skip_rowspan_header():
     """The three table-generator knobs compose: sparse cells (skip),
     vertically-centered 2-row spans (anchor-linkage folding), and a

@@ -375,12 +375,15 @@ def test_r6_layout_surfaces_survive_mutated_pdfs(data):
     from pdfspark.docgen import (text_to_pdf_rtl, text_to_pdf_table,
                                  text_to_pdf_vertical)
     from pdfspark.kernel.extract import extract_text
-    from pdfspark.kernel.layout import reading_order_text, table_cells_flagged
+    from pdfspark.kernel.layout import (reading_order_text,
+                                        table_cells_flagged,
+                                        table_cells_spanned)
 
     text = "alpha beta gamma delta eps zeta eta theta iota kappa lam mu"
     bases = [
         text_to_pdf_table(text, 1, skip_every=5, rowspan_every=11),
         text_to_pdf_table(text, 2, header_size=15.0),
+        text_to_pdf_table(text, 5, colspan_every=7),
         text_to_pdf_rtl(text, 3),
         text_to_pdf_vertical(text, 4),
     ]
@@ -392,5 +395,7 @@ def test_r6_layout_surfaces_survive_mutated_pdfs(data):
     assert r.text is None or isinstance(r.text, str)
     cells = table_cells_flagged(r)
     assert all(isinstance(c, tuple) and len(c) == 5 for c in cells)
+    spans = table_cells_spanned(r)
+    assert all(isinstance(c, tuple) and len(c) == 5 for c in spans)
     assert isinstance(reading_order_text(r, layout="rtl"), str)
     assert isinstance(reading_order_text(r, layout="vertical"), str)
