@@ -776,7 +776,8 @@ def text_to_pdf_table(text: str, meta_id: int = 0,
                       n_cols: int = 3, skip_every: int = 0,
                       rowspan_every: int = 0,
                       header_size: float = 0.0,
-                      colspan_every: int = 0) -> bytes:
+                      colspan_every: int = 0,
+                      rows_per_page: int = 0) -> bytes:
     """Grid/table layout whose content stream is written CELL-BY-CELL
     in COLUMN order — the typical table-generator pattern that defeats
     plain linearization (stream order reads the table column-major,
@@ -837,7 +838,17 @@ def text_to_pdf_table(text: str, meta_id: int = 0,
     the same bounds hold. colspan_every = 7 with 3 columns keeps
     spans out of row 0 (k=6 is row 2) and off the last column
     rotation; column 0 is never covered, and covered cells are a
-    sparse minority so every column keeps its stop anchor."""
+    sparse minority so every column keeps its stop anchor.
+
+    ``rows_per_page`` > 0 PAGINATES the table: each page carries that
+    many consecutive rows (last page shorter), one content stream per
+    page, still written column-major WITHIN each page; the column
+    stops are identical on every page (the table's geometry is
+    designed once, before pagination). layout.table_cells_continued
+    must read the grid back with row_idx CONTINUING across pages —
+    equal to the unpaginated dense arithmetic. The registered fmt
+    uses pagination with the plain grid only (span/skip/header knobs
+    interact with page boundaries in untested ways)."""
     from pdfspark.kernel.base14 import _HELVETICA
 
     text = normalize_for_pdf(text)
@@ -886,14 +897,17 @@ def text_to_pdf_table(text: str, meta_id: int = 0,
             default=0.0,
         )
         stops.append(stops[-1] + wmax + 40.0)
-    ops = []
+    page_ops: dict = {0: []}
     for c in range(n_cols):  # column-major stream order — the point
         for r in range(n_rows):
             k = r * n_cols + c
             if skipped(k) or covered(k) or covered_h(k):
                 continue
             if k < len(cells) and cells[k]:
-                y = 740 - 18 * r - (9 if span_at(k) else 0)
+                pg = r // rows_per_page if rows_per_page else 0
+                y = (740 - 18 * (r - pg * rows_per_page)
+                     - (9 if span_at(k) else 0))
+                ops = page_ops.setdefault(pg, [])
                 if span_h_at(k):
                     merged = cells[k] + " " + cells[k + 1]
                     w0 = sum(
@@ -911,7 +925,57 @@ def text_to_pdf_table(text: str, meta_id: int = 0,
                         f"BT /F1 {size_of(k):g} Tf {stops[c]:.2f} {y} Td "
                         f"({_escape(cells[k])}) Tj ET "
                     )
-    content = "".join(ops).encode("latin-1")
+    if rows_per_page:
+        n_pages = max(1, (n_rows + rows_per_page - 1) // rows_per_page)
+        out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+        offsets = {}
+
+        def emit_p(num: int, body: bytes) -> None:
+            offsets[num] = len(out)
+            out.extend(b"%d 0 obj\n" % num)
+            out.extend(body)
+            out.extend(b"\nendobj\n")
+
+        page_nums = [10 + 2 * k for k in range(n_pages)]
+        kids = b" ".join(b"%d 0 R" % p for p in page_nums)
+        emit_p(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        emit_p(2, b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>"
+               % n_pages)
+        emit_p(
+            5,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>",
+        )
+        emit_p(6, b"<< /Title (doc %d) /Producer (pdfspark-docgen) >>"
+               % meta_id)
+        for k in range(n_pages):
+            pdata = zlib.compress(
+                "".join(page_ops.get(k, [])).encode("latin-1"), 6)
+            emit_p(
+                page_nums[k],
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 5 0 R >> >> /Contents %d 0 R >>"
+                % (page_nums[k] + 1),
+            )
+            emit_p(
+                page_nums[k] + 1,
+                b"<< /Filter /FlateDecode /Length %d >>\nstream\n"
+                % len(pdata) + pdata + b"\nendstream",
+            )
+        size = max(offsets) + 1
+        xref_off = len(out)
+        out.extend(b"xref\n0 %d\n0000000000 65535 f \n" % size)
+        for i in range(1, size):
+            if i in offsets:
+                out.extend(b"%010d 00000 n \n" % offsets[i])
+            else:
+                out.extend(b"0000000000 65535 f \n")
+        out.extend(
+            b"trailer\n<< /Size %d /Root 1 0 R /Info 6 0 R >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % (size, xref_off)
+        )
+        return bytes(out)
+    content = "".join(page_ops[0]).encode("latin-1")
     data = zlib.compress(content, 6)
     out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}

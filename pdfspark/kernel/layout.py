@@ -418,6 +418,34 @@ def table_cells_spanned(r: ExtractResult) -> List[tuple]:
     return [(t[0], t[1], t[2], t[3], t[5]) for t in _table_cells_full(r)]
 
 
+def table_cells_continued(r: ExtractResult) -> List[tuple]:
+    """``table_cells`` for ONE logical table paginated across pages
+    (tier 5c): one ``(page, row_idx, col_idx, cell_text)`` per cell
+    where ``row_idx`` CONTINUES across page boundaries — each page's
+    local row ranks are offset by the cumulative row count of all
+    preceding pages. Column identity needs no translation: the
+    generator designs the grid's geometry once (identical x-stops on
+    every page), and each page's stop clustering recovers the same
+    anchors, so per-page col_idx is already global. Single-page
+    documents are bit-identical to ``table_cells`` (offset 0). The
+    reference renders pages independently and has no cross-page
+    notion (`src/render/mod.rs:1273-1315`); this surface exceeds it."""
+    out: List[tuple] = []
+    offset = 0
+    prev_page = None
+    local_max = -1
+    for page, row, col, txt in table_cells(r):
+        if page != prev_page:
+            if prev_page is not None:
+                offset += local_max + 1
+            prev_page = page
+            local_max = -1
+        if row > local_max:
+            local_max = row
+        out.append((page, offset + row, col, txt))
+    return out
+
+
 def _table_cells_full(r: ExtractResult) -> List[tuple]:
     """Shared grid reconstruction: ``(page, row_idx, col_idx,
     cell_text, is_header, col_span)`` per cell — table_cells /

@@ -442,7 +442,8 @@ def columns_reading_order_extract(spark: SparkSession, sf_dir: str,
 def table_cells_extract(spark: SparkSession, sf_dir: str,
                         fmt: str = "pdf_table",
                         flagged: bool = False,
-                        spanned: bool = False) -> DataFrame:
+                        spanned: bool = False,
+                        continued: bool = False) -> DataFrame:
     """Fused harness for structured table extraction (layout tier 3):
     synthesize grid PDFs whose content streams are written cell-by-cell
     in COLUMN order (fmt 'pdf_table' — plain linearization provably
@@ -458,7 +459,10 @@ def table_cells_extract(spark: SparkSession, sf_dir: str,
     not boolean, so the driver's pandas canonicalization sorts it the
     same way DuckDB's CAST(… AS BIGINT) does. ``spanned=True`` adds
     the tier-5 ``col_span`` long column (layout.table_cells_spanned)
-    instead."""
+    instead. ``continued=True`` reads one logical table paginated
+    across pages (layout.table_cells_continued, tier 5c): row_idx
+    continues across page boundaries; not combinable with
+    flagged/spanned (the paginated fmt is the plain grid)."""
     docs = _documents_repartitioned(spark, sf_dir)
 
     def run(batches):
@@ -469,7 +473,8 @@ def table_cells_extract(spark: SparkSession, sf_dir: str,
         import pandas as pd
 
         from pdfspark.kernel.extract import extract_text
-        from pdfspark.kernel.layout import _table_cells_full
+        from pdfspark.kernel.layout import (_table_cells_full,
+                                            table_cells_continued)
 
         for b in batches:
             urls, rows_, cols_, texts, hdrs, spans = [], [], [], [], [], []
@@ -479,9 +484,14 @@ def table_cells_extract(spark: SparkSession, sf_dir: str,
                 r = extract_text(buf, positions=True)
                 # table_cells is the full surface minus the flag/span
                 # columns — one loop serves all three shapes, unused
-                # columns are simply dropped (review r6.1 #5)
+                # columns are simply dropped (review r6.1 #5); the
+                # continued shape swaps in the cross-page row offsets
+                cells = (
+                    [t + (False, 1) for t in table_cells_continued(r)]
+                    if continued else _table_cells_full(r)
+                )
                 for (_pg, row_idx, col_idx, cell, is_hdr,
-                     col_span) in _table_cells_full(r):
+                     col_span) in cells:
                     urls.append(url)
                     rows_.append(row_idx)
                     cols_.append(col_idx)
@@ -783,6 +793,12 @@ def _synth_page(i: int, text: str, lang, fmt: str,
         from pdfspark.docgen import text_to_pdf_table
 
         html = text_to_pdf_table(text, meta_id=i, colspan_every=7)
+    elif fmt == "pdf_table_multipage":
+        # one logical table paginated 4 rows/page (tier 5c row
+        # continuation); stops identical across pages by design
+        from pdfspark.docgen import text_to_pdf_table
+
+        html = text_to_pdf_table(text, meta_id=i, rows_per_page=4)
     elif fmt == "pdf_layout_mix":
         # heterogeneous layouts, chosen deterministically per doc:
         # plain flow / two-column visual order / kern-positioned words

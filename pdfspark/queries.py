@@ -2664,6 +2664,34 @@ def _table_sparse_impl(spark, sf_dir):
     )
 
 
+# Multi-page twin (layout tier 5c, the last ROADMAP table tier): ONE
+# logical table paginated 4 rows per page (last page shorter), one
+# content stream per page, still column-major WITHIN each page; the
+# column stops are identical on every page (geometry designed once,
+# before pagination). table_cells_continued offsets each page's local
+# row ranks by the cumulative row count of preceding pages — which
+# restores EXACTLY the dense arithmetic row_idx = k//3, so the oracle
+# is _TABLE_CELLS_SQL verbatim: pagination + continuation is an
+# identity on the logical grid, and any off-by-one in the page offset
+# or a row lost at a page boundary breaks the hash.
+@register("pdf_table_multipage", oracle=_TABLE_CELLS_SQL)
+def _table_multipage_impl(spark, sf_dir):
+    """Cross-page table continuation (layout tier 5c, ROADMAP r6 #2c):
+    the paginated table surface (layout.table_cells_continued) over
+    fmt='pdf_table_multipage' — 4 rows per page, row_idx continuing
+    across pages. Every cell byte-exact against the dense closed-form
+    oracle. Same fused single-Python-stage shape, no shuffle."""
+    from pdfspark.pipeline import table_cells_extract
+
+    ext = table_cells_extract(spark, sf_dir, fmt="pdf_table_multipage",
+                              continued=True)
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long")
+        .alias("doc_id"),
+        "row_idx", "col_idx", "cell_text",
+    )
+
+
 @register("html_table_cells", oracle=_TABLE_CELLS_SQL)
 def _html_table_cells_impl(spark, sf_dir):
     """HTML-table structured extraction (r6 entrant, registered per
@@ -5126,14 +5154,14 @@ def doc_length_percentile_buckets(spark, sf_dir):
 # history cede their slots (they remain registered, locally gated, and
 # fully oracled). Every name must stay registered in QUERIES.
 DRIVER_PRIORITY = [
-    # -- r6 rotation (VERDICT r5 next #1/#3): the THIRTEEN r6 entrants
+    # -- r6 rotation (VERDICT r5 next #1/#3): the FOURTEEN r6 entrants
     # take their first verdicts, then the nine r3 veterans whose
     # verdicts are 2 rounds old (forced by the ledger rule — stale at
-    # r6 otherwise), then 28 of the 49-strong r4 cohort (ages out at
+    # r6 otherwise), then 27 of the 49-strong r4 cohort (ages out at
     # r7). The r5 cohort (49 green in CORRECTNESS_r05) cedes its
     # slots; it stays registered and locally oracle-gated at two SFs.
     # r7 PLAN (keep rotation mechanical, VERDICT r5 next #8): the r7
-    # FORCED set is 18 names — the r4-cohort remainder deferred here
+    # FORCED set is 22 names — the r4-cohort remainder deferred here
     # (agg_cube, agg_grouping_sets, pivot_status_by_priority,
     # set_intersect_custkeys, set_union_distinct,
     # correlated_subquery_above_avg, exists_subquery_multi_item_orders,
@@ -5159,6 +5187,7 @@ DRIVER_PRIORITY = [
     "curation_pipeline",
     "shard_pack_sections",
     "pdf_table_colspan",
+    "pdf_table_multipage",
     # -- r3 veterans, verdict age 2 rounds (forced set) --
     "text_winnowing_neardup",
     "embedding_norms",
@@ -5197,12 +5226,12 @@ DRIVER_PRIORITY = [
     "text_quality_score",
     "text_token_count",
     "text_fingerprint",
-    "multimodal_meta",
     # displaced to the r7 forced set by r6 entrants (see header
     # comment): text_char_entropy, boilerplate_line_removal,
     # multimodal_feature_extract, ann_numpy_topk, pdf_density_columns,
     # pdf_post_glyph_names, pdf_cjk_embedded_widths, pdf_outlines,
-    # pdf_doc_metadata, mixed_corpus_extract, pdf_regression_join
+    # pdf_doc_metadata, mixed_corpus_extract, pdf_regression_join,
+    # multimodal_meta
 ]
 
 

@@ -528,6 +528,45 @@ def test_table_colspan():
     assert [t[:4] for t in sp2] == table_cells(r2)
 
 
+def test_table_multipage_continuation():
+    """Layout tier 5c (ROADMAP r6 #2c): ONE logical table paginated 4
+    rows per page (last page shorter, identical x-stops on every page)
+    reads back with table_cells_continued — row_idx CONTINUES across
+    page boundaries and equals the dense arithmetic k//3 exactly, so
+    pagination + continuation is an identity on the logical grid. On a
+    single-page document the surface is bit-identical to table_cells
+    (offset 0), and error documents yield []."""
+    from pdfspark.docgen import text_to_pdf_table
+    from pdfspark.kernel.layout import table_cells, table_cells_continued
+
+    text = ("the fast key order sort table scan merge part window "
+            "small hash scan join order batch value line agg row extra "
+            "words more data flow node edge graph tree leaf root branch")
+    words = text.split(" ")
+    cells = [" ".join(words[2 * k:2 * k + 2])
+             for k in range((len(words) + 1) // 2)]
+    n = len(cells)
+    n_rows = (n + 2) // 3
+    assert n_rows > 4  # fixture really paginates (> 1 page)
+    r = extract_text(text_to_pdf_table(text, meta_id=13, rows_per_page=4),
+                     positions=True)
+    assert r.error is None
+    assert len(r.spans) == (n_rows + 3) // 4  # one span per page
+    got = sorted((row, col, t)
+                 for _p, row, col, t in table_cells_continued(r))
+    exp = sorted((k // 3, k % 3, cells[k]) for k in range(n))
+    assert got == exp
+    # the per-page surface restarts ranks; continuation is the delta
+    local = sorted((row, col, t) for _p, row, col, t in table_cells(r))
+    assert local != got
+    # single page: bit-identical to table_cells
+    r1 = extract_text(text_to_pdf_table(text, meta_id=14), positions=True)
+    assert table_cells_continued(r1) == table_cells(r1)
+    # error documents yield [] (one-bad-document rule)
+    assert table_cells_continued(
+        extract_text(b"\x00junk", positions=True)) == []
+
+
 def test_table_combined_skip_rowspan_header():
     """The three table-generator knobs compose: sparse cells (skip),
     vertically-centered 2-row spans (anchor-linkage folding), and a

@@ -376,6 +376,7 @@ def test_r6_layout_surfaces_survive_mutated_pdfs(data):
                                  text_to_pdf_vertical)
     from pdfspark.kernel.extract import extract_text
     from pdfspark.kernel.layout import (reading_order_text,
+                                        table_cells_continued,
                                         table_cells_flagged,
                                         table_cells_spanned)
 
@@ -384,6 +385,7 @@ def test_r6_layout_surfaces_survive_mutated_pdfs(data):
         text_to_pdf_table(text, 1, skip_every=5, rowspan_every=11),
         text_to_pdf_table(text, 2, header_size=15.0),
         text_to_pdf_table(text, 5, colspan_every=7),
+        text_to_pdf_table(text, 6, rows_per_page=4),
         text_to_pdf_rtl(text, 3),
         text_to_pdf_vertical(text, 4),
     ]
@@ -397,5 +399,7 @@ def test_r6_layout_surfaces_survive_mutated_pdfs(data):
     assert all(isinstance(c, tuple) and len(c) == 5 for c in cells)
     spans = table_cells_spanned(r)
     assert all(isinstance(c, tuple) and len(c) == 5 for c in spans)
+    cont = table_cells_continued(r)
+    assert all(isinstance(c, tuple) and len(c) == 4 for c in cont)
     assert isinstance(reading_order_text(r, layout="rtl"), str)
     assert isinstance(reading_order_text(r, layout="vertical"), str)
