@@ -1086,6 +1086,26 @@ def all_cases() -> List[Case]:
              "\n".join(line[::-1] for line in wrap_words(_r_heb, 40)),
              None, 1))
 
+    # ---- t54: bidi mixed-direction runs (layout tier 5a): a-m →
+    # Hebrew, n-z stay Latin (o→0, s→5 digits); each line's show
+    # stores VISUAL order (logical reversed, then each maximal
+    # [0-9A-Za-z]+ run un-reversed), so the pinned linearization
+    # yields exactly those visual strings "\n"-joined. The
+    # reading-order recovery (layout="bidi") is pinned in
+    # test_golden; in-corpus so the mixed-script mirror + run
+    # reversal path sits under the mutation/garbage property fuzz.
+    from pdfspark.docgen import (_ASCII_TO_HEB_BIDI, restore_ltr_runs,
+                                 text_to_pdf_bidi)
+
+    _b_text = ("digits 2026 and latin runs stay ltr inside "
+               "a right to left paragraph flow")
+    _b_mixed = _b_text.translate(_ASCII_TO_HEB_BIDI)
+    add(Case("t54_bidi_mixed_runs",
+             text_to_pdf_bidi(_b_text, meta_id=54),
+             "\n".join(restore_ltr_runs(line[::-1])
+                       for line in wrap_words(_b_mixed, 40)),
+             None, 1))
+
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",
              b"<!doctype html><html><body>hello web</body></html>",

@@ -15,6 +15,7 @@ shows the kernel handles it); out of scope for the ASCII corpus.
 
 from __future__ import annotations
 
+import re
 import zlib
 
 
@@ -1213,6 +1214,67 @@ def text_to_pdf_rtl(text: str, meta_id: int = 0,
     content = "".join(ops).encode("latin-1")
     return _emit_identity_type0_pdf(
         content, b"RTLHeb", b"Identity-H", b"pdfspark-rtl-identity",
+        b"<05D0> <05E9> <05D0>", meta_id)
+
+
+# ------------------------------------------------------- bidi mixed runs
+
+# a-m transliterate to the FIRST 13 Hebrew letters (RTL); n-z stay
+# Latin (strongly LTR) EXCEPT o→'0' and s→'5', which become European
+# digits — so every document mixes RTL words, LTR Latin runs, and
+# digit runs, often inside one word. translate() twin in the SQL
+# oracle (engine-identical in Spark and DuckDB, same as the rtl/cjk
+# queries).
+_ASCII_TO_HEB_BIDI = str.maketrans("abcdefghijklmos",
+                                   HEB_ALPHABET[:13] + "05")
+
+
+def restore_ltr_runs(s: str) -> str:
+    """Reverse each maximal ASCII-alphanumeric run in place — the
+    visual-order step for strongly-LTR runs embedded in an RTL line,
+    and (being a per-run reversal) its own inverse. The generator's
+    OWN copy of the rule; the reading-order policy's twin lives in
+    kernel/layout.py (_reverse_ltr_runs) and the golden pins both
+    against hand-written expectations."""
+    return re.sub(r"[0-9A-Za-z]+", lambda m: m.group(0)[::-1], s)
+
+
+def text_to_pdf_bidi(text: str, meta_id: int = 0,
+                     line_chars: int = 40) -> bytes:
+    """Bidi mixed-direction torture test (layout tier 5a — the one
+    writing-order mode rtl scoped out): a-m transliterate to Hebrew
+    while n-z stay Latin (o→0, s→5 become digits), so nearly every
+    word interleaves RTL and LTR characters. Each LINE's show op
+    stores the string in VISUAL order, constructed the way a
+    visual-order PDF writer resolves UAX#9 implicit levels on this
+    domain: reverse the LOGICAL line, then reverse each maximal
+    [0-9A-Za-z]+ run back (digits and Latin always render
+    left-to-right inside the right-to-left flow). Lines wrap greedily
+    at word boundaries (wrap_words), baselines 18pt apart.
+
+    Plain linearization provably returns each line fully reversed
+    with its LTR runs un-reversed; layout="rtl" alone restores the
+    Hebrew but leaves every Latin/digit run REVERSED. Only
+    layout="bidi" (kernel/layout.py: the rtl mirror assembly followed
+    by reversing each maximal LTR run) restores the transliterated
+    text byte-identically; the round trip is exact
+    because run-reversal g satisfies g∘f∘g∘f = id for f = full
+    reversal (f maps maximal runs onto maximal runs). Same Identity-H
+    + ToUnicode scaffolding as the rtl generator; /DW-uniform
+    advances keep intra-show kern gaps zero. Reference anchor: the
+    reference has no bidi anywhere (`src/font/cjk.rs:1-190` is CMap
+    data only) — this exceeds it."""
+    mixed = normalize_for_pdf(text).translate(_ASCII_TO_HEB_BIDI)
+    lines = wrap_words(mixed, line_chars)
+    ops = []
+    for i, line in enumerate(lines):
+        visual = restore_ltr_runs(line[::-1])
+        hexs = "".join(f"{ord(c):04X}" for c in visual)
+        y = 740.0 - 18.0 * i
+        ops.append(f"BT /F1 12 Tf 72.00 {y:g} Td <{hexs}> Tj ET ")
+    content = "".join(ops).encode("latin-1")
+    return _emit_identity_type0_pdf(
+        content, b"BidiHeb", b"Identity-H", b"pdfspark-bidi-identity",
         b"<05D0> <05E9> <05D0>", meta_id)
 
 

@@ -31,6 +31,7 @@ corpus-wide.
 
 from __future__ import annotations
 
+import re
 from typing import List
 
 from pdfspark.kernel.extract import ExtractResult
@@ -128,8 +129,16 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT,
     DESCENDING x order via the horizontal mirror transform, which
     preserves inter-glyph gaps so the same kerned word-break rule
     applies; lines and columns join with a single space as in fixed
-    mode. Pure-RTL pages only — bidi mixed-direction runs are
-    explicitly out of scope and would need their own pinned policy)."""
+    mode. Pure-RTL pages only — mixed-direction runs need the "bidi"
+    mode), or "bidi" (opt-in — RTL pages with embedded strongly-LTR
+    runs, layout tier 5a; PINNED policy: exactly the "rtl" mirror
+    assembly, then each assembled line reverses every maximal
+    ``[0-9A-Za-z]+`` run in place — UAX#9 implicit levels restricted
+    to the ASCII domain: digits and Latin read left-to-right inside
+    the right-to-left flow. Pure-RTL pages round-trip identically
+    under "rtl" and "bidi" when they contain no ASCII-alnum runs;
+    full UAX#9 (explicit embeddings, brackets, weak types) stays out
+    of scope)."""
     if r.text is None:
         return ""
     if not r.glyph_positions:
@@ -193,7 +202,9 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT,
         # preserved ( -(x_i+w_i) - (-(x_{i-1}+w_{i-1}) + w_{i-1}) =
         # x_{i-1} - (x_i + w_i), the physical gap read right-to-left ),
         # so _assemble_line's kerned word-break rule applies unchanged
-        rtl = layout == "rtl"
+        # bidi policy: the same mirror, then each line re-reverses its
+        # maximal LTR (ASCII-alnum) runs — see _reverse_ltr_runs
+        rtl = layout in ("rtl", "bidi")
         sep = "" if vertical else " "
         for c in sorted(columns, reverse=vertical or rtl):
             lines = columns[c]
@@ -207,6 +218,8 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT,
                     ))
                     for y in sorted(lines, reverse=True)
                 ]
+                if layout == "bidi":
+                    line_texts = [_reverse_ltr_runs(t) for t in line_texts]
             else:
                 line_texts = [
                     _assemble_line(sorted(lines[y]))
@@ -533,6 +546,20 @@ def _table_cells_full(r: ExtractResult) -> List[tuple]:
                      _assemble_line(seg), is_header, col_span)
                 )
     return out
+
+
+_LTR_RUN = re.compile(r"[0-9A-Za-z]+")
+
+
+def _reverse_ltr_runs(s: str) -> str:
+    """Reverse each maximal ASCII-alphanumeric run in place — the
+    "bidi" layout's LTR-restoration step after the mirror assembly
+    (digits and Latin are strongly LTR under UAX#9 and render
+    left-to-right inside a right-to-left line, so the mirror leaves
+    exactly these runs reversed). Per-run reversal is its own inverse
+    and full-line reversal maps maximal runs onto maximal runs, which
+    makes the generator↔policy round trip exact (g∘f∘g∘f = id)."""
+    return _LTR_RUN.sub(lambda m: m.group(0)[::-1], s)
 
 
 def _assemble_line(glyphs: List[tuple]) -> str:

@@ -777,6 +777,12 @@ def _synth_page(i: int, text: str, lang, fmt: str,
         from pdfspark.docgen import text_to_pdf_rtl
 
         html = text_to_pdf_rtl(text, meta_id=i)
+    elif fmt == "pdf_bidi":
+        # mixed RTL/LTR lines in visual order (LTR runs un-reversed)
+        # — needs layout='bidi' to read back (tier 5a)
+        from pdfspark.docgen import text_to_pdf_bidi
+
+        html = text_to_pdf_bidi(text, meta_id=i)
     elif fmt == "pdf_table_ragged":
         # sparse cells + vertically-centered 2-row spans (tier 4a)
         from pdfspark.docgen import text_to_pdf_table

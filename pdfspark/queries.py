@@ -2390,6 +2390,38 @@ def pdf_rtl_reading_order(spark, sf_dir):
 
 
 @register(
+    "pdf_bidi_reading_order",
+    oracle="SELECT doc_id, translate(text,"
+           " 'abcdefghijklmos',"
+           " 'אבגדהוזחטיךכל05')"
+           " AS text FROM documents",
+)
+def pdf_bidi_reading_order(spark, sf_dir):
+    """Bidi mixed-direction reading order end-to-end (layout tier 5a —
+    the one writing-order mode the rtl policy scoped out; the
+    reference has no bidi anywhere): a-m transliterate to Hebrew while
+    n-z stay Latin (o→0, s→5 become European digits), so nearly every
+    word interleaves RTL and LTR characters. Each line's show op
+    stores VISUAL order — the logical line reversed with each maximal
+    [0-9A-Za-z]+ run un-reversed, exactly how visual-order PDF writers
+    resolve UAX#9 implicit levels. Plain linearization provably
+    returns mangled lines, and layout='rtl' alone leaves every
+    Latin/digit run reversed; only the layout='bidi' policy (mirror
+    assembly + per-line LTR-run reversal — kernel/layout.py) restores
+    the transliteration byte-identically. translate() is
+    engine-identical in Spark and DuckDB. Same fused
+    single-Python-stage plan shape as every roundtrip query."""
+    from pdfspark.pipeline import columns_reading_order_extract
+
+    ext = columns_reading_order_extract(
+        spark, sf_dir, fmt="pdf_bidi", layout="bidi")
+    return ext.select(
+        F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+
+
+@register(
     "pdf_post_glyph_names",
     oracle="SELECT doc_id, text FROM documents",
 )
@@ -5154,14 +5186,14 @@ def doc_length_percentile_buckets(spark, sf_dir):
 # history cede their slots (they remain registered, locally gated, and
 # fully oracled). Every name must stay registered in QUERIES.
 DRIVER_PRIORITY = [
-    # -- r6 rotation (VERDICT r5 next #1/#3): the FOURTEEN r6 entrants
+    # -- r6 rotation (VERDICT r5 next #1/#3): the FIFTEEN r6 entrants
     # take their first verdicts, then the nine r3 veterans whose
     # verdicts are 2 rounds old (forced by the ledger rule — stale at
-    # r6 otherwise), then 27 of the 49-strong r4 cohort (ages out at
+    # r6 otherwise), then 26 of the 49-strong r4 cohort (ages out at
     # r7). The r5 cohort (49 green in CORRECTNESS_r05) cedes its
     # slots; it stays registered and locally oracle-gated at two SFs.
     # r7 PLAN (keep rotation mechanical, VERDICT r5 next #8): the r7
-    # FORCED set is 22 names — the r4-cohort remainder deferred here
+    # FORCED set is 23 names — the r4-cohort remainder deferred here
     # (agg_cube, agg_grouping_sets, pivot_status_by_priority,
     # set_intersect_custkeys, set_union_distinct,
     # correlated_subquery_above_avg, exists_subquery_multi_item_orders,
@@ -5188,6 +5220,7 @@ DRIVER_PRIORITY = [
     "shard_pack_sections",
     "pdf_table_colspan",
     "pdf_table_multipage",
+    "pdf_bidi_reading_order",
     # -- r3 veterans, verdict age 2 rounds (forced set) --
     "text_winnowing_neardup",
     "embedding_norms",
@@ -5225,7 +5258,6 @@ DRIVER_PRIORITY = [
     "text_lang_id",
     "text_quality_score",
     "text_token_count",
-    "text_fingerprint",
     # displaced to the r7 forced set by r6 entrants (see header
     # comment): text_char_entropy, boilerplate_line_removal,
     # multimodal_feature_extract, ann_numpy_topk, pdf_density_columns,

@@ -643,6 +643,54 @@ def test_rtl_reading_order_readback():
         extract_text(b"\x00junk", positions=True), layout="rtl") == ""
 
 
+def test_bidi_mixed_runs_readback():
+    """Layout tier 5a: an RTL page with embedded strongly-LTR runs
+    (Latin n-z, digits from o→0/s→5) stored in visual order — logical
+    line reversed, each maximal [0-9A-Za-z]+ run un-reversed — reads
+    back byte-identically ONLY under layout='bidi' (mirror assembly +
+    per-line LTR-run reversal); layout='rtl' alone provably leaves
+    every LTR run reversed, pinning that bidi is a distinct policy."""
+    from pdfspark.docgen import (_ASCII_TO_HEB_BIDI, restore_ltr_runs,
+                                 text_to_pdf_bidi, wrap_words)
+    from pdfspark.kernel.layout import _reverse_ltr_runs, reading_order_text
+
+    text = ("numbers like 2026 and latin tokens must stay readable "
+            "inside right to left paragraph flow for every line")
+    mixed = text.translate(_ASCII_TO_HEB_BIDI)
+    # the fixture genuinely mixes: multi-char LTR runs exist mid-word
+    import re as _re
+
+    assert _re.search(r"[0-9A-Za-z]{2,}", mixed)
+    assert _re.search(r"[א-ש]", mixed)
+    r = extract_text(text_to_pdf_bidi(text, meta_id=7), positions=True)
+    assert r.error is None
+    assert reading_order_text(r, layout="bidi") == mixed
+    # rtl alone is NOT enough: LTR runs come back reversed
+    rtl = reading_order_text(r, layout="rtl")
+    assert rtl != mixed
+    assert _reverse_ltr_runs(rtl) == mixed
+    # hand-pinned semantics (not the shared-helper tautology): the
+    # logical line "אב 12 cd" renders visually as "cd 12 בא" — token
+    # order reversed, LTR runs intact — and the mirror assembly of
+    # that visual string ("אב 21 dc") restores the logical line once
+    # its LTR runs re-reverse
+    assert restore_ltr_runs("אב 12 cd"[::-1]) == "cd 12 בא"
+    assert _reverse_ltr_runs("אב 21 dc") == "אב 12 cd"
+    # plain linearization is the visual form of every wrapped line
+    assert r.text == "\n".join(
+        restore_ltr_runs(line[::-1]) for line in wrap_words(mixed, 40))
+    assert r.text != mixed
+    # pure-RTL lines (no ASCII-alnum): bidi degrades to rtl exactly
+    pure = "abc def ghi"  # translit → all-Hebrew
+    from pdfspark.docgen import text_to_pdf_rtl
+    rp = extract_text(text_to_pdf_rtl(pure, meta_id=8), positions=True)
+    assert (reading_order_text(rp, layout="bidi")
+            == reading_order_text(rp, layout="rtl"))
+    # error/edge paths
+    assert reading_order_text(
+        extract_text(b"\x00junk", positions=True), layout="bidi") == ""
+
+
 def test_density_per_column_size_clustering():
     """r5.3: baseline-size tolerances are PER COLUMN — two columns
     sharing a rounded y with different body sizes must not pollute

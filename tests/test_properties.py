@@ -372,8 +372,8 @@ def test_r6_layout_surfaces_survive_mutated_pdfs(data):
     variants of their own generators' output: contract types out,
     never a raise — these generators aren't corpus cases, so the
     corpus-sampling mutation tests never reach them."""
-    from pdfspark.docgen import (text_to_pdf_rtl, text_to_pdf_table,
-                                 text_to_pdf_vertical)
+    from pdfspark.docgen import (text_to_pdf_bidi, text_to_pdf_rtl,
+                                 text_to_pdf_table, text_to_pdf_vertical)
     from pdfspark.kernel.extract import extract_text
     from pdfspark.kernel.layout import (reading_order_text,
                                         table_cells_continued,
@@ -388,6 +388,7 @@ def test_r6_layout_surfaces_survive_mutated_pdfs(data):
         text_to_pdf_table(text, 6, rows_per_page=4),
         text_to_pdf_rtl(text, 3),
         text_to_pdf_vertical(text, 4),
+        text_to_pdf_bidi(text, 7),
     ]
     buf = bytearray(data.draw(st.sampled_from(bases)))
     for _ in range(data.draw(st.integers(1, 8))):
@@ -402,4 +403,5 @@ def test_r6_layout_surfaces_survive_mutated_pdfs(data):
     cont = table_cells_continued(r)
     assert all(isinstance(c, tuple) and len(c) == 4 for c in cont)
     assert isinstance(reading_order_text(r, layout="rtl"), str)
+    assert isinstance(reading_order_text(r, layout="bidi"), str)
     assert isinstance(reading_order_text(r, layout="vertical"), str)
