@@ -1349,6 +1349,42 @@ def text_to_html_table(text: str, doc_id: int = 0,
     ).encode("utf-8")
 
 
+def text_to_html_lists(text: str, doc_id: int = 0,
+                       items_per_list: int = 5,
+                       words_per_item: int = 3) -> bytes:
+    """List-structured page: consecutive ``words_per_item``-word groups
+    of the document text become <li> items (last group shorter), packed
+    ``items_per_list`` per list; list l is <ol> when l % 2 == 1, else
+    <ul> — so item k lives at (list_idx k//5, item_idx k%5, ordered
+    (k//5)%2), all closed-form for the SQL oracle. Chrome around the
+    content pins the policy inside the driver query itself: a <nav>
+    list (DROP_TAGS — contributes neither a list_idx nor items), an
+    anchor-only EMPTY first <li> in every list (skipped without
+    consuming an item_idx), and a footer <ol> (dropped)."""
+    import html as _html
+
+    text = normalize_for_pdf(text)
+    words = text.split(" ")
+    n = words_per_item
+    items = [" ".join(words[k * n:(k + 1) * n])
+             for k in range((len(words) + n - 1) // n)]
+    lists = []
+    for li in range(0, len(items), items_per_list):
+        tag = "ol" if (li // items_per_list) % 2 == 1 else "ul"
+        body = "".join(
+            "<li>%s</li>" % _html.escape(item)
+            for item in items[li:li + items_per_list]
+        )
+        lists.append('<%s><li><a href="#top"> </a></li>%s</%s>'
+                     % (tag, body, tag))
+    return (
+        '<!doctype html><html lang="en"><head><title>doc %d</title>'
+        "</head><body><nav><ul><li>home</li><li>about</li></ul></nav>"
+        "%s<footer><ol><li>terms</li></ol></footer></body></html>"
+        % (doc_id, "".join(lists))
+    ).encode("utf-8")
+
+
 def text_to_html_outline(text: str, doc_id: int = 0) -> bytes:
     """Heading-outline page: words split into 8-word groups; group k
     becomes a HEADING when k % 4 == 0 (level cycling h1→h2→h3 by

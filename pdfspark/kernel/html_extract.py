@@ -548,6 +548,134 @@ def extract_html_outline(buf: bytes) -> List[tuple]:
         return []
 
 
+class _ListExtractor(HTMLParser):
+    """Structured list extraction: one ``(list_idx, item_idx, ordered,
+    item_text)`` per rendered <li>, in document order. Pinned policy:
+
+    1. list_idx = document-order rank of the <ul>/<ol> OPEN tag among
+       lists outside DROP_TAGS subtrees — a list consumes its index
+       even when all its items collapse empty (geometry before data,
+       the table-stop stance).
+    2. item_idx counts only EMITTED items within its list: an <li>
+       whose text collapses to empty is skipped without consuming a
+       rank (anchor-only items are layout artifacts — the heading
+       policy's stance).
+    3. ordered = 1 for <ol>, 0 for <ul> (long, driver scalar rule).
+    4. A nested <ul>/<ol> inside an <li> is its OWN list (the next
+       list_idx by open position); its content contributes nothing to
+       the parent item's text, and the parent item RESUMES after the
+       nested list closes (the nest boundary acts as a word
+       separator).
+    5. DROP_TAGS subtrees contribute neither lists nor items; an <li>
+       outside any open list is ignored; a new <li> while one is open
+       flushes the previous (HTML auto-closing); </ul>/</ol> flushes
+       its open item, as does end-of-input for unclosed lists.
+    6. Item text follows the module's rules: inline tags flow, other
+       BLOCK_TAGS inside an item become word separators, whitespace
+       collapses, edges trim."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.items: List[tuple] = []
+        self._drop_depth = 0
+        self._n_lists = 0
+        self._stack: List[dict] = []
+
+    def _top(self):
+        return self._stack[-1] if self._stack else None
+
+    def _flush_item(self) -> None:
+        fr = self._top()
+        if fr and fr["open"]:
+            text = _WS.sub(" ", "".join(fr["cur"])).strip()
+            if text:
+                self.items.append(
+                    (fr["idx"], fr["count"], fr["ordered"], text)
+                )
+                fr["count"] += 1
+            fr["open"] = False
+            fr["cur"] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in DROP_TAGS:
+            if tag not in _VOID:
+                self._drop_depth += 1
+            return
+        if self._drop_depth > 0:
+            return
+        if tag in ("ul", "ol"):
+            fr = self._top()
+            if fr and fr["open"]:
+                fr["cur"].append(" ")  # nest boundary = separator
+            self._stack.append(
+                {"idx": self._n_lists, "count": 0,
+                 "ordered": 1 if tag == "ol" else 0,
+                 "open": False, "cur": []}
+            )
+            self._n_lists += 1
+        elif tag == "li":
+            if self._stack:
+                self._flush_item()
+                self._top()["open"] = True
+        else:
+            fr = self._top()
+            if fr and fr["open"] and tag in BLOCK_TAGS:
+                fr["cur"].append(" ")
+
+    def handle_endtag(self, tag):
+        if tag in DROP_TAGS and tag not in _VOID:
+            if self._drop_depth > 0:
+                self._drop_depth -= 1
+            return
+        if self._drop_depth > 0:
+            return
+        if tag in ("ul", "ol"):
+            if self._stack:
+                self._flush_item()
+                self._stack.pop()
+                fr = self._top()
+                if fr and fr["open"]:
+                    fr["cur"].append(" ")  # parent resumes
+        elif tag == "li":
+            self._flush_item()
+        else:
+            fr = self._top()
+            if fr and fr["open"] and tag in BLOCK_TAGS:
+                fr["cur"].append(" ")
+
+    def handle_startendtag(self, tag, attrs):
+        if self._drop_depth > 0 or tag in DROP_TAGS:
+            return
+        fr = self._top()
+        if fr and fr["open"] and tag in BLOCK_TAGS:
+            fr["cur"].append(" ")
+
+    def handle_data(self, data):
+        if self._drop_depth > 0:
+            return
+        fr = self._top()
+        if fr and fr["open"]:
+            fr["cur"].append(data)
+
+    def close(self):
+        super().close()
+        while self._stack:
+            self._flush_item()
+            self._stack.pop()
+
+
+def extract_html_list_items(buf: bytes) -> List[tuple]:
+    """List items of a page as ``[(list_idx, item_idx, ordered,
+    item_text), …]``; [] on parse failure (one-bad-document rule)."""
+    try:
+        parser = _ListExtractor()
+        parser.feed(_decode(buf))
+        parser.close()
+        return parser.items
+    except Exception:
+        return []
+
+
 class _SectionExtractor(_OutlineExtractor):
     """Section chunking on top of the outline policy: each emitted
     heading additionally carries its SECTION text — all content text

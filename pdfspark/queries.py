@@ -3005,6 +3005,82 @@ def _html_section_chunks_impl(spark, sf_dir):
     )
 
 
+# List-structure twin: the generator packs consecutive 3-word groups
+# of the document text into <li> items, 5 per list, alternating
+# <ul>/<ol> — so global item k sits at (list_idx k//5, item_idx k%5,
+# ordered (k//5)%2) in closed form. The chrome the extractor must
+# survive (nav list, anchor-only empty leading <li>, footer <ol>)
+# contributes no rows in either engine: drops gate structure, empty
+# items consume no item_idx.
+_LIST_ITEMS_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, ws,
+         unnest(range(CAST(CEIL(len(ws) / 3.0) AS BIGINT))) AS k
+  FROM words)
+SELECT doc_id,
+  CAST(FLOOR(k / 5.0) AS BIGINT) AS list_idx,
+  CAST(k % 5 AS BIGINT) AS item_idx,
+  CAST(CAST(FLOOR(k / 5.0) AS BIGINT) % 2 AS BIGINT) AS ordered,
+  array_to_string(
+    ws[CAST(3 * k + 1 AS INT):CAST(LEAST(3 * k + 3, len(ws)) AS INT)],
+    ' ') AS item_text
+FROM g
+"""
+
+
+@register("html_list_items", oracle=_LIST_ITEMS_SQL)
+def _html_list_items_impl(spark, sf_dir):
+    """Structured list extraction (DOM structure tier, sibling of the
+    heading/section surfaces): every rendered <li> with its list rank,
+    within-list rank, and <ol>-vs-<ul> flag under the pinned policy
+    (html_extract._ListExtractor: lists consume an index even when
+    empty, empty items don't, DROP_TAGS subtrees contribute neither,
+    nested lists are their own lists). Byte-exact against the
+    closed-form 3-word/5-item oracle, including the generator's
+    nav/footer/anchor-chrome which must vanish. Same fused
+    single-Python-stage shape as the other HTML modality queries —
+    one mapInPandas, no shuffle."""
+    from pdfspark.pipeline import REPO_ROOT as _RR, _documents_repartitioned
+
+    docs = _documents_repartitioned(spark, sf_dir)
+
+    def run(batches):
+        import sys
+
+        if _RR not in sys.path:
+            sys.path.insert(0, _RR)
+        import pandas as pd
+
+        from pdfspark.docgen import text_to_html_lists
+        from pdfspark.kernel.html_extract import extract_html_list_items
+
+        for b in batches:
+            ids, lists, items, ords, texts = [], [], [], [], []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                i = int(doc_id)
+                for list_idx, item_idx, ordered, itext in (
+                        extract_html_list_items(
+                            text_to_html_lists(text, i))):
+                    ids.append(i)
+                    lists.append(list_idx)
+                    items.append(item_idx)
+                    ords.append(ordered)
+                    texts.append(itext)
+            yield pd.DataFrame(
+                {"doc_id": ids, "list_idx": lists, "item_idx": items,
+                 "ordered": ords, "item_text": texts},
+                columns=["doc_id", "list_idx", "item_idx", "ordered",
+                         "item_text"],
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, list_idx long, item_idx long, ordered long,"
+             " item_text string"
+    )
+
+
 # Section-aware shard packing (ROADMAP r6 #3b): the pack unit is the
 # SECTION CHUNK (heading + its section text), not the raw document —
 # shard boundaries always land on section edges, the chunking a
@@ -5186,7 +5262,7 @@ def doc_length_percentile_buckets(spark, sf_dir):
 # history cede their slots (they remain registered, locally gated, and
 # fully oracled). Every name must stay registered in QUERIES.
 DRIVER_PRIORITY = [
-    # -- r6 rotation (VERDICT r5 next #1/#3): the FIFTEEN r6 entrants
+    # -- r6 rotation (VERDICT r5 next #1/#3): the SIXTEEN r6 entrants
     # take their first verdicts, then the nine r3 veterans whose
     # verdicts are 2 rounds old (forced by the ledger rule — stale at
     # r6 otherwise), then 26 of the 49-strong r4 cohort (ages out at
@@ -5198,10 +5274,10 @@ DRIVER_PRIORITY = [
     # set_intersect_custkeys, set_union_distinct,
     # correlated_subquery_above_avg, exists_subquery_multi_item_orders,
     # percentiles_exact, orders_monthly_growth, set_except_custkeys)
-    # PLUS the eleven r4-cohort names displaced below by r6 entrants
-    # (listed in the trailing comment); fill r7's remaining ~32 slots
-    # from the r5 cohort (ages out at r8; the ~17 that don't fit r7
-    # must lead r8).
+    # PLUS the fourteen r4-cohort names displaced below by r6 entrants
+    # (listed in the trailing comment) = 24 forced; fill r7's 26 free
+    # slots from the r5 cohort (ages out at r8; the ~23 that don't
+    # fit r7 must lead r8).
     # -- new in r6 (first verdict): layout tier-3/4 table entrants.
     # As further r6-new queries land (vertical/RTL reading order,
     # ragged tables, header flags) each is inserted here and displaces
@@ -5221,6 +5297,7 @@ DRIVER_PRIORITY = [
     "pdf_table_colspan",
     "pdf_table_multipage",
     "pdf_bidi_reading_order",
+    "html_list_items",
     # -- r3 veterans, verdict age 2 rounds (forced set) --
     "text_winnowing_neardup",
     "embedding_norms",
@@ -5257,13 +5334,12 @@ DRIVER_PRIORITY = [
     "embedding_cosine_neardup",
     "text_lang_id",
     "text_quality_score",
-    "text_token_count",
     # displaced to the r7 forced set by r6 entrants (see header
     # comment): text_char_entropy, boilerplate_line_removal,
     # multimodal_feature_extract, ann_numpy_topk, pdf_density_columns,
     # pdf_post_glyph_names, pdf_cjk_embedded_widths, pdf_outlines,
     # pdf_doc_metadata, mixed_corpus_extract, pdf_regression_join,
-    # multimodal_meta
+    # multimodal_meta, text_fingerprint, text_token_count
 ]
 
 

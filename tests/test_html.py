@@ -348,6 +348,67 @@ def test_html_section_chunks_policy():
     assert extract_html_sections(b"\x00\xffgarbage") == []
 
 
+def test_html_list_items_policy():
+    """List surface: every rendered <li> as (list_idx, item_idx,
+    ordered, text). Pinned edges: DROP_TAGS lists (nav) contribute
+    neither index nor items; empty (anchor-only) items consume no
+    item_idx; a nested <ul>/<ol> is its OWN list and the parent item
+    resumes after it with a word separator; an unclosed <li>/<ul>
+    flushes at end of input; block tags inside an item separate
+    words; a stray <li> outside any list is ignored; garbage yields
+    []."""
+    from pdfspark.kernel.html_extract import extract_html_list_items
+
+    page = (b"<html><body>"
+            b"<nav><ul><li>home</li></ul></nav>"
+            b"<li>stray</li>"
+            b"<ul><li>a</li><li>b<p>c</p>d</li>"
+            b"<li>x<ol><li>n1</li><li>n2</li></ol>y</li></ul>"
+            b'<ol><li><a href="#t"> </a></li><li>only</li>'
+            b"<li>unclosed"
+            b"</body></html>")
+    # nested-list items flush when THEIR list closes, before the
+    # parent item (x ... y) completes — emission order is item
+    # completion order; ranks are by list open / item emit position.
+    assert extract_html_list_items(page) == [
+        (0, 0, 0, "a"),
+        (0, 1, 0, "b c d"),
+        (1, 0, 1, "n1"),
+        (1, 1, 1, "n2"),
+        (0, 2, 0, "x y"),
+        (2, 0, 1, "only"),
+        (2, 1, 1, "unclosed"),
+    ]
+    # a list whose items all collapse empty still consumes its
+    # list_idx (geometry before data — the table-stop stance)
+    assert extract_html_list_items(
+        b"<ul><li> </li></ul><ol><li>real</li></ol>"
+    ) == [(1, 0, 1, "real")]
+    # dropped subtree INSIDE an item contributes nothing
+    assert extract_html_list_items(
+        b"<ul><li>a<script>x</script>b</li></ul>"
+    ) == [(0, 0, 0, "ab")]
+    assert extract_html_list_items(b"") == []
+    assert extract_html_list_items(b"\x00\xffgarbage<ul><li") == []
+
+
+def test_html_list_items_generator_roundtrip():
+    """Closed-form parity with text_to_html_lists on the oracle's own
+    arithmetic: item k of the 3-word grouping sits at (k//5, k%5,
+    (k//5)%2); the generator's nav list, anchor-only leading items,
+    and footer <ol> all vanish."""
+    from pdfspark.docgen import text_to_html_lists
+    from pdfspark.kernel.html_extract import extract_html_list_items
+
+    text = " ".join("w%d" % i for i in range(23))
+    words = text.split(" ")
+    expected = [
+        (k // 5, k % 5, (k // 5) % 2, " ".join(words[3 * k:3 * k + 3]))
+        for k in range((len(words) + 2) // 3)
+    ]
+    assert extract_html_list_items(text_to_html_lists(text, 7)) == expected
+
+
 def test_density_anchor_state_symmetric_across_drops():
     """ADVICE r5 #3: a stray </a> (or a block tag) inside a dropped
     subtree must not close/reset an anchor opened OUTSIDE it — the

@@ -327,6 +327,7 @@ def test_html_extractors_never_raise_on_garbage(data):
     from pdfspark.kernel.html_extract import (
         extract_html,
         extract_html_content_blocks,
+        extract_html_list_items,
         extract_html_outline,
         extract_html_sections,
         extract_html_table_cells,
@@ -334,7 +335,7 @@ def test_html_extractors_never_raise_on_garbage(data):
     )
 
     for buf in (data, b"<html><body>" + data,
-                b"<table><tr><td>" + data):
+                b"<table><tr><td>" + data, b"<ul><li>" + data):
         r = extract_html(buf)
         assert r.text is None or isinstance(r.text, str)
         blocks = extract_html_content_blocks(buf)
@@ -347,6 +348,8 @@ def test_html_extractors_never_raise_on_garbage(data):
         assert all(isinstance(c, tuple) and len(c) == 3 for c in outline)
         secs = extract_html_sections(buf)
         assert all(isinstance(c, tuple) and len(c) == 4 for c in secs)
+        lis = extract_html_list_items(buf)
+        assert all(isinstance(c, tuple) and len(c) == 4 for c in lis)
 
 
 @settings(max_examples=80, deadline=None)
