@@ -445,8 +445,11 @@ def test_r6_fused_extractors_are_single_python_stage(spark):
     for name in ("pdf_vertical_reading_order", "pdf_rtl_reading_order",
                  "pdf_table_sparse", "pdf_table_ragged",
                  "pdf_table_header_flag", "pdf_table_cells",
+                 "pdf_table_colspan", "pdf_table_multipage",
+                 "pdf_bidi_reading_order",
                  "html_table_cells", "html_table_spans",
-                 "html_heading_outline", "html_section_chunks"):
+                 "html_heading_outline", "html_section_chunks",
+                 "html_list_items"):
         plan = plan_of(QUERIES[name](spark, SF_DIR))
         assert plan.count("MapInPandas") == 1, (name, plan)
         assert plan.count("Exchange") <= 1, (name, plan)

@@ -367,6 +367,28 @@ def test_html_table_cells_survive_mutated_valid_pages(data):
     assert all(isinstance(c, tuple) and len(c) == 4 for c in cells)
 
 
+@settings(max_examples=80, deadline=None)
+@given(st.data())
+def test_html_list_items_survive_mutated_valid_pages(data):
+    """Byte-flipped variants of the list generator's own output keep
+    the contract shape (new-parse-path invariant: garbage fuzz covers
+    raw soup, this covers near-valid pages the corpus never
+    contains)."""
+    from pdfspark.docgen import text_to_html_lists
+    from pdfspark.kernel.html_extract import extract_html_list_items
+
+    base = text_to_html_lists("alpha beta gamma delta epsilon zeta eta",
+                              data.draw(st.integers(0, 500)))
+    pos = data.draw(st.integers(0, len(base) - 1))
+    val = data.draw(st.integers(0, 255))
+    mutated = base[:pos] + bytes([val]) + base[pos + 1:]
+    items = extract_html_list_items(mutated)
+    assert all(
+        isinstance(c, tuple) and len(c) == 4
+        and isinstance(c[3], str) for c in items
+    )
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.data())
 def test_r6_layout_surfaces_survive_mutated_pdfs(data):
