@@ -92,9 +92,19 @@ def main() -> None:
     # either direction. Adjacent pairs sample the same regime; take the
     # best docs_per_sec per level across pairs (quiet-window criterion,
     # same as bench.py).
+    # Protocol v3 (ROADMAP r6 #7): the BASELINE (lo) leg runs twice per
+    # pair and the FASTER one is kept. Host noise on the lo leg can only
+    # INFLATE efficiency (slow denominator — the 1.024 r6 artifact), so
+    # keeping the faster lo is strictly conservative: a v3 pair can
+    # understate scaling but never overstate it from baseline noise.
+    # The hi leg stays single-shot — hi-leg noise only deflates.
     lo_runs, hi_runs = [], []
     for _ in range(runs):
-        lo_runs.append(run_level(n, sf_dir, 1))
+        lo_a = run_level(n, sf_dir, 1)
+        lo_b = run_level(n, sf_dir, 1)
+        lo_best = max((lo_a, lo_b), key=lambda r: r["docs_per_sec"])
+        lo_best["leg_seconds"] = [lo_a["seconds"], lo_b["seconds"]]
+        lo_runs.append(lo_best)
         hi_runs.append(run_level(4 * n, sf_dir, 1))
     lo = max(lo_runs, key=lambda r: r["docs_per_sec"])
     hi = max(hi_runs, key=lambda r: r["docs_per_sec"])
@@ -115,6 +125,7 @@ def main() -> None:
     ceiling = hw_ceiling(n)
     report = {
         "sf_dir": sf_dir,
+        "protocol": "v3 (best-of-2 baseline leg per pair)",
         "low": lo,
         "high": hi,
         "scaling_efficiency": round(eff, 3),
