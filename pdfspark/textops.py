@@ -134,3 +134,70 @@ def compression_ratio_bp(text: str) -> int:
         return 10000
     comp = zlib.compress(raw, 6)
     return int(math.floor(len(comp) * 10000.0 / len(raw) + 0.5))
+
+
+_LONGEST_REPEAT_CAP = 1_000_000  # chars; one pathological doc must not OOM
+
+
+def longest_repeat_len(text: str) -> int:
+    """Length of the longest substring occurring at least twice
+    (occurrences may overlap) — the exact within-document repetition
+    signal that compression_ratio_bp only approximates (ROADMAP r6
+    #3c). Suffix automaton (Blumer et al. 1985): O(n) states and
+    transitions; a substring repeats iff its state's endpos count is
+    ≥2, so the answer is the max state length among states reached by
+    ≥2 suffix-link paths. Inputs beyond _LONGEST_REPEAT_CAP chars are
+    truncated (documented lower bound, never a crash — the
+    one-bad-document rule)."""
+    s = text[:_LONGEST_REPEAT_CAP]
+    n = len(s)
+    if n < 2:
+        return 0
+    # state arrays: length, suffix link, transitions, occurrence count
+    # (primary states start at 1, clones at 0; counts propagate along
+    # suffix links in decreasing-length order)
+    st_len = [0]
+    st_link = [-1]
+    st_trans: list = [{}]
+    st_cnt = [0]
+    last = 0
+    for ch in s:
+        cur = len(st_len)
+        st_len.append(st_len[last] + 1)
+        st_link.append(-1)
+        st_trans.append({})
+        st_cnt.append(1)
+        p = last
+        while p != -1 and ch not in st_trans[p]:
+            st_trans[p][ch] = cur
+            p = st_link[p]
+        if p == -1:
+            st_link[cur] = 0
+        else:
+            q = st_trans[p][ch]
+            if st_len[p] + 1 == st_len[q]:
+                st_link[cur] = q
+            else:
+                clone = len(st_len)
+                st_len.append(st_len[p] + 1)
+                st_link.append(st_link[q])
+                st_trans.append(dict(st_trans[q]))
+                st_cnt.append(0)
+                while p != -1 and st_trans[p].get(ch) == q:
+                    st_trans[p][ch] = clone
+                    p = st_link[p]
+                st_link[q] = clone
+                st_link[cur] = clone
+        last = cur
+    # counting sort by length (lengths ≤ n), then propagate counts up
+    # the suffix-link tree from longest to shortest
+    order = sorted(range(1, len(st_len)), key=st_len.__getitem__,
+                   reverse=True)
+    best = 0
+    for v in order:
+        if st_cnt[v] >= 2 and st_len[v] > best:
+            best = st_len[v]
+        link = st_link[v]
+        if link > 0:
+            st_cnt[link] += st_cnt[v]
+    return best

@@ -95,3 +95,65 @@ def test_compression_ratio_signal_orders_text_quality():
     assert r_rep < r_nat < r_noise
     assert compression_ratio_bp("") == 10000
     assert compression_ratio_bp(repetitive) == r_rep  # deterministic
+
+
+def _brute_longest_repeat(s: str) -> int:
+    """O(n^2) reference: largest k such that some length-k substring
+    occurs at least twice (overlaps allowed)."""
+    n = len(s)
+    for k in range(n - 1, 0, -1):
+        seen = set()
+        for i in range(n - k + 1):
+            sub = s[i:i + k]
+            if sub in seen:
+                return k
+            seen.add(sub)
+    return 0
+
+
+def test_longest_repeat_pinned_cases():
+    from pdfspark.textops import longest_repeat_len
+
+    assert longest_repeat_len("") == 0
+    assert longest_repeat_len("a") == 0
+    assert longest_repeat_len("ab") == 0
+    assert longest_repeat_len("aa") == 1        # overlap-free pair
+    assert longest_repeat_len("aaa") == 2       # overlapping occurrences
+    assert longest_repeat_len("abab") == 2
+    assert longest_repeat_len("abcabcx") == 3
+    assert longest_repeat_len("banana") == 3    # "ana" overlaps itself
+    assert longest_repeat_len("abcdefg") == 0
+    # clone-path exercise: mississippi's "issi" repeats
+    assert longest_repeat_len("mississippi") == 4
+    # long periodic text: "xy"*500 repeats its length-998 rotation
+    assert longest_repeat_len("xy" * 500) == 998
+
+
+def test_longest_repeat_matches_brute_force():
+    """Hypothesis-free exhaustive sweep on a tiny alphabet (every
+    string of length ≤ 9 over {a,b}): the automaton must agree with
+    the O(n^2) reference everywhere, including all clone topologies."""
+    import itertools
+
+    from pdfspark.textops import longest_repeat_len
+
+    for n in range(0, 10):
+        for tup in itertools.product("ab", repeat=n):
+            s = "".join(tup)
+            assert longest_repeat_len(s) == _brute_longest_repeat(s), s
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abcd ", max_size=64))
+def test_longest_repeat_random_cross_check(s):
+    from pdfspark.textops import longest_repeat_len
+
+    assert longest_repeat_len(s) == _brute_longest_repeat(s)
+
+
+def test_longest_repeat_cap_is_lower_bound_not_crash():
+    from pdfspark.textops import _LONGEST_REPEAT_CAP, longest_repeat_len
+
+    s = "z" * (_LONGEST_REPEAT_CAP + 50)
+    # truncated to cap: the repeat inside the window is cap-1
+    assert longest_repeat_len(s) == _LONGEST_REPEAT_CAP - 1
