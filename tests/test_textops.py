@@ -157,3 +157,26 @@ def test_longest_repeat_cap_is_lower_bound_not_crash():
     s = "z" * (_LONGEST_REPEAT_CAP + 50)
     # truncated to cap: the repeat inside the window is cap-1
     assert longest_repeat_len(s) == _LONGEST_REPEAT_CAP - 1
+
+
+def test_longest_repeat_on_real_corpus_prefixes():
+    """Corpus realism: the automaton agrees with the O(n^2) reference
+    on actual sf0.001 document texts (first 40 docs, 200-char
+    prefixes) — natural-language repeat structure, not just synthetic
+    alphabets. Also pins the kernel's determinism on shared text."""
+    import duckdb
+
+    from pdfspark.textops import longest_repeat_len
+
+    con = duckdb.connect()
+    texts = [r[0] for r in con.sql(
+        "SELECT text FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet') "
+        "ORDER BY doc_id LIMIT 40"
+    ).fetchall()]
+    con.close()
+    for t in texts:
+        p = t[:200]
+        got = longest_repeat_len(p)
+        assert got == _brute_longest_repeat(p)
+        assert got == longest_repeat_len(p)  # deterministic
