@@ -5262,84 +5262,83 @@ def doc_length_percentile_buckets(spark, sf_dir):
 # history cede their slots (they remain registered, locally gated, and
 # fully oracled). Every name must stay registered in QUERIES.
 DRIVER_PRIORITY = [
-    # -- r6 rotation (VERDICT r5 next #1/#3): the SIXTEEN r6 entrants
-    # take their first verdicts, then the nine r3 veterans whose
-    # verdicts are 2 rounds old (forced by the ledger rule — stale at
-    # r6 otherwise), then 26 of the 49-strong r4 cohort (ages out at
-    # r7). The r5 cohort (49 green in CORRECTNESS_r05) cedes its
-    # slots; it stays registered and locally oracle-gated at two SFs.
-    # r7 PLAN (keep rotation mechanical, VERDICT r5 next #8): the r7
-    # FORCED set is 23 names — the r4-cohort remainder deferred here
-    # (agg_cube, agg_grouping_sets, pivot_status_by_priority,
-    # set_intersect_custkeys, set_union_distinct,
-    # correlated_subquery_above_avg, exists_subquery_multi_item_orders,
-    # percentiles_exact, orders_monthly_growth, set_except_custkeys)
-    # PLUS the fourteen r4-cohort names displaced below by r6 entrants
-    # (listed in the trailing comment) = 24 forced; fill r7's 26 free
-    # slots from the r5 cohort (ages out at r8; the ~23 that don't
-    # fit r7 must lead r8).
-    # -- new in r6 (first verdict): layout tier-3/4 table entrants.
-    # As further r6-new queries land (vertical/RTL reading order,
-    # ragged tables, header flags) each is inserted here and displaces
-    # one r4-cohort name from the tail into the r7 forced set. --
-    "pdf_table_sparse",
-    "html_table_cells",
-    "pdf_vertical_reading_order",
-    "pdf_rtl_reading_order",
-    "pdf_table_ragged",
-    "pdf_table_header_flag",
-    "html_table_spans",
-    "dedup_substring_spans",
-    "html_heading_outline",
-    "html_section_chunks",
-    "curation_pipeline",
-    "shard_pack_sections",
-    "pdf_table_colspan",
-    "pdf_table_multipage",
-    "pdf_bidi_reading_order",
-    "html_list_items",
-    # -- r3 veterans, verdict age 2 rounds (forced set) --
-    "text_winnowing_neardup",
-    "embedding_norms",
-    "grouped_stats_apply_in_pandas",
-    "range_join_events_windows",
-    "unpivot_order_year_counts",
-    "session_window_agg",
-    "url_blocklist_filter",
-    "text_compression_ratio",
-    "sample_match_distribution",
-    # -- r4 cohort (verdict age 1 round; ages out at r7) --
-    "pdf_extract_stats",
-    "pdf_magic_filter",
-    "pdf_spans",
-    "q1_pricing_summary",
-    "q3_top_open_orders",
-    "filter_pushdown_scan",
-    "agg_rollup",
-    "window_running_sum",
-    "window_topk_per_group",
-    "anti_join_inactive_customers",
-    "semi_join_active_customers",
-    "top_orders_global",
-    "distinct_customers_exact",
-    "events_daily_rollup",
-    "events_json_extract",
-    "events_sessionization",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "decontaminate_exact_substring",
-    "dedup_simhash",
-    "ann_bruteforce_topk",
-    "ann_ivf_bucketed",
-    "embedding_cosine_neardup",
-    "text_lang_id",
-    "text_quality_score",
-    # displaced to the r7 forced set by r6 entrants (see header
-    # comment): text_char_entropy, boilerplate_line_removal,
-    # multimodal_feature_extract, ann_numpy_topk, pdf_density_columns,
-    # pdf_post_glyph_names, pdf_cjk_embedded_widths, pdf_outlines,
-    # pdf_doc_metadata, mixed_corpus_extract, pdf_regression_join,
-    # multimodal_meta, text_fingerprint, text_token_count
+    # -- r7 rotation (VERDICT r6 next #1/#2): the 24 FORCED names
+    # lead — every query absent from BOTH CORRECTNESS_r05 and _r06
+    # (recomputed from the ledgers this round: the 10 agg/set names
+    # deferred at r6 plus the 14 r4-cohort names displaced by the r6
+    # entrants; their latest verdict is r4 and would age past 2
+    # rounds otherwise) — followed by 26 of the 50-strong r5 cohort
+    # (green in CORRECTNESS_r05, ages out at r8). The r6 cohort (50
+    # green in CORRECTNESS_r06) cedes its slots; it stays registered
+    # and locally oracle-gated at two SFs. NOTE the corrected
+    # arithmetic (ADVICE r6): the forced set is 24 names and the r5
+    # cohort is 50 strong, not 23/49 as the r6 comment said.
+    # r8 PLAN (keep rotation mechanical): the r8 FORCED set is the
+    # 24 r5-cohort names that do NOT fit r7 — ann_numpy_ivf,
+    # corpus_quality_filter, decontaminate_span_excise,
+    # dedup_canonical_url, dedup_components, dedup_keeplist,
+    # dedup_paragraph_exact, doc_length_percentile_buckets,
+    # html_doc_titles, html_link_density_blocks, multimodal_audio_meta,
+    # multimodal_frame_sample, multimodal_image_meta, multimodal_resize,
+    # multimodal_video_meta, pdf_extract_skew_aware,
+    # pdf_multipage_roundtrip, quality_classifier_linear,
+    # sample_stratified, shard_materialize, source_mixture_weights,
+    # text_repetition_signals, text_unigram_commonness,
+    # token_count_pandas_udf — these MUST lead the r8 window; fill
+    # r8's 26 free slots from the r6 cohort (ages out at r9).
+    # -- forced: the 10 agg/set names deferred at r6 (verdict r4) --
+    "agg_cube",
+    "agg_grouping_sets",
+    "pivot_status_by_priority",
+    "set_intersect_custkeys",
+    "set_union_distinct",
+    "set_except_custkeys",
+    "correlated_subquery_above_avg",
+    "exists_subquery_multi_item_orders",
+    "percentiles_exact",
+    "orders_monthly_growth",
+    # -- forced: the 14 r4-cohort names displaced by r6 entrants --
+    "text_char_entropy",
+    "text_fingerprint",
+    "text_token_count",
+    "boilerplate_line_removal",
+    "multimodal_feature_extract",
+    "multimodal_meta",
+    "ann_numpy_topk",
+    "pdf_density_columns",
+    "pdf_post_glyph_names",
+    "pdf_cjk_embedded_widths",
+    "pdf_outlines",
+    "pdf_doc_metadata",
+    "mixed_corpus_extract",
+    "pdf_regression_join",
+    # -- 26 of the 50-strong r5 cohort (the other 24 lead r8) --
+    "pdf_extract_roundtrip",
+    "html_extract_roundtrip",
+    "q5_region_revenue",
+    "pdf_error_rows",
+    "pdf_multipage_spans",
+    "pdf_struct_reading_order",
+    "pdf_table_cells",
+    "pdf_columns_reading_order",
+    "pdf_kerned_wordbreak",
+    "pdf_layout_mix_extract",
+    "pdf_annots_text",
+    "pdf_attachments",
+    "pdf_link_uris",
+    "asof_join_last_click",
+    "window_range_interval_frame",
+    "approx_distinct_urls",
+    "events_funnel",
+    "dedup_incremental_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "decontaminate_ngram_overlap",
+    "ann_ivf_recall",
+    "ann_signlsh_topk",
+    "text_gopher_quality",
+    "text_pii_scrub",
+    "shard_pack_token_budget",
 ]
 
 

@@ -955,9 +955,13 @@ def excise_covered(docs_ws: DataFrame, covered: DataFrame) -> DataFrame:
     word survives iff no covering slot exists (left-anti equi-join),
     and cleaned text reassembles order-pinned
     (array_sort(collect_list(struct)) — the CLAUDE.md cross-engine
-    rebuild idiom). Returns (doc_id, text, removed_words); docs with
-    nothing removed come back byte-identical, fully-covered docs come
-    back ''. ONE implementation for the batch query and its streaming
+    rebuild idiom). Returns (doc_id, text, removed_words); on
+    single-space-normalized corpora (the ``ws = split(text, ' ')``
+    regime both callers use) docs with nothing removed come back
+    byte-identical — with irregular whitespace the split/array_join
+    rebuild preserves empty tokens only while untouched (ADVICE r6
+    scope note) — and fully-covered docs come back ''. ONE
+    implementation for the batch query and its streaming
     twin (review r6.1 #3) — a divergence here would silently split
     drain-equals-batch."""
     toks = docs_ws.select("doc_id", F.posexplode("ws").alias("i", "w"))

@@ -111,17 +111,20 @@ def main() -> None:
     lo["all_runs"] = [r["seconds"] for r in lo_runs]
     hi["all_runs"] = [r["seconds"] for r in hi_runs]
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
-    # PAIR-WISE efficiency (protocol v2 addition, r6): best-lo vs
-    # best-hi can pick its legs from DIFFERENT noise regimes (a slow lo
-    # + normal hi inflated one r6 window to 1.024), so also ratio each
-    # adjacent (lo, hi) pair — both legs of a pair sample the same
-    # minute of host load. best_pair is the quiet-window criterion;
-    # the per-pair list documents the spread.
+    # PAIR-WISE efficiency (protocol v3, r6): best-lo vs best-hi can
+    # pick its legs from DIFFERENT noise regimes (a slow lo + normal hi
+    # inflated one r6 window to 1.024), so also ratio each adjacent
+    # (lo, hi) pair — both legs of a pair sample the same minute of
+    # host load. The quiet-window criterion is the MEDIAN pair
+    # efficiency (ADVICE r6: a max-over-pairs gate gets monotonically
+    # easier as runs grow — one lucky pair could pass a window whose
+    # aggregate fails); best_pair is reported for context only.
     pair_effs = [
         round((h["docs_per_sec"] / l["docs_per_sec"]) / 4.0, 3)
         for l, h in zip(lo_runs, hi_runs)
     ]
     best_pair = max(pair_effs)
+    median_pair = round(sorted(pair_effs)[(len(pair_effs) - 1) // 2], 3)
     ceiling = hw_ceiling(n)
     report = {
         "sf_dir": sf_dir,
@@ -131,10 +134,11 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "pair_efficiencies": pair_effs,
         "best_pair_efficiency": best_pair,
+        "median_pair_efficiency": median_pair,
         "hw_ceiling_same_window": ceiling,
         "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
         "target": 0.8,
-        "pass": eff >= 0.8 or best_pair >= 0.8,
+        "pass": eff >= 0.8 or median_pair >= 0.8,
     }
     print(json.dumps(report, indent=2))
     row = (
