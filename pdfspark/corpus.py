@@ -1089,16 +1089,23 @@ def all_cases() -> List[Case]:
     # ---- t54: bidi mixed-direction runs (layout tier 5a): a-m →
     # Hebrew, n-z stay Latin (o→0, s→5 digits); each line's show
     # stores VISUAL order (logical reversed, then each maximal
-    # [0-9A-Za-z]+ run un-reversed), so the pinned linearization
+    # LTR run un-reversed), so the pinned linearization
     # yields exactly those visual strings "\n"-joined. The
     # reading-order recovery (layout="bidi") is pinned in
     # test_golden; in-corpus so the mixed-script mirror + run
     # reversal path sits under the mutation/garbage property fuzz.
+    # Re-pinned r7 (VERDICT r6 wrong #2): the text now carries
+    # separator-joined numbers — "3.14" (EN CS EN, one run under
+    # UAX#9 W4), "12:30" and "9/11" (CS colon/slash), a chained
+    # "1.2.3", and the IMPURE "7b.5" (block "7b" has a letter → W4
+    # does NOT join; stays two runs) — so the golden proves the W4
+    # purity rule in both directions.
     from pdfspark.docgen import (_ASCII_TO_HEB_BIDI, restore_ltr_runs,
                                  text_to_pdf_bidi)
 
     _b_text = ("digits 2026 and latin runs stay ltr inside "
-               "a right to left paragraph flow")
+               "a right to left paragraph flow pi 3.14 time "
+               "12:30 date 9/11 chain 1.2.3 impure 7b.5 end")
     _b_mixed = _b_text.translate(_ASCII_TO_HEB_BIDI)
     add(Case("t54_bidi_mixed_runs",
              text_to_pdf_bidi(_b_text, meta_id=54),

@@ -1230,13 +1230,19 @@ _ASCII_TO_HEB_BIDI = str.maketrans("abcdefghijklmos",
 
 
 def restore_ltr_runs(s: str) -> str:
-    """Reverse each maximal ASCII-alphanumeric run in place — the
-    visual-order step for strongly-LTR runs embedded in an RTL line,
-    and (being a per-run reversal) its own inverse. The generator's
-    OWN copy of the rule; the reading-order policy's twin lives in
+    """Reverse each maximal LTR run in place — the visual-order step
+    for strongly-LTR runs embedded in an RTL line, and (being a
+    per-run reversal with reversal-invariant segmentation) its own
+    inverse. A run is a maximal ASCII-alphanumeric block, extended
+    across single [.,:/] separators whose flanking blocks are PURE
+    digits (UAX#9 W4: EN CS EN → EN, r7 — "3.14" is one run; "1.2a"
+    is two because block "2a" is impure). The generator's OWN copy of
+    the rule; the reading-order policy's twin lives in
     kernel/layout.py (_reverse_ltr_runs) and the golden pins both
     against hand-written expectations."""
-    return re.sub(r"[0-9A-Za-z]+", lambda m: m.group(0)[::-1], s)
+    return re.sub(
+        r"[0-9]+(?:[.,:/][0-9]+)+(?![0-9A-Za-z])|[0-9A-Za-z]+",
+        lambda m: m.group(0)[::-1], s)
 
 
 def text_to_pdf_bidi(text: str, meta_id: int = 0,

