@@ -1069,6 +1069,23 @@ def all_cases() -> List[Case]:
              _v_cjk[40:] + "\n" + _v_cjk[:40],
              None, 1))
 
+    # ---- t55 (r7): vertical writing mode with per-CID /W2 metrics
+    # (VERDICT r6 missing #2): same column structure as t52, but the
+    # descendant font carries /DW2 + /W2 (triple form for hanzi-'a',
+    # range form for 'f'-'h'), so those glyphs advance 2 / 1.5 ems.
+    # Linearized TEXT is the t52 formula unchanged (W2 moves glyphs,
+    # never reorders or corrupts decode — that's the pin); the applied
+    # GEOMETRY is asserted in test_golden from positions=True.
+    # In-corpus so the W2 parse path sits under the mutation fuzz.
+    from pdfspark.docgen import text_to_pdf_vertical_w2
+
+    _w2_text = "falling half width forms and fat ideographs advance far"
+    _w2_cjk = _w2_text.translate(_ASCII_TO_CJK)
+    add(Case("t55_vertical_w2_metrics",
+             text_to_pdf_vertical_w2(_w2_text, meta_id=55),
+             _w2_cjk[40:] + "\n" + _w2_cjk[:40],
+             None, 1))
+
     # ---- t53: RTL script (Identity-H Hebrew, layout tier 4c): each
     # line's show op stores the string in VISUAL order (logical
     # reversed), so the pinned linearization yields every line

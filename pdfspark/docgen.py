@@ -1021,7 +1021,8 @@ def text_to_pdf_table(text: str, meta_id: int = 0,
 
 def _emit_identity_type0_pdf(content: bytes, base_font: bytes,
                              encoding: bytes, cmap_name: bytes,
-                             bfrange2: bytes, meta_id: int) -> bytes:
+                             bfrange2: bytes, meta_id: int,
+                             extra_descendant: bytes = b"") -> bytes:
     """Shared single-page Identity-encoded Type0 PDF scaffolding for
     the writing-mode generators (review r6.1 #4): one content stream,
     a Type0 font with no FontFile (CIDs = Unicode code points, widths
@@ -1072,7 +1073,7 @@ def _emit_identity_type0_pdf(content: bytes, base_font: bytes,
         7,
         b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /" + base_font +
         b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
-        b"/Supplement 0 >> >>",
+        b"/Supplement 0 >>" + extra_descendant + b" >>",
     )
     emit(
         8,
@@ -1133,6 +1134,55 @@ def text_to_pdf_vertical(text: str, meta_id: int = 0,
     return _emit_identity_type0_pdf(
         content, b"VertCJK", b"Identity-V", b"pdfspark-vert-identity",
         b"<4E00> <4E19> <4E00>", meta_id)
+
+
+# /W2 overrides for text_to_pdf_vertical_w2, exercising BOTH entry
+# forms of PDF 9.7.4.3 (the reference's parsed-but-unapplied field,
+# `src/font/cid.rs:86-92`): the TRIPLE form gives hanzi-'a' (CID
+# 0x4E00) w1y=−2000 (two ems down), the RANGE form gives 'f'–'h'
+# (0x4E05–0x4E07) w1y=−1500. Every other glyph falls back to /DW2's
+# −1000 — written EXPLICITLY here so the golden separates "W2 applied"
+# from "DW2 default happened to match".
+VERT_W2_OVERRIDES = {0x4E00: -2000.0, 0x4E05: -1500.0,
+                     0x4E06: -1500.0, 0x4E07: -1500.0}
+_VERT_W2_DESCENDANT = (b" /DW2 [880 -1000]"
+                       b" /W2 [19968 [-2000 0 880]"
+                       b" 19973 19975 -1500 0 880]")
+
+
+def text_to_pdf_vertical_w2(text: str, meta_id: int = 0,
+                            col_chars: int = 40) -> bytes:
+    """Vertical writing mode with per-CID /W2 vertical metrics (r7,
+    VERDICT r6 missing #2): identical to text_to_pdf_vertical — same
+    transliteration, column order, Identity-V scaffolding — except the
+    descendant font carries an explicit /DW2 plus a /W2 array
+    (VERT_W2_OVERRIDES: one triple-form entry, one range-form entry),
+    so hanzi 'a' advances TWO ems down the page and 'f'–'h' advance
+    1.5 ems. Linearized text and layout="vertical" reading order are
+    UNCHANGED versus the uniform generator (within-column glyph order
+    stays monotonic in y — extra displacement never reorders), which
+    is exactly what makes the fixture sharp: the TEXT round trip pins
+    that W2 parsing never corrupts decode, while the golden's
+    GEOMETRY assertions (per-glyph y deltas from positions=True) prove
+    the per-CID displacement is applied — a uniform-/DW2 kernel
+    reproduces the text but provably not the positions."""
+    vtext = normalize_for_pdf(text).translate(_ASCII_TO_CJK)
+    n_cols = max(1, (len(vtext) + col_chars - 1) // col_chars)
+    pitch = 80.0
+    ops = []
+    for p in range(n_cols):
+        j = n_cols - 1 - p
+        chunk = vtext[j * col_chars:(j + 1) * col_chars]
+        if not chunk:
+            continue
+        x = 72.0 + p * pitch
+        hexs = "".join(f"{ord(c):04X}" for c in chunk)
+        ops.append(f"BT /F1 12 Tf {x:.2f} 740 Td <{hexs}> Tj ET ")
+    content = "".join(ops).encode("latin-1")
+    return _emit_identity_type0_pdf(
+        content, b"VertW2CJK", b"Identity-V", b"pdfspark-vert-w2",
+        b"<4E00> <4E19> <4E00>", meta_id,
+        extra_descendant=_VERT_W2_DESCENDANT)
 
 
 # ------------------------------------------------------------ RTL Hebrew

@@ -26,10 +26,12 @@ the oracle; goldens in tests/test_golden.py pin them):
 7. Writing mode 1 (Identity-V, predefined *-V CMaps, embedded CMaps with
    /WMode 1 — the reference lists the V variants in `src/font/cjk.rs:1-190`
    but never applies vertical displacement): per-glyph displacement runs
-   DOWN the page — ty = w1y/1000·Tfs + Tc with w1y from /DW2 (default
-   −1000); Tw never applies (2-byte codes can't be code 32) and /W2
-   per-CID vertical metrics are unimplemented (uniform em-advance covers
-   real CJK). Text still accumulates in operator order (rule 1), so the
+   DOWN the page — ty = w1y/1000·Tfs + Tc with w1y per glyph: the /W2
+   per-CID override when the descendant font carries one (r7; both
+   entry forms, triples + ranges — the reference parses the field at
+   `src/font/cid.rs:86-92` but never applies it), else the /DW2
+   default (−1000). Tw never applies (2-byte codes can't be code 32).
+   Text still accumulates in operator order (rule 1), so the
    linearized text of a vertical page is the shows in stream order; the
    READING-order reconstruction is kernel/layout.py layout="vertical".
 """
@@ -589,9 +591,10 @@ class _PageInterp:
                     # writing mode 1 (PDF 9.4.4): displacement runs
                     # down the page — ty = w1y/1000·Tfs + Tc (Tw only
                     # ever applies to single-byte code 32, which a
-                    # 2-byte CMap can't produce; Th is horizontal-only)
+                    # 2-byte CMap can't produce; Th is horizontal-only).
+                    # w1y is per-glyph: /W2 override else /DW2 (r7)
                     ts.advance_v(
-                        font.v_advance / 1000.0 * ts.font_size
+                        g.v_advance / 1000.0 * ts.font_size
                         + ts.char_spacing
                     )
                 else:
@@ -609,11 +612,19 @@ class _PageInterp:
             return
         text, width_sum, n_glyphs, n_spaces = font.decode_fast(bytes(raw))
         if font.wmode == 1:
-            # vertical batched advance: uniform per-glyph displacement
-            # (DW2; per-CID /W2 unimplemented), so one translate works
+            # vertical batched advance: displacements are pure
+            # ty-translations so they compose additively — one
+            # translate per show. Uniform /DW2 needs no re-decode;
+            # a font carrying per-CID /W2 sums w1y per glyph (r7 —
+            # only W2 fonts pay the second decode)
+            if font.cid_v_advances:
+                v_sum = sum(
+                    g.v_advance for g in font.decode(bytes(raw)))
+            else:
+                v_sum = n_glyphs * font.v_advance
             ts.advance_v(
-                n_glyphs * (font.v_advance / 1000.0 * ts.font_size
-                            + ts.char_spacing)
+                v_sum / 1000.0 * ts.font_size
+                + n_glyphs * ts.char_spacing
             )
             self._emit(text)
             if self.runs is not None and text and not self.mc_suppress:
