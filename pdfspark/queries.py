@@ -5016,30 +5016,19 @@ def dedup_substring_spans(spark, sf_dir):
     rows per duplicated occurrence (bounded fan-out), the
     word-survival test is a left-anti equi-join, and the rebuild
     shuffles once per doc_id. No driver collects anywhere."""
-    # gram hashing, slot coverage and the rebuild are the SAME code
-    # the streaming twin runs (streaming.py helpers; review r6.1 #3) —
-    # only the middle differs: within-corpus keep-first dup detection
-    # here vs a static history index there
+    # gram hashing, keep-first dup detection, slot coverage and the
+    # rebuild are the SAME code the streaming twins run (streaming.py
+    # helpers; review r6.1 #3 + r7 keepfirst_dup_spans) — the
+    # incremental stream only ADDS accumulated-index hits on top
     from pdfspark.streaming import (
-        covered_slots, excise_covered, gram_hash_grams)
+        covered_slots, excise_covered, gram_hash_grams,
+        keepfirst_dup_spans)
 
     n = _SUBSTR_SPANS_N
     _load(spark, sf_dir, "documents")
     docs = spark.table("documents")
     g = docs.select("doc_id", F.split("text", " ").alias("ws"))
-    grams = gram_hash_grams(docs, n)
-    key = (F.col("doc_id") * F.lit(1048576) + F.col("p")).cast("long")
-    dups = (
-        grams.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("c"), F.min(key).alias("first_key"))
-        .where(F.col("c") > 1)
-        .select("h", "first_key")
-    )
-    spans = (
-        grams.join(dups, "h")
-        .where(key != F.col("first_key"))
-        .select("doc_id", "p")
-    )
+    spans = keepfirst_dup_spans(gram_hash_grams(docs, n))
     return excise_covered(g, covered_slots(spans, n))
 
 

@@ -13,6 +13,7 @@ stopped — the streaming twin of the batch manifest.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -986,6 +987,106 @@ def excise_covered(docs_ws: DataFrame, covered: DataFrame) -> DataFrame:
             .cast("long").alias("removed_words"),
         )
     )
+
+
+def keepfirst_dup_spans(grams: DataFrame) -> DataFrame:
+    """(doc_id, p) origins of every n-gram occurrence that is NOT the
+    corpus-global first occurrence of its digest: self-groupBy on the
+    digest (map-side-combined count + min over the (doc_id·2²⁰ + p)
+    occurrence key) joined back as a plain equi-join — Catalyst
+    broadcasts the dup set at toy SFs and shuffles at scale, both
+    correct. ONE implementation for the batch query
+    (queries.dedup_substring_spans) and the incremental keep-first
+    stream (r7) — the Lee-et-al keep-first rule must never fork."""
+    key = (F.col("doc_id") * F.lit(1048576) + F.col("p")).cast("long")
+    dups = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"), F.min(key).alias("first_key"))
+        .where(F.col("c") > 1)
+        .select("h", "first_key")
+    )
+    return (
+        grams.join(dups, "h")
+        .where(key != F.col("first_key"))
+        .select("doc_id", "p")
+    )
+
+
+def run_substring_keepfirst_stream_once(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    n: int = 20,
+    timeout_s: Optional[int] = 120,
+) -> bool:
+    """Incremental WITHIN-STREAM keep-first substring dedup (r7 — the
+    full streaming twin of dedup_substring_spans, one step beyond the
+    static-index excision): each micro-batch excises (a) every n-gram
+    occurrence whose digest already appeared in an EARLIER batch
+    (accumulated index hit) and (b) every within-batch occurrence that
+    is not the batch-first (shared keepfirst_dup_spans), then appends
+    its own distinct digests to the index for the batches after it.
+    When batches arrive in occurrence-key order (doc_ids nondecreasing
+    across batches — the crawl-increment contract, same ordering the
+    minhash incremental assumes), the drained output EQUALS the batch
+    dedup_substring_spans over the union of all inputs (test-pinned
+    across ≥3 micro-batches): the global-first occurrence of any gram
+    lives in the earliest batch holding it and is batch-first there,
+    so it is kept; same-batch later occurrences fall to (b) and
+    later-batch occurrences to (a).
+
+    Exactly-once on BOTH sinks: output rows land in batch_id=N
+    subpaths with overwrite (ADVICE r4 #2), and the index increment is
+    itself a batch_id=N overwrite subpath — a replayed batch rewrites
+    its own increment instead of appending duplicate digests. The
+    index read for batch N unions only subdirs k < N, so a replay
+    never sees its own half-written increment and self-excises the
+    copy it should keep. At 100-TB scale the index is the corpus's
+    distinct-digest table — bucketed by digest on a real deployment;
+    here plain parquet subdirs keep the sandbox shape identical."""
+    import re as _re
+
+    def _index_before(batch_id: int) -> DataFrame:
+        subs = []
+        if os.path.isdir(index_dir):
+            for d in sorted(os.listdir(index_dir)):
+                m = _re.fullmatch(r"batch_id=(\d+)", d)
+                if m and int(m.group(1)) < batch_id:
+                    subs.append(os.path.join(index_dir, d))
+        if not subs:
+            return spark.createDataFrame([], "h string")
+        return spark.read.parquet(*subs)
+
+    def excise(batch_df: DataFrame, batch_id: int) -> None:
+        g = batch_df.select("doc_id", F.split("text", " ").alias("ws"))
+        grams = gram_hash_grams(batch_df, n)
+        spans = keepfirst_dup_spans(grams).unionByName(
+            grams.join(_index_before(batch_id), "h").select("doc_id", "p")
+        )
+        excise_covered(g, covered_slots(spans, n)).write.mode(
+            "overwrite"
+        ).parquet(f"{output_dir}/batch_id={batch_id}")
+        grams.select("h").distinct().write.mode("overwrite").parquet(
+            f"{index_dir}/batch_id={batch_id}"
+        )
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = (
+        docs.writeStream.foreachBatch(excise)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        return q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
 
 
 def substring_excise_against_index(batch_docs: DataFrame,

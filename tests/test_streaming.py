@@ -1071,3 +1071,106 @@ def test_substring_excise_stream_matches_batch(spark, tmp_path):
     assert by_id[102] == ("", len(passage.split(" ")))
     # sub-n docs are never hashed, never touched
     assert by_id[103] == ("tiny doc here", 0)
+
+
+def test_substring_keepfirst_stream_matches_batch(spark, tmp_path):
+    """Incremental WITHIN-STREAM keep-first substring dedup (r7 — the
+    full streaming twin of dedup_substring_spans): the drained output
+    must equal the batch keep-first excision over the union of all
+    inputs when batches arrive in doc_id order, across ≥3
+    micro-batches. Fixtures pin every cross-batch shape: a
+    within-batch dup (batch-first kept, second excised), a
+    CROSS-BATCH dup (kept copy in batch 1, later-batch copy excised
+    via the accumulated index), a three-way dup spanning all batches
+    (only the very first survives), an untouched doc, and a sub-n doc
+    (never hashed). The empty index dir on batch 0 must behave as
+    no-history."""
+    from pdfspark.streaming import (
+        covered_slots,
+        excise_covered,
+        gram_hash_grams,
+        keepfirst_dup_spans,
+        run_substring_keepfirst_stream_once,
+    )
+    from pyspark.sql import functions as F
+
+    n = 5
+    in_dir = str(tmp_path / "kin")
+    idx_dir = str(tmp_path / "kidx")
+    out_dir = str(tmp_path / "kout")
+    ckpt = str(tmp_path / "kckpt")
+
+    # every surrounding word is unique to its doc, so the only shared
+    # 5-grams are the ones fully inside the repeated passage — the
+    # covered-slot union is then exactly the passage occurrence and
+    # the hand-pins below are closed-form
+    passage = "the quick brown fox jumps over the lazy dog"
+    tri = "alpha beta gamma delta epsilon zeta"
+    batches = [
+        # batch 0: the canonical copies + a WITHIN-batch dup pair
+        [(1, f"ona onb onc ond {passage} one onf"),
+         (2, f"twa twb twc twd {passage} twe twf"),
+         (3, f"tha thb thc thd {tri} the thf")],
+        # batch 1: cross-batch dup of the passage + untouched + triple
+        [(10, f"tea teb tec ted {passage} tee tef"),
+         (11, "completely novel sentence with no overlap at all"),
+         (12, f"twla twlb twlc twld {tri} twle twlf")],
+        # batch 2: three-way dup tail + sub-n doc
+        [(20, f"twta twtb twtc twtd {tri} twte twtf"),
+         (21, "tiny doc")],
+    ]
+    import os as _os
+
+    for i, chunk in enumerate(batches):
+        spark.createDataFrame(chunk, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+        # the file source orders by mtime; one file per chunk (just
+        # appended = newest) gets an EXPLICIT increasing mtime so
+        # maxFilesPerTrigger=1 yields one micro-batch per chunk in
+        # doc_id order (the keep-first ordering contract)
+        newest = max(
+            (f for f in _os.listdir(in_dir) if f.endswith(".parquet")),
+            key=lambda f: _os.path.getmtime(_os.path.join(in_dir, f)),
+        )
+        _os.utime(_os.path.join(in_dir, newest),
+                  (1_700_000_000 + i, 1_700_000_000 + i))
+
+    assert run_substring_keepfirst_stream_once(
+        spark, in_dir, idx_dir, out_dir, ckpt, n=n)
+
+    streamed = {
+        (r.doc_id, r.text, r.removed_words)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    union = spark.createDataFrame(
+        [row for chunk in batches for row in chunk],
+        "doc_id long, text string")
+    g = union.select("doc_id", F.split("text", " ").alias("ws"))
+    spans = keepfirst_dup_spans(gram_hash_grams(union, n))
+    batch = {
+        (r.doc_id, r.text, r.removed_words)
+        for r in excise_covered(g, covered_slots(spans, n)).collect()
+    }
+    assert streamed == batch
+    by_id = {d: (t, rm) for d, t, rm in streamed}
+    # within-batch keep-first: doc 1 keeps the passage, doc 2 loses
+    # exactly the passage (unique surroundings survive)
+    assert by_id[1] == (f"ona onb onc ond {passage} one onf", 0)
+    assert by_id[2] == ("twa twb twc twd twe twf",
+                        len(passage.split(" ")))
+    # cross-batch: the batch-1 copy is excised via the index
+    assert by_id[10] == ("tea teb tec ted tee tef",
+                         len(passage.split(" ")))
+    # three-way dup: only the batch-0 copy survives
+    assert by_id[3] == (f"tha thb thc thd {tri} the thf", 0)
+    assert by_id[12] == ("twla twlb twlc twld twle twlf",
+                         len(tri.split(" ")))
+    assert by_id[20] == ("twta twtb twtc twtd twte twtf",
+                         len(tri.split(" ")))
+    # untouched + sub-n
+    assert by_id[11] == (
+        "completely novel sentence with no overlap at all", 0)
+    assert by_id[21] == ("tiny doc", 0)
+    # the index accumulated one increment per micro-batch
+    incs = [d for d in _os.listdir(idx_dir) if d.startswith("batch_id=")]
+    assert len(incs) == 3
