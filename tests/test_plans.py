@@ -433,6 +433,35 @@ def test_substring_span_dedup_is_shuffle_join_not_broadcast(spark):
     assert "LeftAnti" in plan, plan
 
 
+def test_keepfirst_stream_batch_plan_shape(spark):
+    """The incremental keep-first stream's per-batch excision (r7)
+    keeps the batch query's scale shape: digest / (doc_id, i)
+    equi-joins only (never a nested loop or cartesian), map-side
+    partial + final aggregation around the dup-detection exchange,
+    and a LeftAnti word-survival join — with the accumulated-index
+    probe unioned in as one more digest equi-join."""
+    from pyspark.sql import functions as F
+
+    from pdfspark.streaming import (
+        covered_slots, excise_covered, gram_hash_grams,
+        keepfirst_dup_spans)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text")
+    index = docs.limit(10).select(
+        F.md5("text").alias("h"))  # stand-in accumulated index
+    g = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    grams = gram_hash_grams(docs, 20)
+    spans = keepfirst_dup_spans(grams).unionByName(
+        grams.join(index, "h").select("doc_id", "p"))
+    plan = plan_of(excise_covered(g, covered_slots(spans, 20)))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "LeftAnti" in plan, plan
+    assert "Union" in plan, plan
+
+
 def test_r6_fused_extractors_are_single_python_stage(spark):
     """Every r6 extraction entrant is the same fused shape as the
     flagship: ONE mapInPandas (synth + kernel in a single Arrow pass,
