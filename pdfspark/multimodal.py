@@ -540,7 +540,12 @@ def parse_image_header(payload: bytes):
     """REAL (not stubbed) image header parse — dims/depth/channels need
     no codec, exactly like the WAV/MP4 container walks. Sniffs PNG
     (signature + IHDR-first chunk), JPEG (SOI + bounded marker walk to
-    SOF0/SOF1/SOF2) and BMP (BITMAPCOREHEADER/BITMAPINFOHEADER+).
+    SOF0/SOF1/SOF2), BMP (BITMAPCOREHEADER/BITMAPINFOHEADER+), GIF
+    (87a/89a logical screen descriptor; palette-indexed ⇒ 1 channel at
+    the index depth) and WebP (RIFF + VP8 lossy sync / VP8L lossless
+    bit-pack / VP8X extended canvas, r7 — the generator stays
+    PNG/JPEG/BMP so the driver-visible multimodal_image_meta output is
+    unchanged; GIF/WebP are unit- and fuzz-pinned).
     Returns (fmt, width, height, bit_depth, channels) or None for
     malformed/truncated/unknown input; every read is bounds-checked and
     the JPEG walk is marker-count capped so crafted lengths can never
@@ -627,6 +632,50 @@ def parse_image_header(payload: bytes):
         else:
             return None
         return "bmp", w, h, depth, ch
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        # Logical Screen Descriptor: u16le dims, packed byte —
+        # bits 0-2 = global-color-table size exponent; GIF is
+        # palette-indexed, so single channel at the index depth
+        # (the paletted-BMP convention above)
+        if n < 13:
+            return None
+        w, h = struct.unpack_from("<HH", payload, 6)
+        if w == 0 or h == 0:
+            return None
+        depth = (payload[10] & 0x07) + 1
+        return "gif", w, h, depth, 1
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # WebP: one bounds-checked chunk probe per variant — no
+        # codec, exactly like the WAV RIFF walk above
+        if n < 16:
+            return None
+        fourcc = payload[12:16]
+        if fourcc == b"VP8 " and n >= 30:
+            # lossy: 3-byte frame tag, 9D 01 2A sync, 14-bit dims
+            if payload[23:26] != b"\x9d\x01\x2a":
+                return None
+            w = struct.unpack_from("<H", payload, 26)[0] & 0x3FFF
+            h = struct.unpack_from("<H", payload, 28)[0] & 0x3FFF
+            if w == 0 or h == 0:
+                return None
+            return "webp", w, h, 8, 3
+        if fourcc == b"VP8L" and n >= 25:
+            # lossless: 0x2F signature, 14-bit minus-one dims +
+            # alpha bit packed little-endian
+            if payload[20] != 0x2F:
+                return None
+            bits = struct.unpack_from("<I", payload, 21)[0]
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return "webp", w, h, 8, 4 if (bits >> 28) & 1 else 3
+        if fourcc == b"VP8X" and n >= 30:
+            # extended: flags byte (bit 4 = alpha), 24-bit le
+            # minus-one canvas dims
+            alpha = payload[20] & 0x10
+            w = int.from_bytes(payload[24:27], "little") + 1
+            h = int.from_bytes(payload[27:30], "little") + 1
+            return "webp", w, h, 8, 4 if alpha else 3
+        return None
     return None
 
 

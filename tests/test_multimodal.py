@@ -230,3 +230,58 @@ def test_image_header_walk_and_bomb_guards():
     assert parse_image_header(bmp_with(4)) == ("bmp", 6, 9, 4, 1)
     assert parse_image_header(bmp_with(0)) is None
     assert parse_image_header(bmp_with(13)) is None
+
+
+def test_gif_webp_header_walks():
+    """GIF + WebP header walks (r7): hand-built headers read back
+    exactly for every variant (GIF 87a/89a palette depth; WebP VP8
+    lossy sync, VP8L lossless bit-pack incl. the alpha bit, VP8X
+    24-bit canvas incl. the alpha flag); truncations and corrupted
+    signatures soft-fail, never raise. These formats are deliberately
+    NOT in synth_image — the driver-visible multimodal_image_meta
+    output must not change without a window slot — so the pin lives
+    here."""
+    import struct
+
+    from pdfspark.multimodal import parse_image_header
+
+    # GIF: logical screen descriptor, packed byte 0b1_001_0_010
+    # (GCT present, size exponent 2 -> depth 3)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + bytes([0x92, 0, 0])
+    assert parse_image_header(gif) == ("gif", 320, 200, 3, 1)
+    assert parse_image_header(
+        b"GIF87a" + struct.pack("<HH", 7, 9) + bytes([0x00, 0, 0])
+    ) == ("gif", 7, 9, 1, 1)
+    assert parse_image_header(
+        b"GIF89a" + struct.pack("<HH", 0, 9) + bytes(3)) is None
+    # WebP VP8 (lossy): frame tag + 9D 01 2A sync + 14-bit dims
+    def riff(fourcc, body):
+        chunk = fourcc + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    vp8 = riff(b"VP8 ", bytes(3) + b"\x9d\x01\x2a"
+               + struct.pack("<HH", 640, 480) + bytes(4))
+    assert parse_image_header(vp8) == ("webp", 640, 480, 8, 3)
+    # corrupted sync → None
+    bad = bytearray(vp8)
+    bad[23] ^= 1
+    assert parse_image_header(bytes(bad)) is None
+    # VP8L: 14-bit minus-one dims + alpha bit 28
+    for alpha in (0, 1):
+        bits = (100 - 1) | ((50 - 1) << 14) | (alpha << 28)
+        vp8l = riff(b"VP8L", b"\x2f" + struct.pack("<I", bits) + bytes(2))
+        assert parse_image_header(vp8l) == (
+            "webp", 100, 50, 8, 4 if alpha else 3)
+    assert parse_image_header(
+        riff(b"VP8L", b"\x30" + bytes(6))) is None  # bad signature
+    # VP8X: flags byte + 24-bit le minus-one canvas
+    for flags, ch in ((0x10, 4), (0x00, 3)):
+        body = (bytes([flags]) + bytes(3)
+                + (4096 - 1).to_bytes(3, "little")
+                + (2160 - 1).to_bytes(3, "little"))
+        assert parse_image_header(riff(b"VP8X", body)) == (
+            "webp", 4096, 2160, 8, ch)
+    # unknown first chunk / truncation at every boundary: soft-fail
+    assert parse_image_header(riff(b"ANIM", bytes(8))) is None
+    for full in (gif, vp8):
+        for cut in range(len(full)):
+            parse_image_header(full[:cut])  # must not raise
