@@ -1130,6 +1130,26 @@ def all_cases() -> List[Case]:
                        for line in wrap_words(_b_mixed, 40)),
              None, 1))
 
+    # ---- t56 (r7): /PageLabels number tree — roman front matter,
+    # prefixed decimals with /St, a bare-prefix range, split across a
+    # /Kids node (direct dicts: resolve() passes them through, so the
+    # tree recursion is exercised without extra objects). Expected
+    # TEXT is the plain multipage linearization (labels never alter
+    # text — they ride the page_labels column, pinned in test_golden);
+    # in-corpus so the number-tree walk sits under the mutation fuzz.
+    from pdfspark.docgen import PAGE_LABELS_TREE, text_to_pdf_multipage
+
+    _pl_text = ("front matter pages use roman labels then the body "
+                "switches to prefixed decimal numbering starting at "
+                "five and the last page is a bare cover label " * 3)
+    add(Case("t56_page_labels_tree",
+             text_to_pdf_multipage(_pl_text, page_chars=120,
+                                   meta_id=56,
+                                   page_labels=PAGE_LABELS_TREE),
+             "\f".join(_pl_text[i:i + 120]
+                       for i in range(0, len(_pl_text), 120)),
+             None, (len(_pl_text) + 119) // 120))
+
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",
              b"<!doctype html><html><body>hello web</body></html>",

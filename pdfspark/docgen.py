@@ -343,11 +343,29 @@ def text_to_pdf_two_column(text: str, meta_id: int = 0,
     return bytes(out)
 
 
+# Canonical /PageLabels fixture tree (r7): roman front matter (pages
+# 0-1), /St-offset prefixed decimals (2-3), bare-prefix 'cover' (4+),
+# split across a /Kids node so the tree recursion is always exercised.
+# Closed-form per page index: i/ii/A-5/A-6/cover… — the
+# pdf_doc_metadata oracle recomputes it from the page count alone.
+PAGE_LABELS_TREE = (b"<< /Kids [ << /Nums [0 << /S /r >> "
+                    b"2 << /S /D /P (A-) /St 5 >>] >> "
+                    b"<< /Nums [4 << /P (cover) >>] >> ] >>")
+
+
 def text_to_pdf_multipage(text: str, page_chars: int = 500,
-                          chunk: int = 120, meta_id: int = 0) -> bytes:
+                          chunk: int = 120, meta_id: int = 0,
+                          page_labels: bytes = b"") -> bytes:
     """N-page variant: ``page_chars`` characters per page (last page
     shorter), one content stream per page — the real span-offset shape
-    (pages joined by \\f in the pinned linearization)."""
+    (pages joined by \\f in the pinned linearization).
+
+    ``page_labels`` (r7): raw bytes of a /PageLabels number-tree VALUE
+    (e.g. ``<< /Nums [0 << /S /r >>] >>``) written inline into the
+    catalog; empty keeps the output byte-identical to pre-r7. Direct
+    dicts inside a /Kids array are legal fixture torture — resolve()
+    passes non-references through, so the tree recursion is exercised
+    without extra objects."""
     text = normalize_for_pdf(text)
     page_texts = [
         text[i:i + page_chars] for i in range(0, max(len(text), 1), page_chars)
@@ -364,7 +382,10 @@ def text_to_pdf_multipage(text: str, page_chars: int = 500,
     n = len(page_texts)
     page_nums = [10 + 2 * k for k in range(n)]
     kids = b" ".join(b"%d 0 R" % p for p in page_nums)
-    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    cat = b"<< /Type /Catalog /Pages 2 0 R"
+    if page_labels:
+        cat += b" /PageLabels " + page_labels
+    emit(1, cat + b" >>")
     emit(2, b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n)
     emit(
         5,

@@ -104,6 +104,7 @@ class ExtractResult(NamedTuple):
     links: Optional[str] = None  # Link-annotation URIs, "\n"-joined
     attachments: Optional[str] = None  # "name:size" lines, "\n"-joined
     struct_text: Optional[str] = None  # opt-in Tagged-PDF structure order
+    page_labels: Optional[str] = None  # /PageLabels, one per page, "\n"-joined
 
 
 def extract_text(buf: bytes, positions: bool = False,
@@ -172,7 +173,7 @@ def extract_text(buf: bytes, positions: bool = False,
         return ExtractResult(
             text, spans, len(pages), soft_error, doc.lang(), title, created,
             annots, _doc_outlines(doc), glyph_positions, links, attachments,
-            struct_text,
+            struct_text, _page_labels_text(doc, len(pages)),
         )
     except PdfError as e:
         return ExtractResult(None, [], 0, e.code, None)
@@ -444,6 +445,110 @@ def _walk_outline(doc, ref, titles: List[str], seen: set, depth: int) -> None:
             titles.append(t)
         _walk_outline(doc, node.get("First"), titles, seen, depth + 1)
         ref = node.get("Next")
+
+
+_ROMAN_VALS = ((1000, "m"), (900, "cm"), (500, "d"), (400, "cd"),
+               (100, "c"), (90, "xc"), (50, "l"), (40, "xl"),
+               (10, "x"), (9, "ix"), (5, "v"), (4, "iv"), (1, "i"))
+
+
+def _label_number(style: str, v: int) -> str:
+    """One page-label ordinal under a /S style (PDF 12.4.2 table 159):
+    D decimal, R/r upper/lower roman, A/a upper/lower alphabetic
+    (A..Z, AA..ZZ, AAA..). Out-of-domain values (< 1, or > 100000
+    where a roman/alpha string would be absurdly long) render decimal
+    — a label, never an exception or a megabyte of 'm's."""
+    if v < 1 or v > 100_000 or style == "D":
+        return str(v)
+    if style in ("R", "r"):
+        out = []
+        for val, sym in _ROMAN_VALS:
+            q, v = divmod(v, val)
+            out.append(sym * q)
+        s = "".join(out)
+        return s.upper() if style == "R" else s
+    if style in ("A", "a"):
+        ch = chr(((v - 1) % 26) + (65 if style == "A" else 97))
+        return ch * ((v - 1) // 26 + 1)
+    return str(v)
+
+
+def _collect_page_label_nums(doc, node, out: dict, seen: set,
+                             depth: int, budget: list) -> None:
+    """Flatten a number tree's /Nums pairs across /Kids recursion
+    (reference shape: `src/data_structures/number_tree.rs`); /Limits
+    are advisory and ignored. Cycle-guarded via object numbers,
+    depth-capped, entry-budgeted."""
+    if depth > 16 or not isinstance(node, dict):
+        return
+    nums = doc.resolve(node.get("Nums"))
+    if isinstance(nums, list):
+        for i in range(0, len(nums) - 1, 2):
+            if budget[0] <= 0:
+                return
+            k = doc.resolve(nums[i])
+            v = doc.resolve(nums[i + 1])
+            if isinstance(k, (int, float)) and isinstance(v, dict):
+                out[int(k)] = v
+                budget[0] -= 1
+    kids = doc.resolve(node.get("Kids"))
+    if isinstance(kids, list):
+        for kid in kids[:256]:
+            if isinstance(kid, Reference):
+                if kid.object_number in seen:
+                    continue
+                seen.add(kid.object_number)
+            try:
+                _collect_page_label_nums(
+                    doc, doc.resolve(kid), out, seen, depth + 1, budget)
+            except PdfError:
+                continue
+
+
+def _page_labels_text(doc: PdfDocument, n_pages: int) -> Optional[str]:
+    """Per-page display labels from the catalog /PageLabels number
+    tree (PDF 12.4.2; the reference PARSES the field —
+    `src/catalog.rs:65` + number_tree.rs — but renders nothing from
+    it, so this exceeds it): each Nums key is the first page index of
+    a labelling range whose dict gives /S numbering style (D/R/r/A/a),
+    /P prefix, /St start (default 1); page i's label is the range with
+    the greatest key ≤ i, prefix + styled(St + i − key). Returns one
+    label per page "\\n"-joined, or None when the catalog carries no
+    tree (the common case — labels then equal 1-based page numbers
+    implicitly). Degenerate trees (missing index 0, unknown styles,
+    non-dict values) degrade — uncovered pages label "", /S-less
+    ranges emit the bare prefix — never raise."""
+    import bisect
+
+    try:
+        catalog = doc.resolve(doc.trailer.get("Root"))
+        if not isinstance(catalog, dict):
+            return None
+        tree = doc.get(catalog, "PageLabels")
+        if not isinstance(tree, dict):
+            return None
+        ranges: dict = {}
+        _collect_page_label_nums(doc, tree, ranges, set(), 0, [10_000])
+        keys = sorted(k for k in ranges if k >= 0)
+        if not keys:
+            return None
+        labels: List[str] = []
+        for i in range(n_pages):
+            j = bisect.bisect_right(keys, i) - 1
+            if j < 0:
+                labels.append("")  # before the first range (spec
+                continue           # requires key 0; degrade, not raise)
+            k = keys[j]
+            d = ranges[k]
+            style = str(doc.resolve(d.get("S")) or "")
+            prefix = decode_text_string(doc.resolve(d.get("P"))) or ""
+            st = doc.resolve(d.get("St"))
+            start = int(st) if isinstance(st, (int, float)) else 1
+            num = _label_number(style, start + (i - k)) if style else ""
+            labels.append(prefix + num)
+        return "\n".join(labels)
+    except PdfError:
+        return None
 
 
 def _doc_metadata(doc: PdfDocument):

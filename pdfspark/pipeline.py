@@ -95,6 +95,7 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("part_id", T.IntegerType()),
         T.StructField("links_uri", T.StringType()),
         T.StructField("attachments", T.StringType()),
+        T.StructField("page_labels", T.StringType()),
     ]
 )
 
@@ -236,6 +237,7 @@ def _append_extract_row(cols: dict, url, buf: bytes, part_id: int,
     cols["part_id"].append(part_id)
     cols["links_uri"].append(r.links)
     cols["attachments"].append(r.attachments)
+    cols["page_labels"].append(r.page_labels)
 
 
 def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -739,6 +741,15 @@ def _synth_page(i: int, text: str, lang, fmt: str,
         html = text_to_html(text, i, lang or "en")
     elif fmt == "pdf_multi":
         html = text_to_pdf_multipage(text, meta_id=i)
+    elif fmt == "pdf_labels":
+        # multipage with a /PageLabels number tree (r7): fixed 60-char
+        # pages + the fixed PAGE_LABELS_TREE ranges, so the per-page
+        # label column is closed-form in the page count (oracle:
+        # i/ii/A-5/A-6/cover…)
+        from pdfspark.docgen import PAGE_LABELS_TREE
+
+        html = text_to_pdf_multipage(text, page_chars=60, meta_id=i,
+                                     page_labels=PAGE_LABELS_TREE)
     elif fmt == "pdf_2col":
         from pdfspark.docgen import text_to_pdf_two_column
 

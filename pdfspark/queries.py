@@ -2184,18 +2184,35 @@ def mixed_corpus_extract(spark, sf_dir):
 @register(
     "pdf_doc_metadata",
     oracle="SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) AS doc_title,"
-           " '2025-01-01T00:00:00' AS created FROM documents",
+           " '2025-01-01T00:00:00' AS created,"
+           " array_to_string(list_transform("
+           "   range(CAST(CEIL(GREATEST(LENGTH(text), 1) / 60.0)"
+           "         AS BIGINT)),"
+           "   i -> CASE WHEN i = 0 THEN 'i' WHEN i = 1 THEN 'ii'"
+           "             WHEN i = 2 THEN 'A-5' WHEN i = 3 THEN 'A-6'"
+           "             ELSE 'cover' END), chr(10)) AS page_labels"
+           " FROM documents",
 )
 def pdf_doc_metadata(spark, sf_dir):
-    """Info-dictionary surface: /Title (PDFDoc/UTF-16 text strings) and
-    /CreationDate (D:-format parser) as output columns."""
+    """Document-level metadata surface: /Title (PDFDoc/UTF-16 text
+    strings), /CreationDate (D:-format parser), and — r7 — the
+    /PageLabels number tree (roman/decimal/alpha styles, /P prefix,
+    /St start, /Kids recursion; the reference parses the catalog
+    field + number tree, `src/catalog.rs:65`, but renders nothing
+    from it). Docs render multipage (60-char pages) with the fixed
+    PAGE_LABELS_TREE ranges, so the oracle recomputes every per-page
+    label closed-form from the page count: i, ii, A-5, A-6, then
+    'cover'."""
     from pdfspark.pipeline import extract_pages, pages_from_documents
 
-    ext = extract_pages(pages_from_documents(spark, sf_dir), resalt=False)
+    ext = extract_pages(
+        pages_from_documents(spark, sf_dir, fmt="pdf_labels"),
+        resalt=False)
     return ext.select(
         F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
         "doc_title",
         "created",
+        "page_labels",
     )
 
 

@@ -222,6 +222,50 @@ def test_vertical_w2_per_cid_metrics():
     assert _parse_cid_v_metrics(_D, [10, 12, -1500]) == {}
 
 
+def test_page_labels_number_tree():
+    """/PageLabels (r7; the reference parses the catalog field +
+    number tree but renders nothing from it): roman front matter,
+    /St-offset prefixed decimals, a bare-prefix range, and a /Kids
+    split all resolve to one label per page; docs without the tree
+    keep page_labels None; degenerate trees degrade, never raise."""
+    from pdfspark.docgen import (PAGE_LABELS_TREE, text_to_pdf,
+                                 text_to_pdf_multipage)
+    from pdfspark.kernel.extract import _label_number
+
+    tree = PAGE_LABELS_TREE
+    text = "six pages of body text here " * 26  # > 5 pages @120 chars
+    r = extract_text(text_to_pdf_multipage(
+        text, page_chars=120, page_labels=tree))
+    assert r.error is None and r.n_pages >= 5
+    labels = r.page_labels.split("\n")
+    assert len(labels) == r.n_pages
+    assert labels[:5] == ["i", "ii", "A-5", "A-6", "cover"]
+    assert all(lab == "cover" for lab in labels[4:])
+    # no tree → None (labels are implicitly 1-based page numbers)
+    assert extract_text(text_to_pdf("hello")).page_labels is None
+    # missing index 0: uncovered leading pages label "", not raise
+    r2 = extract_text(text_to_pdf_multipage(
+        text, page_chars=120,
+        page_labels=b"<< /Nums [2 << /S /A >>] >>"))
+    assert r2.error is None
+    l2 = r2.page_labels.split("\n")
+    assert l2[:4] == ["", "", "A", "B"]
+    # malformed tree value → whole surface degrades to None
+    r3 = extract_text(text_to_pdf_multipage(
+        text, page_chars=120, page_labels=b"<< /Nums [(x)] >>"))
+    assert r3.error is None and r3.page_labels is None
+    # style arithmetic units: roman, double-letter alpha, out-of-domain
+    assert _label_number("R", 1999) == "MCMXCIX"
+    assert _label_number("r", 4) == "iv"
+    assert [_label_number("A", v) for v in (1, 26, 27, 28, 53)] == [
+        "A", "Z", "AA", "BB", "AAA"]
+    assert _label_number("a", 27) == "aa"
+    assert _label_number("D", 7) == "7"
+    assert _label_number("R", 0) == "0"          # < 1: decimal
+    assert _label_number("r", 200_001) == "200001"  # absurd: decimal
+    assert _label_number("Z", 7) == "7"          # unknown style
+
+
 def test_reading_order_never_raises_across_corpus():
     """Layout reconstruction must be total: every golden (including
     error documents, empty pages, multi-page docs) flows through
