@@ -1150,6 +1150,22 @@ def all_cases() -> List[Case]:
                        for i in range(0, len(_pl_text), 120)),
              None, (len(_pl_text) + 119) // 120))
 
+    # ---- t57 (r7): outline destinations — three bookmarks whose
+    # destination forms cycle explicit /Dest array, catalog /Dests
+    # name, and GoTo-action string through the /Names /Dests tree;
+    # destination resolution (outline_pages) is pinned in test_golden.
+    # In-corpus so all three dest walks sit under the mutation fuzz.
+    _od_text = ("outline destinations resolve named and explicit "
+                "targets onto physical pages for navigation " * 4)
+    add(Case("t57_outline_dests",
+             text_to_pdf_multipage(_od_text, page_chars=90, meta_id=57,
+                                   outline_dests=[("intro", 0),
+                                                  ("middle", 2),
+                                                  ("end", 3)]),
+             "\f".join(_od_text[i:i + 90]
+                       for i in range(0, len(_od_text), 90)),
+             None, (len(_od_text) + 89) // 90))
+
     # ---- non-PDF rows (magic-byte filter + error paths)
     add(Case("h01_html_passthrough",
              b"<!doctype html><html><body>hello web</body></html>",

@@ -355,7 +355,8 @@ PAGE_LABELS_TREE = (b"<< /Kids [ << /Nums [0 << /S /r >> "
 
 def text_to_pdf_multipage(text: str, page_chars: int = 500,
                           chunk: int = 120, meta_id: int = 0,
-                          page_labels: bytes = b"") -> bytes:
+                          page_labels: bytes = b"",
+                          outline_dests: list = None) -> bytes:
     """N-page variant: ``page_chars`` characters per page (last page
     shorter), one content stream per page — the real span-offset shape
     (pages joined by \\f in the pinned linearization).
@@ -365,7 +366,14 @@ def text_to_pdf_multipage(text: str, page_chars: int = 500,
     catalog; empty keeps the output byte-identical to pre-r7. Direct
     dicts inside a /Kids array are legal fixture torture — resolve()
     passes non-references through, so the tree recursion is exercised
-    without extra objects."""
+    without extra objects.
+
+    ``outline_dests`` (r7): list of (title, page_idx) bookmarks; item
+    k's destination form cycles k%3 — 0: explicit ``/Dest [page /XYZ
+    0 792 0]``; 1: a name in the catalog /Dests dictionary (PDF 1.1
+    form); 2: a /A GoTo action whose /D string resolves through the
+    /Names /Dests name tree — so one fixture exercises every
+    destination-resolution path. None keeps output byte-identical."""
     text = normalize_for_pdf(text)
     page_texts = [
         text[i:i + page_chars] for i in range(0, max(len(text), 1), page_chars)
@@ -385,7 +393,47 @@ def text_to_pdf_multipage(text: str, page_chars: int = 500,
     cat = b"<< /Type /Catalog /Pages 2 0 R"
     if page_labels:
         cat += b" /PageLabels " + page_labels
+    ol_root = 10 + 2 * n  # first object number past the page/content pairs
+    if outline_dests:
+        pg = [page_nums[min(max(int(p), 0), n - 1)]
+              for _, p in outline_dests]
+        cat += b" /Outlines %d 0 R" % ol_root
+        named = [(b"/d%d" % k, pg[k])
+                 for k in range(len(outline_dests)) if k % 3 == 1]
+        if named:
+            cat += (b" /Dests << "
+                    + b" ".join(b"%s [%d 0 R /Fit]" % (nm, p)
+                                for nm, p in named)
+                    + b" >>")
+        treed = [(b"s%d" % k, pg[k])
+                 for k in range(len(outline_dests)) if k % 3 == 2]
+        if treed:
+            cat += (b" /Names << /Dests << /Names ["
+                    + b" ".join(b"(%s) [%d 0 R /Fit]" % (nm, p)
+                                for nm, p in treed)
+                    + b"] >> >>")
     emit(1, cat + b" >>")
+    if outline_dests:
+        n_items = len(outline_dests)
+        emit(ol_root,
+             b"<< /Type /Outlines /Count %d /First %d 0 R /Last %d 0 R >>"
+             % (n_items, ol_root + 1, ol_root + n_items))
+        for k, (ttl, _p) in enumerate(outline_dests):
+            num = ol_root + 1 + k
+            parts = [b"<< /Title (%s) /Parent %d 0 R"
+                     % (_escape(ttl).encode("latin-1"), ol_root)]
+            if k > 0:
+                parts.append(b" /Prev %d 0 R" % (num - 1))
+            if k < n_items - 1:
+                parts.append(b" /Next %d 0 R" % (num + 1))
+            if k % 3 == 0:
+                parts.append(b" /Dest [%d 0 R /XYZ 0 792 0]" % pg[k])
+            elif k % 3 == 1:
+                parts.append(b" /Dest /d%d" % k)
+            else:
+                parts.append(b" /A << /S /GoTo /D (s%d) >>" % k)
+            parts.append(b" >>")
+            emit(num, b"".join(parts))
     emit(2, b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n)
     emit(
         5,

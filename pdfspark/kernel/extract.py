@@ -105,6 +105,9 @@ class ExtractResult(NamedTuple):
     attachments: Optional[str] = None  # "name:size" lines, "\n"-joined
     struct_text: Optional[str] = None  # opt-in Tagged-PDF structure order
     page_labels: Optional[str] = None  # /PageLabels, one per page, "\n"-joined
+    # resolved outline destination page indices (0-based, -1 =
+    # unresolvable), "\n"-joined line-aligned with ``outlines``
+    outline_pages: Optional[str] = None
 
 
 def extract_text(buf: bytes, positions: bool = False,
@@ -170,10 +173,15 @@ def extract_text(buf: bytes, positions: bool = False,
         attachments = "\n".join(att_parts) if att_parts else None
         struct_text = (_struct_text(doc, pages, page_runs)
                        if structure else None)
+        outline_entries = _outline_entries(doc, pages)
+        outline_pages = ("\n".join(
+            str(p) if p is not None else "-1"
+            for _, p in outline_entries) if outline_entries else None)
         return ExtractResult(
             text, spans, len(pages), soft_error, doc.lang(), title, created,
-            annots, _doc_outlines(doc), glyph_positions, links, attachments,
-            struct_text, _page_labels_text(doc, len(pages)),
+            annots, _doc_outlines(doc, outline_entries), glyph_positions,
+            links, attachments, struct_text,
+            _page_labels_text(doc, len(pages)), outline_pages,
         )
     except PdfError as e:
         return ExtractResult(None, [], 0, e.code, None)
@@ -408,28 +416,47 @@ def _page_link_uris(doc: PdfDocument, page: dict) -> List[str]:
     return out
 
 
-def _doc_outlines(doc: PdfDocument) -> Optional[str]:
-    """Bookmark titles, pre-order (reference outline tree:
-    `src/catalog.rs:35-208` Outlines). Cycle-guarded and depth-capped —
-    crawl PDFs contain malformed sibling chains."""
+def _outline_entries(doc: PdfDocument, pages: List[dict]) -> List[tuple]:
+    """Pre-order (title, dest_page_index) pairs from the outline tree
+    (reference: `src/catalog.rs:35-208` Outlines + `src/destination.rs`
+    + `src/actions` GoTo — the reference PARSES destinations but never
+    resolves them to pages; we do, r7). Title selection is the pinned
+    outlines policy unchanged (empty titles skipped); the page index
+    resolves the item's /Dest — or its /A GoTo action's /D — through
+    explicit arrays, the catalog /Dests dict and the /Names /Dests
+    name tree, and is None when unresolvable. Cycle-guarded and
+    depth-capped — crawl PDFs contain malformed sibling chains."""
     try:
         catalog = doc.resolve(doc.trailer.get("Root"))
         if not isinstance(catalog, dict):
-            return None
+            return []
         outlines = doc.get(catalog, "Outlines")
         if not isinstance(outlines, dict):
-            return None
-        titles: List[str] = []
-        _walk_outline(doc, outlines.get("First"), titles, set(), 0)
-        return "\n".join(titles) if titles else None
+            return []
+        idx_by_obj = {
+            p.get("__pageobj__"): i for i, p in enumerate(pages)
+            if p.get("__pageobj__") is not None
+        }
+        entries: List[tuple] = []
+        _walk_outline(doc, outlines.get("First"), entries, set(), 0,
+                      idx_by_obj, len(pages))
+        return entries
     except PdfError:
-        return None
+        return []
 
 
-def _walk_outline(doc, ref, titles: List[str], seen: set, depth: int) -> None:
+def _doc_outlines(doc: PdfDocument, entries: List[tuple]) -> Optional[str]:
+    """Bookmark titles, "\\n"-joined pre-order — the pinned surface,
+    byte-identical to the pre-r7 walker (entries carry the same
+    skip-empty-title policy)."""
+    return "\n".join(t for t, _ in entries) if entries else None
+
+
+def _walk_outline(doc, ref, entries: List[tuple], seen: set, depth: int,
+                  idx_by_obj: dict, n_pages: int) -> None:
     if depth > 32:
         return
-    while ref is not None and len(titles) < 4096:
+    while ref is not None and len(entries) < 4096:
         if isinstance(ref, Reference):
             if ref.object_number in seen:
                 return  # malformed sibling cycle
@@ -442,9 +469,122 @@ def _walk_outline(doc, ref, titles: List[str], seen: set, depth: int) -> None:
             return
         t = decode_text_string(doc.resolve(node.get("Title")))
         if t:
-            titles.append(t)
-        _walk_outline(doc, node.get("First"), titles, seen, depth + 1)
+            dest = node.get("Dest")
+            if dest is None:
+                try:
+                    a = doc.resolve(node.get("A"))
+                except PdfError:
+                    a = None
+                if (isinstance(a, dict)
+                        and str(doc.get(a, "S") or "") == "GoTo"):
+                    dest = a.get("D")
+            entries.append(
+                (t, _dest_page_index(doc, dest, idx_by_obj, n_pages)))
+        _walk_outline(doc, node.get("First"), entries, seen, depth + 1,
+                      idx_by_obj, n_pages)
         ref = node.get("Next")
+
+
+def _dest_page_index(doc, dest, idx_by_obj: dict, n_pages: int,
+                     name_depth: int = 0):
+    """Resolve one destination to a 0-based page index, or None: an
+    explicit array's first element (page Reference, or a bare integer
+    page number as remote-style dests use), a dest dict's /D, or a
+    name/string looked up in the catalog (PDF 12.3.2.3). Bounded
+    name-indirection depth — a named dest resolving to another name
+    terminates instead of looping."""
+    if dest is None or name_depth > 2:
+        return None
+    try:
+        d = doc.resolve(dest)
+    except PdfError:
+        return None
+    if isinstance(d, dict):
+        return _dest_page_index(doc, d.get("D"), idx_by_obj, n_pages,
+                                name_depth)
+    if isinstance(d, (Name, PdfString, str)):
+        key = d if isinstance(d, str) else decode_text_string(d)
+        if not key:
+            return None
+        target = _lookup_named_dest(doc, str(key))
+        if target is None:
+            return None
+        return _dest_page_index(doc, target, idx_by_obj, n_pages,
+                                name_depth + 1)
+    if isinstance(d, list) and d:
+        first = d[0]
+        if isinstance(first, Reference):
+            return idx_by_obj.get(first.object_number)
+        try:
+            v = doc.resolve(first)
+        except PdfError:
+            return None
+        if isinstance(v, (int, float)):
+            i = int(v)
+            return i if 0 <= i < n_pages else None
+    return None
+
+
+def _lookup_named_dest(doc, key: str):
+    """Named-destination lookup: the catalog /Dests dictionary (PDF
+    1.1 form), then the /Names /Dests name tree (/Names flat pairs
+    across /Kids recursion — cycle-guarded, depth-capped,
+    entry-budgeted; /Limits advisory and ignored)."""
+    try:
+        catalog = doc.resolve(doc.trailer.get("Root"))
+        if not isinstance(catalog, dict):
+            return None
+        dests = doc.get(catalog, "Dests")
+        if isinstance(dests, dict) and key in dests:
+            return dests[key]
+        names = doc.get(catalog, "Names")
+        if isinstance(names, dict):
+            tree = doc.get(names, "Dests")
+            found: list = [None]
+            _find_in_name_tree(doc, tree, key, found, set(), 0, [10_000])
+            return found[0]
+    except PdfError:
+        return None
+    return None
+
+
+def _find_in_name_tree(doc, node, key: str, found: list, seen: set,
+                       depth: int, budget: list) -> None:
+    if found[0] is not None or depth > 16 or not isinstance(node, dict):
+        return
+    try:
+        names = doc.resolve(node.get("Names"))
+    except PdfError:
+        names = None
+    if isinstance(names, list):
+        for i in range(0, len(names) - 1, 2):
+            if budget[0] <= 0:
+                return
+            budget[0] -= 1
+            try:
+                k = decode_text_string(doc.resolve(names[i]))
+            except PdfError:
+                continue
+            if k == key:
+                found[0] = names[i + 1]
+                return
+    try:
+        kids = doc.resolve(node.get("Kids"))
+    except PdfError:
+        return
+    if isinstance(kids, list):
+        for kid in kids[:256]:
+            if found[0] is not None:
+                return
+            if isinstance(kid, Reference):
+                if kid.object_number in seen:
+                    continue
+                seen.add(kid.object_number)
+            try:
+                _find_in_name_tree(doc, doc.resolve(kid), key, found,
+                                   seen, depth + 1, budget)
+            except PdfError:
+                continue
 
 
 _ROMAN_VALS = ((1000, "m"), (900, "cm"), (500, "d"), (400, "cd"),

@@ -96,6 +96,7 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("links_uri", T.StringType()),
         T.StructField("attachments", T.StringType()),
         T.StructField("page_labels", T.StringType()),
+        T.StructField("outline_pages", T.StringType()),
     ]
 )
 
@@ -238,6 +239,7 @@ def _append_extract_row(cols: dict, url, buf: bytes, part_id: int,
     cols["links_uri"].append(r.links)
     cols["attachments"].append(r.attachments)
     cols["page_labels"].append(r.page_labels)
+    cols["outline_pages"].append(r.outline_pages)
 
 
 def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -741,6 +743,17 @@ def _synth_page(i: int, text: str, lang, fmt: str,
         html = text_to_html(text, i, lang or "en")
     elif fmt == "pdf_multi":
         html = text_to_pdf_multipage(text, meta_id=i)
+    elif fmt == "pdf_outline_dests":
+        # multipage with destination-resolving bookmarks on every 7th
+        # doc (r7): ch1→page 0 (explicit /Dest array), ch2→middle page
+        # (catalog /Dests name), ch3→last page (GoTo action through
+        # the /Names /Dests tree) — page count mirrors the generator's
+        # 60-char pagination so the oracle is closed-form
+        n_p = (max(len(text), 1) + 59) // 60
+        od = ([(f"ch1 {i}", 0), (f"ch2 {i}", n_p // 2),
+               (f"ch3 {i}", n_p - 1)] if i % 7 == 0 else None)
+        html = text_to_pdf_multipage(text, page_chars=60, meta_id=i,
+                                     outline_dests=od)
     elif fmt == "pdf_labels":
         # multipage with a /PageLabels number tree (r7): fixed 60-char
         # pages + the fixed PAGE_LABELS_TREE ranges, so the per-page

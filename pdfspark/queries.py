@@ -2272,25 +2272,44 @@ def pdf_attachments(spark, sf_dir):
 
 @register(
     "pdf_outlines",
-    oracle="SELECT doc_id,"
+    oracle="WITH p AS (SELECT doc_id,"
+           " CAST(CEIL(GREATEST(LENGTH(text), 1) / 60.0) AS BIGINT) AS n"
+           " FROM documents)"
+           " SELECT doc_id,"
            " CASE WHEN doc_id % 7 = 0 THEN"
            "   'ch1 ' || CAST(doc_id AS VARCHAR) || chr(10) ||"
-           "   'ch2 ' || CAST(doc_id AS VARCHAR)"
-           " ELSE NULL END AS outlines_text"
-           " FROM documents",
+           "   'ch2 ' || CAST(doc_id AS VARCHAR) || chr(10) ||"
+           "   'ch3 ' || CAST(doc_id AS VARCHAR)"
+           " ELSE NULL END AS outlines_text,"
+           " CASE WHEN doc_id % 7 = 0 THEN"
+           "   '0' || chr(10) ||"
+           "   CAST(CAST(FLOOR(n / 2.0) AS BIGINT) AS VARCHAR) || chr(10)"
+           "   || CAST(n - 1 AS VARCHAR)"
+           " ELSE NULL END AS outline_pages"
+           " FROM p",
 )
 def pdf_outlines(spark, sf_dir):
-    """Bookmark-title surface (reference outline tree `src/catalog.rs:
-    35-208`): pre-order titles, "\\n"-joined. Generator plants a flat
-    two-bookmark chain on every 7th doc."""
+    """Bookmark surface with RESOLVED destinations (reference outline
+    tree `src/catalog.rs:35-208` + `src/destination.rs` + GoTo actions
+    — the reference parses destinations but never resolves them to
+    pages; we do, r7): pre-order titles "\\n"-joined (the pinned
+    policy) plus a line-aligned outline_pages column of 0-based
+    destination page indices. Every 7th doc renders multipage
+    (60-char pages) with three bookmarks whose destination forms
+    cycle explicit-array / catalog-/Dests-name / GoTo-through-
+    name-tree, landing on the first, middle and last page — so the
+    oracle recomputes both columns closed-form from the text
+    length."""
     from pdfspark.pipeline import extract_pages, pages_from_documents
 
     ext = extract_pages(
-        pages_from_documents(spark, sf_dir, fmt="pdf_annot"), resalt=False
+        pages_from_documents(spark, sf_dir, fmt="pdf_outline_dests"),
+        resalt=False
     )
     return ext.select(
         F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
         "outlines_text",
+        "outline_pages",
     )
 
 

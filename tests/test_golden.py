@@ -266,6 +266,51 @@ def test_page_labels_number_tree():
     assert _label_number("Z", 7) == "7"          # unknown style
 
 
+def test_outline_destination_resolution():
+    """Outline destinations resolve to 0-based page indices through
+    all three forms — explicit /Dest array, catalog /Dests name, GoTo
+    action string through the /Names /Dests tree (r7; the reference
+    parses destinations, src/destination.rs, but never resolves
+    them); outlines_text itself stays the pinned pre-r7 surface.
+    Degenerate destinations yield -1, never raise."""
+    from pdfspark.docgen import text_to_pdf, text_to_pdf_multipage
+
+    text = "pages of outline navigation text here " * 20
+    r = extract_text(text_to_pdf_multipage(
+        text, page_chars=60, outline_dests=[
+            ("a", 0), ("b", 3), ("c", 7), ("d", 1), ("e", 5)]))
+    assert r.error is None
+    assert r.outlines == "a\nb\nc\nd\ne"
+    assert r.outline_pages == "0\n3\n7\n1\n5"
+    # forms cycle k%3: d (k=3) is explicit again, e (k=4) named
+    # out-of-range targets clamp generator-side; resolution still lands
+    r2 = extract_text(text_to_pdf_multipage(
+        text, page_chars=60, outline_dests=[("z", 999)]))
+    assert r2.outline_pages == str(r2.n_pages - 1)
+    # titles without dests (the legacy pdf_annot fixture shape) -> -1
+    r3 = extract_text(text_to_pdf(
+        "hello", outline_titles=["ch1", "ch2"]))
+    assert r3.outlines == "ch1\nch2"
+    assert r3.outline_pages == "-1\n-1"
+    # no outlines at all -> both columns None
+    r4 = extract_text(text_to_pdf("hello"))
+    assert r4.outlines is None and r4.outline_pages is None
+    # degenerate destination resolution units
+    from pdfspark.kernel.document import PdfDocument
+    from pdfspark.kernel.extract import _dest_page_index
+    from pdfspark.kernel.objects import Name
+
+    doc = PdfDocument(text_to_pdf("hello"))
+    idx = {3: 0}
+    assert _dest_page_index(doc, None, idx, 1) is None
+    assert _dest_page_index(doc, [], idx, 1) is None
+    assert _dest_page_index(doc, Name("nope"), idx, 1) is None  # dangling
+    assert _dest_page_index(doc, [7], idx, 1) is None  # int out of range
+    assert _dest_page_index(doc, [0], idx, 1) == 0  # remote-style int
+    assert _dest_page_index(doc, {"D": [0, Name("Fit")]}, idx, 1) == 0
+    assert _dest_page_index(doc, 42, idx, 1) is None  # junk type
+
+
 def test_reading_order_never_raises_across_corpus():
     """Layout reconstruction must be total: every golden (including
     error documents, empty pages, multi-page docs) flows through
