@@ -491,9 +491,10 @@ def _dest_page_index(doc, dest, idx_by_obj: dict, n_pages: int,
     explicit array's first element (page Reference, or a bare integer
     page number as remote-style dests use), a dest dict's /D, or a
     name/string looked up in the catalog (PDF 12.3.2.3). Bounded
-    name-indirection depth — a named dest resolving to another name
-    terminates instead of looping."""
-    if dest is None or name_depth > 2:
+    indirection depth — a named dest resolving to another name, or a
+    crafted chain of direct /D dicts, terminates instead of
+    looping/recursing (one bad dest must never error the doc)."""
+    if dest is None or name_depth > 4:
         return None
     try:
         d = doc.resolve(dest)
@@ -501,7 +502,7 @@ def _dest_page_index(doc, dest, idx_by_obj: dict, n_pages: int,
         return None
     if isinstance(d, dict):
         return _dest_page_index(doc, d.get("D"), idx_by_obj, n_pages,
-                                name_depth)
+                                name_depth + 1)
     if isinstance(d, (Name, PdfString, str)):
         key = d if isinstance(d, str) else decode_text_string(d)
         if not key:

@@ -792,6 +792,8 @@ class Font:
         out = []
         cmap = self.cid_cmap or CidCMap.identity_2byte()
         tu = self.tounicode
+        cva = self.cid_v_advances  # empty for all non-/W2 fonts: skip
+        va = self.v_advance        # the per-glyph dict probe then
         for nbytes, code in cmap.split_codes(s):
             text = tu.get(nbytes, code) if tu is not None else None
             cid = cmap.cid(nbytes, code)
@@ -817,7 +819,7 @@ class Font:
             # word spacing applies only to single-byte code 32 (spec §9.3.3)
             out.append(Glyph(
                 code, text, w, nbytes == 1 and code == 32,
-                self.cid_v_advances.get(cid, self.v_advance),
+                cva.get(cid, va) if cva else va,
             ))
         return out
 

@@ -309,6 +309,12 @@ def test_outline_destination_resolution():
     assert _dest_page_index(doc, [0], idx, 1) == 0  # remote-style int
     assert _dest_page_index(doc, {"D": [0, Name("Fit")]}, idx, 1) == 0
     assert _dest_page_index(doc, 42, idx, 1) is None  # junk type
+    # crafted unbounded /D-dict nesting terminates (indirection bound),
+    # it must not recurse the doc into an error row
+    deep: dict = {"D": [0, Name("Fit")]}
+    for _ in range(500):
+        deep = {"D": deep}
+    assert _dest_page_index(doc, deep, idx, 1) is None
 
 
 def test_reading_order_never_raises_across_corpus():
