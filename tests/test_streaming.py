@@ -1174,3 +1174,17 @@ def test_substring_keepfirst_stream_matches_batch(spark, tmp_path):
     # the index accumulated one increment per micro-batch
     incs = [d for d in _os.listdir(idx_dir) if d.startswith("batch_id=")]
     assert len(incs) == 3
+    # REPLAY idempotence: a fresh checkpoint over the SAME index and
+    # output dirs re-processes every batch against pre-existing
+    # increments — the k<N index read must hide each batch's own
+    # (overwritten) increment, so the rerun reproduces the exact same
+    # rows instead of self-excising the kept copies
+    assert run_substring_keepfirst_stream_once(
+        spark, in_dir, idx_dir, out_dir, str(tmp_path / "kckpt2"), n=n)
+    replayed = {
+        (r.doc_id, r.text, r.removed_words)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert replayed == streamed
+    assert len([d for d in _os.listdir(idx_dir)
+                if d.startswith("batch_id=")]) == 3
