@@ -647,6 +647,71 @@ def quality_classifier_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+def curation_stream(docs: DataFrame, hist_digests: DataFrame,
+                    budget: Optional[int] = None) -> DataFrame:
+    """ONE streaming query for the crawl-increment curation topology
+    (r7 — the in-stream twin of the batch curation_pipeline):
+    quality filter (map-side classifier score ≥ 0, zero shuffle) →
+    history dedup (md5 digest stream-static LEFT OUTER join against
+    the historic digest table + null-probe filter — the anti-join
+    shape Structured Streaming runs stateless; at scale the static
+    side is the corpus digest table, bucketed on digest) →
+    token-budget shard packing (the stateful one-row-per-packer
+    carry). Every stage IS the shared implementation of its
+    standalone twin (quality_classifier_score_expr,
+    shard_pack_stream) so none of the three policies can fork; with
+    in-order batches the drain equals the batch composition
+    filter→anti-join→sequential-pack (test-pinned)."""
+    kept = (
+        docs.select("doc_id", "text", quality_classifier_score_expr())
+        .where(F.col("score") >= 0)
+        .withColumn("digest", F.md5(F.coalesce("text", F.lit(""))))
+    )
+    hist = hist_digests.select(F.col("digest").alias("h_digest"))
+    deduped = (
+        kept.join(hist, kept["digest"] == hist["h_digest"], "left_outer")
+        .where(F.col("h_digest").isNull())
+        .select("doc_id", "text")
+    )
+    return shard_pack_stream(deduped, budget=budget)
+
+
+def run_curation_stream_once(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    budget: Optional[int] = None,
+    timeout_s: Optional[int] = 120,
+) -> bool:
+    """Drain a (doc_id, text) parquet stream through curation_stream
+    against the static digest index at ``index_dir``, into the
+    transactional parquet file sink (exactly-once via the
+    _spark_metadata manifest, like the standalone packer runner)."""
+    hist = spark.read.parquet(index_dir).persist()
+    hist.count()  # materialize before the first batch
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = (
+        curation_stream(docs, hist, budget=budget).writeStream
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        return q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+        hist.unpersist(blocking=False)
+
+
 # ------------------------------------------------------ stream shard packer
 
 def shard_pack_stream(docs: DataFrame, budget: Optional[int] = None,

@@ -1188,3 +1188,95 @@ def test_substring_keepfirst_stream_matches_batch(spark, tmp_path):
     assert replayed == streamed
     assert len([d for d in _os.listdir(idx_dir)
                 if d.startswith("batch_id=")]) == 3
+
+
+def test_curation_stream_matches_batch_composition(spark, tmp_path):
+    """ONE-query curation topology (r7): quality filter → stream-static
+    digest anti-join → stateful shard packer, drained across ≥3
+    micro-batches, must equal the batch composition computed
+    independently in plain Python (same classifier weights, same
+    md5-dedup rule, same sequential token pack in doc_id order).
+    Fixtures force every path: a negative-score doc (filtered), a
+    history-duplicated doc (dropped by the anti-join), and enough
+    survivors to close multiple shards."""
+    import hashlib
+    import os as _os
+
+    from pdfspark.streaming import run_curation_stream_once
+
+    def score(text):
+        s = 0
+        for w in text.strip().split(" "):
+            if not w:
+                continue
+            b = int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % 64
+            s += (b * 7) % 13 - 6
+        return s
+
+    # pick words by their actual classifier weights so the fixture is
+    # robust to nothing: negative-heavy docs come from repeating a
+    # negative-weight word, positive from a positive one
+    neg = pos = None
+    for cand in ("alpha beta gamma delta epsilon zeta eta theta iota "
+                 "kappa lam mu nu xi omicron pi rho sigma tau").split():
+        w = score(cand)
+        if w < 0 and neg is None:
+            neg = cand
+        if w > 0 and pos is None:
+            pos = cand
+    assert neg and pos
+    dup_text = f"{pos} {pos} {pos} {pos}"
+    batches = [
+        [(1, f"{pos} {pos} {pos}"),          # kept
+         (2, f"{neg} {neg} {neg} {neg}")],   # filtered (score < 0)
+        [(10, dup_text),                     # history dup -> dropped
+         (11, f"{pos} {pos} {pos} {pos} {pos}")],
+        [(20, f"{pos} {pos}"),
+         (21, f"{neg} {pos} {pos} {pos} {pos} {pos} {pos}")],
+    ]
+    assert score(batches[0][1][1]) < 0 <= score(batches[0][0][1])
+
+    in_dir = str(tmp_path / "cin")
+    idx_dir = str(tmp_path / "cidx")
+    out_dir = str(tmp_path / "cout")
+    ckpt = str(tmp_path / "cckpt")
+    spark.createDataFrame(
+        [(hashlib.md5(dup_text.encode()).hexdigest(),),
+         (hashlib.md5(b"unrelated history text").hexdigest(),)],
+        "digest string").write.mode("overwrite").parquet(idx_dir)
+    for i, chunk in enumerate(batches):
+        spark.createDataFrame(chunk, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+        newest = max(
+            (f for f in _os.listdir(in_dir) if f.endswith(".parquet")),
+            key=lambda f: _os.path.getmtime(_os.path.join(in_dir, f)),
+        )
+        _os.utime(_os.path.join(in_dir, newest),
+                  (1_700_000_000 + i, 1_700_000_000 + i))
+
+    budget = 8
+    assert run_curation_stream_once(
+        spark, in_dir, idx_dir, out_dir, ckpt, budget=budget)
+
+    got = {(r.doc_id, r.n_tokens, r.shard_id)
+           for r in spark.read.parquet(out_dir)
+           .select("doc_id", "n_tokens", "shard_id").collect()}
+    # batch composition, plain Python: filter, dedup, sequential pack
+    survivors = [
+        (doc_id, text)
+        for chunk in batches for doc_id, text in chunk
+        if score(text) >= 0
+        and hashlib.md5(text.encode()).hexdigest()
+        != hashlib.md5(dup_text.encode()).hexdigest()
+    ]
+    expected, offset = set(), 0
+    for doc_id, text in sorted(survivors):
+        n = len(text.split())
+        expected.add((doc_id, n, offset // budget))
+        offset += n
+    assert got == expected
+    # every path genuinely fired: a filtered doc, a dropped dup, and
+    # at least two distinct shards among the survivors
+    assert 2 not in {d for d, _, _ in got}
+    assert 10 not in {d for d, _, _ in got}
+    assert len({s for _, _, s in got}) >= 2
