@@ -3342,6 +3342,74 @@ def text_winnowing_neardup(spark, sf_dir):
     )
 
 
+# text_longest_repeat probe construction (r7; registers the suffix-
+# automaton kernel ROADMAP #3c earmarked since r6): each doc's word
+# count n maps positions to UNIQUE codepoints (a string with no
+# repeated character has longest-repeat 0), then the first
+# L = min(n, doc_id % 17 + 1) characters are appended — the unique
+# base makes the probe's longest repeated substring EXACTLY L (the
+# L-prefix occurs at offsets 0 and n; any longer candidate would need
+# a repeated base character). That closed form is the oracle; the
+# kernel's agreement with brute force on REAL text is separately
+# pinned by the exhaustive sweep + hypothesis + corpus-prefix
+# cross-check in tests/test_textops.py.
+_LONGEST_REPEAT_SQL = (
+    "SELECT doc_id,"
+    " CAST(LEAST(len(string_split(text, ' ')),"
+    "            doc_id % 17 + 1) AS BIGINT) AS lr_len"
+    " FROM documents"
+)
+
+
+@register("text_longest_repeat", oracle=_LONGEST_REPEAT_SQL)
+def text_longest_repeat(spark, sf_dir):
+    """Exact longest-repeated-substring length per document via the
+    O(n) suffix automaton (textops.longest_repeat_len, Blumer et al.
+    1985) — the exact within-document repetition signal that
+    text_compression_ratio and text_repetition_signals only
+    approximate (Lee et al. 2022 use it to rank repetitive docs).
+    One Arrow-batched mapInPandas stage, no shuffle, no driver
+    collects — the 100-TB shape is a pure map. The driver-checkable
+    construction: a per-doc probe whose answer is closed-form (unique
+    codepoint base + L-prefix tail, comment above), so the automaton
+    is value-checked per doc rather than rows-only; real-text
+    agreement is pinned against brute force in tests."""
+    from pyspark.sql import types as T
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lr_len", T.LongType()),
+    ])
+
+    def run(batches):
+        import sys
+
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
+        import pandas as pd
+
+        from pdfspark.textops import longest_repeat_len
+
+        for b in batches:
+            ids, lens = [], []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                # base capped at 100k unique codepoints (chr() range
+                # safety for pathological word counts) — the closed
+                # form is unaffected: L ≤ 17 ≪ the cap, so
+                # min(n_eff, L) == min(n, L) always
+                n = min(len((text or "").split(" ")), 100_000)
+                L = min(n, int(doc_id) % 17 + 1)
+                probe = "".join(chr(0x4E00 + i) for i in range(n))
+                ids.append(int(doc_id))
+                lens.append(int(longest_repeat_len(probe + probe[:L])))
+            yield pd.DataFrame({"doc_id": ids, "lr_len": lens},
+                               columns=["doc_id", "lr_len"])
+
+    return docs.mapInPandas(run, schema)
+
+
 # broadcast-side bound for ann_numpy_topk: 100k × 64 dims × 8 B ≈ 50 MB
 # on the driver and per executor — a sane torch-style broadcast. Beyond
 # it the right construction is one broadcast per IVF cell (see
@@ -5299,7 +5367,7 @@ DRIVER_PRIORITY = [
     # arithmetic (ADVICE r6): the forced set is 24 names and the r5
     # cohort is 50 strong, not 23/49 as the r6 comment said.
     # r8 PLAN (keep rotation mechanical): the r8 FORCED set is the
-    # 24 r5-cohort names that do NOT fit r7 — ann_numpy_ivf,
+    # 25 r5-cohort names that do NOT fit r7 — ann_numpy_ivf,
     # corpus_quality_filter, decontaminate_span_excise,
     # dedup_canonical_url, dedup_components, dedup_keeplist,
     # dedup_paragraph_exact, doc_length_percentile_buckets,
@@ -5307,10 +5375,14 @@ DRIVER_PRIORITY = [
     # multimodal_frame_sample, multimodal_image_meta, multimodal_resize,
     # multimodal_video_meta, pdf_extract_skew_aware,
     # pdf_multipage_roundtrip, quality_classifier_linear,
-    # sample_stratified, shard_materialize, source_mixture_weights,
-    # text_repetition_signals, text_unigram_commonness,
-    # token_count_pandas_udf — these MUST lead the r8 window; fill
-    # r8's 26 free slots from the r6 cohort (ages out at r9).
+    # sample_stratified, shard_materialize, shard_pack_token_budget,
+    # source_mixture_weights, text_repetition_signals,
+    # text_unigram_commonness, token_count_pandas_udf — these MUST
+    # lead the r8 window; fill r8's 25 free slots from the r6 cohort
+    # (ages out at r9). (shard_pack_token_budget ceded its r7 slot to
+    # the late-r7 text_longest_repeat registration, #125.)
+    # -- late-r7 registration (no verdict yet — must sit in-window) --
+    "text_longest_repeat",
     # -- forced: the 10 agg/set names deferred at r6 (verdict r4) --
     "agg_cube",
     "agg_grouping_sets",
@@ -5337,7 +5409,7 @@ DRIVER_PRIORITY = [
     "pdf_doc_metadata",
     "mixed_corpus_extract",
     "pdf_regression_join",
-    # -- 26 of the 50-strong r5 cohort (the other 24 lead r8) --
+    # -- 25 of the 50-strong r5 cohort (the other 25 lead r8) --
     "pdf_extract_roundtrip",
     "html_extract_roundtrip",
     "q5_region_revenue",
@@ -5363,7 +5435,6 @@ DRIVER_PRIORITY = [
     "ann_signlsh_topk",
     "text_gopher_quality",
     "text_pii_scrub",
-    "shard_pack_token_budget",
 ]
 
 
