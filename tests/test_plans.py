@@ -482,3 +482,16 @@ def test_r6_fused_extractors_are_single_python_stage(spark):
         plan = plan_of(QUERIES[name](spark, SF_DIR))
         assert plan.count("MapInPandas") == 1, (name, plan)
         assert plan.count("Exchange") <= 1, (name, plan)
+
+
+def test_longest_repeat_is_pure_map(spark):
+    """text_longest_repeat is the 100-TB pure-map shape: ONE
+    mapInPandas directly over the scan, ZERO exchanges (a stray
+    shuffle here would move the whole corpus), and the scan reads
+    only the two projected columns."""
+    from pdfspark.queries import QUERIES
+
+    plan = plan_of(QUERIES["text_longest_repeat"](spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
