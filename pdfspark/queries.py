@@ -5381,6 +5381,30 @@ DRIVER_PRIORITY = [
     # lead the r8 window; fill r8's 25 free slots from the r6 cohort
     # (ages out at r9). (shard_pack_token_budget ceded its r7 slot to
     # the late-r7 text_longest_repeat registration, #125.)
+    # r8 FILL, pre-picked (the alphabetical first half of the r6
+    # cohort = CORRECTNESS_r06's 50 names; disjointness from the r7
+    # window and the 25-stale-at-r8 count both machine-verified):
+    # agg_rollup, ann_bruteforce_topk, ann_ivf_bucketed,
+    # anti_join_inactive_customers, curation_pipeline,
+    # decontaminate_exact_substring, dedup_exact, dedup_minhash_lsh,
+    # dedup_simhash, dedup_substring_spans, distinct_customers_exact,
+    # embedding_cosine_neardup, embedding_norms, events_daily_rollup,
+    # events_json_extract, events_sessionization, filter_pushdown_scan,
+    # grouped_stats_apply_in_pandas, html_heading_outline,
+    # html_list_items, html_section_chunks, html_table_cells,
+    # html_table_spans, pdf_bidi_reading_order, pdf_extract_stats.
+    # r9 LEAD (the other 25 r6-cohort names — forced at r9):
+    # pdf_magic_filter, pdf_rtl_reading_order, pdf_spans,
+    # pdf_table_colspan, pdf_table_header_flag, pdf_table_multipage,
+    # pdf_table_ragged, pdf_table_sparse, pdf_vertical_reading_order,
+    # q1_pricing_summary, q3_top_open_orders, range_join_events_windows,
+    # sample_match_distribution, semi_join_active_customers,
+    # session_window_agg, shard_pack_sections, text_compression_ratio,
+    # text_lang_id, text_quality_score, text_winnowing_neardup,
+    # top_orders_global, unpivot_order_year_counts,
+    # url_blocklist_filter, window_running_sum, window_topk_per_group
+    # — plus r9's own forced r7-cohort leftovers computed at r9
+    # rotation time from CORRECTNESS_r07/r08.
     # -- late-r7 registration (no verdict yet — must sit in-window) --
     "text_longest_repeat",
     # -- forced: the 10 agg/set names deferred at r6 (verdict r4) --
