@@ -180,3 +180,20 @@ def test_longest_repeat_on_real_corpus_prefixes():
         got = longest_repeat_len(p)
         assert got == _brute_longest_repeat(p)
         assert got == longest_repeat_len(p)  # deterministic
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 400), st.integers(1, 40))
+def test_longest_repeat_unique_base_probe_closed_form(n, L):
+    """The text_longest_repeat driver probe's closed form: a string of
+    n UNIQUE codepoints followed by its first min(n, L) characters has
+    longest repeated substring EXACTLY min(n, L) — the prefix occurs at
+    offsets 0 and n, and anything longer would need a repeated base
+    character. This is the identity the query's oracle relies on
+    (queries.py::text_longest_repeat), pinned for every (n, L) shape
+    including the degenerate n=0 and L>n regimes."""
+    from pdfspark.textops import longest_repeat_len
+
+    probe = "".join(chr(0x4E00 + i) for i in range(n))
+    eff = min(n, L)
+    assert longest_repeat_len(probe + probe[:eff]) == eff
