@@ -37,11 +37,21 @@ def _escape(chunk: str) -> str:
 # line structure in PDFs comes from positioning operators, not control
 # glyphs, so \n in source text degrades like any other control char
 _UNSAFE = {*range(0x00, 0x20), 0x7F, *range(0x80, 0xA0)}
+# C-level twin of the per-char rule (the fused roundtrip's hottest
+# Python block at ~25% of single-core synth+extract): latin-1
+# encode(errors="replace") maps EXACTLY the >0xFF codepoints to '?'
+# and passes everything ≤0xFF through, then translate() maps the
+# _UNSAFE set — byte-identical to the old genexpr for every input
+# (exhaustively checked over all of _UNSAFE ∪ [0, 0x2FF] in
+# tests/test_docgen_normalize.py).
+_UNSAFE_TABLE = {cp: "?" for cp in _UNSAFE}
 
 
 def normalize_for_pdf(text: str) -> str:
-    return "".join(
-        "?" if (ord(c) in _UNSAFE or ord(c) > 0xFF) else c for c in text
+    return (
+        text.encode("latin-1", "replace")
+        .decode("latin-1")
+        .translate(_UNSAFE_TABLE)
     )
 
 
