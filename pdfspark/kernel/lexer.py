@@ -41,7 +41,7 @@ _NAME_CACHE_MAX = 4096
 class Lexer:
     """Cursor over a PDF byte buffer."""
 
-    __slots__ = ("buf", "view", "pos", "resolve_length")
+    __slots__ = ("buf", "view", "pos", "n", "resolve_length")
 
     def __init__(
         self,
@@ -52,25 +52,33 @@ class Lexer:
         self.buf = buf
         self.view = memoryview(buf)
         self.pos = pos
+        self.n = len(buf)  # buf is never reassigned; cached for hot paths
         # callback to resolve an indirect /Length when slicing stream bodies
         self.resolve_length = resolve_length
 
     # ---------------------------------------------------------------- basics
 
     def at_end(self) -> bool:
-        return self.pos >= len(self.buf)
+        return self.pos >= self.n
 
     def peek(self) -> int:
-        return self.buf[self.pos] if self.pos < len(self.buf) else -1
+        return self.buf[self.pos] if self.pos < self.n else -1
 
     def skip_whitespace(self) -> None:
         """L1: PDF whitespace classes + ``%`` comments to EOL.
 
         Hot path (profiled ~78k calls per 500 docs): runs are almost
         always 0-2 bytes, so a plain byte loop beats a regex dispatch."""
-        buf, n = self.buf, len(self.buf)
+        buf, n = self.buf, self.n
         pos = self.pos
         is_ws = _IS_WS
+        # zero-run fast path: the cursor usually already sits on a
+        # regular character (token separators are consumed by the
+        # previous call) — bail before the loop's store-back
+        if pos < n:
+            c = buf[pos]
+            if not is_ws[c] and c != 0x25:
+                return
         while pos < n:
             c = buf[pos]
             if is_ws[c]:
@@ -135,7 +143,7 @@ class Lexer:
         """L3: ``(...)`` with nested parens, escapes, octal, line-wrap."""
         assert self.buf[self.pos] == 0x28  # '('
         self.pos += 1
-        buf, n = self.buf, len(self.buf)
+        buf, n = self.buf, self.n
         # fast path: no escape/nesting/CR before the closing paren
         close = buf.find(b")", self.pos)
         if close != -1 and _STRING_SPECIAL.search(buf, self.pos, close) is None:
@@ -223,7 +231,7 @@ class Lexer:
     def lex_number(self):
         """L5: int/real with sign, leading/trailing dot. Fast path for the
         dominant unsigned-integer case (object numbers, offsets, lengths)."""
-        buf, n = self.buf, len(self.buf)
+        buf, n = self.buf, self.n
         pos = self.pos
         start = pos
         while pos < n and 0x30 <= buf[pos] <= 0x39:
@@ -287,7 +295,7 @@ class Lexer:
         Inline byte scan (no sub-lexer calls) — this runs after EVERY
         non-negative integer in object context. Comments between the three
         tokens fall back to the general path."""
-        buf, n = self.buf, len(self.buf)
+        buf, n = self.buf, self.n
         save = self.pos
         is_ws = _IS_WS
         pos = save
@@ -366,7 +374,7 @@ class Lexer:
         return d
 
     def lex_dict(self) -> dict:
-        buf, n = self.buf, len(self.buf)
+        buf, n = self.buf, self.n
         assert buf[self.pos : self.pos + 2] == b"<<"
         self.pos += 2
         d: dict = {}
@@ -394,7 +402,7 @@ class Lexer:
         if not isinstance(length, int) and self.resolve_length is not None:
             length = self.resolve_length(length)
         start = self.pos
-        n = len(self.buf)
+        n = self.n
         if isinstance(length, int) and 0 <= length <= n - start:
             end = start + length
             tail = self.buf[end : end + 20].lstrip(WHITESPACE)
