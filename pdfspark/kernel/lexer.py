@@ -253,13 +253,28 @@ class Lexer:
     def lex_object(self, in_content: bool = False):
         """Lex one object. ``in_content``: content streams have no indirect
         references, so the ``N G R`` 3-token lookahead (L5) is skipped.
-        Dispatch ordered by measured token frequency; byte-table classing."""
-        self.skip_whitespace()
-        buf = self.buf
+        Dispatch ordered by measured token frequency; byte-table classing.
+        The whitespace fast path is inlined (profiled: most calls already
+        sit on a regular byte — skip the skip_whitespace() call)."""
+        buf, n = self.buf, self.n
+        is_ws = _IS_WS
         pos = self.pos
-        if pos >= len(buf):
+        if pos >= n:
             raise PdfError("lex", "eof")
         c = buf[pos]
+        while is_ws[c]:  # inline whitespace run (skip_whitespace fast path)
+            pos += 1
+            if pos >= n:
+                raise PdfError("lex", "eof")
+            c = buf[pos]
+        if c == 0x25:  # comment: rare, take the full skip
+            self.pos = pos
+            self.skip_whitespace()
+            pos = self.pos
+            if pos >= n:
+                raise PdfError("lex", "eof")
+            c = buf[pos]
+        self.pos = pos
         if _IS_NUMSTART[c]:
             num = self.lex_number()
             if not in_content and type(num) is int and num >= 0:
@@ -272,7 +287,7 @@ class Lexer:
         if c == 0x28:
             return self.lex_literal_string()
         if c == 0x3C:
-            if pos + 1 < len(buf) and buf[pos + 1] == 0x3C:
+            if pos + 1 < n and buf[pos + 1] == 0x3C:
                 return self.lex_dict_or_stream()
             return self.lex_hex_string()
         if c == 0x5B:  # '['
@@ -347,14 +362,31 @@ class Lexer:
         assert self.buf[self.pos] == 0x5B
         self.pos += 1
         out = []
+        buf, n = self.buf, self.n
+        is_ws = _IS_WS
+        append = out.append
         while True:
-            self.skip_whitespace()
-            if self.at_end():
+            pos = self.pos
+            if pos >= n:
                 raise PdfError("lex", "unterminated array")
-            if self.buf[self.pos] == 0x5D:  # ']'
-                self.pos += 1
+            c = buf[pos]
+            while is_ws[c]:  # inline whitespace run
+                pos += 1
+                if pos >= n:
+                    raise PdfError("lex", "unterminated array")
+                c = buf[pos]
+            if c == 0x25:  # comment: rare, take the full skip
+                self.pos = pos
+                self.skip_whitespace()
+                pos = self.pos
+                if pos >= n:
+                    raise PdfError("lex", "unterminated array")
+                c = buf[pos]
+            if c == 0x5D:  # ']'
+                self.pos = pos + 1
                 return out
-            out.append(self.lex_object())
+            self.pos = pos
+            append(self.lex_object())
 
     def lex_dict_or_stream(self):
         """L7 + L8: ``<< ... >>`` optionally promoted to a Stream when the
@@ -378,12 +410,25 @@ class Lexer:
         assert buf[self.pos : self.pos + 2] == b"<<"
         self.pos += 2
         d: dict = {}
+        is_ws = _IS_WS
         while True:
-            self.skip_whitespace()
             pos = self.pos
             if pos >= n:
                 raise PdfError("lex", "unterminated dict")
             c = buf[pos]
+            while is_ws[c]:  # inline whitespace run
+                pos += 1
+                if pos >= n:
+                    raise PdfError("lex", "unterminated dict")
+                c = buf[pos]
+            if c == 0x25:  # comment: rare, take the full skip
+                self.pos = pos
+                self.skip_whitespace()
+                pos = self.pos
+                if pos >= n:
+                    raise PdfError("lex", "unterminated dict")
+                c = buf[pos]
+            self.pos = pos
             if c == 0x3E and pos + 1 < n and buf[pos + 1] == 0x3E:  # '>>'
                 self.pos = pos + 2
                 return d
