@@ -74,10 +74,17 @@ def tokenize_content(data: bytes) -> Iterator[Tuple[List[object], str]]:
             yield operands, op
             operands = []
             continue
-        lx.skip_whitespace()
-        if lx.at_end():
+        pos = lx.pos  # inline whitespace run (comments take the full skip)
+        while pos < n and _IS_WS[buf[pos]]:
+            pos += 1
+        if pos < n and buf[pos] == 0x25:
+            lx.pos = pos
+            lx.skip_whitespace()
+            pos = lx.pos
+        if pos >= n:
             return
-        c = buf[lx.pos]
+        lx.pos = pos
+        c = buf[pos]
         if c == 0x2F or c == 0x28 or c == 0x3C or c == 0x5B:
             try:
                 operands.append(lx.lex_object(in_content=True))

@@ -32,6 +32,15 @@ _NUMBER_START = b"0123456789+-."
 _IS_NUMSTART = bytes(1 if i in _NUMBER_START else 0 for i in range(256))
 # 'N G obj' header — qualifies an 'endstream' hit during recovery scans
 _OBJ_HEADER_RE = re.compile(rb"\d+[\x00\t\n\x0c\r ]+\d+[\x00\t\n\x0c\r ]+obj\b")
+# one-shot indirect-object header / trailer consumption (comment-free
+# fast path of lex_indirect_object; lookahead = maximal-run keyword end)
+_OBJ_HEAD_RE = re.compile(
+    rb"[\x00\t\n\x0c\r ]*(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+"
+    rb"obj(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"
+)
+_ENDOBJ_RE = re.compile(
+    rb"[\x00\t\n\x0c\r ]*endobj(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"
+)
 
 # raw name bytes → Name, shared across documents in a worker process
 _NAME_CACHE: dict = {}
@@ -115,8 +124,13 @@ class Lexer:
         cached process-wide: a corpus re-lexes the same few dozen names
         (/Type /Length /Filter …) millions of times."""
         assert self.buf[self.pos] == 0x2F  # '/'
-        self.pos += 1
-        raw = self._regular_run()
+        m = _REGULAR_RUN.match(self.buf, self.pos + 1)
+        if m is None:  # bare '/' — empty name
+            self.pos += 1
+            raw = b""
+        else:
+            raw = m.group()
+            self.pos = m.end()
         cached = _NAME_CACHE.get(raw)
         if cached is not None:
             return cached
@@ -487,16 +501,30 @@ class Lexer:
 
     def lex_indirect_object(self):
         """Parse ``N G obj <object> endobj`` at the current position
-        (reference: `src/lib.rs:396-417`). Returns (objnum, gen, obj)."""
-        self.skip_whitespace()
-        objnum = self.lex_number()
-        self.skip_whitespace()
-        gen = self.lex_number()
-        self.expect_keyword(b"obj")
+        (reference: `src/lib.rs:396-417`). Returns (objnum, gen, obj).
+
+        One C-level regex consumes the ``N G obj`` header (and the
+        trailing ``endobj``); the token-at-a-time path remains as the
+        fallback for comments between header tokens."""
+        m = _OBJ_HEAD_RE.match(self.buf, self.pos)
+        if m is not None:
+            objnum = int(m.group(1))
+            gen = int(m.group(2))
+            self.pos = m.end()
+        else:  # comments between tokens, or malformed — slow path
+            self.skip_whitespace()
+            objnum = self.lex_number()
+            self.skip_whitespace()
+            gen = self.lex_number()
+            self.expect_keyword(b"obj")
         obj = self.lex_object()
         # tolerate a missing endobj (malformed files); don't assert
-        save = self.pos
-        self.skip_whitespace()
-        if self._regular_run() != b"endobj":
-            self.pos = save
+        m = _ENDOBJ_RE.match(self.buf, self.pos)
+        if m is not None:
+            self.pos = m.end()
+        else:
+            save = self.pos
+            self.skip_whitespace()
+            if self._regular_run() != b"endobj":
+                self.pos = save
         return objnum, gen, obj
