@@ -380,6 +380,7 @@ def quality_keeplist_stream(extracted: DataFrame) -> DataFrame:
 # ----------------------------------------------------- stream-side minhash
 
 _STREAM_BANDS_SCHEMA = "doc_id long, band int, sig string"
+_BAND_INDEX_SCHEMA = "hist_id long, band int, sig string"
 
 
 def _plain_band_batches(batches):
@@ -1221,3 +1222,146 @@ def run_substring_excise_stream_once(
     finally:
         q.stop()
         index.unpersist(blocking=False)
+
+
+# ----------------------------------------- band-index maintenance (ROADMAP r8-c)
+
+def run_band_index_append_stream_once(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    timeout_s: Optional[int] = 120,
+) -> bool:
+    """Index-maintenance stream, append side: kept (doc_id, text) docs
+    → band-row deltas under ``index_dir/delta/batch_id=N``.
+
+    Production contract: the minhash band index is not static — every
+    admitted crawl increment must become history for the increments
+    after it.  This stream turns each micro-batch of kept docs into
+    (hist_id, band, sig) rows via the SAME Arrow kernel as
+    build_band_index, landing them exactly-once (batch_id=N subpath +
+    overwrite, ADVICE r4 #2).  read_band_index() composes base ∪
+    deltas − tombstones into the live index; compact_band_index()
+    folds the accumulated deltas back into a bucketed base so the
+    delta file count — the NameNode/listing pressure at 100 TB — stays
+    bounded by the compaction cadence, not the crawl cadence."""
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        bands = batch_df.select("doc_id", "text").mapInPandas(
+            _plain_band_batches, _STREAM_BANDS_SCHEMA
+        ).withColumnRenamed("doc_id", "hist_id")
+        bands.write.mode("overwrite").parquet(
+            f"{index_dir}/delta/batch_id={batch_id}"
+        )
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = (
+        docs.writeStream.foreachBatch(append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        return q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+
+
+def run_band_tombstone_stream_once(
+    spark: SparkSession,
+    dels_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    timeout_s: Optional[int] = 120,
+) -> bool:
+    """Index-maintenance stream, delete side: a (hist_id) deletions
+    stream (takedowns, recrawl invalidations) → tombstone rows under
+    ``index_dir/tombstones/batch_id=N``, exactly-once by the same
+    subpath+overwrite contract.  Tombstones never rewrite the index in
+    place — band rows are immutable once written; readers subtract
+    tombstoned hist_ids (read_band_index) and compaction makes the
+    subtraction physical.  A doc must stop matching the moment its
+    tombstone lands: otherwise a fresh crawl of a taken-down page
+    would be dropped as a dup of history that no longer exists."""
+
+    def entomb(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select("hist_id").distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/tombstones/batch_id={batch_id}")
+
+    dels = (
+        spark.readStream.schema("hist_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dels_dir)
+    )
+    q = (
+        dels.writeStream.foreachBatch(entomb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        return q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+
+
+def read_band_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Live view of a maintained band index: ``base`` ∪ ``delta/*``
+    minus tombstoned hist_ids.  (band, sig, hist_id) rows, the exact
+    shape minhash_dedup_decisions consumes.
+
+    Scale shape: the tombstone subtraction is a LeftAnti equi-join on
+    hist_id — tombstones are a tiny fraction of the corpus, so AQE
+    broadcasts them in practice; the base stays bucketed from the last
+    compaction and deltas are small, so no other shuffle exists on the
+    read path."""
+    parts = []
+    base = os.path.join(index_dir, "base")
+    delta = os.path.join(index_dir, "delta")
+    if os.path.isdir(base):
+        parts.append(spark.read.parquet(base))
+    if os.path.isdir(delta) and os.listdir(delta):
+        parts.append(spark.read.parquet(delta).select("hist_id", "band",
+                                                      "sig"))
+    if not parts:
+        return spark.createDataFrame([], _BAND_INDEX_SCHEMA)
+    idx = parts[0]
+    for p in parts[1:]:
+        idx = idx.unionByName(p)
+    idx = idx.select("hist_id", "band", "sig")
+    tomb = os.path.join(index_dir, "tombstones")
+    if os.path.isdir(tomb) and os.listdir(tomb):
+        dels = spark.read.parquet(tomb).select("hist_id").distinct()
+        idx = idx.join(dels, "hist_id", "left_anti")
+    return idx
+
+
+def compact_band_index(spark: SparkSession, index_dir: str,
+                       out_dir: str, nparts: Optional[int] = None) -> int:
+    """Fold base ∪ deltas − tombstones into a fresh base generation at
+    ``out_dir/base`` and return its row count.  After a successful
+    compaction the caller swaps its index pointer to ``out_dir`` (the
+    old generation stays readable until then — compaction never
+    mutates in place, so a reader mid-scan is never torn).
+
+    Why it exists: every micro-batch adds a delta subdir and every
+    takedown a tombstone file; at crawl cadence that is thousands of
+    small files per day — the listing cost, not the data volume, is
+    what degrades.  Compaction repartitions by (band, sig) so
+    post-compaction collision joins co-locate bucket-wise, and makes
+    tombstone subtraction physical so the anti-join cost resets to
+    zero."""
+    live = read_band_index(spark, index_dir)
+    nparts = nparts or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    live.repartition(nparts, "band", "sig").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "base"))
+    return spark.read.parquet(os.path.join(out_dir, "base")).count()

@@ -1280,3 +1280,114 @@ def test_curation_stream_matches_batch_composition(spark, tmp_path):
     assert 2 not in {d for d, _, _ in got}
     assert 10 not in {d for d, _, _ in got}
     assert len({s for _, _, s in got}) >= 2
+
+
+def test_band_index_maintenance_streams_and_compaction(spark, tmp_path):
+    """Index-maintenance lifecycle (ROADMAP r8-c): a base generation
+    plus an append stream of kept docs plus a tombstone stream must
+    compose — read_band_index == build_band_index(survivors) exactly —
+    and compaction must fold the delta/tombstone subdirs into a new
+    base with an identical live view.  Replaying the append stream
+    from a fresh checkpoint must not duplicate index rows (batch_id
+    subpath + overwrite contract)."""
+    from pyspark.sql import functions as F
+
+    from pdfspark.streaming import (build_band_index, compact_band_index,
+                                    read_band_index,
+                                    run_band_index_append_stream_once,
+                                    run_band_tombstone_stream_once)
+
+    sf_dir = "/root/testdata/sf0.001"
+    idx_dir = str(tmp_path / "bandidx")
+    adds_dir = str(tmp_path / "adds")
+    dels_dir = str(tmp_path / "dels")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter("doc_id < 120").select("doc_id", "text")
+    # generation 0: the first 60 docs are the compacted base
+    build_band_index(docs.filter("doc_id < 60")).write.mode(
+        "overwrite").parquet(f"{idx_dir}/base")
+    # append stream: docs 60-119 arrive across 3 micro-batches
+    rows = sorted((int(r.doc_id), r.text)
+                  for r in docs.filter("doc_id >= 60").collect())
+    for k in range(3):
+        spark.createDataFrame(rows[k * 20:(k + 1) * 20],
+                              "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(adds_dir)
+    assert run_band_index_append_stream_once(
+        spark, adds_dir, idx_dir, str(tmp_path / "ck_add"))
+    # tombstone stream: every 5th doc taken down (base AND delta hits)
+    deleted = list(range(0, 120, 5))
+    spark.createDataFrame([(i,) for i in deleted], "hist_id long") \
+        .coalesce(1).write.mode("append").parquet(dels_dir)
+    assert run_band_tombstone_stream_once(
+        spark, dels_dir, idx_dir, str(tmp_path / "ck_del"))
+
+    expected = {
+        (r.hist_id, r.band, r.sig)
+        for r in build_band_index(
+            docs.filter(~F.col("doc_id").isin(deleted))).collect()
+    }
+    live = {(r.hist_id, r.band, r.sig)
+            for r in read_band_index(spark, idx_dir).collect()}
+    assert live == expected
+
+    # compaction: new generation, identical view, physical subtraction
+    gen2 = str(tmp_path / "bandidx_g2")
+    n = compact_band_index(spark, idx_dir, gen2, nparts=4)
+    assert n == len(expected)
+    compacted = {(r.hist_id, r.band, r.sig)
+                 for r in read_band_index(spark, gen2).collect()}
+    assert compacted == expected
+    assert not os.path.isdir(os.path.join(gen2, "delta"))
+    assert not os.path.isdir(os.path.join(gen2, "tombstones"))
+
+    # replay idempotence: a fresh checkpoint re-drains every batch;
+    # overwrite subpaths must leave the live view unchanged
+    assert run_band_index_append_stream_once(
+        spark, adds_dir, idx_dir, str(tmp_path / "ck_add2"))
+    replayed = spark.read.parquet(f"{idx_dir}/delta")
+    assert replayed.count() == replayed.dropDuplicates(
+        ["hist_id", "band", "sig"]).count()
+    live2 = {(r.hist_id, r.band, r.sig)
+             for r in read_band_index(spark, idx_dir).collect()}
+    assert live2 == expected
+
+
+def test_band_index_tombstone_changes_decisions(spark, tmp_path):
+    """A tombstoned historic doc must stop matching: a fresh crawl of
+    taken-down content is admitted (keep=1), while content whose
+    history survives is still dropped as a dup.  Deterministic by
+    construction — the new docs are byte-copies of the historic ones,
+    so band collision is certain, not probabilistic."""
+    from pdfspark.streaming import (build_band_index,
+                                    minhash_dedup_decisions,
+                                    read_band_index,
+                                    run_band_tombstone_stream_once)
+
+    sf_dir = "/root/testdata/sf0.001"
+    corpus = {int(r.doc_id): r.text
+              for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .filter("doc_id < 2").select("doc_id", "text").collect()}
+    idx_dir = str(tmp_path / "semidx")
+    dels_dir = str(tmp_path / "semdels")
+    hist = spark.createDataFrame(
+        [(1, corpus[0]), (2, corpus[1])], "doc_id long, text string")
+    build_band_index(hist).write.mode("overwrite").parquet(
+        f"{idx_dir}/base")
+    spark.createDataFrame([(1,)], "hist_id long").coalesce(1) \
+        .write.mode("append").parquet(dels_dir)
+    assert run_band_tombstone_stream_once(
+        spark, dels_dir, idx_dir, str(tmp_path / "ck_sem"))
+
+    batch = spark.createDataFrame(
+        [(101, corpus[0]), (102, corpus[1])], "doc_id long, text string")
+    idx = read_band_index(spark, idx_dir).persist()
+    idx.count()
+    try:
+        got = {r.doc_id: (r.keep, r.dup_of)
+               for r in minhash_dedup_decisions(batch, idx).collect()}
+    finally:
+        idx.unpersist(blocking=False)
+    assert got[101] == (1, None)   # history tombstoned: admitted
+    assert got[102] == (0, 2)      # history alive: still a dup
