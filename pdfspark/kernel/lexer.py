@@ -45,6 +45,10 @@ _ENDOBJ_RE = re.compile(
 # raw name bytes → Name, shared across documents in a worker process
 _NAME_CACHE: dict = {}
 _NAME_CACHE_MAX = 4096
+# bound methods for the two 30+-calls-per-doc paths (profiled: the
+# attribute lookups are measurable at this call volume)
+_REGULAR_RUN_MATCH = _REGULAR_RUN.match
+_NAME_CACHE_GET = _NAME_CACHE.get
 
 
 class Lexer:
@@ -124,14 +128,14 @@ class Lexer:
         cached process-wide: a corpus re-lexes the same few dozen names
         (/Type /Length /Filter …) millions of times."""
         assert self.buf[self.pos] == 0x2F  # '/'
-        m = _REGULAR_RUN.match(self.buf, self.pos + 1)
+        m = _REGULAR_RUN_MATCH(self.buf, self.pos + 1)
         if m is None:  # bare '/' — empty name
             self.pos += 1
             raw = b""
         else:
             raw = m.group()
             self.pos = m.end()
-        cached = _NAME_CACHE.get(raw)
+        cached = _NAME_CACHE_GET(raw)
         if cached is not None:
             return cached
         if b"#" in raw:
