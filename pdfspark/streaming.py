@@ -1111,19 +1111,32 @@ def run_substring_keepfirst_stream_once(
     never sees its own half-written increment and self-excises the
     copy it should keep. At 100-TB scale the index is the corpus's
     distinct-digest table — bucketed by digest on a real deployment;
-    here plain parquet subdirs keep the sandbox shape identical."""
+    here plain parquet subdirs keep the sandbox shape identical.
+
+    Cross-drain continuation: an ``index_dir/base`` subdir (written by
+    compact_gram_index between drains) is read as history by EVERY
+    batch — so the next crawl increment runs as a NEW drain (new input
+    dir, fresh checkpoint, batch ids restarting at 0) against all
+    prior drains' digests, and the k<N rule only ever applies to the
+    current drain's own increments."""
     import re as _re
 
     def _index_before(batch_id: int) -> DataFrame:
+        # base = digests folded by compact_gram_index from PRIOR drains
+        # — always history, read for every batch including batch 0;
+        # batch_id=k increments belong to THIS drain and obey k < N
         subs = []
         if os.path.isdir(index_dir):
+            base = os.path.join(index_dir, "base")
+            if os.path.isdir(base):
+                subs.append(base)
             for d in sorted(os.listdir(index_dir)):
                 m = _re.fullmatch(r"batch_id=(\d+)", d)
                 if m and int(m.group(1)) < batch_id:
                     subs.append(os.path.join(index_dir, d))
         if not subs:
             return spark.createDataFrame([], "h string")
-        return spark.read.parquet(*subs)
+        return spark.read.parquet(*subs).select("h")
 
     def excise(batch_df: DataFrame, batch_id: int) -> None:
         g = batch_df.select("doc_id", F.split("text", " ").alias("ws"))
@@ -1364,4 +1377,42 @@ def compact_band_index(spark: SparkSession, index_dir: str,
     live.repartition(nparts, "band", "sig").write.mode(
         "overwrite"
     ).parquet(os.path.join(out_dir, "base"))
+    return spark.read.parquet(os.path.join(out_dir, "base")).count()
+
+
+def compact_gram_index(spark: SparkSession, index_dir: str,
+                       out_dir: str) -> int:
+    """Fold a keep-first gram index (``base`` + ``batch_id=k``
+    increments) into a fresh ``out_dir/base`` of distinct digests and
+    return its count.  Run BETWEEN drains only — after
+    run_substring_keepfirst_stream_once returns True and before the
+    next drain starts: compacting while a drain is mid-batch would
+    fold a half-written increment into base, and the replayed batch
+    would then see its own digests as history and self-excise the
+    copy it should keep (the exact hazard the k<N read rule exists
+    to prevent).
+
+    Never compacts in place: the caller points the next drain's
+    index_dir at ``out_dir`` after success, production-style pointer
+    swap.  Why it exists: every micro-batch of every crawl increment
+    adds one subdir; at crawl cadence the listing cost — not the
+    digest volume — is what grows without bound.  The folded base is
+    a single distinct-digest table (bucketed by digest on a real
+    deployment), so the per-batch index read goes back to one scan
+    plus the current drain's few increments."""
+    import re as _re
+
+    subs = []
+    base = os.path.join(index_dir, "base")
+    if os.path.isdir(base):
+        subs.append(base)
+    if os.path.isdir(index_dir):
+        for d in sorted(os.listdir(index_dir)):
+            if _re.fullmatch(r"batch_id=\d+", d):
+                subs.append(os.path.join(index_dir, d))
+    if subs:
+        digests = spark.read.parquet(*subs).select("h").distinct()
+    else:
+        digests = spark.createDataFrame([], "h string")
+    digests.write.mode("overwrite").parquet(os.path.join(out_dir, "base"))
     return spark.read.parquet(os.path.join(out_dir, "base")).count()

@@ -1391,3 +1391,93 @@ def test_band_index_tombstone_changes_decisions(spark, tmp_path):
         idx.unpersist(blocking=False)
     assert got[101] == (1, None)   # history tombstoned: admitted
     assert got[102] == (0, 2)      # history alive: still a dup
+
+
+def test_gram_index_compaction_cross_drain(spark, tmp_path):
+    """Cross-drain continuation for the keep-first substring stream:
+    drain A's gram increments are folded into a base generation by
+    compact_gram_index, then drain B (NEW input dir, FRESH checkpoint,
+    batch ids restarting at 0) runs against the compacted index — and
+    the union of both drains' outputs must equal the batch keep-first
+    excision over ALL docs.  Pins that base is read as history by
+    EVERY batch of the new drain (including its batch 0, where the
+    k<N rule alone would see no history at all)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from pdfspark.streaming import (compact_gram_index, covered_slots,
+                                    excise_covered, gram_hash_grams,
+                                    keepfirst_dup_spans,
+                                    run_substring_keepfirst_stream_once)
+
+    n = 5
+    passage = "the quick brown fox jumps over the lazy dog"
+    drain_a = [
+        [(1, f"aa1 aa2 aa3 aa4 {passage} aa5 aa6"),
+         (2, "first novel doc with completely unique tokens")],
+        [(10, f"ab1 ab2 ab3 ab4 {passage} ab5 ab6")],
+    ]
+    # doc_ids keep increasing across drains (the crawl contract)
+    drain_b = [
+        # batch 0 of drain B: dup of an A-drain passage — only base
+        # can excise it (k<N sees nothing at batch 0)
+        [(100, f"ba1 ba2 ba3 ba4 {passage} ba5 ba6")],
+        [(110, "another entirely fresh document body"),
+         (111, f"bb1 bb2 bb3 bb4 {passage} bb5 bb6")],
+    ]
+
+    def feed(in_dir, chunks, t0):
+        for i, chunk in enumerate(chunks):
+            spark.createDataFrame(chunk, "doc_id long, text string") \
+                .coalesce(1).write.mode("append").parquet(in_dir)
+            newest = max(
+                (f for f in _os.listdir(in_dir) if f.endswith(".parquet")),
+                key=lambda f: _os.path.getmtime(_os.path.join(in_dir, f)))
+            _os.utime(_os.path.join(in_dir, newest), (t0 + i, t0 + i))
+
+    in_a = str(tmp_path / "ina")
+    idx_a = str(tmp_path / "idxa")
+    # one output increment dir PER drain — batch ids restart at 0 in a
+    # fresh drain, so sharing a dir would overwrite prior batch_id=N
+    # subpaths (production lands each crawl increment in its own dir)
+    out_a = str(tmp_path / "outa")
+    out_b = str(tmp_path / "outb")
+    feed(in_a, drain_a, 1_700_000_000)
+    assert run_substring_keepfirst_stream_once(
+        spark, in_a, idx_a, out_a, str(tmp_path / "cka"), n=n)
+
+    # between-drain maintenance: fold increments into a new generation
+    idx_b = str(tmp_path / "idxb")
+    n_digests = compact_gram_index(spark, idx_a, idx_b)
+    assert n_digests == spark.read.parquet(f"{idx_a}/batch_id=0") \
+        .unionByName(spark.read.parquet(f"{idx_a}/batch_id=1")) \
+        .distinct().count()
+    assert _os.path.isdir(f"{idx_b}/base")
+
+    in_b = str(tmp_path / "inb")
+    feed(in_b, drain_b, 1_800_000_000)
+    assert run_substring_keepfirst_stream_once(
+        spark, in_b, idx_b, out_b, str(tmp_path / "ckb"), n=n)
+
+    streamed = {(r.doc_id, r.text, r.removed_words)
+                for r in spark.read.parquet(out_a).collect()} | \
+               {(r.doc_id, r.text, r.removed_words)
+                for r in spark.read.parquet(out_b).collect()}
+    union = spark.createDataFrame(
+        [row for chunk in drain_a + drain_b for row in chunk],
+        "doc_id long, text string")
+    g = union.select("doc_id", F.split("text", " ").alias("ws"))
+    spans = keepfirst_dup_spans(gram_hash_grams(union, n))
+    batch = {(r.doc_id, r.text, r.removed_words)
+             for r in excise_covered(g, covered_slots(spans, n)).collect()}
+    assert streamed == batch
+    by_id = {d: (t, rm) for d, t, rm in streamed}
+    npass = len(passage.split(" "))
+    # the drain-B batch-0 dup was excised purely via the compacted base
+    assert by_id[100] == ("ba1 ba2 ba3 ba4 ba5 ba6", npass)
+    assert by_id[111] == ("bb1 bb2 bb3 bb4 bb5 bb6", npass)
+    assert by_id[1] == (f"aa1 aa2 aa3 aa4 {passage} aa5 aa6", 0)
+    # compacting the compacted index again is a fixpoint
+    idx_c = str(tmp_path / "idxc")
+    assert compact_gram_index(spark, idx_b, idx_c) >= n_digests
