@@ -1481,3 +1481,57 @@ def test_gram_index_compaction_cross_drain(spark, tmp_path):
     # compacting the compacted index again is a fixpoint
     idx_c = str(tmp_path / "idxc")
     assert compact_gram_index(spark, idx_b, idx_c) >= n_digests
+
+
+def test_band_index_live_view_edge_shapes(spark, tmp_path):
+    """read_band_index composition edges the lifecycle test skips:
+    delta-only (no base), base-only (no deltas), tombstones naming
+    unknown hist_ids (no-ops), ALL docs tombstoned (empty view), and
+    a completely empty index dir (empty frame, correct schema —
+    callers join against it without special-casing)."""
+    from pdfspark.streaming import (build_band_index, compact_band_index,
+                                    read_band_index)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .filter("doc_id < 20").select("doc_id", "text")
+    bands = build_band_index(docs)
+    expected = {(r.hist_id, r.band, r.sig) for r in bands.collect()}
+
+    # empty index dir
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    view = read_band_index(spark, empty)
+    assert view.count() == 0
+    assert [f.name for f in view.schema.fields] == ["hist_id", "band",
+                                                    "sig"]
+
+    # delta-only (a stream ran before any compaction ever happened)
+    donly = str(tmp_path / "donly")
+    bands.filter("hist_id < 10").write.parquet(
+        f"{donly}/delta/batch_id=0")
+    bands.filter("hist_id >= 10").write.parquet(
+        f"{donly}/delta/batch_id=1")
+    got = {(r.hist_id, r.band, r.sig)
+           for r in read_band_index(spark, donly).collect()}
+    assert got == expected
+
+    # base-only + tombstones of unknown ids = identity
+    bonly = str(tmp_path / "bonly")
+    bands.write.parquet(f"{bonly}/base")
+    spark.createDataFrame([(999_999,), (-5,)], "hist_id long") \
+        .write.parquet(f"{bonly}/tombstones/batch_id=0")
+    got = {(r.hist_id, r.band, r.sig)
+           for r in read_band_index(spark, bonly).collect()}
+    assert got == expected
+
+    # everything tombstoned → empty view, and compaction of it is an
+    # empty base generation
+    dead = str(tmp_path / "dead")
+    bands.write.parquet(f"{dead}/base")
+    docs.select(docs.doc_id.alias("hist_id")).write.parquet(
+        f"{dead}/tombstones/batch_id=0")
+    assert read_band_index(spark, dead).count() == 0
+    gen2 = str(tmp_path / "deadg2")
+    assert compact_band_index(spark, dead, gen2, nparts=2) == 0
+    assert read_band_index(spark, gen2).count() == 0
