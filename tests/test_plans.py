@@ -495,3 +495,36 @@ def test_longest_repeat_is_pure_map(spark):
     assert plan.count("MapInPandas") == 1, plan
     assert "Exchange" not in plan, plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_band_index_live_view_plan_shape(spark, tmp_path):
+    """read_band_index (late r7) must stay scale-correct: the
+    tombstone subtraction is a hist_id LeftAnti EQUI-join (no nested
+    loop, no cartesian — tombstones broadcast in practice via AQE),
+    base ∪ delta is a plain Union of scans, and the dedup-decision
+    consumer downstream keeps its banded equi-join shape."""
+    from pdfspark.streaming import (build_band_index,
+                                    minhash_dedup_decisions,
+                                    read_band_index)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .filter("doc_id < 40").select("doc_id", "text")
+    idx = str(tmp_path / "pidx")
+    bands = build_band_index(docs)
+    bands.filter("hist_id < 20").write.parquet(f"{idx}/base")
+    bands.filter("hist_id >= 20").write.parquet(f"{idx}/delta/batch_id=0")
+    docs.limit(5).select(docs.doc_id.alias("hist_id")).write.parquet(
+        f"{idx}/tombstones/batch_id=0")
+
+    live = read_band_index(spark, idx)
+    plan = plan_of(live)
+    assert "LeftAnti" in plan, plan
+    assert "Union" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    decisions = minhash_dedup_decisions(
+        docs.filter("doc_id >= 45"), live)
+    plan = plan_of(decisions)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
