@@ -1535,3 +1535,60 @@ def test_band_index_live_view_edge_shapes(spark, tmp_path):
     gen2 = str(tmp_path / "deadg2")
     assert compact_band_index(spark, dead, gen2, nparts=2) == 0
     assert read_band_index(spark, gen2).count() == 0
+
+
+def test_minhash_crawl_loop_integration(spark, tmp_path):
+    """The full production loop composes: increment 1 is decided
+    against the historic index, its KEPT docs' bands are appended by
+    the maintenance stream, and increment 2 is then decided against
+    the LIVE view — so a dup of an increment-1 keeper (absent from
+    history) is dropped with dup_of pointing at the increment-1 doc.
+    Byte-copies make every collision deterministic."""
+    from pyspark.sql import functions as F
+
+    from pdfspark.streaming import (build_band_index,
+                                    minhash_dedup_decisions,
+                                    read_band_index,
+                                    run_band_index_append_stream_once)
+
+    corpus = {int(r.doc_id): r.text
+              for r in spark.read.parquet(
+                  "/root/testdata/sf0.001/documents.parquet")
+              .filter("doc_id < 4").select("doc_id", "text").collect()}
+    idx = str(tmp_path / "loopidx")
+    # generation 0: historic corpus = docs 1, 2
+    build_band_index(spark.createDataFrame(
+        [(1, corpus[0]), (2, corpus[1])], "doc_id long, text string")
+    ).write.parquet(f"{idx}/base")
+
+    # increment 1: a dup of history (dropped) + two fresh docs (kept)
+    inc1 = spark.createDataFrame(
+        [(100, corpus[0]), (101, corpus[2]), (102, corpus[3])],
+        "doc_id long, text string")
+    live = read_band_index(spark, idx).persist()
+    live.count()
+    d1 = {r.doc_id: (r.keep, r.dup_of)
+          for r in minhash_dedup_decisions(inc1, live).collect()}
+    live.unpersist(blocking=False)
+    assert d1[100] == (0, 1) and d1[101][0] == 1 and d1[102][0] == 1
+
+    # admitted keepers flow into the index via the append stream
+    kept_ids = [i for i, (k, _) in d1.items() if k == 1]
+    adds = str(tmp_path / "loopadds")
+    inc1.filter(F.col("doc_id").isin(kept_ids)).coalesce(1) \
+        .write.mode("append").parquet(adds)
+    assert run_band_index_append_stream_once(
+        spark, adds, idx, str(tmp_path / "loopck"))
+
+    # increment 2: dup of an increment-1 KEEPER (not in history!),
+    # dup of history, and a doc kept in inc1 makes this one a dup too
+    inc2 = spark.createDataFrame(
+        [(200, corpus[2]), (201, corpus[1])],
+        "doc_id long, text string")
+    live = read_band_index(spark, idx).persist()
+    live.count()
+    d2 = {r.doc_id: (r.keep, r.dup_of)
+          for r in minhash_dedup_decisions(inc2, live).collect()}
+    live.unpersist(blocking=False)
+    assert d2[200] == (0, 101)   # caught by the increment-1 keeper
+    assert d2[201] == (0, 2)     # still caught by original history
