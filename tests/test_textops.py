@@ -197,3 +197,35 @@ def test_longest_repeat_unique_base_probe_closed_form(n, L):
     probe = "".join(chr(0x4E00 + i) for i in range(n))
     eff = min(n, L)
     assert longest_repeat_len(probe + probe[:eff]) == eff
+
+
+@given(st.lists(st.text(alphabet="abcdef ", min_size=1, max_size=8),
+                min_size=0, max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_minhash_digest_min_equals_hexdigest_min(words):
+    """The late-r7 banding kernel tracks raw digest() bytes and
+    hex-encodes once per seed; this pins the ordering argument (hex is
+    an order-preserving map, so the MIN is unchanged) against a direct
+    hexdigest-per-shingle reference on arbitrary text."""
+    import hashlib
+
+    from pdfspark.textops import minhash_band_sigs
+
+    text = " ".join(words)
+
+    def reference(text, n_hashes=8, band_width=2):
+        ws = text.split(" ")
+        shingles = {f"{a} {b} {c}".encode("utf-8")
+                    for a, b, c in zip(ws, ws[1:], ws[2:])}
+        if not shingles:
+            return []
+        mins = []
+        for i in range(n_hashes):
+            pre = f"{i}:".encode("ascii")
+            mins.append(min(hashlib.md5(pre + s).hexdigest()
+                            for s in shingles))
+        return [(b, ",".join(sorted(mins[b * band_width:
+                                         (b + 1) * band_width])))
+                for b in range(n_hashes // band_width)]
+
+    assert minhash_band_sigs(text) == reference(text)
