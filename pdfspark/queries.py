@@ -5355,45 +5355,18 @@ def doc_length_percentile_buckets(spark, sf_dir):
 # history cede their slots (they remain registered, locally gated, and
 # fully oracled). Every name must stay registered in QUERIES.
 DRIVER_PRIORITY = [
-    # -- r7 rotation (VERDICT r6 next #1/#2): the 24 FORCED names
-    # lead — every query absent from BOTH CORRECTNESS_r05 and _r06
-    # (recomputed from the ledgers this round: the 10 agg/set names
-    # deferred at r6 plus the 14 r4-cohort names displaced by the r6
-    # entrants; their latest verdict is r4 and would age past 2
-    # rounds otherwise) — followed by 26 of the 50-strong r5 cohort
-    # (green in CORRECTNESS_r05, ages out at r8). The r6 cohort (50
-    # green in CORRECTNESS_r06) cedes its slots; it stays registered
-    # and locally oracle-gated at two SFs. NOTE the corrected
-    # arithmetic (ADVICE r6): the forced set is 24 names and the r5
-    # cohort is 50 strong, not 23/49 as the r6 comment said.
-    # r8 PLAN (keep rotation mechanical): the r8 FORCED set is the
-    # 25 r5-cohort names that do NOT fit r7 — ann_numpy_ivf,
-    # corpus_quality_filter, decontaminate_span_excise,
-    # dedup_canonical_url, dedup_components, dedup_keeplist,
-    # dedup_paragraph_exact, doc_length_percentile_buckets,
-    # html_doc_titles, html_link_density_blocks, multimodal_audio_meta,
-    # multimodal_frame_sample, multimodal_image_meta, multimodal_resize,
-    # multimodal_video_meta, pdf_extract_skew_aware,
-    # pdf_multipage_roundtrip, quality_classifier_linear,
-    # sample_stratified, shard_materialize, shard_pack_token_budget,
-    # source_mixture_weights, text_repetition_signals,
-    # text_unigram_commonness, token_count_pandas_udf — these MUST
-    # lead the r8 window; fill r8's 25 free slots from the r6 cohort
-    # (ages out at r9). (shard_pack_token_budget ceded its r7 slot to
-    # the late-r7 text_longest_repeat registration, #125.)
-    # r8 FILL, pre-picked (the alphabetical first half of the r6
-    # cohort = CORRECTNESS_r06's 50 names; disjointness from the r7
-    # window and the 25-stale-at-r8 count both machine-verified):
-    # agg_rollup, ann_bruteforce_topk, ann_ivf_bucketed,
-    # anti_join_inactive_customers, curation_pipeline,
-    # decontaminate_exact_substring, dedup_exact, dedup_minhash_lsh,
-    # dedup_simhash, dedup_substring_spans, distinct_customers_exact,
-    # embedding_cosine_neardup, embedding_norms, events_daily_rollup,
-    # events_json_extract, events_sessionization, filter_pushdown_scan,
-    # grouped_stats_apply_in_pandas, html_heading_outline,
-    # html_list_items, html_section_chunks, html_table_cells,
-    # html_table_spans, pdf_bidi_reading_order, pdf_extract_stats.
-    # r9 LEAD (the other 25 r6-cohort names — forced at r9):
+    # -- r8 rotation (VERDICT r7 next #1, pure transcription of the
+    # pre-verified r7 plan): the 25 FORCED names lead — the r5-cohort
+    # leftovers absent from BOTH CORRECTNESS_r06 and _r07 (their
+    # latest verdict is r5 and would age past 2 rounds otherwise;
+    # incl. shard_pack_token_budget, which ceded its r7 slot to the
+    # late-r7 text_longest_repeat registration) — followed by the 25
+    # pre-picked fill names: the alphabetical first half of the r6
+    # cohort (CORRECTNESS_r06's 50 names; the other half is forced at
+    # r9). The r7 window (50 green in CORRECTNESS_r07) cedes its
+    # slots; it stays registered and locally oracle-gated at two SFs.
+    # r9 PLAN (keep rotation mechanical): the r9 FORCED set is the
+    # alphabetical second half of the r6 cohort —
     # pdf_magic_filter, pdf_rtl_reading_order, pdf_spans,
     # pdf_table_colspan, pdf_table_header_flag, pdf_table_multipage,
     # pdf_table_ragged, pdf_table_sparse, pdf_vertical_reading_order,
@@ -5403,62 +5376,62 @@ DRIVER_PRIORITY = [
     # text_lang_id, text_quality_score, text_winnowing_neardup,
     # top_orders_global, unpivot_order_year_counts,
     # url_blocklist_filter, window_running_sum, window_topk_per_group
-    # — plus r9's own forced r7-cohort leftovers computed at r9
-    # rotation time from CORRECTNESS_r07/r08.
-    # -- late-r7 registration (no verdict yet — must sit in-window) --
-    "text_longest_repeat",
-    # -- forced: the 10 agg/set names deferred at r6 (verdict r4) --
-    "agg_cube",
-    "agg_grouping_sets",
-    "pivot_status_by_priority",
-    "set_intersect_custkeys",
-    "set_union_distinct",
-    "set_except_custkeys",
-    "correlated_subquery_above_avg",
-    "exists_subquery_multi_item_orders",
-    "percentiles_exact",
-    "orders_monthly_growth",
-    # -- forced: the 14 r4-cohort names displaced by r6 entrants --
-    "text_char_entropy",
-    "text_fingerprint",
-    "text_token_count",
-    "boilerplate_line_removal",
-    "multimodal_feature_extract",
-    "multimodal_meta",
-    "ann_numpy_topk",
-    "pdf_density_columns",
-    "pdf_post_glyph_names",
-    "pdf_cjk_embedded_widths",
-    "pdf_outlines",
-    "pdf_doc_metadata",
-    "mixed_corpus_extract",
-    "pdf_regression_join",
-    # -- 25 of the 50-strong r5 cohort (the other 25 lead r8) --
-    "pdf_extract_roundtrip",
-    "html_extract_roundtrip",
-    "q5_region_revenue",
-    "pdf_error_rows",
-    "pdf_multipage_spans",
-    "pdf_struct_reading_order",
-    "pdf_table_cells",
-    "pdf_columns_reading_order",
-    "pdf_kerned_wordbreak",
-    "pdf_layout_mix_extract",
-    "pdf_annots_text",
-    "pdf_attachments",
-    "pdf_link_uris",
-    "asof_join_last_click",
-    "window_range_interval_frame",
-    "approx_distinct_urls",
-    "events_funnel",
-    "dedup_incremental_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "decontaminate_ngram_overlap",
-    "ann_ivf_recall",
-    "ann_signlsh_topk",
-    "text_gopher_quality",
-    "text_pii_scrub",
+    # (25 names, latest verdict r6 — age-3 at r9 unless checked) —
+    # fill r9's remaining slots from the r7 cohort (green in
+    # CORRECTNESS_r07, ages out at r10), alphabetical first half,
+    # computed at r9 rotation time from CORRECTNESS_r07/r08.
+    # -- forced: the 25 r5-cohort leftovers (latest verdict r5) --
+    "ann_numpy_ivf",
+    "corpus_quality_filter",
+    "decontaminate_span_excise",
+    "dedup_canonical_url",
+    "dedup_components",
+    "dedup_keeplist",
+    "dedup_paragraph_exact",
+    "doc_length_percentile_buckets",
+    "html_doc_titles",
+    "html_link_density_blocks",
+    "multimodal_audio_meta",
+    "multimodal_frame_sample",
+    "multimodal_image_meta",
+    "multimodal_resize",
+    "multimodal_video_meta",
+    "pdf_extract_skew_aware",
+    "pdf_multipage_roundtrip",
+    "quality_classifier_linear",
+    "sample_stratified",
+    "shard_materialize",
+    "shard_pack_token_budget",
+    "source_mixture_weights",
+    "text_repetition_signals",
+    "text_unigram_commonness",
+    "token_count_pandas_udf",
+    # -- fill: alphabetical first half of the r6 cohort --
+    "agg_rollup",
+    "ann_bruteforce_topk",
+    "ann_ivf_bucketed",
+    "anti_join_inactive_customers",
+    "curation_pipeline",
+    "decontaminate_exact_substring",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_substring_spans",
+    "distinct_customers_exact",
+    "embedding_cosine_neardup",
+    "embedding_norms",
+    "events_daily_rollup",
+    "events_json_extract",
+    "events_sessionization",
+    "filter_pushdown_scan",
+    "grouped_stats_apply_in_pandas",
+    "html_heading_outline",
+    "html_list_items",
+    "html_section_chunks",
+    "html_table_cells",
+    "html_table_spans",
+    "pdf_bidi_reading_order",
+    "pdf_extract_stats",
 ]
 
 
