@@ -520,7 +520,8 @@ def _dest_page_index(doc, dest, idx_by_obj: dict, n_pages: int,
             v = doc.resolve(first)
         except PdfError:
             return None
-        if isinstance(v, (int, float)):
+        # bool is an int subclass — /Dest [true] is malformed, not page 1
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
             i = int(v)
             return i if 0 <= i < n_pages else None
     return None
@@ -864,8 +865,13 @@ class _PageInterp:
             # a font carrying per-CID /W2 sums w1y per glyph (r7 —
             # only W2 fonts pay the second decode)
             if font.cid_v_advances:
-                v_sum = sum(
-                    g.v_advance for g in font.decode(bytes(raw)))
+                # take n_glyphs from the SAME decode that sums
+                # v_advance — if decode()/decode_fast() ever diverge
+                # in glyph count, char_spacing must follow the
+                # geometry source, not mix the two
+                glyphs = font.decode(bytes(raw))
+                v_sum = sum(g.v_advance for g in glyphs)
+                n_glyphs = len(glyphs)
             else:
                 v_sum = n_glyphs * font.v_advance
             ts.advance_v(

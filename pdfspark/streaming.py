@@ -1355,6 +1355,17 @@ def read_band_index(spark: SparkSession, index_dir: str) -> DataFrame:
     return idx
 
 
+def _shuffle_nparts(spark) -> int:
+    """spark.sql.shuffle.partitions as an int, degrading to the
+    cluster default when the conf is non-numeric (e.g. 'auto' under
+    some AQE setups) — compaction sizing must never raise on a conf
+    string it doesn't control."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        return spark.sparkContext.defaultParallelism
+
+
 def compact_band_index(spark: SparkSession, index_dir: str,
                        out_dir: str, nparts: Optional[int] = None) -> int:
     """Fold base ∪ deltas − tombstones into a fresh base generation at
@@ -1371,9 +1382,7 @@ def compact_band_index(spark: SparkSession, index_dir: str,
     tombstone subtraction physical so the anti-join cost resets to
     zero."""
     live = read_band_index(spark, index_dir)
-    nparts = nparts or int(
-        spark.conf.get("spark.sql.shuffle.partitions")
-    )
+    nparts = nparts or _shuffle_nparts(spark)
     live.repartition(nparts, "band", "sig").write.mode(
         "overwrite"
     ).parquet(os.path.join(out_dir, "base"))

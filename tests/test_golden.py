@@ -203,6 +203,11 @@ def test_vertical_w2_per_cid_metrics():
             diverged += 1
     # the fixture genuinely exercises both W2 entry forms
     assert diverged >= 3
+    # batched path (positions=False) re-decodes per-glyph for W2 fonts
+    # and takes n_glyphs from that SAME decode (ADVICE r7) — text must
+    # match the glyph-by-glyph path byte-for-byte
+    rb = extract_text(text_to_pdf_vertical_w2(text, meta_id=11))
+    assert rb.error is None and rb.text == expected
     assert any(VERT_W2_OVERRIDES.get(ord(c)) == -2000.0 for c in expected)
     assert any(VERT_W2_OVERRIDES.get(ord(c)) == -1500.0 for c in expected)
     # parse-level unit: both entry forms + malformed tails degrade
@@ -309,6 +314,9 @@ def test_outline_destination_resolution():
     assert _dest_page_index(doc, [0], idx, 1) == 0  # remote-style int
     assert _dest_page_index(doc, {"D": [0, Name("Fit")]}, idx, 1) == 0
     assert _dest_page_index(doc, 42, idx, 1) is None  # junk type
+    # bool is an int subclass — /Dest [true] must NOT resolve as page 1
+    assert _dest_page_index(doc, [True], idx, 1) is None
+    assert _dest_page_index(doc, [False], idx, 1) is None
     # crafted unbounded /D-dict nesting terminates (indirection bound),
     # it must not recurse the doc into an error row
     deep: dict = {"D": [0, Name("Fit")]}

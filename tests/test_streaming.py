@@ -1592,3 +1592,31 @@ def test_minhash_crawl_loop_integration(spark, tmp_path):
     live.unpersist(blocking=False)
     assert d2[200] == (0, 101)   # caught by the increment-1 keeper
     assert d2[201] == (0, 2)     # still caught by original history
+
+
+def test_shuffle_nparts_degrades_on_nonnumeric_conf():
+    """compact_band_index sizes its repartition from
+    spark.sql.shuffle.partitions; a non-numeric conf value (e.g.
+    'auto' under some AQE setups) must degrade to the cluster default
+    instead of raising ValueError mid-compaction (ADVICE r7)."""
+    from pdfspark.streaming import _shuffle_nparts
+
+    class _Conf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, key):
+            return self._v
+
+    class _SC:
+        defaultParallelism = 7
+
+    class _Fake:
+        sparkContext = _SC()
+
+        def __init__(self, v):
+            self.conf = _Conf(v)
+
+    assert _shuffle_nparts(_Fake("16")) == 16
+    assert _shuffle_nparts(_Fake("auto")) == 7
+    assert _shuffle_nparts(_Fake(None)) == 7
