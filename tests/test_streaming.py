@@ -1450,9 +1450,14 @@ def test_gram_index_compaction_cross_drain(spark, tmp_path):
     # between-drain maintenance: fold increments into a new generation
     idx_b = str(tmp_path / "idxb")
     n_digests = compact_gram_index(spark, idx_a, idx_b)
+    # one canonical (h, first_doc) row per DIGEST (r8 provenance fold
+    # — a digest seen by two increments collapses to min first_doc)
     assert n_digests == spark.read.parquet(f"{idx_a}/batch_id=0") \
         .unionByName(spark.read.parquet(f"{idx_a}/batch_id=1")) \
-        .distinct().count()
+        .select("h").distinct().count()
+    base = spark.read.parquet(f"{idx_b}/base")
+    assert sorted(base.columns) == ["first_doc", "h"]
+    assert base.groupBy("h").count().where("count > 1").count() == 0
     assert _os.path.isdir(f"{idx_b}/base")
 
     in_b = str(tmp_path / "inb")
@@ -1620,3 +1625,135 @@ def test_shuffle_nparts_degrades_on_nonnumeric_conf():
     assert _shuffle_nparts(_Fake("16")) == 16
     assert _shuffle_nparts(_Fake("auto")) == 7
     assert _shuffle_nparts(_Fake(None)) == 7
+
+
+def test_gram_index_takedown_canonical_semantics(spark, tmp_path):
+    """read_gram_index row-level live-provenance exclusion (r8,
+    VERDICT r7 missing #1): a tombstone drops exactly the rows whose
+    provenance doc it names; a digest stops excising only when its
+    LAST live row is gone — a tombstone on one provenance doc changes
+    nothing for a digest that still has another live keeper row."""
+    import os as _os
+
+    from pdfspark.streaming import read_gram_index
+
+    idx = str(tmp_path / "idx")
+    _os.makedirs(idx)
+    # h1 seen by two increments: canonical doc 1 (batch 0), doc 5
+    # later; h2 canonical doc 5 only; h3 canonical doc 9 only
+    spark.createDataFrame(
+        [("h1", 1), ("h2", 5)], "h string, first_doc long"
+    ).write.parquet(f"{idx}/batch_id=0")
+    spark.createDataFrame(
+        [("h1", 5), ("h3", 9)], "h string, first_doc long"
+    ).write.parquet(f"{idx}/batch_id=1")
+
+    def live():
+        return {r.h for r in read_gram_index(spark, idx).collect()}
+
+    assert live() == {"h1", "h2", "h3"}
+    # tombstone doc 5: h2 (sole keeper 5) goes; h1 STAYS — its doc-1
+    # keeper row is still live
+    spark.createDataFrame([(5,)], "doc_id long").write.parquet(
+        f"{idx}/tombstones/batch_id=0")
+    assert live() == {"h1", "h3"}
+    # tombstone doc 1 too: now h1's last live row is gone
+    spark.createDataFrame([(1,)], "doc_id long").write.parquet(
+        f"{idx}/tombstones/batch_id=1")
+    assert live() == {"h3"}
+    # before_batch respects the k<N replay rule AND tombstones
+    got = {r.h for r in read_gram_index(spark, idx,
+                                        before_batch=1).collect()}
+    assert got == set()  # batch 0 had h1 (dead) + h2 (dead)
+    # compaction folds tombstones away physically: one canonical row
+    # per surviving digest, no tombstones subdir in the new generation
+    from pdfspark.streaming import compact_gram_index
+
+    out = str(tmp_path / "gen2")
+    assert compact_gram_index(spark, idx, out) == 1
+    rows = spark.read.parquet(f"{out}/base").collect()
+    assert [(r.h, r.first_doc) for r in rows] == [("h3", 9)]
+    assert not _os.path.isdir(f"{out}/tombstones")
+
+
+def test_gram_index_takedown_stream_lifecycle(spark, tmp_path):
+    """End-to-end takedown lifecycle for the keep-first gram index
+    (r8, the band-index test shape on the gram family): drain A
+    indexes history with provenance; a tombstone stream takes down
+    one history doc; drain B's fresh crawl of that doc's content is
+    KEPT (its grams stopped excising) while live history still
+    excises; compaction folds the tombstones away and the folded
+    generation behaves identically for drain C."""
+    import os as _os
+
+    from pdfspark.streaming import (compact_gram_index,
+                                    run_gram_tombstone_stream_once,
+                                    run_substring_keepfirst_stream_once)
+
+    n = 5
+    dead = "alpha beta gamma delta epsilon zeta eta"
+    live = "one two three four five six seven"
+
+    def feed(in_dir, chunks, t0, schema="doc_id long, text string"):
+        for i, chunk in enumerate(chunks):
+            spark.createDataFrame(chunk, schema) \
+                .coalesce(1).write.mode("append").parquet(in_dir)
+            newest = max(
+                (f for f in _os.listdir(in_dir) if f.endswith(".parquet")),
+                key=lambda f: _os.path.getmtime(_os.path.join(in_dir, f)))
+            _os.utime(_os.path.join(in_dir, newest), (t0 + i, t0 + i))
+
+    idx = str(tmp_path / "idx")
+    # drain A: docs 1 (the future takedown) and 2 (stays live)
+    in_a = str(tmp_path / "ina")
+    feed(in_a, [[(1, f"a1 a2 a3 a4 {dead} a5"),
+                 (2, f"b1 b2 b3 b4 {live} b5")]], 1_700_000_000)
+    assert run_substring_keepfirst_stream_once(
+        spark, in_a, idx, str(tmp_path / "outa"),
+        str(tmp_path / "cka"), n=n)
+    # between-drain compaction folds drain A into a base generation
+    # (the cross-drain contract: a fresh drain's k<N rule only sees
+    # its OWN increments — prior drains must live in base)
+    gen1 = str(tmp_path / "gen1")
+    compact_gram_index(spark, idx, gen1)
+
+    # takedown stream lands on the live generation: doc 1 is removed
+    dels = str(tmp_path / "dels")
+    feed(dels, [[(1,)]], 1_710_000_000, schema="doc_id long")
+    assert run_gram_tombstone_stream_once(
+        spark, dels, gen1, str(tmp_path / "ckt"))
+
+    # drain B: doc 100 recrawls doc 1's content (must be KEPT — the
+    # canonical copy no longer exists), doc 101 copies doc 2's
+    # content (still excised — live history)
+    in_b = str(tmp_path / "inb")
+    feed(in_b, [[(100, f"c1 c2 c3 c4 {dead} c5"),
+                 (101, f"d1 d2 d3 d4 {live} d5")]], 1_720_000_000)
+    out_b = str(tmp_path / "outb")
+    assert run_substring_keepfirst_stream_once(
+        spark, in_b, gen1, out_b, str(tmp_path / "ckb"), n=n)
+    got = {r.doc_id: (r.text, r.removed_words)
+           for r in spark.read.parquet(out_b).collect()}
+    assert got[100] == (f"c1 c2 c3 c4 {dead} c5", 0)
+    assert got[101] == ("d1 d2 d3 d4 d5", len(live.split(" ")))
+
+    # compaction folds the tombstone away; doc 100's fresh copy is
+    # now the canonical provenance for the dead passage's grams, so
+    # drain C sees it as live history again
+    gen2 = str(tmp_path / "gen2")
+    compact_gram_index(spark, gen1, gen2)
+    assert not _os.path.isdir(f"{gen2}/tombstones")
+    base = {(r.h, r.first_doc)
+            for r in spark.read.parquet(f"{gen2}/base").collect()}
+    assert all(fd != 1 for _, fd in base)
+    assert any(fd == 100 for _, fd in base)  # recrawl became canonical
+    in_c = str(tmp_path / "inc")
+    feed(in_c, [[(200, f"e1 e2 e3 e4 {dead} e5"),
+                 (201, f"f1 f2 f3 f4 {live} f5")]], 1_730_000_000)
+    out_c = str(tmp_path / "outc")
+    assert run_substring_keepfirst_stream_once(
+        spark, in_c, gen2, out_c, str(tmp_path / "ckc"), n=n)
+    got_c = {r.doc_id: (r.text, r.removed_words)
+             for r in spark.read.parquet(out_c).collect()}
+    assert got_c[200] == ("e1 e2 e3 e4 e5", len(dead.split(" ")))
+    assert got_c[201] == ("f1 f2 f3 f4 f5", len(live.split(" ")))
