@@ -66,6 +66,8 @@ class PdfDocument:
     def resolve(self, obj, depth: int = 0):
         """Transparently chase references; dangling ⇒ None
         (reference: `src/resolve.rs:7-124`, `src/lib.rs:405`)."""
+        if type(obj) is not Reference:  # fast path: most calls non-ref
+            return obj
         while isinstance(obj, Reference):
             if depth > _MAX_RESOLVE_DEPTH:
                 raise PdfError("resolve", "reference chain too deep")

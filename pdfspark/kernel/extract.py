@@ -935,15 +935,22 @@ class _PageInterp:
                   seen_forms: set) -> None:
         ts = self.ts
         doc = self.doc
-        if op == "BT":
-            ts.begin_text()
-        elif op == "ET":
-            pass  # Tm/Tlm are discarded at next BT
+        # chain ordered by measured op frequency (text-dominant
+        # corpora: one Tj + one Td per line dominate — late-r8 shave;
+        # semantics unchanged, ops are distinct strings)
+        if op == "Tj" and o:
+            self._show(o[-1])
+        elif op == "Td" and len(o) >= 2:
+            ts.td(float(o[-2]), float(o[-1]))
+        elif op == "TJ" and o:
+            self._show_tj_array(o[-1])
         elif op == "Tf" and len(o) >= 2:
             ts.font = self._load_font_cached(res, o[-2])
             ts.font_size = float(o[-1])
-        elif op == "Td" and len(o) >= 2:
-            ts.td(float(o[-2]), float(o[-1]))
+        elif op == "BT":
+            ts.begin_text()
+        elif op == "ET":
+            pass  # Tm/Tlm are discarded at next BT
         elif op == "TD" and len(o) >= 2:
             ts.leading = -float(o[-1])
             ts.td(float(o[-2]), float(o[-1]))
@@ -963,10 +970,6 @@ class _PageInterp:
             ts.rise = float(o[-1])
         elif op == "Tr" and o:
             ts.render_mode = int(o[-1])
-        elif op == "Tj" and o:
-            self._show(o[-1])
-        elif op == "TJ" and o:
-            self._show_tj_array(o[-1])
         elif op == "'" and o:
             # T* + Tj (dispatch is todo!() in the reference — spec §9.4.3)
             ts.next_line()

@@ -95,10 +95,9 @@ def _parse_classic(buf: bytes, lx: Lexer) -> Tuple[XrefTable, Optional[int]]:
         # fast path: spec-conformant 20-byte fixed-stride entries parsed
         # by slicing; fall back to per-entry regex on any anomaly
         block = buf[lx.pos : lx.pos + 20 * count]
-        if (
-            len(block) == 20 * count
-            and all(block[i + 17 : i + 18] in (b"n", b"f")
-                    for i in range(0, len(block), 20))
+        # one strided slice validates every entry's kind byte at once
+        if len(block) == 20 * count and not (
+            set(block[17::20]) - {0x6E, 0x66}
         ):
             setdefault = table.entries.setdefault
             for i in range(count):
