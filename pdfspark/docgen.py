@@ -1357,6 +1357,12 @@ def text_to_pdf_rtl(text: str, meta_id: int = 0,
 _ASCII_TO_HEB_BIDI = str.maketrans("abcdefghijklmos",
                                    HEB_ALPHABET[:13] + "05")
 
+# generator twin of kernel/layout._BIDI_MIRROR (UAX#9 L4 under the
+# simplified all-brackets-are-R N0, r8): a visual-order writer stores
+# the mirrored bracket glyph; both copies must stay identical —
+# hand-pinned in test_golden alongside the W4 cases
+_BIDI_MIRROR_GEN = str.maketrans("()[]{}<>", ")(][}{><")
+
 
 def restore_ltr_runs(s: str) -> str:
     """Reverse each maximal LTR run in place — the visual-order step
@@ -1403,7 +1409,10 @@ def text_to_pdf_bidi(text: str, meta_id: int = 0,
     lines = wrap_words(mixed, line_chars)
     ops = []
     for i, line in enumerate(lines):
-        visual = restore_ltr_runs(line[::-1])
+        # visual order: reverse the logical line, mirror-swap R-level
+        # brackets (UAX#9 L4, r8 — the swap commutes with both
+        # reversals), restore each LTR run
+        visual = restore_ltr_runs(line[::-1].translate(_BIDI_MIRROR_GEN))
         hexs = "".join(f"{ord(c):04X}" for c in visual)
         y = 740.0 - 18.0 * i
         ops.append(f"BT /F1 12 Tf 72.00 {y:g} Td <{hexs}> Tj ET ")

@@ -219,7 +219,12 @@ def reading_order_text(r: ExtractResult, col_gap: float = COLUMN_GAP_PT,
                     for y in sorted(lines, reverse=True)
                 ]
                 if layout == "bidi":
-                    line_texts = [_reverse_ltr_runs(t) for t in line_texts]
+                    # L4 mirror-swap (commutes with the run reversal;
+                    # see _BIDI_MIRROR), then LTR-run restoration
+                    line_texts = [
+                        _reverse_ltr_runs(t.translate(_BIDI_MIRROR))
+                        for t in line_texts
+                    ]
             else:
                 line_texts = [
                     _assemble_line(sorted(lines[y]))
@@ -565,6 +570,24 @@ def _table_cells_full(r: ExtractResult) -> List[tuple]:
 # any absorption whose final block continues into letters.
 _LTR_RUN = re.compile(
     r"[0-9]+(?:[.,:/][0-9]+)+(?![0-9A-Za-z])|[0-9A-Za-z]+")
+
+# UAX#9 L4 bracket mirroring under a simplified N0 (r8, VERDICT r7
+# next #6): on this ASCII bidi domain every paired bracket resolves
+# to the R embedding level (brackets are never inside an LTR run), so
+# a visual-order writer stores the MIRRORED glyph and the
+# reading-order restoration swaps it back. The swap is a per-char
+# involution on non-run characters only, so it commutes with both
+# full-line reversal and per-run reversal — the g∘f∘g∘f = id
+# round-trip argument is unchanged with g' = swap∘g (t54 sweep
+# extended to the bracket alphabet). Full N0 (a pair enclosing
+# pure-LTR content resolves L and is NOT mirrored, BD16 pair
+# matching) is documented out of scope: it breaks the
+# reversal-invariant regex segmentation and the oracle can't catch
+# run-class bugs, so each such extension needs its own hand-pinnable
+# golden. layout="rtl" stays mirror-less by pinned policy (pure-RTL
+# tier; its goldens pre-date mirroring and its generator emits no
+# brackets).
+_BIDI_MIRROR = str.maketrans("()[]{}<>", ")(][}{><")
 
 
 def _reverse_ltr_runs(s: str) -> str:

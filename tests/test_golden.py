@@ -816,9 +816,9 @@ def test_bidi_mixed_runs_readback():
                                  text_to_pdf_bidi, wrap_words)
     from pdfspark.kernel.layout import _reverse_ltr_runs, reading_order_text
 
-    text = ("numbers like 2026 and 3.14 and latin tokens must stay "
+    text = ("numbers like 2026 and (3.14) and latin tokens must stay "
             "readable inside right to left paragraph flow for every "
-            "line even at 12:30 or 9/11 or 1.2.3 but not 7b.5")
+            "line even at 12:30 or [9/11] or 1.2.3 but not 7b.5")
     mixed = text.translate(_ASCII_TO_HEB_BIDI)
     # the fixture genuinely mixes: multi-char LTR runs exist mid-word
     import re as _re
@@ -828,10 +828,13 @@ def test_bidi_mixed_runs_readback():
     r = extract_text(text_to_pdf_bidi(text, meta_id=7), positions=True)
     assert r.error is None
     assert reading_order_text(r, layout="bidi") == mixed
-    # rtl alone is NOT enough: LTR runs come back reversed
+    # rtl alone is NOT enough: LTR runs come back reversed and (r8)
+    # brackets come back mirrored — only bidi's swap+restore fixes both
+    from pdfspark.kernel.layout import _BIDI_MIRROR as _MIR
+
     rtl = reading_order_text(r, layout="rtl")
     assert rtl != mixed
-    assert _reverse_ltr_runs(rtl) == mixed
+    assert _reverse_ltr_runs(rtl.translate(_MIR)) == mixed
     # hand-pinned semantics (not the shared-helper tautology): the
     # logical line "אב 12 cd" renders visually as "cd 12 בא" — token
     # order reversed, LTR runs intact — and the mirror assembly of
@@ -853,23 +856,55 @@ def test_bidi_mixed_runs_readback():
     assert _reverse_ltr_runs("1.2.3") == "3.2.1"
     assert _reverse_ltr_runs("12:30") == "03:21"
     assert _reverse_ltr_runs("9/11") == "11/9"
+    # UAX#9 L4 bracket mirroring (r8, hand-pinned): a visual-order
+    # writer stores the MIRRORED glyph for R-level brackets, so the
+    # logical "אב (12) cd" renders visually "cd (12) בא" — the swap
+    # puts the OPEN shape back on the visually-left side — and the
+    # mirror assembly's "אב )21( dc" restores the logical line once
+    # brackets swap back and LTR runs re-reverse
+    from pdfspark.docgen import _BIDI_MIRROR_GEN
+    from pdfspark.kernel.layout import _BIDI_MIRROR
+
+    g = lambda s: _reverse_ltr_runs(s.translate(_BIDI_MIRROR))  # noqa: E731
+    f = lambda s: restore_ltr_runs(  # noqa: E731
+        s[::-1].translate(_BIDI_MIRROR_GEN))
+    assert f("אב (12) cd") == "cd (12) בא"
+    assert g("אב )21( dc") == "אב (12) cd"
+    # brackets around an RTL word mirror (the visually-left glyph
+    # must be the OPEN shape); around one LTR run the double swap is
+    # a fixpoint — exactly where simplified N0 equals full N0
+    assert f("[אב]") == "[בא]"          # visual form
+    assert g("]אב[") == "[אב]"          # g eats the mirror ASSEMBLY
+    assert f("[ab]") == "[ab]"
+    assert g("]ba[") == "[ab]"
+    assert f("see {12:30}") == "{12:30} see"
+    assert g("ees }03:21{") == "see {12:30}"
+    # both mirror copies are the SAME table (the twin invariant)
+    assert _BIDI_MIRROR == _BIDI_MIRROR_GEN
     # involution + round-trip identity hold on the worst-case alphabet
     # (block purity is reversal-invariant — this is the property the
-    # char-flanked variant of W4 would fail, e.g. on "1.2a.3")
+    # char-flanked variant of W4 would fail, e.g. on "1.2a.3");
+    # r8: brackets in the alphabet, g' = swap∘g stays an involution
+    # because the swap is a non-run-char involution that commutes
+    # with both reversals
     import random as _random
 
     _random.seed(54)
     for _ in range(2000):
-        s = "".join(_random.choice("ab12.,:/ ")
+        s = "".join(_random.choice("ab12.,:/ ()[]{}<>")
                     for _ in range(_random.randint(0, 14)))
-        assert _reverse_ltr_runs(_reverse_ltr_runs(s)) == s
-        assert _reverse_ltr_runs(
-            _reverse_ltr_runs(s[::-1])[::-1]) == s
+        assert g(g(s)) == s
+        assert g(g(s[::-1])[::-1]) == s
+        assert f(f(s)) == s
     assert _reverse_ltr_runs(_reverse_ltr_runs("1.2a.3")) == "1.2a.3"
-    # plain linearization is the visual form of every wrapped line
+    # plain linearization is the visual form of every wrapped line —
+    # and it genuinely contains MIRRORED brackets (the discriminating
+    # check a swap-less implementation fails)
     assert r.text == "\n".join(
-        restore_ltr_runs(line[::-1]) for line in wrap_words(mixed, 40))
+        restore_ltr_runs(line[::-1].translate(_BIDI_MIRROR_GEN))
+        for line in wrap_words(mixed, 40))
     assert r.text != mixed
+    assert "(" in mixed and ")" in mixed
     # pure-RTL lines (no ASCII-alnum): bidi degrades to rtl exactly
     pure = "abc def ghi"  # translit → all-Hebrew
     from pdfspark.docgen import text_to_pdf_rtl
