@@ -544,3 +544,34 @@ def test_band_index_live_view_plan_shape(spark, tmp_path):
     plan = plan_of(decisions)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_gram_index_live_view_plan_shape(spark, tmp_path):
+    """read_gram_index (r8) must stay scale-correct: the takedown
+    subtraction is ONE first_doc=doc_id LeftAnti EQUI-join against
+    the tiny tombstone list (broadcast in practice) and the
+    corpus-sized index side pays NO aggregation on the read path —
+    live-provenance rows made the per-digest canonical-resolution
+    groupBy unnecessary (the full-index distinct happens only in
+    compact_gram_index, at compaction cadence)."""
+    from pdfspark.streaming import read_gram_index
+
+    idx = str(tmp_path / "gidx")
+    rows = spark.createDataFrame(
+        [(f"h{i}", i % 7) for i in range(40)],
+        "h string, first_doc long")
+    rows.filter("first_doc < 4").write.parquet(f"{idx}/base")
+    rows.filter("first_doc >= 4").write.parquet(f"{idx}/batch_id=0")
+    spark.createDataFrame([(2,), (5,)], "doc_id long").write.parquet(
+        f"{idx}/tombstones/batch_id=0")
+
+    live = read_gram_index(spark, idx)
+    plan = plan_of(live)
+    assert plan.count("LeftAnti") == 1, plan
+    # the 100-TB pin: zero aggregation keyed on the DIGEST anywhere —
+    # the only HashAggregate is the tombstone-side doc_id distinct
+    # (the tiny build side of the broadcast anti-join); base+delta
+    # union collapses into one multi-path FileScan
+    assert "HashAggregate(keys=[h" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

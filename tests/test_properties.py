@@ -414,6 +414,8 @@ def test_r6_layout_surfaces_survive_mutated_pdfs(data):
         text_to_pdf_rtl(text, 3),
         text_to_pdf_vertical(text, 4),
         text_to_pdf_bidi(text, 7),
+        # r8: mirrored-bracket shows under mutation (L4 swap path)
+        text_to_pdf_bidi("mix (3.14) and [ok] {12:30} <tag> end", 9),
     ]
     buf = bytearray(data.draw(st.sampled_from(bases)))
     for _ in range(data.draw(st.integers(1, 8))):

@@ -1757,3 +1757,64 @@ def test_gram_index_takedown_stream_lifecycle(spark, tmp_path):
              for r in spark.read.parquet(out_c).collect()}
     assert got_c[200] == ("e1 e2 e3 e4 e5", len(dead.split(" ")))
     assert got_c[201] == ("f1 f2 f3 f4 f5", len(live.split(" ")))
+
+
+def test_gram_index_read_matches_bruteforce_randomized(spark, tmp_path):
+    """Randomized pin of read_gram_index/compact_gram_index semantics
+    (r8): over random (h, first_doc) rows split across base + several
+    increments with random doc_id tombstones, the live view must
+    equal the brute-force set {rows whose first_doc is not
+    tombstoned} restricted to base ∪ {batch_id < k} when draining,
+    and compaction must equal the distinct live rows with no
+    tombstones subdir in the new generation."""
+    import os as _os
+    import random as _random
+
+    from pdfspark.streaming import compact_gram_index, read_gram_index
+
+    rnd = _random.Random(88)
+    for case in range(3):
+        idx = str(tmp_path / f"ridx{case}")
+        _os.makedirs(idx)
+        rows = [(f"h{rnd.randrange(12)}", rnd.randrange(8))
+                for _ in range(rnd.randrange(5, 25))]
+        n_inc = rnd.randrange(1, 4)
+        base_rows = rows[: len(rows) // 2]
+        inc_rows = rows[len(rows) // 2:]
+        if base_rows:
+            spark.createDataFrame(base_rows, "h string, first_doc long") \
+                .write.parquet(f"{idx}/base")
+        chunks = [inc_rows[i::n_inc] for i in range(n_inc)]
+        for k, chunk in enumerate(chunks):
+            spark.createDataFrame(chunk or [("hx", 999)],
+                                  "h string, first_doc long") \
+                .write.parquet(f"{idx}/batch_id={k}")
+            if not chunk:
+                chunks[k] = [("hx", 999)]
+        tombs = sorted({rnd.randrange(8) for _ in range(rnd.randrange(4))})
+        if tombs:
+            spark.createDataFrame([(t,) for t in tombs], "doc_id long") \
+                .write.parquet(f"{idx}/tombstones/batch_id=0")
+
+        def brute(upto=None):
+            live = list(base_rows)
+            for k, chunk in enumerate(chunks):
+                if upto is None or k < upto:
+                    live += chunk
+            return {(h, fd) for h, fd in live if fd not in set(tombs)}
+
+        got = {(r.h, r.first_doc)
+               for r in read_gram_index(spark, idx).collect()}
+        assert got == brute(), (case, tombs)
+        for k in range(n_inc + 1):
+            got_k = {(r.h, r.first_doc)
+                     for r in read_gram_index(spark, idx,
+                                              before_batch=k).collect()}
+            assert got_k == brute(upto=k), (case, k, tombs)
+        out = str(tmp_path / f"rgen{case}")
+        n = compact_gram_index(spark, idx, out)
+        assert n == len(brute())
+        folded = {(r.h, r.first_doc)
+                  for r in spark.read.parquet(f"{out}/base").collect()}
+        assert folded == brute()
+        assert not _os.path.isdir(f"{out}/tombstones")
