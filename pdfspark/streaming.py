@@ -1312,7 +1312,10 @@ def run_band_tombstone_stream_once(
     tombstoned hist_ids (read_band_index) and compaction makes the
     subtraction physical.  A doc must stop matching the moment its
     tombstone lands: otherwise a fresh crawl of a taken-down page
-    would be dropped as a dup of history that no longer exists."""
+    would be dropped as a dup of history that no longer exists.
+    Same cadence contract as the gram family: land tombstones
+    between decision drains — tombstone reads are not k<N-gated, so
+    a mid-drain takedown changes what a replayed batch decides."""
 
     def entomb(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.select("hist_id").distinct().write.mode(
@@ -1421,7 +1424,15 @@ def run_gram_tombstone_stream_once(
     excised every non-keeper copy from the corpus text, so the keeper
     is the ONLY live occurrence — once it is taken down the gram no
     longer exists in the corpus and a fresh crawl of that content
-    must be kept, not excised."""
+    must be kept, not excised.
+
+    Cadence contract: run takedowns BETWEEN keep-first drains (same
+    rule as compaction).  Tombstone reads are deliberately NOT
+    k<N-gated (a takedown must apply to ALL history the moment it
+    lands), so a tombstone landing mid-drain would make a replayed
+    batch excise less than its first attempt — the batch_id=N
+    overwrite keeps the sink consistent, but drain==batch holds only
+    when the tombstone set is fixed for the whole drain."""
 
     def entomb(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.select("doc_id").distinct().write.mode(
