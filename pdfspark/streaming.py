@@ -978,6 +978,184 @@ def ivf_assign_stream(embs: DataFrame, seeds) -> DataFrame:
     ).select("vec_id", ivf_assign_expr(seeds))
 
 
+# ------------------------------------------- IVF index maintenance (r8)
+# The third index family (after the minhash band index and the
+# keep-first gram index): a maintained ANN index over a growing
+# embedding corpus. Same lifecycle grammar — append/tombstone streams
+# land immutable exactly-once subpaths, a live view composes
+# base ∪ delta − tombstones, generational compaction folds and
+# re-buckets. Rows are (vec_id, cell, qv): the quantized vector is
+# STORED in the index so per-cell search never joins back to the raw
+# corpus.
+
+_IVF_INDEX_SCHEMA = ("vec_id long, cell long, qv array<long>")
+
+
+def build_ivf_index(embs: DataFrame, seeds) -> DataFrame:
+    """(vec_id, cell, qv) index rows from a (vec_id, embedding)
+    corpus: pinned ×1000 quantization + map-side nearest-centroid
+    assignment (no join, no shuffle). ONE implementation for the
+    batch build and the append stream — the cell assignment must
+    never fork from ivf_assign_stream's."""
+    return embs.select(
+        "vec_id", quantize_embedding_col("embedding")
+    ).select("vec_id", ivf_assign_expr(seeds), "qv")
+
+
+def run_ivf_index_append_stream_once(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    seeds,
+    timeout_s: Optional[int] = 120,
+) -> bool:
+    """ANN-index maintenance, append side: admitted (vec_id,
+    embedding) rows → (vec_id, cell, qv) deltas under
+    ``index_dir/delta/batch_id=N``, exactly-once by the
+    subpath+overwrite contract. Assignment is map-side per batch —
+    the stream carries no state and no shuffle; compaction (not the
+    crawl) pays the cell re-bucketing."""
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        build_ivf_index(batch_df, seeds).write.mode("overwrite").parquet(
+            f"{index_dir}/delta/batch_id={batch_id}"
+        )
+
+    embs = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = (
+        embs.writeStream.foreachBatch(append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        return q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+
+
+def run_ivf_tombstone_stream_once(
+    spark: SparkSession,
+    dels_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    timeout_s: Optional[int] = 120,
+) -> bool:
+    """ANN-index maintenance, delete side: a (vec_id) takedown stream
+    → tombstone rows under ``index_dir/tombstones/batch_id=N``. Index
+    rows are immutable; read_ivf_index subtracts tombstoned vec_ids
+    and compaction makes the subtraction physical. A taken-down
+    vector must stop being retrievable the moment its tombstone lands
+    (similarity search over removed content is itself a takedown
+    violation). Same cadence contract as the other families: land
+    tombstones between search/append drains."""
+
+    def entomb(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select("vec_id").distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/tombstones/batch_id={batch_id}")
+
+    dels = (
+        spark.readStream.schema("vec_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dels_dir)
+    )
+    q = (
+        dels.writeStream.foreachBatch(entomb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        return q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+
+
+def read_ivf_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Live view of a maintained IVF index: ``base`` ∪ ``delta/*``
+    minus tombstoned vec_ids — (vec_id, cell, qv) rows, the exact
+    shape ivf_topk_decisions consumes. The subtraction is one
+    vec_id LeftAnti EQUI-join (tombstones broadcast in practice);
+    the base stays cell-bucketed from the last compaction."""
+    parts = []
+    base = os.path.join(index_dir, "base")
+    delta = os.path.join(index_dir, "delta")
+    if os.path.isdir(base):
+        parts.append(spark.read.parquet(base))
+    if os.path.isdir(delta) and os.listdir(delta):
+        parts.append(spark.read.parquet(delta)
+                     .select("vec_id", "cell", "qv"))
+    if not parts:
+        return spark.createDataFrame([], _IVF_INDEX_SCHEMA)
+    idx = parts[0].select("vec_id", "cell", "qv")
+    for p in parts[1:]:
+        idx = idx.unionByName(p)
+    tomb = os.path.join(index_dir, "tombstones")
+    if os.path.isdir(tomb) and os.listdir(tomb):
+        dels = spark.read.parquet(tomb).select(
+            F.col("vec_id").alias("dead_id")).distinct()
+        idx = idx.join(
+            dels, idx["vec_id"] == dels["dead_id"], "left_anti"
+        )
+    return idx
+
+
+def compact_ivf_index(spark: SparkSession, index_dir: str,
+                      out_dir: str, nparts: Optional[int] = None) -> int:
+    """Fold base ∪ deltas − tombstones into a fresh cell-bucketed
+    base generation at ``out_dir/base`` and return its row count.
+    Repartitioning by cell co-locates per-cell search after
+    compaction (the read path itself never shuffles the index);
+    tombstone subtraction turns physical and ``out_dir`` starts with
+    no tombstones subdir. Never compacts in place — pointer swap
+    after success, same as the other two families."""
+    live = read_ivf_index(spark, index_dir)
+    nparts = nparts or _shuffle_nparts(spark)
+    live.repartition(nparts, "cell").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "base")
+    )
+    return spark.read.parquet(os.path.join(out_dir, "base")).count()
+
+
+def ivf_topk_decisions(query_embs: DataFrame, live_index: DataFrame,
+                       seeds, k: int = 1) -> DataFrame:
+    """Top-k most-similar index vectors (integer dot product over the
+    pinned ×1000 quantization) within each query's IVF cell, against
+    a MAINTAINED index view. Scale shape: query assignment is
+    map-side; candidates come from ONE cell equi-join (bucketed,
+    never all-pairs — the ann_ivf_bucketed contract); ranking is a
+    per-query window over the bounded candidate set. Ties break to
+    the smaller vec_id. Returns (query_id, rank, vec_id, dot)."""
+    from pyspark.sql import Window
+
+    q = query_embs.select(
+        F.col("vec_id").alias("query_id"),
+        quantize_embedding_col("embedding"),
+    ).select(
+        "query_id", F.col("qv").alias("q_qv"), ivf_assign_expr(seeds)
+    )
+    cand = q.join(
+        live_index.withColumnRenamed("qv", "v_qv"), "cell"
+    ).select(
+        "query_id", "vec_id",
+        F.aggregate(
+            F.zip_with("q_qv", "v_qv", lambda a, b: a * b),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        ).alias("dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("vec_id"))
+    return cand.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= k)
+
+
 # --------------------------------------- stream substring excision vs index
 
 def gram_hash_grams(docs: DataFrame, n: int = 20) -> DataFrame:

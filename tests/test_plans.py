@@ -575,3 +575,42 @@ def test_gram_index_live_view_plan_shape(spark, tmp_path):
     assert "HashAggregate(keys=[h" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_index_live_view_and_search_plan_shape(spark, tmp_path):
+    """read_ivf_index + ivf_topk_decisions (r8) must stay
+    scale-correct: the tombstone subtraction is one vec_id LeftAnti
+    equi-join; query cell assignment is MAP-SIDE (no join for
+    assignment — the seed argmax is a column expression); candidate
+    formation is a cell equi-join, never a cartesian or nested loop;
+    the only window runs per-query over the bounded candidate set
+    (partitioned by query_id, never a single global partition)."""
+    from pdfspark.streaming import (build_ivf_index, ivf_topk_decisions,
+                                    read_ivf_index)
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .select("vec_id", "embedding").filter("vec_id < 40")
+    seeds = [
+        (r.vec_id, r.qv)
+        for r in embs.filter("vec_id < 8").selectExpr(
+            "vec_id",
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+            "*1000 + 0.5) AS BIGINT)) AS qv").collect()
+    ]
+    idx = str(tmp_path / "pvidx")
+    build_ivf_index(embs, seeds).write.parquet(f"{idx}/base")
+    spark.createDataFrame([(3,)], "vec_id long").write.parquet(
+        f"{idx}/tombstones/batch_id=0")
+
+    live = read_ivf_index(spark, idx)
+    plan = plan_of(live)
+    assert plan.count("LeftAnti") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    dec = ivf_topk_decisions(embs.filter("vec_id >= 30"), live, seeds)
+    plan = plan_of(dec)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan

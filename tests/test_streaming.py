@@ -1818,3 +1818,115 @@ def test_gram_index_read_matches_bruteforce_randomized(spark, tmp_path):
                   for r in spark.read.parquet(f"{out}/base").collect()}
         assert folded == brute()
         assert not _os.path.isdir(f"{out}/tombstones")
+
+
+def _ivf_seeds(spark, sf_dir="/root/testdata/sf0.001"):
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .createOrReplaceTempView("embeddings")
+    return [
+        (r.vec_id, r.qv)
+        for r in spark.sql(
+            "SELECT vec_id, transform(embedding, x -> CAST(FLOOR("
+            "CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv "
+            "FROM embeddings WHERE vec_id < 8 ORDER BY vec_id"
+        ).collect()
+    ]
+
+
+def test_ivf_index_maintenance_streams_and_compaction(spark, tmp_path):
+    """Third index family (r8): the IVF/ANN index follows the same
+    lifecycle grammar as the band and gram indexes — append stream
+    deltas compose with base through read_ivf_index exactly equal to
+    the batch build over the union; a fresh-checkpoint replay leaves
+    the view unchanged; a tombstone removes a vector from the view
+    immediately; compaction folds tombstones physically into a
+    cell-bucketed new generation."""
+    import os as _os
+
+    from pdfspark.streaming import (build_ivf_index, compact_ivf_index,
+                                    read_ivf_index,
+                                    run_ivf_index_append_stream_once,
+                                    run_ivf_tombstone_stream_once)
+
+    sf_dir = "/root/testdata/sf0.001"
+    seeds = _ivf_seeds(spark, sf_dir)
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding").filter("vec_id < 60")
+
+    def rows(df):
+        return {(r.vec_id, r.cell, tuple(r.qv)) for r in df.collect()}
+
+    expect = rows(build_ivf_index(embs, seeds))
+
+    in_dir = str(tmp_path / "vin")
+    idx = str(tmp_path / "vidx")
+    for i, pred in enumerate(["vec_id % 2 = 0", "vec_id % 2 = 1"]):
+        embs.filter(pred).coalesce(1).write.mode("append").parquet(in_dir)
+        newest = max(
+            (f for f in _os.listdir(in_dir) if f.endswith(".parquet")),
+            key=lambda f: _os.path.getmtime(_os.path.join(in_dir, f)))
+        _os.utime(_os.path.join(in_dir, newest),
+                  (1_700_000_000 + i, 1_700_000_000 + i))
+    assert run_ivf_index_append_stream_once(
+        spark, in_dir, idx, str(tmp_path / "vck"), seeds)
+    assert rows(read_ivf_index(spark, idx)) == expect
+
+    # fresh-checkpoint replay over the same dirs: view unchanged
+    assert run_ivf_index_append_stream_once(
+        spark, in_dir, idx, str(tmp_path / "vck2"), seeds)
+    assert rows(read_ivf_index(spark, idx)) == expect
+
+    # takedown: vec 20 stops being retrievable immediately
+    dels = str(tmp_path / "vdels")
+    spark.createDataFrame([(20,)], "vec_id long").coalesce(1) \
+        .write.parquet(dels)
+    assert run_ivf_tombstone_stream_once(
+        spark, dels, idx, str(tmp_path / "vckt"))
+    live = rows(read_ivf_index(spark, idx))
+    assert live == {t for t in expect if t[0] != 20}
+
+    # compaction folds the tombstone physically, cell-bucketed base
+    gen2 = str(tmp_path / "vgen2")
+    n = compact_ivf_index(spark, idx, gen2, nparts=4)
+    assert n == len(expect) - 1
+    assert not _os.path.isdir(f"{gen2}/tombstones")
+    assert rows(read_ivf_index(spark, gen2)) == live
+    # compaction fixpoint
+    gen3 = str(tmp_path / "vgen3")
+    assert compact_ivf_index(spark, gen2, gen3, nparts=4) == n
+
+
+def test_ivf_takedown_changes_search_decisions(spark, tmp_path):
+    """A tombstoned vector must vanish from similarity results the
+    moment its tombstone lands: the query's former top-1 (computed
+    from the live view itself, so deterministic by construction)
+    drops out and the former rank-2 becomes the new top-1."""
+    from pdfspark.streaming import (build_ivf_index, ivf_topk_decisions,
+                                    read_ivf_index)
+
+    sf_dir = "/root/testdata/sf0.001"
+    seeds = _ivf_seeds(spark, sf_dir)
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding").filter("vec_id < 120")
+    idx = str(tmp_path / "sidx")
+    build_ivf_index(embs, seeds).write.parquet(f"{idx}/base")
+    queries = embs.filter("vec_id >= 100 and vec_id < 103")
+
+    before = ivf_topk_decisions(
+        queries, read_ivf_index(spark, idx), seeds, k=2).collect()
+    by_q = {}
+    for r in before:
+        by_q.setdefault(r.query_id, {})[r.rank] = (r.vec_id, r.dot)
+    qid = sorted(by_q)[0]
+    top1, top2 = by_q[qid][1], by_q[qid][2]
+    assert top1[1] >= top2[1]
+
+    spark.createDataFrame([(top1[0],)], "vec_id long").write.parquet(
+        f"{idx}/tombstones/batch_id=0")
+    after = {
+        r.rank: (r.vec_id, r.dot)
+        for r in ivf_topk_decisions(
+            queries.filter(f"vec_id = {qid}"),
+            read_ivf_index(spark, idx), seeds, k=1).collect()
+    }
+    assert after[1] == top2
