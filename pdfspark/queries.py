@@ -1632,6 +1632,89 @@ def embedding_cosine_neardup(spark, sf_dir):
     )
 
 
+# Takedown-aware ANN over a MAINTAINED index (late r8, the batch face
+# of streaming.py's third index family — build_ivf_index /
+# run_ivf_tombstone_stream_once / read_ivf_index / ivf_topk_decisions):
+# after takedowns land, a compliance sweep asks, for every REMOVED
+# vector, which live index vectors remain most similar to it (residual
+# near-copies of taken-down content). Index = the full embeddings
+# table assigned to the pinned 8-seed IVF cells; takedowns = vec_id %
+# 7 == 0 (deterministic — includes seed ids 0 and 7, pinning that
+# CENTROIDS are geometry, not index membership: a seed's own takedown
+# never empties its cell); queries = exactly the taken-down vectors,
+# so no self-match exists by construction. Ranking is the integer dot
+# product over the pinned ×1000 quantization (exact in both engines),
+# ties to the smaller vec_id, k=2 per query. A query whose cell holds
+# no live vector drops out in both engines (inner cell join).
+_ANN_TAKEDOWN_DUCK = _V_DUCK + """
+, seeds AS (SELECT vec_id AS sid, qv AS sv FROM v WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, sid AS bucket FROM (
+    SELECT v.vec_id, s.sid,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY list_sum(list_transform(range(64),
+                          i -> v.qv[i+1]*s.sv[i+1])) DESC, s.sid) AS r
+    FROM v CROSS JOIN seeds s) t
+  WHERE r = 1),
+live AS (
+  SELECT a.vec_id, a.bucket, x.qv
+  FROM assign a JOIN v x USING (vec_id) WHERE a.vec_id % 7 <> 0),
+q AS (
+  SELECT a.vec_id AS query_id, a.bucket, x.qv AS query_v
+  FROM assign a JOIN v x USING (vec_id) WHERE a.vec_id % 7 = 0),
+cand AS (
+  SELECT q.query_id, l.vec_id,
+    CAST(list_sum(list_transform(range(64),
+                  i -> q.query_v[i+1]*l.qv[i+1])) AS BIGINT) AS dot
+  FROM q JOIN live l ON l.bucket = q.bucket)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor_id, dot
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY dot DESC, vec_id) AS rnk FROM cand) t
+WHERE rnk <= 2
+"""
+
+
+@register("ann_index_takedown", oracle=_ANN_TAKEDOWN_DUCK)
+def ann_index_takedown(spark, sf_dir):
+    """Residual-similarity sweep after takedowns on a maintained ANN
+    index: for each taken-down vector, the top-2 most-similar LIVE
+    index vectors (integer quantized dot, ties to smaller vec_id) —
+    the compliance query that finds remaining near-copies of removed
+    content. Runs the REAL maintained-index surface: build_ivf_index
+    (same map-side cell assignment the append stream lands),
+    subtract_ivf_tombstones (the read_ivf_index subtraction, one
+    vec_id LeftAnti equi-join), ivf_topk_decisions (one cell
+    equi-join, never all-pairs, per-query window over the bounded
+    candidate set).
+
+    100-TB shape: cell assignment is a pure column expression (no
+    join, no shuffle — seeds inline as a literal); the tombstone list
+    broadcasts; candidates form only WITHIN a cell whose size the
+    centroid count controls; the only window partitions by query_id.
+    The seed fetch is a BOUNDED driver collect (exactly 8 rows by
+    construction — centroids are config-sized, never corpus-sized)."""
+    from pdfspark.streaming import (build_ivf_index, ivf_topk_decisions,
+                                    subtract_ivf_tombstones)
+
+    _load(spark, sf_dir, "embeddings")
+    embs = spark.table("embeddings").select("vec_id", "embedding")
+    seeds = [
+        (r.sid, r.sv)
+        for r in spark.sql(
+            "SELECT vec_id AS sid, transform(embedding, x -> CAST(FLOOR("
+            "CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS sv "
+            "FROM embeddings WHERE vec_id < 8 ORDER BY sid"
+        ).collect()
+    ]
+    takedown = embs.select("vec_id").where(F.col("vec_id") % 7 == 0)
+    live = subtract_ivf_tombstones(build_ivf_index(embs, seeds), takedown)
+    out = ivf_topk_decisions(
+        embs.where(F.col("vec_id") % 7 == 0), live, seeds, k=2)
+    return out.select(
+        "query_id", F.col("rank").alias("rnk"),
+        F.col("vec_id").alias("neighbor_id"), "dot")
+
+
 # =========================================================================
 # Text analysis (documents)
 # =========================================================================
@@ -5475,13 +5558,18 @@ DRIVER_PRIORITY = [
     # cohort (CORRECTNESS_r06's 50 names; the other half is forced at
     # r9). The r7 window (50 green in CORRECTNESS_r07) cedes its
     # slots; it stays registered and locally oracle-gated at two SFs.
-    # The r8 registration dedup_gram_takedown (#126, VERDICT r7 next
-    # #4) leads the window (new registrations need a first verdict —
-    # r3 window rule) and displaces pdf_extract_stats from the fill
-    # into the r9 forced set.
+    # The r8 registrations dedup_gram_takedown (#126, VERDICT r7 next
+    # #4) and ann_index_takedown (#127, the batch face of the late-r8
+    # IVF index family) lead the window (new registrations need a
+    # first verdict — r3 window rule) and displace pdf_extract_stats
+    # and pdf_bidi_reading_order from the fill into the r9 forced set
+    # (both r6-green, age 2 at r8 — legal outside the window today,
+    # forced at r9; bidi's r8 bracket-mirroring change is
+    # output-neutral, see text_to_pdf_bidi's docstring).
     # r9 PLAN (keep rotation mechanical): the r9 FORCED set is the
     # alphabetical second half of the r6 cohort PLUS the displaced
-    # pdf_extract_stats (26 names, latest verdict r6) —
+    # pdf_extract_stats and pdf_bidi_reading_order (27 names, latest
+    # verdict r6) — pdf_bidi_reading_order,
     # pdf_extract_stats, pdf_magic_filter, pdf_rtl_reading_order, pdf_spans,
     # pdf_table_colspan, pdf_table_header_flag, pdf_table_multipage,
     # pdf_table_ragged, pdf_table_sparse, pdf_vertical_reading_order,
@@ -5491,12 +5579,13 @@ DRIVER_PRIORITY = [
     # text_lang_id, text_quality_score, text_winnowing_neardup,
     # top_orders_global, unpivot_order_year_counts,
     # url_blocklist_filter, window_running_sum, window_topk_per_group
-    # (age-3 at r9 unless checked) — fill r9's remaining slots from
+    # (age-3 at r9 unless checked) — fill r9's remaining 23 slots from
     # the r7 cohort (green in CORRECTNESS_r07, ages out at r10),
     # alphabetical first half, computed at r9 rotation time from
     # CORRECTNESS_r07/r08.
-    # -- late-r8 registration (no verdict yet — must sit in-window) --
+    # -- late-r8 registrations (no verdict yet — must sit in-window) --
     "dedup_gram_takedown",
+    "ann_index_takedown",
     # -- forced: the 25 r5-cohort leftovers (latest verdict r5) --
     "ann_numpy_ivf",
     "corpus_quality_filter",
@@ -5547,7 +5636,6 @@ DRIVER_PRIORITY = [
     "html_section_chunks",
     "html_table_cells",
     "html_table_spans",
-    "pdf_bidi_reading_order",
 ]
 
 

@@ -1098,12 +1098,18 @@ def read_ivf_index(spark: SparkSession, index_dir: str) -> DataFrame:
         idx = idx.unionByName(p)
     tomb = os.path.join(index_dir, "tombstones")
     if os.path.isdir(tomb) and os.listdir(tomb):
-        dels = spark.read.parquet(tomb).select(
-            F.col("vec_id").alias("dead_id")).distinct()
-        idx = idx.join(
-            dels, idx["vec_id"] == dels["dead_id"], "left_anti"
-        )
+        idx = subtract_ivf_tombstones(idx, spark.read.parquet(tomb))
     return idx
+
+
+def subtract_ivf_tombstones(idx: DataFrame, dels: DataFrame) -> DataFrame:
+    """Takedown subtraction shared by read_ivf_index (maintained-index
+    face) and queries.ann_index_takedown (batch face): drop every
+    index row whose vec_id appears in the (vec_id) takedown set — one
+    LeftAnti EQUI-join, tombstone side tiny and broadcast in practice.
+    ONE implementation so the two faces can never fork."""
+    dead = dels.select(F.col("vec_id").alias("dead_id")).distinct()
+    return idx.join(dead, idx["vec_id"] == dead["dead_id"], "left_anti")
 
 
 def compact_ivf_index(spark: SparkSession, index_dir: str,
