@@ -1015,7 +1015,11 @@ def run_ivf_index_append_stream_once(
     ``index_dir/delta/batch_id=N``, exactly-once by the
     subpath+overwrite contract. Assignment is map-side per batch —
     the stream carries no state and no shuffle; compaction (not the
-    crawl) pays the cell re-bucketing."""
+    crawl) pays the cell re-bucketing. Cross-drain cadence (same as
+    the band and gram families): a FRESH drain restarts batch ids at
+    0, so its deltas must land in the post-compaction generation dir
+    (pointer swap) — two fresh drains into the same dir would
+    overwrite each other's batch_id=N subpaths."""
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
         build_ivf_index(batch_df, seeds).write.mode("overwrite").parquet(

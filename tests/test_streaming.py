@@ -1930,3 +1930,86 @@ def test_ivf_takedown_changes_search_decisions(spark, tmp_path):
             read_ivf_index(spark, idx), seeds, k=1).collect()
     }
     assert after[1] == top2
+
+
+def test_ivf_index_cross_drain_and_search(spark, tmp_path):
+    """Cross-drain continuation for the IVF family (mirrors the gram
+    family's): drain A appends two micro-batches, a takedown lands,
+    compaction folds everything into a fresh cell-bucketed generation,
+    then drain B (NEW input dir, FRESH checkpoint, batch ids
+    restarting at 0) appends into the NEW generation — the final live
+    view must equal the batch build over all live vectors, and
+    ivf_topk_decisions over the maintained view must decide exactly
+    what it decides over a directly-built batch index of the same
+    live set.  Pins the cadence contract: fresh drains restart
+    batch_id at 0, so they target the post-compaction generation dir
+    (delta/batch_id=N subpaths would collide in the old one)."""
+    import os as _os
+
+    from pdfspark.streaming import (build_ivf_index, compact_ivf_index,
+                                    ivf_topk_decisions, read_ivf_index,
+                                    run_ivf_index_append_stream_once,
+                                    run_ivf_tombstone_stream_once)
+
+    sf_dir = "/root/testdata/sf0.001"
+    seeds = _ivf_seeds(spark, sf_dir)
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+
+    def rows(df):
+        return {(r.vec_id, r.cell, tuple(r.qv)) for r in df.collect()}
+
+    def feed(in_dir, preds, t0):
+        for i, pred in enumerate(preds):
+            embs.filter(pred).coalesce(1).write.mode("append") \
+                .parquet(in_dir)
+            newest = max(
+                (f for f in _os.listdir(in_dir) if f.endswith(".parquet")),
+                key=lambda f: _os.path.getmtime(_os.path.join(in_dir, f)))
+            _os.utime(_os.path.join(in_dir, newest), (t0 + i, t0 + i))
+
+    # drain A: vectors 0..39 across two micro-batches
+    in_a = str(tmp_path / "xina")
+    idx_a = str(tmp_path / "xidxa")
+    feed(in_a, ["vec_id < 40 and vec_id % 2 = 0",
+                "vec_id < 40 and vec_id % 2 = 1"], 1_700_000_000)
+    assert run_ivf_index_append_stream_once(
+        spark, in_a, idx_a, str(tmp_path / "xcka"), seeds)
+
+    # takedown of vector 10 between drains
+    dels = str(tmp_path / "xdels")
+    spark.createDataFrame([(10,)], "vec_id long").coalesce(1) \
+        .write.parquet(dels)
+    assert run_ivf_tombstone_stream_once(
+        spark, dels, idx_a, str(tmp_path / "xckt"))
+
+    # between-drain maintenance: fold into a fresh generation
+    idx_b = str(tmp_path / "xidxb")
+    n = compact_ivf_index(spark, idx_a, idx_b, nparts=4)
+    assert n == 39
+    assert not _os.path.isdir(f"{idx_b}/tombstones")
+
+    # drain B: vectors 40..79, fresh checkpoint, batch ids restart at
+    # 0 — lands delta/batch_id=0 in the NEW generation (no collision)
+    in_b = str(tmp_path / "xinb")
+    feed(in_b, ["vec_id >= 40 and vec_id < 80"], 1_800_000_000)
+    assert run_ivf_index_append_stream_once(
+        spark, in_b, idx_b, str(tmp_path / "xckb"), seeds)
+    assert _os.path.isdir(f"{idx_b}/delta/batch_id=0")
+
+    live_batch = build_ivf_index(
+        embs.filter("vec_id < 80 and vec_id <> 10"), seeds)
+    view = read_ivf_index(spark, idx_b)
+    assert rows(view) == rows(live_batch)
+
+    # search over the maintained view == search over the batch index
+    queries = embs.filter("vec_id >= 100 and vec_id < 105")
+
+    def decisions(idx):
+        return {(r.query_id, r.rank, r.vec_id, r.dot)
+                for r in ivf_topk_decisions(queries, idx, seeds,
+                                             k=3).collect()}
+
+    assert decisions(view) == decisions(live_batch)
+    # vector 10 is unretrievable through the maintained view
+    assert all(t[2] != 10 for t in decisions(view))
