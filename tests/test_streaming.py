@@ -2013,3 +2013,60 @@ def test_ivf_index_cross_drain_and_search(spark, tmp_path):
     assert decisions(view) == decisions(live_batch)
     # vector 10 is unretrievable through the maintained view
     assert all(t[2] != 10 for t in decisions(view))
+
+
+def test_ivf_index_live_view_edge_shapes(spark, tmp_path):
+    """read_ivf_index composition edges the lifecycle test skips
+    (parity with the band family's edge test): delta-only (no base),
+    base-only with tombstones naming unknown vec_ids (no-ops), ALL
+    vectors tombstoned (empty view; compaction of it is an empty base
+    generation), and a completely empty index dir (empty frame,
+    correct schema — ivf_topk_decisions joins against it without
+    special-casing and returns zero decisions)."""
+    import os as _os
+
+    from pdfspark.streaming import (build_ivf_index, compact_ivf_index,
+                                    ivf_topk_decisions, read_ivf_index)
+
+    sf_dir = "/root/testdata/sf0.001"
+    seeds = _ivf_seeds(spark, sf_dir)
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding").filter("vec_id < 20")
+    idx = build_ivf_index(embs, seeds)
+    expected = {(r.vec_id, r.cell, tuple(r.qv)) for r in idx.collect()}
+
+    # empty index dir: correct schema, searchable, zero decisions
+    empty = str(tmp_path / "vempty")
+    _os.makedirs(empty)
+    view = read_ivf_index(spark, empty)
+    assert view.count() == 0
+    assert [f.name for f in view.schema.fields] == ["vec_id", "cell",
+                                                    "qv"]
+    assert ivf_topk_decisions(
+        embs.filter("vec_id < 3"), view, seeds, k=2).count() == 0
+
+    # delta-only (streams ran before any compaction ever happened)
+    donly = str(tmp_path / "vdonly")
+    idx.filter("vec_id < 10").write.parquet(f"{donly}/delta/batch_id=0")
+    idx.filter("vec_id >= 10").write.parquet(f"{donly}/delta/batch_id=1")
+    got = {(r.vec_id, r.cell, tuple(r.qv))
+           for r in read_ivf_index(spark, donly).collect()}
+    assert got == expected
+
+    # base-only + tombstones of unknown vec_ids = identity
+    bonly = str(tmp_path / "vbonly")
+    idx.write.parquet(f"{bonly}/base")
+    spark.createDataFrame([(999_999,), (-5,)], "vec_id long") \
+        .write.parquet(f"{bonly}/tombstones/batch_id=0")
+    got = {(r.vec_id, r.cell, tuple(r.qv))
+           for r in read_ivf_index(spark, bonly).collect()}
+    assert got == expected
+
+    # everything tombstoned → empty view; compaction is an empty base
+    dead = str(tmp_path / "vdead")
+    idx.write.parquet(f"{dead}/base")
+    embs.select("vec_id").write.parquet(f"{dead}/tombstones/batch_id=0")
+    assert read_ivf_index(spark, dead).count() == 0
+    gen2 = str(tmp_path / "vdeadg2")
+    assert compact_ivf_index(spark, dead, gen2, nparts=2) == 0
+    assert read_ivf_index(spark, gen2).count() == 0
