@@ -1166,6 +1166,54 @@ def ivf_topk_decisions(query_embs: DataFrame, live_index: DataFrame,
     ).where(F.col("rank") <= k)
 
 
+def run_ivf_search_stream_once(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    seeds,
+    k: int = 1,
+    timeout_s: Optional[int] = 120,
+) -> bool:
+    """Stream-side similarity search vs the maintained IVF index
+    (the query face of the third index family, mirroring
+    run_minhash_stream_dedup_once's stream-static topology): drain a
+    (vec_id, embedding) query stream, searching each micro-batch via
+    foreachBatch against the STATIC live view — read_ivf_index
+    composed ONCE and cached, because the index never changes
+    mid-drain (appends and takedowns land between drains, the family
+    cadence contract). Zero state store, zero per-batch index reads.
+    Sink is EXACTLY-ONCE: each batch's (query_id, rank, vec_id, dot)
+    decisions land in their own ``batch_id=N`` subpath with
+    mode("overwrite"), so a replayed batch overwrites its own partial
+    output. The drained union must equal ivf_topk_decisions over the
+    same live view (test-pinned drain equivalence)."""
+    live = read_ivf_index(spark, index_dir).persist()
+    live.count()  # materialize the cache before the first batch
+
+    def search(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_topk_decisions(batch_df, live, seeds, k=k).write.mode(
+            "overwrite"
+        ).parquet(f"{output_dir}/batch_id={batch_id}")
+
+    queries = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = (
+        queries.writeStream.foreachBatch(search)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        return q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+
+
 # --------------------------------------- stream substring excision vs index
 
 def gram_hash_grams(docs: DataFrame, n: int = 20) -> DataFrame:

@@ -2070,3 +2070,60 @@ def test_ivf_index_live_view_edge_shapes(spark, tmp_path):
     gen2 = str(tmp_path / "vdeadg2")
     assert compact_ivf_index(spark, dead, gen2, nparts=2) == 0
     assert read_ivf_index(spark, gen2).count() == 0
+
+
+def test_ivf_search_stream_drain_equals_batch(spark, tmp_path):
+    """Query face of the IVF family: a drained (vec_id, embedding)
+    query stream searched per micro-batch against the cached live
+    view must union to exactly ivf_topk_decisions over the same view
+    (drain == batch), takedowns already applied; a fresh-checkpoint
+    replay overwrites its own batch_id=N subpaths and leaves the
+    union unchanged (exactly-once sink)."""
+    import os as _os
+
+    from pdfspark.streaming import (build_ivf_index, ivf_topk_decisions,
+                                    read_ivf_index,
+                                    run_ivf_search_stream_once)
+
+    sf_dir = "/root/testdata/sf0.001"
+    seeds = _ivf_seeds(spark, sf_dir)
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+
+    idx = str(tmp_path / "qidx")
+    build_ivf_index(embs.filter("vec_id < 90"), seeds) \
+        .write.parquet(f"{idx}/base")
+    spark.createDataFrame([(4,), (11,)], "vec_id long") \
+        .write.parquet(f"{idx}/tombstones/batch_id=0")
+
+    queries = embs.filter("vec_id >= 100 and vec_id < 110")
+    in_dir = str(tmp_path / "qin")
+    for i, pred in enumerate(["vec_id < 105", "vec_id >= 105"]):
+        queries.filter(pred).coalesce(1).write.mode("append") \
+            .parquet(in_dir)
+        newest = max(
+            (f for f in _os.listdir(in_dir) if f.endswith(".parquet")),
+            key=lambda f: _os.path.getmtime(_os.path.join(in_dir, f)))
+        _os.utime(_os.path.join(in_dir, newest),
+                  (1_700_000_000 + i, 1_700_000_000 + i))
+
+    out = str(tmp_path / "qout")
+    assert run_ivf_search_stream_once(
+        spark, in_dir, idx, out, str(tmp_path / "qck"), seeds, k=2)
+
+    def rows(df):
+        return {(r.query_id, r.rank, r.vec_id, r.dot)
+                for r in df.collect()}
+
+    drained = rows(spark.read.parquet(out)
+                   .select("query_id", "rank", "vec_id", "dot"))
+    batch = rows(ivf_topk_decisions(
+        queries, read_ivf_index(spark, idx), seeds, k=2))
+    assert drained == batch
+    assert drained and all(t[2] not in (4, 11) for t in drained)
+
+    # fresh-checkpoint replay: same subpaths overwritten, union same
+    assert run_ivf_search_stream_once(
+        spark, in_dir, idx, out, str(tmp_path / "qck2"), seeds, k=2)
+    assert rows(spark.read.parquet(out)
+                .select("query_id", "rank", "vec_id", "dot")) == batch
