@@ -2127,3 +2127,24 @@ def test_ivf_search_stream_drain_equals_batch(spark, tmp_path):
         spark, in_dir, idx, out, str(tmp_path / "qck2"), seeds, k=2)
     assert rows(spark.read.parquet(out)
                 .select("query_id", "rank", "vec_id", "dot")) == batch
+
+
+def test_ivf_assign_expr_ties_and_negative_dots(spark):
+    """Crafted discriminators for the struct-sort argmax that real
+    embeddings never produce: duplicate seed vectors force an EXACT
+    dot tie, which must resolve to the SMALLER sid (matching the SQL
+    assign CTE's ORDER BY dot DESC, sid); all-negative dots pick the
+    least negative cell; a zero vector ties with every seed at dot 0
+    and lands in the smallest sid's cell."""
+    from pdfspark.streaming import ivf_assign_expr
+
+    seeds = [(3, [1, 0]), (5, [1, 0]), (9, [0, -1])]  # 3 and 5 equal
+    df = spark.createDataFrame(
+        [(1, [2, 0]),    # s3=2, s5=2 (tie), s9=0   -> cell 3
+         (2, [-4, 1]),   # s3=-4, s5=-4, s9=-1     -> cell 9
+         (3, [0, 0]),    # every dot 0             -> cell 3
+         (4, [0, -7])],  # s3=0, s5=0, s9=7        -> cell 9
+        "vec_id long, qv array<long>")
+    got = {(r.vec_id, r.cell)
+           for r in df.select("vec_id", ivf_assign_expr(seeds)).collect()}
+    assert got == {(1, 3), (2, 9), (3, 3), (4, 9)}
