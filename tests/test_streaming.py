@@ -2148,3 +2148,65 @@ def test_ivf_assign_expr_ties_and_negative_dots(spark):
     got = {(r.vec_id, r.cell)
            for r in df.select("vec_id", ivf_assign_expr(seeds)).collect()}
     assert got == {(1, 3), (2, 9), (3, 3), (4, 9)}
+
+
+def test_ivf_index_read_matches_bruteforce_randomized(spark, tmp_path):
+    """Randomized pin of read_ivf_index/compact_ivf_index semantics
+    (parity with the gram family's randomized pin): over random
+    (vec_id, cell, qv) rows split across base + several deltas with
+    random vec_id tombstones, the live view must equal the brute-force
+    set {rows whose vec_id is not tombstoned}, and compaction must
+    equal the live rows with no tombstones subdir and a fixpoint
+    second fold."""
+    import os as _os
+    import random as _random
+
+    from pdfspark.streaming import compact_ivf_index, read_ivf_index
+
+    rnd = _random.Random(127)
+    for case in range(3):
+        idx = str(tmp_path / f"vridx{case}")
+        _os.makedirs(idx)
+        n_rows = rnd.randrange(5, 25)
+        rows = [(vid, rnd.randrange(4),
+                 [rnd.randrange(-9, 10) for _ in range(3)])
+                for vid in rnd.sample(range(40), n_rows)]
+        n_deltas = rnd.randrange(0, 4)
+        base_rows = rows[: len(rows) // 2]
+        delta_rows = rows[len(rows) // 2:]
+        schema = "vec_id long, cell long, qv array<long>"
+        if base_rows:
+            spark.createDataFrame(base_rows, schema) \
+                .write.parquet(f"{idx}/base")
+        if n_deltas and delta_rows:
+            chunks = [delta_rows[i::n_deltas] for i in range(n_deltas)]
+            for k, chunk in enumerate(chunks):
+                spark.createDataFrame(chunk or [(999, 0, [0, 0, 0])],
+                                      schema) \
+                    .write.parquet(f"{idx}/delta/batch_id={k}")
+                if not chunk:
+                    delta_rows.append((999, 0, [0, 0, 0]))
+        else:
+            delta_rows = []
+        tombs = sorted({rnd.randrange(40)
+                        for _ in range(rnd.randrange(5))})
+        if tombs:
+            spark.createDataFrame([(t,) for t in tombs], "vec_id long") \
+                .write.parquet(f"{idx}/tombstones/batch_id=0")
+
+        def brute():
+            return {(v, c, tuple(q)) for v, c, q in base_rows + delta_rows
+                    if v not in set(tombs)}
+
+        got = {(r.vec_id, r.cell, tuple(r.qv))
+               for r in read_ivf_index(spark, idx).collect()}
+        assert got == brute(), (case, tombs)
+        out = str(tmp_path / f"vrgen{case}")
+        n = compact_ivf_index(spark, idx, out, nparts=2)
+        assert n == len(brute()), (case, tombs)
+        folded = {(r.vec_id, r.cell, tuple(r.qv))
+                  for r in spark.read.parquet(f"{out}/base").collect()}
+        assert folded == brute()
+        assert not _os.path.isdir(f"{out}/tombstones")
+        out2 = str(tmp_path / f"vrgen2{case}")
+        assert compact_ivf_index(spark, out, out2, nparts=2) == n
