@@ -1166,6 +1166,42 @@ def ivf_topk_decisions(query_embs: DataFrame, live_index: DataFrame,
     ).where(F.col("rank") <= k)
 
 
+def ivf_recenter_seeds(live_index: DataFrame, seeds) -> list:
+    """Centroid refresh at compaction cadence (one k-means-style step
+    over the live index): each cell's new centroid is the element-wise
+    mean of its LIVE quantized vectors, rounded back to integer
+    milli-units with the pinned FLOOR(x + 0.5) convention; a cell with
+    no live vectors keeps its old seed (stable geometry — cell ids
+    never reshuffle, so existing index rows stay valid until the next
+    full re-bucketing compaction chooses to reassign). Returns the
+    same [(sid, [int, …])] shape ivf_assign_expr consumes.
+
+    Scale shape: one posexplode + groupBy(cell, dim) partial-aggregated
+    mean — the result is centroids × dims rows (config-sized, never
+    corpus-sized), so the driver collect is bounded by construction."""
+    dim_means = (
+        live_index.select("cell", F.posexplode("qv").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(F.avg("x").alias("m"))
+        .select(
+            "cell", "dim",
+            F.expr("CAST(FLOOR(m + 0.5) AS BIGINT)").alias("q"),
+        )
+    )
+    by_cell = {}
+    # bounded collect: centroids × dims rows (e.g. 8 × 64), config-sized
+    for r in dim_means.collect():
+        by_cell.setdefault(r.cell, {})[r.dim] = r.q
+    out = []
+    for sid, sv in seeds:
+        dims = by_cell.get(int(sid))
+        if dims is None:
+            out.append((int(sid), [int(x) for x in sv]))
+        else:
+            out.append((int(sid), [dims[d] for d in sorted(dims)]))
+    return out
+
+
 def run_ivf_search_stream_once(
     spark: SparkSession,
     input_dir: str,

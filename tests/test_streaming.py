@@ -2210,3 +2210,37 @@ def test_ivf_index_read_matches_bruteforce_randomized(spark, tmp_path):
         assert not _os.path.isdir(f"{out}/tombstones")
         out2 = str(tmp_path / f"vrgen2{case}")
         assert compact_ivf_index(spark, out, out2, nparts=2) == n
+
+
+def test_ivf_recenter_seeds(spark):
+    """Centroid refresh: element-wise mean of each cell's live vectors
+    in pinned FLOOR(x+0.5) integer milli-units; an empty cell keeps
+    its old seed verbatim; output feeds straight back into
+    ivf_assign_expr (cells move toward their members: after
+    recentering on a hand case, each member's dot with its OWN new
+    centroid strictly beats the other cell's)."""
+    from pdfspark.streaming import ivf_assign_expr, ivf_recenter_seeds
+
+    seeds = [(0, [10, 0]), (1, [0, 10]), (2, [-10, -10])]
+    idx = spark.createDataFrame(
+        [(100, 0, [9, 1]), (101, 0, [4, 2]),   # cell 0: mean (6.5, 1.5)
+         (102, 1, [-1, 7])],                   # cell 1: exact (-1, 7)
+        "vec_id long, cell long, qv array<long>")
+    got = ivf_recenter_seeds(idx, seeds)
+    assert got == [(0, [7, 2]),    # floor(6.5+.5)=7, floor(1.5+.5)=2
+                   (1, [-1, 7]),
+                   (2, [-10, -10])]  # empty cell keeps its seed
+
+    # refreshed seeds drop straight into the assignment expression and
+    # keep each member in its own cell on this hand case
+    assign = {r.vec_id: r.cell for r in idx.select(
+        "vec_id", ivf_assign_expr(got)).collect()}
+    assert assign == {100: 0, 101: 0, 102: 1}
+
+    # negative-mean rounding follows the same convention:
+    # mean(-3, -4) = -3.5 -> floor(-3.0) = -3
+    idx2 = spark.createDataFrame(
+        [(1, 2, [-3, 0]), (2, 2, [-4, 1])],
+        "vec_id long, cell long, qv array<long>")
+    got2 = ivf_recenter_seeds(idx2, seeds)
+    assert got2[2] == (2, [-3, 1])  # floor(-3.5+.5), floor(0.5+.5)
