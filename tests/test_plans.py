@@ -614,3 +614,19 @@ def test_ivf_index_live_view_and_search_plan_shape(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_ann_index_takedown_plan_shape(spark):
+    """ann_index_takedown (#127, late r8): the registered query's full
+    plan keeps the maintained-index scale contract — the tombstone
+    subtraction is a LeftAnti EQUI-join, candidates form via the cell
+    equi-join (never a cartesian or nested loop), and the only window
+    partitions by query_id (never a single global partition)."""
+    from pdfspark.queries import QUERIES
+
+    plan = plan_of(QUERIES["ann_index_takedown"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
