@@ -5302,8 +5302,8 @@ def dedup_gram_takedown(spark, sf_dir):
     over 32-byte digests (min doc_id = canonical provenance); the
     takedown exclusion is a left-anti EQUI-join against a tiny
     tombstone list (broadcast in practice — never a full-index
-    shuffle at read cadence, see read_gram_index's cand/excl
-    two-step for the streaming variant); the batch probe joins on the
+    shuffle at read cadence; read_gram_index applies the identical
+    subtraction as one broadcast LeftAnti); the batch probe joins on the
     digest, covered slots fan out at most 20 rows per hit, and the
     rebuild shuffles once per doc_id. No driver collects."""
     from pdfspark.streaming import (gram_hash_grams,

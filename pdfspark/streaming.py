@@ -1043,6 +1043,45 @@ def run_ivf_index_append_stream_once(
         q.stop()
 
 
+def _run_tombstone_stream_once(
+    spark: SparkSession,
+    dels_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    timeout_s: Optional[int],
+) -> bool:
+    """Shared delete-side scaffold for all three index families: drain
+    a single-key takedown stream into distinct tombstone rows under
+    ``index_dir/tombstones/batch_id=N``, exactly-once by the
+    subpath+overwrite contract. The per-family wrappers own the
+    SEMANTIC docstrings (what a tombstone means differs per family —
+    hist_id rows vs keeper provenance vs bare vector identity); the
+    lifecycle mechanics live here exactly once so a fix to the shared
+    contract can never fork across families."""
+
+    def entomb(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(key_col).distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/tombstones/batch_id={batch_id}")
+
+    dels = (
+        spark.readStream.schema(f"{key_col} long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dels_dir)
+    )
+    q = (
+        dels.writeStream.foreachBatch(entomb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        return q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+
+
 def run_ivf_tombstone_stream_once(
     spark: SparkSession,
     dels_dir: str,
@@ -1057,28 +1096,20 @@ def run_ivf_tombstone_stream_once(
     vector must stop being retrievable the moment its tombstone lands
     (similarity search over removed content is itself a takedown
     violation). Same cadence contract as the other families: land
-    tombstones between search/append drains."""
+    tombstones between search/append drains.
 
-    def entomb(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.select("vec_id").distinct().write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/tombstones/batch_id={batch_id}")
-
-    dels = (
-        spark.readStream.schema("vec_id long")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(dels_dir)
-    )
-    q = (
-        dels.writeStream.foreachBatch(entomb)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        return q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
+    PINNED POLICY — tombstones key on the BARE vec_id, no provenance
+    (unlike the gram family's keeper rows): the subtraction matches
+    every generation's rows for that id, so a re-append of a
+    taken-down id BEFORE the next compaction stays dead, and that
+    compaction folds the id away entirely. Re-admission of a
+    taken-down identity is effective only when it lands AFTER the
+    compaction that folded its tombstone (production re-admission
+    therefore follows the between-drain compaction; both halves are
+    test-pinned). This is the right default for takedowns — an id,
+    once removed, must not resurrect by accident."""
+    return _run_tombstone_stream_once(
+        spark, dels_dir, index_dir, checkpoint_dir, "vec_id", timeout_s)
 
 
 def read_ivf_index(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -1248,6 +1279,7 @@ def run_ivf_search_stream_once(
         return q.awaitTermination(timeout_s)
     finally:
         q.stop()
+        live.unpersist(blocking=False)
 
 
 # --------------------------------------- stream substring excision vs index
@@ -1587,28 +1619,12 @@ def run_band_tombstone_stream_once(
     would be dropped as a dup of history that no longer exists.
     Same cadence contract as the gram family: land tombstones
     between decision drains — tombstone reads are not k<N-gated, so
-    a mid-drain takedown changes what a replayed batch decides."""
-
-    def entomb(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.select("hist_id").distinct().write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/tombstones/batch_id={batch_id}")
-
-    dels = (
-        spark.readStream.schema("hist_id long")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(dels_dir)
-    )
-    q = (
-        dels.writeStream.foreachBatch(entomb)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        return q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
+    a mid-drain takedown changes what a replayed batch decides.
+    Like the IVF family, tombstones key on the bare hist_id: a
+    re-admission of a taken-down id is effective only after the
+    compaction that folds its tombstone away."""
+    return _run_tombstone_stream_once(
+        spark, dels_dir, index_dir, checkpoint_dir, "hist_id", timeout_s)
 
 
 def read_band_index(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -1704,28 +1720,14 @@ def run_gram_tombstone_stream_once(
     lands), so a tombstone landing mid-drain would make a replayed
     batch excise less than its first attempt — the batch_id=N
     overwrite keeps the sink consistent, but drain==batch holds only
-    when the tombstone set is fixed for the whole drain."""
+    when the tombstone set is fixed for the whole drain.
 
-    def entomb(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.select("doc_id").distinct().write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/tombstones/batch_id={batch_id}")
-
-    dels = (
-        spark.readStream.schema("doc_id long")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(dels_dir)
-    )
-    q = (
-        dels.writeStream.foreachBatch(entomb)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        return q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
+    Unlike the bare-id band/IVF subtraction, gram tombstones kill
+    only rows whose PROVENANCE doc is the taken-down id — a kept
+    recrawl writes a fresh keeper row, so re-admission works without
+    waiting for compaction (the provenance design's whole point)."""
+    return _run_tombstone_stream_once(
+        spark, dels_dir, index_dir, checkpoint_dir, "doc_id", timeout_s)
 
 
 def read_gram_index(spark: SparkSession, index_dir: str,

@@ -2244,3 +2244,45 @@ def test_ivf_recenter_seeds(spark):
         "vec_id long, cell long, qv array<long>")
     got2 = ivf_recenter_seeds(idx2, seeds)
     assert got2[2] == (2, [-3, 1])  # floor(-3.5+.5), floor(0.5+.5)
+
+
+def test_ivf_tombstone_wins_until_compaction(spark, tmp_path):
+    """PINNED POLICY (review follow-up): IVF tombstones key on the
+    bare vec_id with no provenance, so (a) a re-append of a
+    taken-down id BEFORE compaction stays dead — the subtraction
+    matches every generation's rows for that id — and (b) the next
+    compaction folds the id away entirely; (c) re-admission is
+    effective only when it lands AFTER the compaction that folded the
+    tombstone. An id, once removed, never resurrects by accident."""
+    import os as _os
+
+    from pdfspark.streaming import (build_ivf_index, compact_ivf_index,
+                                    read_ivf_index)
+
+    sf_dir = "/root/testdata/sf0.001"
+    seeds = _ivf_seeds(spark, sf_dir)
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    idx = str(tmp_path / "tidx")
+    build_ivf_index(embs.filter("vec_id < 30"), seeds) \
+        .write.parquet(f"{idx}/base")
+    spark.createDataFrame([(20,)], "vec_id long") \
+        .write.parquet(f"{idx}/tombstones/batch_id=0")
+
+    # (a) re-append of id 20 into a delta while the tombstone is live:
+    # the new row is subtracted too — the id stays dead
+    build_ivf_index(embs.filter("vec_id = 20"), seeds) \
+        .write.parquet(f"{idx}/delta/batch_id=0")
+    ids = {r.vec_id for r in read_ivf_index(spark, idx).collect()}
+    assert 20 not in ids and len(ids) == 29
+
+    # (b) compaction in this state folds id 20 away entirely
+    gen2 = str(tmp_path / "tgen2")
+    assert compact_ivf_index(spark, idx, gen2, nparts=2) == 29
+    assert not _os.path.isdir(f"{gen2}/tombstones")
+
+    # (c) re-admission AFTER the folding compaction is effective
+    build_ivf_index(embs.filter("vec_id = 20"), seeds) \
+        .write.parquet(f"{gen2}/delta/batch_id=0")
+    ids2 = {r.vec_id for r in read_ivf_index(spark, gen2).collect()}
+    assert 20 in ids2 and len(ids2) == 30
