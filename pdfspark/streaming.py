@@ -472,6 +472,39 @@ def minhash_dedup_decisions(batch_docs: DataFrame,
     )
 
 
+def _drain_foreachbatch_once(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    on_batch,
+    checkpoint_dir: str,
+    timeout_s: Optional[int],
+) -> bool:
+    """Shared availableNow drain shell for every foreachBatch-sinked
+    maintenance/decision stream (review follow-up — ten verbatim
+    copies folded into one): one-file micro-batches from a parquet
+    directory, checkpointed source offsets, stream stopped on exit.
+    Callers own the per-batch body (each body writes its own
+    exactly-once ``batch_id=N`` subpath) and any cached-state
+    cleanup, so a fix to the drain contract lands everywhere at
+    once."""
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        return q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+
+
 def run_minhash_stream_dedup_once(
     spark: SparkSession,
     input_dir: str,
@@ -508,21 +541,11 @@ def run_minhash_stream_dedup_once(
             "overwrite"
         ).parquet(f"{output_dir}/batch_id={batch_id}")
 
-    docs = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(input_dir)
-    )
-    q = (
-        docs.writeStream.foreachBatch(decide)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        return q.awaitTermination(timeout_s)
+        return _drain_foreachbatch_once(
+            spark, input_dir, "doc_id long, text string", decide,
+            checkpoint_dir, timeout_s)
     finally:
-        q.stop()
         hist_sized.unpersist(blocking=False)
         index.unpersist(blocking=False)
 
@@ -1026,21 +1049,9 @@ def run_ivf_index_append_stream_once(
             f"{index_dir}/delta/batch_id={batch_id}"
         )
 
-    embs = (
-        spark.readStream.schema("vec_id long, embedding array<float>")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(input_dir)
-    )
-    q = (
-        embs.writeStream.foreachBatch(append)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        return q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
+    return _drain_foreachbatch_once(
+        spark, input_dir, "vec_id long, embedding array<float>", append,
+        checkpoint_dir, timeout_s)
 
 
 def _run_tombstone_stream_once(
@@ -1065,21 +1076,9 @@ def _run_tombstone_stream_once(
             "overwrite"
         ).parquet(f"{index_dir}/tombstones/batch_id={batch_id}")
 
-    dels = (
-        spark.readStream.schema(f"{key_col} long")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(dels_dir)
-    )
-    q = (
-        dels.writeStream.foreachBatch(entomb)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        return q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
+    return _drain_foreachbatch_once(
+        spark, dels_dir, f"{key_col} long", entomb,
+        checkpoint_dir, timeout_s)
 
 
 def run_ivf_tombstone_stream_once(
@@ -1264,21 +1263,11 @@ def run_ivf_search_stream_once(
             "overwrite"
         ).parquet(f"{output_dir}/batch_id={batch_id}")
 
-    queries = (
-        spark.readStream.schema("vec_id long, embedding array<float>")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(input_dir)
-    )
-    q = (
-        queries.writeStream.foreachBatch(search)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        return q.awaitTermination(timeout_s)
+        return _drain_foreachbatch_once(
+            spark, input_dir, "vec_id long, embedding array<float>",
+            search, checkpoint_dir, timeout_s)
     finally:
-        q.stop()
         live.unpersist(blocking=False)
 
 
@@ -1467,21 +1456,9 @@ def run_substring_keepfirst_stream_once(
         finally:
             hist.unpersist(blocking=False)
 
-    docs = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(input_dir)
-    )
-    q = (
-        docs.writeStream.foreachBatch(excise)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        return q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
+    return _drain_foreachbatch_once(
+        spark, input_dir, "doc_id long, text string", excise,
+        checkpoint_dir, timeout_s)
 
 
 def substring_excise_against_index(batch_docs: DataFrame,
@@ -1535,21 +1512,11 @@ def run_substring_excise_stream_once(
             "overwrite"
         ).parquet(f"{output_dir}/batch_id={batch_id}")
 
-    docs = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(input_dir)
-    )
-    q = (
-        docs.writeStream.foreachBatch(excise)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        return q.awaitTermination(timeout_s)
+        return _drain_foreachbatch_once(
+            spark, input_dir, "doc_id long, text string", excise,
+            checkpoint_dir, timeout_s)
     finally:
-        q.stop()
         index.unpersist(blocking=False)
 
 
@@ -1584,21 +1551,9 @@ def run_band_index_append_stream_once(
             f"{index_dir}/delta/batch_id={batch_id}"
         )
 
-    docs = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(input_dir)
-    )
-    q = (
-        docs.writeStream.foreachBatch(append)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        return q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
+    return _drain_foreachbatch_once(
+        spark, input_dir, "doc_id long, text string", append,
+        checkpoint_dir, timeout_s)
 
 
 def run_band_tombstone_stream_once(
