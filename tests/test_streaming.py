@@ -2286,3 +2286,157 @@ def test_ivf_tombstone_wins_until_compaction(spark, tmp_path):
         .write.parquet(f"{gen2}/delta/batch_id=0")
     ids2 = {r.vec_id for r in read_ivf_index(spark, gen2).collect()}
     assert 20 in ids2 and len(ids2) == 30
+
+
+def test_tri_family_takedown_cadence(spark, tmp_path):
+    """Capstone: ONE taken-down identity (doc/hist/vec 10) flows
+    through all three index families in the production cadence —
+    admit, index, takedown via each family's tombstone stream,
+    compact between drains, re-admit. Per-family semantics compose:
+    the band index stops matching the moment the tombstone lands (a
+    recrawl byte-copy is kept and becomes the new keeper); the gram
+    index stops excising recrawled content (the new crawl becomes
+    the digest's keeper); the IVF index makes the vector
+    unretrievable immediately and a post-compaction re-append is
+    searchable again."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from pdfspark.streaming import (
+        build_ivf_index, compact_band_index, compact_gram_index,
+        compact_ivf_index, ivf_topk_decisions, minhash_dedup_decisions,
+        read_band_index, read_gram_index, read_ivf_index,
+        run_band_index_append_stream_once, run_band_tombstone_stream_once,
+        run_gram_tombstone_stream_once, run_ivf_index_append_stream_once,
+        run_ivf_tombstone_stream_once, run_substring_keepfirst_stream_once)
+
+    passage = "the quick brown fox jumps"
+    t10 = f"aa1 aa2 aa3 aa4 {passage} aa5"
+    t11 = "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10"
+
+    def feed(path, rows, schema, t0=1_700_000_000):
+        for i, chunk in enumerate(rows):
+            spark.createDataFrame(chunk, schema).coalesce(1) \
+                .write.mode("append").parquet(path)
+            newest = max(
+                (f for f in _os.listdir(path) if f.endswith(".parquet")),
+                key=lambda f: _os.path.getmtime(_os.path.join(path, f)))
+            _os.utime(_os.path.join(path, newest), (t0 + i, t0 + i))
+
+    # ---- admit increment 1 (docs 10, 11) into all three families
+    idx_b = str(tmp_path / "fb1")
+    feed(str(tmp_path / "bin1"), [[(10, t10), (11, t11)]],
+         "doc_id long, text string")
+    assert run_band_index_append_stream_once(
+        spark, str(tmp_path / "bin1"), idx_b, str(tmp_path / "bck1"))
+
+    idx_g = str(tmp_path / "fg1")
+    feed(str(tmp_path / "gin1"), [[(10, t10), (11, t11)]],
+         "doc_id long, text string")
+    assert run_substring_keepfirst_stream_once(
+        spark, str(tmp_path / "gin1"), idx_g, str(tmp_path / "gout1"),
+        str(tmp_path / "gck1"), n=5)
+
+    idx_v = str(tmp_path / "fv1")
+    seeds = [(0, [1000, 0]), (1, [0, 1000])]
+    feed(str(tmp_path / "vin1"),
+         [[(10, [1.0, 0.0]), (11, [0.0, 1.0])]],
+         "vec_id long, embedding array<float>")
+    assert run_ivf_index_append_stream_once(
+        spark, str(tmp_path / "vin1"), idx_v, str(tmp_path / "vck1"),
+        seeds)
+
+    # ---- live behavior before the takedown
+    live_b = read_band_index(spark, idx_b).persist(); live_b.count()
+    d = {r.doc_id: (r.keep, r.dup_of) for r in minhash_dedup_decisions(
+        spark.createDataFrame([(20, t10)], "doc_id long, text string"),
+        live_b).collect()}
+    live_b.unpersist(blocking=False)
+    assert d[20] == (0, 10)                      # byte-copy dropped
+
+    idx_g2 = str(tmp_path / "fg2")               # compact between drains
+    compact_gram_index(spark, idx_g, idx_g2)
+    feed(str(tmp_path / "gin2"),
+         [[(21, f"bb1 bb2 bb3 bb4 {passage} bb5")]],
+         "doc_id long, text string")
+    assert run_substring_keepfirst_stream_once(
+        spark, str(tmp_path / "gin2"), idx_g2, str(tmp_path / "gout2"),
+        str(tmp_path / "gck2"), n=5)
+    out2 = {r.doc_id: (r.text, r.removed_words) for r in
+            spark.read.parquet(str(tmp_path / "gout2")).collect()}
+    assert out2[21] == ("bb1 bb2 bb3 bb4 bb5", 5)  # passage excised
+
+    queries = spark.createDataFrame([(100, [0.9, 0.1])],
+                                    "vec_id long, embedding array<float>")
+    top = ivf_topk_decisions(
+        queries, read_ivf_index(spark, idx_v), seeds, k=1).collect()
+    assert [(r.query_id, r.vec_id) for r in top] == [(100, 10)]
+
+    # ---- the SAME identity (10) is taken down across all three
+    feed(str(tmp_path / "bdel"), [[(10,)]], "hist_id long",
+         t0=1_800_000_000)
+    assert run_band_tombstone_stream_once(
+        spark, str(tmp_path / "bdel"), idx_b, str(tmp_path / "bckt"))
+    feed(str(tmp_path / "gdel"), [[(10,)]], "doc_id long",
+         t0=1_800_000_000)
+    assert run_gram_tombstone_stream_once(
+        spark, str(tmp_path / "gdel"), idx_g2, str(tmp_path / "gckt"))
+    feed(str(tmp_path / "vdel"), [[(10,)]], "vec_id long",
+         t0=1_800_000_000)
+    assert run_ivf_tombstone_stream_once(
+        spark, str(tmp_path / "vdel"), idx_v, str(tmp_path / "vckt"))
+
+    # immediate effects: recrawl kept; vector unretrievable
+    live_b = read_band_index(spark, idx_b).persist(); live_b.count()
+    d = {r.doc_id: r.keep for r in minhash_dedup_decisions(
+        spark.createDataFrame([(30, t10)], "doc_id long, text string"),
+        live_b).collect()}
+    live_b.unpersist(blocking=False)
+    assert d[30] == 1                            # history no longer dups
+    assert ivf_topk_decisions(
+        queries, read_ivf_index(spark, idx_v), seeds, k=1).count() == 0
+
+    # ---- compact all three between drains (tombstones fold away)
+    idx_b2 = str(tmp_path / "fb2")
+    compact_band_index(spark, idx_b, idx_b2, nparts=2)
+    idx_g3 = str(tmp_path / "fg3")
+    compact_gram_index(spark, idx_g2, idx_g3)
+    idx_v2 = str(tmp_path / "fv2")
+    compact_ivf_index(spark, idx_v, idx_v2, nparts=2)
+    for p in (idx_b2, idx_g3, idx_v2):
+        assert not _os.path.isdir(f"{p}/tombstones")
+
+    # ---- re-admission into the new generations
+    feed(str(tmp_path / "bin2"), [[(30, t10)]],
+         "doc_id long, text string", t0=1_900_000_000)
+    assert run_band_index_append_stream_once(
+        spark, str(tmp_path / "bin2"), idx_b2, str(tmp_path / "bck2"))
+    live_b = read_band_index(spark, idx_b2).persist(); live_b.count()
+    d = {r.doc_id: (r.keep, r.dup_of) for r in minhash_dedup_decisions(
+        spark.createDataFrame([(40, t10)], "doc_id long, text string"),
+        live_b).collect()}
+    live_b.unpersist(blocking=False)
+    assert d[40] == (0, 30)                      # 30 is the new keeper
+
+    feed(str(tmp_path / "gin3"),
+         [[(31, f"cc1 cc2 cc3 cc4 {passage} cc5")]],
+         "doc_id long, text string", t0=1_900_000_000)
+    assert run_substring_keepfirst_stream_once(
+        spark, str(tmp_path / "gin3"), idx_g3, str(tmp_path / "gout3"),
+        str(tmp_path / "gck3"), n=5)
+    out3 = {r.doc_id: (r.text, r.removed_words) for r in
+            spark.read.parquet(str(tmp_path / "gout3")).collect()}
+    assert out3[31] == (f"cc1 cc2 cc3 cc4 {passage} cc5", 0)  # KEPT
+    live_g = {(r.h, r.first_doc)
+              for r in read_gram_index(spark, idx_g3).collect()}
+    assert 31 in {fd for _, fd in live_g}        # 31 = new keeper
+
+    feed(str(tmp_path / "vin2"), [[(30, [1.0, 0.0])]],
+         "vec_id long, embedding array<float>", t0=1_900_000_000)
+    assert run_ivf_index_append_stream_once(
+        spark, str(tmp_path / "vin2"), idx_v2, str(tmp_path / "vck2"),
+        seeds)
+    top = ivf_topk_decisions(
+        queries, read_ivf_index(spark, idx_v2), seeds, k=1).collect()
+    assert [(r.query_id, r.vec_id) for r in top] == [(100, 30)]
