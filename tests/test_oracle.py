@@ -509,3 +509,24 @@ def test_r6_pairs_on_edge_corpus(spark, tmp_path):
                         == b[c].astype(str).values).all(), (name, c)
     finally:
         con.close()
+
+
+def test_ann_index_takedown_semantics(spark):
+    """Beyond parity: the takedown subtraction must BIND. The queries
+    are the taken-down vectors themselves, so without the tombstone
+    subtraction every query's rank-1 would be its own index row (the
+    self dot is that query's maximum over its own cell by
+    construction — it's in the cell it is nearest to). The registered
+    output must therefore never self-match, never surface ANY
+    taken-down id (retrieving removed content is the violation the
+    query exists to catch), and still find live neighbors for every
+    taken-down vector at this SF (no vacuously-empty cells)."""
+    df = QUERIES["ann_index_takedown"](spark, SF_DIR)
+    rows = df.collect()
+    assert rows
+    assert all(r.neighbor_id % 7 != 0 for r in rows)
+    assert all(r.neighbor_id != r.query_id for r in rows)
+    n_queries = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .where("vec_id % 7 = 0").count()
+    assert len({r.query_id for r in rows}) == n_queries
+    assert all(1 <= r.rnk <= 2 for r in rows)
