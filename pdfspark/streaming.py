@@ -1196,6 +1196,33 @@ def ivf_topk_decisions(query_embs: DataFrame, live_index: DataFrame,
     ).where(F.col("rank") <= k)
 
 
+def compact_ivf_index_recentered(
+    spark: SparkSession, index_dir: str, out_dir: str, seeds,
+    nparts: Optional[int] = None,
+):
+    """The full re-bucketing compaction ivf_recenter_seeds' docstring
+    defers to: refresh the centroids from the live view (one k-means
+    step), REASSIGN every live vector to its new argmax cell, and
+    write the re-bucketed base generation at ``out_dir/base``.
+    Returns (new_seeds, row_count) — the caller must search the new
+    generation with the returned seeds (cell ids keep their sids but
+    their geometry moved). Counters centroid drift after many append
+    drains without touching the crawl path: assignment cost is paid
+    here, at compaction cadence, never per-batch. Tombstones turn
+    physical exactly as in compact_ivf_index; ``out_dir`` starts with
+    no tombstones subdir."""
+    live = read_ivf_index(spark, index_dir)
+    new_seeds = ivf_recenter_seeds(live, seeds)
+    rebucketed = live.select("vec_id", "qv").select(
+        "vec_id", ivf_assign_expr(new_seeds), "qv")
+    nparts = nparts or _shuffle_nparts(spark)
+    rebucketed.repartition(nparts, "cell").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "base")
+    )
+    n = spark.read.parquet(os.path.join(out_dir, "base")).count()
+    return new_seeds, n
+
+
 def ivf_recenter_seeds(live_index: DataFrame, seeds) -> list:
     """Centroid refresh at compaction cadence (one k-means-style step
     over the live index): each cell's new centroid is the element-wise

@@ -2440,3 +2440,51 @@ def test_tri_family_takedown_cadence(spark, tmp_path):
     top = ivf_topk_decisions(
         queries, read_ivf_index(spark, idx_v2), seeds, k=1).collect()
     assert [(r.query_id, r.vec_id) for r in top] == [(100, 30)]
+
+
+def test_ivf_recentered_compaction(spark, tmp_path):
+    """compact_ivf_index_recentered: the new base must hold exactly
+    the live (non-tombstoned) vectors, each sitting in its argmax
+    cell under the REFRESHED centroids (consistency: re-running the
+    assignment expression over the new base changes nothing); row
+    counts match the plain compaction; tombstones turn physical; and
+    search over the new generation with the returned seeds works
+    end-to-end."""
+    import os as _os
+
+    from pdfspark.streaming import (build_ivf_index,
+                                    compact_ivf_index_recentered,
+                                    ivf_assign_expr, ivf_topk_decisions,
+                                    read_ivf_index)
+
+    sf_dir = "/root/testdata/sf0.001"
+    seeds = _ivf_seeds(spark, sf_dir)
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    idx = str(tmp_path / "rcidx")
+    build_ivf_index(embs.filter("vec_id < 200"), seeds) \
+        .write.parquet(f"{idx}/base")
+    spark.createDataFrame([(7,), (14,)], "vec_id long") \
+        .write.parquet(f"{idx}/tombstones/batch_id=0")
+
+    gen2 = str(tmp_path / "rcgen2")
+    new_seeds, n = compact_ivf_index_recentered(spark, idx, gen2, seeds)
+    assert n == 198
+    assert not _os.path.isdir(f"{gen2}/tombstones")
+    assert [s for s, _ in new_seeds] == [s for s, _ in seeds]
+    assert new_seeds != seeds  # centroids actually moved
+
+    base = spark.read.parquet(f"{gen2}/base")
+    ids = {r.vec_id for r in base.select("vec_id").collect()}
+    assert len(ids) == 198 and 7 not in ids and 14 not in ids
+    # every vector sits in its argmax cell under the new geometry
+    mismatch = base.select(
+        "vec_id", "cell", ivf_assign_expr(new_seeds).alias("re_cell")
+    ).where("cell <> re_cell").count()
+    assert mismatch == 0
+
+    # searching the new generation with the returned seeds works
+    top = ivf_topk_decisions(
+        embs.filter("vec_id >= 300 and vec_id < 303"),
+        read_ivf_index(spark, gen2), new_seeds, k=1)
+    assert top.count() == 3
