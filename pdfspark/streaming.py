@@ -736,6 +736,151 @@ def run_curation_stream_once(
         hist.unpersist(blocking=False)
 
 
+# --------------------------------------- digest-index maintenance (late r8)
+# The FOURTH index family — exact-dedup content digests, the index
+# curation_stream/dedup_new_pages consume but nothing maintained until
+# now. Rows are (digest, first_doc) KEEPER PROVENANCE, the gram
+# family's semantics at document granularity: a takedown of the keeper
+# must stop the digest from deduping (keep-first admitted only the
+# keeper; once it is removed the content no longer exists in the
+# corpus, so a fresh crawl of it must be KEPT), and a kept recrawl
+# re-enters the digest with itself as the new keeper.
+
+_DIGEST_INDEX_SCHEMA = "digest string, first_doc long"
+
+
+def build_digest_index(docs: DataFrame) -> DataFrame:
+    """(digest, first_doc) rows from a (doc_id, text) corpus treated
+    as already keep-first-deduped: one row per distinct content md5,
+    keeper = min doc_id. ONE implementation for the batch build and
+    the append stream's per-batch increments. Scale shape: map-side
+    combined groupBy over 32-hex digests — digest-only shuffle."""
+    return docs.select(
+        "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("digest")
+    ).groupBy("digest").agg(F.min("doc_id").alias("first_doc"))
+
+
+def run_digest_index_append_stream_once(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    timeout_s: Optional[int] = 120,
+) -> bool:
+    """Digest-index maintenance, append side: ADMITTED (doc_id, text)
+    docs → (digest, first_doc) deltas under
+    ``index_dir/delta/batch_id=N``, exactly-once by the
+    subpath+overwrite contract. Admitted docs passed the dedup
+    decision, so their digests are new to history by construction —
+    each batch contributes its own keep-first rows (min doc_id per
+    digest handles a within-batch tie). Same cross-drain cadence as
+    the other families: fresh drains restart batch ids at 0 and must
+    target the post-compaction generation dir."""
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        build_digest_index(batch_df).write.mode("overwrite").parquet(
+            f"{index_dir}/delta/batch_id={batch_id}"
+        )
+
+    return _drain_foreachbatch_once(
+        spark, input_dir, "doc_id long, text string", append,
+        checkpoint_dir, timeout_s)
+
+
+def run_digest_tombstone_stream_once(
+    spark: SparkSession,
+    dels_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    timeout_s: Optional[int] = 120,
+) -> bool:
+    """Digest-index maintenance, delete side: (doc_id) takedowns →
+    tombstones under ``index_dir/tombstones/batch_id=N``. Like the
+    gram family, subtraction is by KEEPER PROVENANCE (rows whose
+    first_doc is tombstoned), not by digest — so a kept recrawl of
+    taken-down content re-enters the index as its own keeper without
+    waiting for compaction. Land tombstones between decision drains
+    (tombstone reads are not batch-gated)."""
+    return _run_tombstone_stream_once(
+        spark, dels_dir, index_dir, checkpoint_dir, "doc_id", timeout_s)
+
+
+def read_digest_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Live view of a maintained digest index: ``base`` ∪ ``delta/*``
+    minus rows whose keeper is tombstoned — (digest, first_doc) rows.
+    curation_stream's hist_digests input is
+    ``read_digest_index(...).select(F.col("digest"))`` (it only needs
+    membership). One first_doc LeftAnti equi-join on the read path,
+    tombstones broadcast in practice."""
+    parts = []
+    base = os.path.join(index_dir, "base")
+    delta = os.path.join(index_dir, "delta")
+    if os.path.isdir(base):
+        parts.append(spark.read.parquet(base))
+    if os.path.isdir(delta) and os.listdir(delta):
+        parts.append(spark.read.parquet(delta)
+                     .select("digest", "first_doc"))
+    if not parts:
+        return spark.createDataFrame([], _DIGEST_INDEX_SCHEMA)
+    idx = parts[0].select("digest", "first_doc")
+    for p in parts[1:]:
+        idx = idx.unionByName(p)
+    tomb = os.path.join(index_dir, "tombstones")
+    if os.path.isdir(tomb) and os.listdir(tomb):
+        dead = spark.read.parquet(tomb).select(
+            F.col("doc_id").alias("dead_doc")).distinct()
+        idx = idx.join(
+            dead, idx["first_doc"] == dead["dead_doc"], "left_anti")
+    return idx
+
+
+def compact_digest_index(spark: SparkSession, index_dir: str,
+                         out_dir: str, nparts: Optional[int] = None) -> int:
+    """Fold base ∪ deltas − tombstones into a fresh digest-bucketed
+    base generation at ``out_dir/base`` and return its row count.
+    Output rows are distinct (digest, first_doc) ROWS, not distinct
+    digests — a digest can legally hold two live keepers only via
+    replay edges, and distinct() keeps the semantics (same rule as
+    compact_gram_index). New generation starts with no tombstones
+    subdir; never compacts in place."""
+    live = read_digest_index(spark, index_dir).distinct()
+    nparts = nparts or _shuffle_nparts(spark)
+    live.repartition(nparts, "digest").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "base")
+    )
+    return spark.read.parquet(os.path.join(out_dir, "base")).count()
+
+
+def digest_dedup_decisions(batch_docs: DataFrame,
+                           live_index: DataFrame) -> DataFrame:
+    """Exact-dedup decisions for a crawl increment against the
+    maintained digest index: (doc_id, keep, dup_of) where dup_of is
+    the historic KEEPER (NULL when kept). Within-batch copies resolve
+    keep-first against the batch's own min doc_id. One digest
+    equi-join against history plus one map-side-combined self-groupBy
+    — digest-only shuffles, the exact-dedup scale shape."""
+    d = batch_docs.select(
+        "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("digest"))
+    hist = live_index.groupBy("digest").agg(
+        F.min("first_doc").alias("hist_keeper"))
+    batch_first = d.groupBy("digest").agg(
+        F.min("doc_id").alias("batch_keeper"))
+    return (
+        d.join(hist, "digest", "left_outer")
+        .join(batch_first, "digest")
+        .select(
+            "doc_id",
+            F.when(F.col("hist_keeper").isNotNull(), F.lit(0))
+            .when(F.col("doc_id") != F.col("batch_keeper"), F.lit(0))
+            .otherwise(F.lit(1)).alias("keep"),
+            F.when(F.col("hist_keeper").isNotNull(), F.col("hist_keeper"))
+            .when(F.col("doc_id") != F.col("batch_keeper"),
+                  F.col("batch_keeper"))
+            .alias("dup_of"),
+        )
+    )
+
+
 # ------------------------------------------------------ stream shard packer
 
 def shard_pack_stream(docs: DataFrame, budget: Optional[int] = None,

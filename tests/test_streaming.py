@@ -2488,3 +2488,150 @@ def test_ivf_recentered_compaction(spark, tmp_path):
         embs.filter("vec_id >= 300 and vec_id < 303"),
         read_ivf_index(spark, gen2), new_seeds, k=1)
     assert top.count() == 3
+
+
+def test_digest_index_maintenance_lifecycle(spark, tmp_path):
+    """Fourth index family (late r8): the exact-dedup digest index
+    follows the family grammar — append stream deltas compose into
+    the live view exactly equal to the batch build; replay is
+    idempotent; decisions dedup against history AND within-batch
+    keep-first; a keeper takedown stops the digest deduping
+    immediately (a recrawl of taken-down content is KEPT) while live
+    history still dups; the kept recrawl becomes the new keeper;
+    compaction folds tombstones physically and is a fixpoint."""
+    import os as _os
+
+    from pdfspark.streaming import (build_digest_index,
+                                    compact_digest_index,
+                                    digest_dedup_decisions,
+                                    read_digest_index,
+                                    run_digest_index_append_stream_once,
+                                    run_digest_tombstone_stream_once)
+
+    ta = "alpha beta gamma delta epsilon zeta"
+    tb = "one two three four five six seven"
+    tc = "fresh novel content nobody crawled before"
+
+    def feed(path, chunks, t0=1_700_000_000):
+        for i, chunk in enumerate(chunks):
+            spark.createDataFrame(chunk, "doc_id long, text string") \
+                .coalesce(1).write.mode("append").parquet(path)
+            newest = max(
+                (f for f in _os.listdir(path) if f.endswith(".parquet")),
+                key=lambda f: _os.path.getmtime(_os.path.join(path, f)))
+            _os.utime(_os.path.join(path, newest), (t0 + i, t0 + i))
+
+    def rows(df):
+        return {(r.digest, r.first_doc) for r in df.collect()}
+
+    idx = str(tmp_path / "didx")
+    feed(str(tmp_path / "din"), [[(10, ta)], [(11, tb)]])
+    assert run_digest_index_append_stream_once(
+        spark, str(tmp_path / "din"), idx, str(tmp_path / "dck"))
+    expect = rows(build_digest_index(spark.createDataFrame(
+        [(10, ta), (11, tb)], "doc_id long, text string")))
+    assert rows(read_digest_index(spark, idx)) == expect
+    # fresh-checkpoint replay: view unchanged
+    assert run_digest_index_append_stream_once(
+        spark, str(tmp_path / "din"), idx, str(tmp_path / "dck2"))
+    assert rows(read_digest_index(spark, idx)) == expect
+
+    # decisions: history dup, within-batch keep-first, fresh keep
+    live = read_digest_index(spark, idx)
+    batch = spark.createDataFrame(
+        [(20, ta), (30, tc), (31, tc)], "doc_id long, text string")
+    d = {r.doc_id: (r.keep, r.dup_of)
+         for r in digest_dedup_decisions(batch, live).collect()}
+    assert d == {20: (0, 10), 30: (1, None), 31: (0, 30)}
+
+    # keeper takedown: ta's digest stops deduping IMMEDIATELY
+    spark.createDataFrame([(10,)], "doc_id long").coalesce(1) \
+        .write.parquet(str(tmp_path / "ddel"))
+    assert run_digest_tombstone_stream_once(
+        spark, str(tmp_path / "ddel"), idx, str(tmp_path / "dckt"))
+    live = read_digest_index(spark, idx)
+    d = {r.doc_id: (r.keep, r.dup_of) for r in digest_dedup_decisions(
+        spark.createDataFrame([(40, ta), (41, tb)],
+                              "doc_id long, text string"),
+        live).collect()}
+    assert d[40] == (1, None)    # recrawl of taken-down content KEPT
+    assert d[41] == (0, 11)      # live history still dups
+
+    # compact (folds tombstone), re-admit 40 as the new keeper
+    gen2 = str(tmp_path / "dgen2")
+    n = compact_digest_index(spark, idx, gen2, nparts=2)
+    assert n == 1 and not _os.path.isdir(f"{gen2}/tombstones")
+    feed(str(tmp_path / "din2"), [[(40, ta)]], t0=1_900_000_000)
+    assert run_digest_index_append_stream_once(
+        spark, str(tmp_path / "din2"), gen2, str(tmp_path / "dck3"))
+    d = {r.doc_id: (r.keep, r.dup_of) for r in digest_dedup_decisions(
+        spark.createDataFrame([(50, ta)], "doc_id long, text string"),
+        read_digest_index(spark, gen2)).collect()}
+    assert d[50] == (0, 40)      # the recrawl is the new keeper
+    # compaction fixpoint
+    gen3 = str(tmp_path / "dgen3")
+    assert compact_digest_index(spark, gen2, gen3, nparts=2) == 2
+
+
+def test_digest_index_feeds_curation_stream(spark, tmp_path):
+    """Production composition of the fourth family: the curation
+    stream's hist_digests input is the maintained digest index's live
+    view (read_digest_index(...).select("digest"), written at drain
+    cadence). After a keeper takedown, a recrawl of the taken-down
+    content SURVIVES curation — it is no longer history — while a
+    copy of live history is still dropped by the digest anti-join."""
+    import hashlib
+    import os as _os
+
+    from pdfspark.streaming import (read_digest_index,
+                                    run_curation_stream_once,
+                                    run_digest_index_append_stream_once,
+                                    run_digest_tombstone_stream_once)
+
+    def score(text):
+        s = 0
+        for w in text.strip().split(" "):
+            if not w:
+                continue
+            b = int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % 64
+            s += (b * 7) % 13 - 6
+        return s
+
+    pos = next(w for w in ("alpha beta gamma delta epsilon zeta eta "
+                           "theta iota kappa").split() if score(w) > 0)
+    tx, ty = f"{pos} {pos} {pos}", f"{pos} {pos} {pos} {pos}"
+
+    def feed(path, chunks, schema, t0=1_700_000_000):
+        for i, chunk in enumerate(chunks):
+            spark.createDataFrame(chunk, schema).coalesce(1) \
+                .write.mode("append").parquet(path)
+            newest = max(
+                (f for f in _os.listdir(path) if f.endswith(".parquet")),
+                key=lambda f: _os.path.getmtime(_os.path.join(path, f)))
+            _os.utime(_os.path.join(path, newest), (t0 + i, t0 + i))
+
+    # maintained index: keepers 10 (tx) and 11 (ty); then 10 taken down
+    idx = str(tmp_path / "cfidx")
+    feed(str(tmp_path / "cfin"), [[(10, tx), (11, ty)]],
+         "doc_id long, text string")
+    assert run_digest_index_append_stream_once(
+        spark, str(tmp_path / "cfin"), idx, str(tmp_path / "cfck"))
+    spark.createDataFrame([(10,)], "doc_id long").coalesce(1) \
+        .write.parquet(str(tmp_path / "cfdel"))
+    assert run_digest_tombstone_stream_once(
+        spark, str(tmp_path / "cfdel"), idx, str(tmp_path / "cfckt"))
+
+    # drain-cadence handoff: live view → the curation stream's index
+    hist_dir = str(tmp_path / "cfhist")
+    read_digest_index(spark, idx).select("digest") \
+        .write.parquet(hist_dir)
+
+    feed(str(tmp_path / "cfbatch"), [[(100, tx), (101, ty)]],
+         "doc_id long, text string", t0=1_800_000_000)
+    out = str(tmp_path / "cfout")
+    assert run_curation_stream_once(
+        spark, str(tmp_path / "cfbatch"), hist_dir, out,
+        str(tmp_path / "cfckc"))
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 100 in kept       # recrawl of taken-down content survives
+    assert 101 not in kept   # live history still dedups
