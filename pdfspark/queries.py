@@ -1715,6 +1715,82 @@ def ann_index_takedown(spark, sf_dir):
         F.col("vec_id").alias("neighbor_id"), "dot")
 
 
+# Takedown-aware EXACT dedup against the maintained digest index (late
+# r8, the batch face of streaming.py's fourth index family): history =
+# the documents table treated as already keep-first-deduped (keeper per
+# content digest = min doc_id); takedowns = keeper doc_id % 6 == 0 (the
+# gram recipe); the crawl batch = VERBATIM byte-copies synthesized
+# in-query (doc_id+1e6 copies of doc_id<120 ∧ %2==0, plus doc_id+2e6
+# second copies of doc_id<30 ∧ %2==0 — the double copies exercise
+# WITHIN-BATCH keep-first on exactly the digests whose history keeper
+# is gone). Expected: a copy of live history drops with dup_of = the
+# historic keeper; the FIRST copy of taken-down content is kept; the
+# SECOND copy of taken-down content drops with dup_of = the first
+# (batch keep-first). md5 is engine-identical; everything else is
+# integer MIN/CASE — exact by construction.
+_DIGEST_TAKEDOWN_DUCK = """
+WITH hist AS (
+  SELECT md5(text) AS digest, MIN(doc_id) AS first_doc
+  FROM documents GROUP BY md5(text)),
+live AS (SELECT digest, first_doc FROM hist WHERE first_doc % 6 <> 0),
+batch AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id < 120 AND doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+  WHERE doc_id < 30 AND doc_id % 2 = 0),
+d AS (SELECT doc_id, md5(text) AS digest FROM batch),
+hk AS (SELECT digest, MIN(first_doc) AS hist_keeper
+       FROM live GROUP BY digest),
+bk AS (SELECT digest, MIN(doc_id) AS batch_keeper FROM d GROUP BY digest)
+SELECT d.doc_id,
+  CAST(CASE WHEN hk.hist_keeper IS NOT NULL THEN 0
+            WHEN d.doc_id <> bk.batch_keeper THEN 0
+            ELSE 1 END AS BIGINT) AS keep,
+  CAST(CASE WHEN hk.hist_keeper IS NOT NULL THEN hk.hist_keeper
+            WHEN d.doc_id <> bk.batch_keeper THEN bk.batch_keeper
+            END AS BIGINT) AS dup_of
+FROM d LEFT JOIN hk USING (digest) JOIN bk USING (digest)
+"""
+
+
+@register("dedup_digest_takedown", oracle=_DIGEST_TAKEDOWN_DUCK)
+def dedup_digest_takedown(spark, sf_dir):
+    """Exact-dedup decisions for a crawl increment against the
+    maintained digest index with takedowns applied: a byte-copy of
+    live history drops with dup_of = the historic keeper; a recrawl
+    of TAKEN-DOWN content is kept (its keeper is gone — content that
+    no longer exists in the corpus must not dedup a fresh crawl) and
+    becomes the within-batch keeper for any further copy. The batch
+    face of the r8 digest-index lifecycle (streaming.
+    run_digest_tombstone_stream_once / read_digest_index); the index
+    build and the decision body are the SAME helpers the streams run.
+
+    100-TB shape: the index build is one map-side-combined groupBy
+    over 32-hex digests; the takedown exclusion is a left-anti
+    EQUI-join on the keeper against a tiny tombstone list (broadcast
+    in practice); decisions are one digest equi-join against history
+    plus one digest self-groupBy — digest-only shuffles end to end.
+    No driver collects."""
+    from pdfspark.streaming import (build_digest_index,
+                                    digest_dedup_decisions)
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    b1 = docs.where(
+        (F.col("doc_id") < 120) & (F.col("doc_id") % 2 == 0)
+    ).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    b2 = docs.where(
+        (F.col("doc_id") < 30) & (F.col("doc_id") % 2 == 0)
+    ).select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    idx = build_digest_index(docs.select("doc_id", "text"))
+    takedown = docs.select("doc_id").where(F.col("doc_id") % 6 == 0)
+    live = idx.join(
+        takedown, idx["first_doc"] == takedown["doc_id"], "left_anti")
+    return digest_dedup_decisions(b1.unionByName(b2), live).select(
+        "doc_id", F.col("keep").cast("long").alias("keep"), "dup_of")
+
+
 # =========================================================================
 # Text analysis (documents)
 # =========================================================================
@@ -5559,17 +5635,20 @@ DRIVER_PRIORITY = [
     # r9). The r7 window (50 green in CORRECTNESS_r07) cedes its
     # slots; it stays registered and locally oracle-gated at two SFs.
     # The r8 registrations dedup_gram_takedown (#126, VERDICT r7 next
-    # #4) and ann_index_takedown (#127, the batch face of the late-r8
-    # IVF index family) lead the window (new registrations need a
-    # first verdict — r3 window rule) and displace pdf_extract_stats
-    # and pdf_bidi_reading_order from the fill into the r9 forced set
-    # (both r6-green, age 2 at r8 — legal outside the window today,
-    # forced at r9; bidi's r8 bracket-mirroring change is
-    # output-neutral, see text_to_pdf_bidi's docstring).
+    # #4), ann_index_takedown (#127, the batch face of the late-r8
+    # IVF index family) and dedup_digest_takedown (#128, the batch
+    # face of the late-r8 digest index family) lead the window (new
+    # registrations need a first verdict — r3 window rule) and
+    # displace pdf_extract_stats, pdf_bidi_reading_order and
+    # html_table_spans from the fill into the r9 forced set (all
+    # r6-green, age 2 at r8 — legal outside the window today, forced
+    # at r9; bidi's r8 bracket-mirroring change is output-neutral,
+    # see text_to_pdf_bidi's docstring).
     # r9 PLAN (keep rotation mechanical): the r9 FORCED set is the
     # alphabetical second half of the r6 cohort PLUS the displaced
-    # pdf_extract_stats and pdf_bidi_reading_order (27 names, latest
-    # verdict r6) — pdf_bidi_reading_order,
+    # pdf_extract_stats, pdf_bidi_reading_order and html_table_spans
+    # (28 names, latest verdict r6) — html_table_spans,
+    # pdf_bidi_reading_order,
     # pdf_extract_stats, pdf_magic_filter, pdf_rtl_reading_order, pdf_spans,
     # pdf_table_colspan, pdf_table_header_flag, pdf_table_multipage,
     # pdf_table_ragged, pdf_table_sparse, pdf_vertical_reading_order,
@@ -5579,13 +5658,14 @@ DRIVER_PRIORITY = [
     # text_lang_id, text_quality_score, text_winnowing_neardup,
     # top_orders_global, unpivot_order_year_counts,
     # url_blocklist_filter, window_running_sum, window_topk_per_group
-    # (age-3 at r9 unless checked) — fill r9's remaining 23 slots from
+    # (age-3 at r9 unless checked) — fill r9's remaining 22 slots from
     # the r7 cohort (green in CORRECTNESS_r07, ages out at r10),
     # alphabetical first half, computed at r9 rotation time from
     # CORRECTNESS_r07/r08.
     # -- late-r8 registrations (no verdict yet — must sit in-window) --
     "dedup_gram_takedown",
     "ann_index_takedown",
+    "dedup_digest_takedown",
     # -- forced: the 25 r5-cohort leftovers (latest verdict r5) --
     "ann_numpy_ivf",
     "corpus_quality_filter",
@@ -5635,7 +5715,6 @@ DRIVER_PRIORITY = [
     "html_list_items",
     "html_section_chunks",
     "html_table_cells",
-    "html_table_spans",
 ]
 
 

@@ -530,3 +530,21 @@ def test_ann_index_takedown_semantics(spark):
         .where("vec_id % 7 = 0").count()
     assert len({r.query_id for r in rows}) == n_queries
     assert all(1 <= r.rnk <= 2 for r in rows)
+
+
+def test_digest_takedown_both_outcomes(spark):
+    """Beyond parity: both takedown outcomes must actually occur in
+    the output — copies of TAKEN-DOWN content kept (first copy) and
+    dropped against the batch keeper (second copy), copies of live
+    history dropped against the historic keeper."""
+    rows = {r.doc_id: (r.keep, r.dup_of) for r in
+            QUERIES["dedup_digest_takedown"](spark, SF_DIR).collect()}
+    kept_recrawls = [d for d, (k, _) in rows.items()
+                     if k == 1 and d < 2000000]
+    hist_drops = [d for d, (k, o) in rows.items()
+                  if k == 0 and o is not None and o < 1000000]
+    batch_drops = [d for d, (k, o) in rows.items()
+                   if k == 0 and o is not None and 1000000 <= o < 2000000]
+    assert kept_recrawls and hist_drops and batch_drops
+    # every kept recrawl's origin keeper was on the takedown list
+    assert all((d - 1000000) % 6 == 0 for d in kept_recrawls)

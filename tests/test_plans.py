@@ -630,3 +630,17 @@ def test_ann_index_takedown_plan_shape(spark):
     assert "LeftAnti" in plan, plan
     assert "Window" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_digest_takedown_plan_shape(spark):
+    """dedup_digest_takedown (#128, late r8): digest-only shuffles end
+    to end — the index build partial-aggregates before its exchange,
+    the takedown exclusion is an equi-LeftAnti, decisions join on the
+    digest; never a cartesian or nested loop."""
+    from pdfspark.queries import QUERIES
+
+    plan = plan_of(QUERIES["dedup_digest_takedown"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "LeftAnti" in plan, plan
