@@ -2635,3 +2635,58 @@ def test_digest_index_feeds_curation_stream(spark, tmp_path):
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert 100 in kept       # recrawl of taken-down content survives
     assert 101 not in kept   # live history still dedups
+
+
+def test_digest_decisions_match_bruteforce_randomized(spark):
+    """Randomized pin of digest_dedup_decisions against an independent
+    Python brute force: tiny alphabet so digest collisions are common
+    (history dups, within-batch dups, takedown re-admissions all occur
+    by volume), random keeper takedowns. Decision rule: historic
+    keeper wins if its digest is live; else the batch's min doc_id is
+    the keeper and every other batch copy points at it."""
+    import hashlib
+    import random as _random
+
+    from pdfspark.streaming import (build_digest_index,
+                                    digest_dedup_decisions)
+
+    rnd = _random.Random(128)
+    texts = [f"t{k}" for k in range(6)]
+    for case in range(4):
+        hist = [(i, rnd.choice(texts)) for i in range(rnd.randrange(3, 10))]
+        batch = [(100 + i, rnd.choice(texts))
+                 for i in range(rnd.randrange(2, 12))]
+        tombs = {i for i, _ in hist if rnd.random() < 0.4}
+
+        hist_df = spark.createDataFrame(hist, "doc_id long, text string")
+        idx = build_digest_index(hist_df)
+        dead = spark.createDataFrame(
+            [(t,) for t in sorted(tombs)] or [(-1,)], "doc_id long")
+        live = idx.join(dead, idx["first_doc"] == dead["doc_id"],
+                        "left_anti")
+        got = {r.doc_id: (r.keep, r.dup_of) for r in
+               digest_dedup_decisions(
+                   spark.createDataFrame(batch,
+                                         "doc_id long, text string"),
+                   live).collect()}
+
+        # independent brute force
+        keeper = {}
+        for i, t in hist:
+            h = hashlib.md5(t.encode()).hexdigest()
+            keeper[h] = min(keeper.get(h, i), i)
+        live_keeper = {h: k for h, k in keeper.items() if k not in tombs}
+        batch_min = {}
+        for i, t in batch:
+            h = hashlib.md5(t.encode()).hexdigest()
+            batch_min[h] = min(batch_min.get(h, i), i)
+        expect = {}
+        for i, t in batch:
+            h = hashlib.md5(t.encode()).hexdigest()
+            if h in live_keeper:
+                expect[i] = (0, live_keeper[h])
+            elif i != batch_min[h]:
+                expect[i] = (0, batch_min[h])
+            else:
+                expect[i] = (1, None)
+        assert got == expect, (case, sorted(tombs))
