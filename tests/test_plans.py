@@ -644,3 +644,31 @@ def test_digest_takedown_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_digest_index_live_view_plan_shape(spark, tmp_path):
+    """read_digest_index (fourth family) must stay scale-correct on
+    the read path: base ∪ deltas is a pure union (no digest-keyed
+    aggregation at read cadence — the fold happens at compaction),
+    the takedown subtraction is keeper LeftAnti EQUI-joins only
+    (Catalyst pushes the anti-join below the union — one broadcast
+    LeftAnti per branch, which is the better plan: each scan filters
+    locally), never a cartesian or nested loop."""
+    from pdfspark.streaming import build_digest_index, read_digest_index
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").filter("doc_id < 40")
+    idx = str(tmp_path / "dpidx")
+    build_digest_index(docs.filter("doc_id < 20")) \
+        .write.parquet(f"{idx}/base")
+    build_digest_index(docs.filter("doc_id >= 20")) \
+        .write.parquet(f"{idx}/delta/batch_id=0")
+    spark.createDataFrame([(3,)], "doc_id long").write.parquet(
+        f"{idx}/tombstones/batch_id=0")
+
+    plan = plan_of(read_digest_index(spark, idx))
+    assert plan.count("LeftAnti") >= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashAggregate(keys=[digest" not in plan, plan
