@@ -5662,59 +5662,70 @@ DRIVER_PRIORITY = [
     # the r7 cohort (green in CORRECTNESS_r07, ages out at r10),
     # alphabetical first half, computed at r9 rotation time from
     # CORRECTNESS_r07/r08.
-    # -- late-r8 registrations (no verdict yet — must sit in-window) --
-    "dedup_gram_takedown",
-    "ann_index_takedown",
-    "dedup_digest_takedown",
-    # -- forced: the 25 r5-cohort leftovers (latest verdict r5) --
-    "ann_numpy_ivf",
-    "corpus_quality_filter",
-    "decontaminate_span_excise",
-    "dedup_canonical_url",
-    "dedup_components",
-    "dedup_keeplist",
-    "dedup_paragraph_exact",
-    "doc_length_percentile_buckets",
-    "html_doc_titles",
-    "html_link_density_blocks",
-    "multimodal_audio_meta",
-    "multimodal_frame_sample",
-    "multimodal_image_meta",
-    "multimodal_resize",
-    "multimodal_video_meta",
-    "pdf_extract_skew_aware",
-    "pdf_multipage_roundtrip",
-    "quality_classifier_linear",
-    "sample_stratified",
-    "shard_materialize",
-    "shard_pack_token_budget",
-    "source_mixture_weights",
-    "text_repetition_signals",
-    "text_unigram_commonness",
-    "token_count_pandas_udf",
-    # -- fill: alphabetical first half of the r6 cohort --
-    "agg_rollup",
-    "ann_bruteforce_topk",
-    "ann_ivf_bucketed",
-    "anti_join_inactive_customers",
-    "curation_pipeline",
-    "decontaminate_exact_substring",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_substring_spans",
-    "distinct_customers_exact",
-    "embedding_cosine_neardup",
-    "embedding_norms",
-    "events_daily_rollup",
-    "events_json_extract",
-    "events_sessionization",
-    "filter_pushdown_scan",
-    "grouped_stats_apply_in_pandas",
-    "html_heading_outline",
-    "html_list_items",
-    "html_section_chunks",
-    "html_table_cells",
+    # -- r9 rotation (pure transcription of the pre-verified r9 PLAN
+    # above, executed at round 9 start): the 28 FORCED names lead —
+    # the alphabetical second half of the r6 cohort plus the three
+    # names displaced from the r8 fill by the late-r8 registrations
+    # (all with latest verdict r6, which ages past 2 rounds now that
+    # CORRECTNESS_r08.json is the newest ledger; verified: these 28
+    # are exactly the registered names absent from BOTH
+    # CORRECTNESS_r07 and _r08) — followed by the 22 fill names: the
+    # alphabetical first half of the r7 cohort (CORRECTNESS_r07's 50
+    # names, which age out at r10). The r8 window (50 green in
+    # CORRECTNESS_r08) cedes its slots; it stays registered and
+    # locally oracle-gated at two SFs.
+    # -- forced: r6-cohort second half + 3 displaced (latest verdict r6) --
+    "html_table_spans",
+    "pdf_bidi_reading_order",
+    "pdf_extract_stats",
+    "pdf_magic_filter",
+    "pdf_rtl_reading_order",
+    "pdf_spans",
+    "pdf_table_colspan",
+    "pdf_table_header_flag",
+    "pdf_table_multipage",
+    "pdf_table_ragged",
+    "pdf_table_sparse",
+    "pdf_vertical_reading_order",
+    "q1_pricing_summary",
+    "q3_top_open_orders",
+    "range_join_events_windows",
+    "sample_match_distribution",
+    "semi_join_active_customers",
+    "session_window_agg",
+    "shard_pack_sections",
+    "text_compression_ratio",
+    "text_lang_id",
+    "text_quality_score",
+    "text_winnowing_neardup",
+    "top_orders_global",
+    "unpivot_order_year_counts",
+    "url_blocklist_filter",
+    "window_running_sum",
+    "window_topk_per_group",
+    # -- fill: alphabetical first half of the r7 cohort --
+    "agg_cube",
+    "agg_grouping_sets",
+    "ann_ivf_recall",
+    "ann_numpy_topk",
+    "ann_signlsh_topk",
+    "approx_distinct_urls",
+    "asof_join_last_click",
+    "boilerplate_line_removal",
+    "correlated_subquery_above_avg",
+    "decontaminate_ngram_overlap",
+    "dedup_incremental_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "events_funnel",
+    "exists_subquery_multi_item_orders",
+    "html_extract_roundtrip",
+    "mixed_corpus_extract",
+    "multimodal_feature_extract",
+    "multimodal_meta",
+    "orders_monthly_growth",
+    "pdf_annots_text",
+    "pdf_attachments",
 ]
 
 
