@@ -44,10 +44,21 @@ def build_session(
     partitions ≈ cores (not 200)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle = shuffle_partitions or max(cores, 8)
+    # Scan split size (guide §6): the default 128m leaves a ~126 MB
+    # multi-row-group parquet file as a ONE-task scan — at the driver's
+    # sf1.0 that serializes every lineitem query on a single core. 16m
+    # splits it to its row-group count (~21 MB groups ⇒ 6-wide) with no
+    # extra exchange anywhere. Scale-dependent, so env-parameterised:
+    # on a production cluster scanning TB inputs set
+    # SPARK_GRAFT_MAX_PARTITION_BYTES=512m-1g (fewer, larger map tasks
+    # feeding shuffles — guide §2.2/§6.1); the local default only has to
+    # out-parallelize single-file testdata.
+    max_part_bytes = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m")
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.files.maxPartitionBytes", max_part_bytes)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

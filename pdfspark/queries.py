@@ -226,11 +226,15 @@ GROUP BY r.r_name, n.n_name
 
 @register("q5_region_revenue", oracle=_Q5)
 def q5_region_revenue(spark, sf_dir):
-    """Star join: two big tables + three broadcast dims. Catalyst picks
-    broadcast automatically under the threshold; explicit broadcast()
-    pins the plan we want at any scale."""
+    """Star join: two big tables + three broadcast dims. The fact⋈fact
+    lineitem⋈orders join is pinned SHUFFLE-HASH (guide §3.1): both sides
+    are facts, so broadcasting orders is wrong at any real scale — and
+    measured 2.6× slower even here (r9: Catalyst auto-broadcast the
+    column-pruned orders under the 10 MB estimate; the 1.5M-row hashed-
+    relation build serialized the query). Dims stay explicit broadcasts
+    (plan-pinned ≥3 BroadcastHashJoin)."""
     _load(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
-    l, o = spark.table("lineitem"), spark.table("orders")
+    l, o = spark.table("lineitem"), spark.table("orders").hint("shuffle_hash")
     c, n, r = (spark.table(t) for t in ("customer", "nation", "region"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -1466,15 +1470,18 @@ _ANN_SPARK = """
 WITH v AS (
   SELECT vec_id,
     transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
-  FROM embeddings),
-q AS (SELECT vec_id AS qid, qv AS query_v FROM v WHERE vec_id < 5),
+  FROM embeddings_wide),
+vn_t AS (
+  SELECT vec_id, qv,
+    aggregate(transform(qv, x -> x*x), 0L, (acc, x) -> acc + x) AS vn
+  FROM v),
+q AS (SELECT vec_id AS qid, qv AS query_v, vn AS qn FROM vn_t WHERE vec_id < 5),
 dots AS (
   SELECT q.qid, v.vec_id,
     aggregate(zip_with(q.query_v, v.qv, (a, b) -> a*b), 0L,
               (acc, x) -> acc + x) AS dot,
-    aggregate(transform(q.query_v, x -> x*x), 0L, (acc, x) -> acc + x) AS qn,
-    aggregate(transform(v.qv, x -> x*x), 0L, (acc, x) -> acc + x) AS vn
-  FROM q CROSS JOIN v WHERE q.qid <> v.vec_id)
+    q.qn AS qn, v.vn AS vn
+  FROM q CROSS JOIN vn_t v WHERE q.qid <> v.vec_id)
 SELECT qid, vec_id AS neighbor_id,
   CAST(ROUND(dot / (SQRT(qn) * SQRT(vn)), 6) AS DOUBLE) AS cosine, rnk
 FROM (
@@ -1510,8 +1517,17 @@ WHERE rnk <= 10
 def ann_bruteforce_topk(spark, sf_dir):
     """Brute-force cosine top-k (the exact baseline): higher-order
     functions only — JVM-side, no Python. At scale the query side is tiny
-    and broadcast; base vectors stream through one stage."""
+    and broadcast; base vectors stream through one stage.
+
+    r9 shape: per-vector norms are hoisted into the vn_t CTE (they were
+    recomputed per PAIR inside the cross join — 2 of the 3 array folds
+    per pair were per-vector invariants, guide §1.2 step 2), and the
+    single-row-group embeddings scan is widened so the interpreted
+    higher-order-function work runs on every core instead of one."""
     _load(spark, sf_dir, "embeddings")
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.table("embeddings").repartition(nparts, "vec_id") \
+        .createOrReplaceTempView("embeddings_wide")
     return spark.sql(_ANN_SPARK)
 
 
@@ -1880,14 +1896,23 @@ def text_quality_score(spark, sf_dir):
            " FROM documents",
 )
 def text_token_count(spark, sf_dir):
-    """Token counting: whitespace split + a BPE-ish regex segmentation."""
-    _load(spark, sf_dir, "documents")
-    return spark.table("documents").select(
+    """Token counting: whitespace split + a BPE-ish regex segmentation.
+
+    r9 shape: regexp_count instead of size(regexp_extract_all(...)) /
+    size(split(...)) — the counts are identical (both regexes cannot
+    match the empty string, so split yields exactly matches+1 elements
+    and extract_all exactly the non-overlapping match count) but no
+    per-row match array is ever materialized (guide §2.3); the
+    single-row-group documents scan is widened first so the regex work
+    parallelizes instead of running on one core."""
+    from pdfspark.pipeline import _documents_repartitioned
+
+    return _documents_repartitioned(spark, sf_dir).select(
         "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("ws_tokens"),
-        F.size(
-            F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
-        ).cast("long").alias("bpe_ish_tokens"),
+        (F.expr(r"regexp_count(trim(text), '\\s+')") + 1)
+        .cast("long").alias("ws_tokens"),
+        F.expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')")
+        .cast("long").alias("bpe_ish_tokens"),
     )
 
 
