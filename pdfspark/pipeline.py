@@ -871,7 +871,7 @@ def _synth_page(i: int, text: str, lang, fmt: str,
 
 
 def roundtrip_extract(spark: SparkSession, sf_dir: str,
-                      fmt: str = "pdf") -> DataFrame:
+                      fmt: str = "pdf", light: bool = False) -> DataFrame:
     """FUSED synth→extract for the roundtrip harness queries.
 
     ``pages_from_documents → extract_pages`` is the production shape (the
@@ -884,8 +884,39 @@ def roundtrip_extract(spark: SparkSession, sf_dir: str,
     scan → repartition(doc_id) → single mapInPandas (plan-asserted in
     tests/test_plans.py). The unfused production path stays exercised by
     pdf_spans / pdf_error_rows / pdf_multipage_* / pdf_extract_skew_aware
-    and scripts/submit_extract.py."""
+    and scripts/submit_extract.py.
+
+    ``light=True`` emits only (url, text): the roundtrip queries project
+    everything else away anyway, but mapInPandas is opaque to Catalyst so
+    without this the Python side still assembled all 18 columns —
+    including the array<struct> spans column, the slowest pandas→Arrow
+    conversion of the batch (guide §4.1; measured ~14% of the flagship
+    wall at sf1.0). The full-schema path is unchanged for callers that
+    need the metrics columns."""
     docs = _documents_repartitioned(spark, sf_dir)
+
+    if light:
+        def gen_light(batches):
+            import sys
+
+            if REPO_ROOT not in sys.path:
+                sys.path.insert(0, REPO_ROOT)
+            import pandas as pd
+
+            from pdfspark.kernel.extract import extract_document
+
+            for b in batches:
+                urls, texts = [], []
+                for doc_id, text, lang in zip(b["doc_id"], b["text"],
+                                              b["lang"]):
+                    i = int(doc_id)
+                    url, buf = _synth_page(i, text, lang, fmt, 0)
+                    urls.append(url)
+                    texts.append(extract_document(buf).text)
+                yield pd.DataFrame({"url": urls, "text": texts},
+                                   columns=["url", "text"])
+
+        return docs.mapInPandas(gen_light, "url string, text string")
 
     def gen_extract(batches):
         import sys

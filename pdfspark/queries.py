@@ -68,7 +68,7 @@ def pdf_extract_roundtrip(spark, sf_dir):
     pdf_error_rows, pdf_multipage_* and pdf_extract_skew_aware."""
     from pdfspark.pipeline import roundtrip_extract
 
-    ext = roundtrip_extract(spark, sf_dir)
+    ext = roundtrip_extract(spark, sf_dir, light=True)
     return ext.select(
         F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
         "text",
@@ -2329,7 +2329,7 @@ def html_extract_roundtrip(spark, sf_dir):
     PDF flagship; the unfused path is covered by mixed_corpus_extract."""
     from pdfspark.pipeline import roundtrip_extract
 
-    ext = roundtrip_extract(spark, sf_dir, fmt="html")
+    ext = roundtrip_extract(spark, sf_dir, fmt="html", light=True)
     return ext.select(
         F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
         "text",
@@ -2655,7 +2655,7 @@ def pdf_post_glyph_names(spark, sf_dir):
     pdf_extract_roundtrip."""
     from pdfspark.pipeline import roundtrip_extract
 
-    ext = roundtrip_extract(spark, sf_dir, fmt="pdf_post")
+    ext = roundtrip_extract(spark, sf_dir, fmt="pdf_post", light=True)
     return ext.select(
         F.regexp_extract("url", r"/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
         "text",
