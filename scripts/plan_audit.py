@@ -33,10 +33,13 @@ sys.path.insert(0, REPO_ROOT)
 # sampling/deciles cross 1-row target/cutpoint frames.  The set is
 # PINNED: a query gaining or losing a BNLJ is a hard audit failure
 # until re-adjudicated here.
+# Re-adjudicated r9: decontaminate_exact_substring and
+# decontaminate_span_excise LOST their BNLJ by design — the excerpt
+# fold moved into one mapInPandas pass over a size-bounded broadcast
+# list (guide §4.2; plan pins updated in tests/test_plans.py), so the
+# nested loop no longer exists in either plan.
 _BNLJ_EXPECTED = {
     "decontaminate_8gram_overlap",
-    "decontaminate_exact_substring",
-    "decontaminate_span_excise",
     "ann_bruteforce_topk",
     "ann_signlsh_topk",
     "ann_recall_report",

@@ -393,30 +393,36 @@ def test_image_meta_parity(spark, duck):
     assert {r.fmt for r in rows} == {"png", "jpeg", "bmp"}
 
 
-def test_span_excise_empty_bench_set_engine_parity(spark, duck):
-    """Review r5 #3: with ZERO qualifying benchmark docs, DuckDB's
-    array_agg is NULL while Spark's collect_list is [] — the oracle's
-    COALESCE must keep both engines at the identity fold (n_excised=0,
-    clean_md5 = md5 of the unmodified text) instead of NULLing every
-    row."""
-    import pdfspark.queries as q
+def test_span_excise_empty_bench_set_engine_parity(spark, duck, tmp_path):
+    """Review r5 #3, re-pinned for the r9 mapInPandas shape: with ZERO
+    qualifying benchmark docs the excerpt broadcast is an empty list
+    and the fold must be the identity (n_excised=0, clean_md5 = md5 of
+    the unmodified text) — while the DuckDB oracle's COALESCE keeps
+    its NULL array_agg at the identity fold too, instead of NULLing
+    every row. Drives the REAL registered query end-to-end from a
+    parquet corpus where no doc satisfies doc_id % 37 = 0 AND
+    len >= 125."""
+    from pdfspark.queries import ORACLES, QUERIES
 
-    # a corpus where no doc satisfies doc_id % 37 = 0 AND len >= 125;
-    # try/finally: the swapped views are shared (module-scoped duck
-    # fixture, session Spark catalog) — a failure here must not
-    # cascade into later tests (review r5.2 #2)
+    corpus_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(f"{corpus_dir}/documents.parquet")
+    # try/finally: the swapped duck view is shared (module-scoped duck
+    # fixture) — a failure here must not cascade into later tests
+    # (review r5.2 #2); the Spark side reads its own sf_dir, so only
+    # the temp view registered by _load needs restoring
     try:
-        spark.createDataFrame(
-            [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
-            "doc_id long, text string",
-        ).createOrReplaceTempView("documents")
-        duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM ("
-                     "VALUES (1, 'alpha beta gamma'),"
-                     " (2, 'delta epsilon zeta')) t(doc_id, text)")
-        n = _compare(spark.sql(q._SPAN_EXCISE_SPARK_SQL), duck,
-                     q._SPAN_EXCISE_DUCK_SQL, "span_excise_empty")
+        duck.execute(
+            "CREATE OR REPLACE VIEW documents AS SELECT * FROM ("
+            "VALUES (1, 'alpha beta gamma'),"
+            " (2, 'delta epsilon zeta')) t(doc_id, text)")
+        df = QUERIES["decontaminate_span_excise"](spark, corpus_dir)
+        n = _compare(df, duck, ORACLES["decontaminate_span_excise"],
+                     "span_excise_empty")
         assert n == 2
-        rows = spark.sql(q._SPAN_EXCISE_SPARK_SQL).collect()
+        rows = df.collect()
         assert all(r.n_excised == 0 for r in rows)
     finally:
         spark.read.parquet(f"{SF_DIR}/documents.parquet") \
