@@ -857,7 +857,11 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     corpus — the join broadcasts it (at 10^12 docs: a broadcast set /
     Bloom filter per executor) so the corpus side streams map-side with
     NO self-join; one shuffle groups hits per doc. Linear in corpus
-    size, unlike pairwise near-dup."""
+    size, unlike pairwise near-dup. (r9: an array-transform shingle
+    derivation was measured 2.2× SLOWER than the lead()-window one in
+    interleaved A/B at sf1.0 — 6.24 vs 2.85 s; eight interpreted array
+    lookups + concat per position lose to the window for 8-grams, so
+    the window form stays.)"""
     _load(spark, sf_dir, "documents")
     return spark.sql(_DECONTAM_SQL.format(posexplode=_POSEXPLODE_SPARK))
 
@@ -4342,58 +4346,6 @@ FROM bi_stats b JOIN tri_stats t ON b.doc_id = t.doc_id
 """
 
 
-# Spark-side twin of _REPETITION_SQL with MAP-SIDE gram formation: the
-# oracle's lead()-over-pos windows forced a full (doc_id, pos) sort
-# exchange of every word occurrence before a single gram existed; the
-# adjacent-pair/triple grams of the FILTERED token array are computed
-# directly with transform(sequence(...)) in the scan stage instead
-# (r9, guide §2.4 — one less corpus-wide exchange plus the sort).
-# Equivalence: WHERE word <> '' filters BEFORE the window in the
-# oracle, so lead() pairs adjacent NON-EMPTY words — exactly the
-# adjacency of filter(split(text,' '), w -> w <> ''); w1 IS NOT NULL /
-# w2 IS NOT NULL truncation == the sequence bounds; the IF guard keeps
-# sequence() from generating a descending range on short docs, and
-# explode of the empty array drops those rows like the oracle's
-# IS NOT NULL filters do.
-_REPETITION_SPARK_SQL = """
-WITH toks AS (
-  SELECT doc_id, filter(split(text, ' '), w -> w <> '') AS ws
-  FROM documents),
-bi AS (
-  SELECT doc_id, g FROM toks
-  LATERAL VIEW explode(
-    IF(size(ws) >= 2,
-       transform(sequence(0, size(ws) - 2),
-                 i -> concat(ws[i], ' ', ws[i + 1])),
-       array())) t AS g),
-tri AS (
-  SELECT doc_id, g FROM toks
-  LATERAL VIEW explode(
-    IF(size(ws) >= 3,
-       transform(sequence(0, size(ws) - 3),
-                 i -> concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2])),
-       array())) t AS g),
-bi_counts AS (
-  SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g),
-bi_stats AS (
-  SELECT doc_id, MAX(c) AS max_c, SUM(c) AS tot
-  FROM bi_counts GROUP BY doc_id),
-tri_counts AS (
-  SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g),
-tri_stats AS (
-  SELECT doc_id,
-    SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ,
-    SUM(c) AS tot
-  FROM tri_counts GROUP BY doc_id)
-SELECT b.doc_id,
-  CAST(FLOOR(CAST(b.max_c AS DOUBLE) / b.tot * 10000 + 0.5) AS BIGINT)
-    AS top_bigram_bp,
-  CAST(FLOOR(CAST(t.dup_occ AS DOUBLE) / t.tot * 10000 + 0.5) AS BIGINT)
-    AS dup_trigram_bp
-FROM bi_stats b JOIN tri_stats t ON b.doc_id = t.doc_id
-"""
-
-
 @register(
     "text_repetition_signals",
     oracle=_REPETITION_SQL.format(posexplode=_POSEXPLODE_DUCK),
@@ -4401,17 +4353,20 @@ FROM bi_stats b JOIN tri_stats t ON b.doc_id = t.doc_id
 def text_repetition_signals(spark, sf_dir):
     """Gopher repetition signals per document: top-2-gram occurrence
     share + duplicated-3-gram occurrence share (integer basis points).
-    r9 Spark shape (_REPETITION_SPARK_SQL): grams form MAP-SIDE from
-    the filtered token array — the former lead()-window derivation
-    sorted every word occurrence through a (doc_id, pos) exchange
-    first. Two partial-aggregating shuffles keyed (doc_id, gram) then
-    doc_id remain — map-side combine keeps the gram explosion local;
-    no joins across documents, so the op stays linear and skew-free at
-    corpus scale (the hot key is a single document's grams, bounded by
-    doc length). Docs with fewer than 3 words have no trigram row and
-    drop out of the inner join deterministically on both engines."""
+    Two partial-aggregating shuffles keyed (doc_id, gram) then doc_id —
+    map-side combine keeps the gram explosion local; no joins across
+    documents, so the op stays linear and skew-free at corpus scale
+    (the hot key is a single document's grams, bounded by doc length).
+    Docs with fewer than 3 words have no trigram row and drop out of
+    the inner join deterministically on both engines. (r9: an
+    array-transform gram derivation that skipped the lead() windows
+    was measured ~3× SLOWER in interleaved A/B at sf1.0 — 5.29 vs
+    1.83 s; interpreted per-position transform lambdas lose to the
+    codegen'd projections around one sort, and the window form also
+    shares one gram pass between the bi/tri branches. The window form
+    stays — same verdict as decontaminate_ngram_overlap.)"""
     _load(spark, sf_dir, "documents")
-    return spark.sql(_REPETITION_SPARK_SQL)
+    return spark.sql(_REPETITION_SQL.format(posexplode=_POSEXPLODE_SPARK))
 
 
 _RANGE_FRAME = """
