@@ -615,17 +615,15 @@ def _minhash_band_batches(batches):
 
 
 def _dedup_minhash_impl(spark, sf_dir, cap: int):
+    # r9 NOTE: a scan-widening repartition before the minhash kernel
+    # was measured a WASH in interleaved A/B at sf1.0 (base 0.498 s vs
+    # 8-way 0.511 s, best of 5 each) — the capped 300-doc kernel is
+    # stage-latency-bound, so the exchange-free shape stays.
     _load(spark, sf_dir, "documents")
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     docs = (
         spark.table("documents")
         .filter(F.col("doc_id") < cap)
         .select("doc_id", "text")
-        # widen the single-row-group scan for the Python minhash kernel
-        # — 8 ways, not nparts: the capped 300-doc slice amortizes task
-        # overhead at ~40 docs/task (r9: base 0.561 s, 8-way 0.432 s,
-        # 16-way 0.532 s at sf1.0, best of 5)
-        .repartition(min(nparts, 8), "doc_id")
     )
     bands = docs.mapInPandas(_minhash_band_batches, _BANDS_SCHEMA)
     buckets = (
@@ -707,13 +705,10 @@ def dedup_incremental_minhash(spark, sf_dir):
     engines. Signatures come from the same Arrow minhash kernel as
     dedup_minhash_lsh."""
     _load(spark, sf_dir, "documents")
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     docs = (
         spark.table("documents")
         .filter(F.col("doc_id") < 300)
         .select("doc_id", "text")
-        # same 8-way widening as _dedup_minhash_impl (measured there)
-        .repartition(min(nparts, 8), "doc_id")
     )
     # materialize the band table once (the production shape: the band
     # index is a precomputed table) — without it Spark re-runs the
