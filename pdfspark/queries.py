@@ -189,7 +189,10 @@ ORDER BY rev.revenue_c4 DESC, o.o_orderkey LIMIT 20
 def q3_top_open_orders(spark, sf_dir):
     """Join + top-k: lineitem⋈orders⋈customer. customer is broadcast
     (small dim) — at 100 TB lineitem never shuffles for that join; the
-    orders join shuffles on the key both sides already aggregate on."""
+    orders join shuffles on the key both sides already aggregate on.
+    r9: the orders⋈rev fact join is pinned SHUFFLE-HASH (guide §3.1) —
+    no sort of either shuffled side; interleaved A/B at sf1.0: SMJ
+    1.682 s vs SHJ 1.308 s (min of 4)."""
     _load(spark, sf_dir, "lineitem", "orders", "customer")
     li = spark.table("lineitem")
     rev = li.groupBy("l_orderkey").agg(
@@ -198,7 +201,8 @@ def q3_top_open_orders(spark, sf_dir):
             * (100 - F.round(F.col("l_discount") * 100).cast("long"))
         ).alias("revenue_c4")
     )
-    orders = spark.table("orders").filter(F.col("o_orderstatus") == "O")
+    orders = spark.table("orders").filter(
+        F.col("o_orderstatus") == "O").hint("shuffle_hash")
     cust = spark.table("customer")
     return (
         orders.join(rev, orders.o_orderkey == rev.l_orderkey)
