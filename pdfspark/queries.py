@@ -1469,7 +1469,8 @@ _QCLS_BUCKETS = 64
 _QCLS_SPARK_SQL = f"""
 WITH tok AS (
   SELECT doc_id, word
-  FROM documents LATERAL VIEW explode(split(trim(text), ' ')) t AS word
+  FROM documents_wide
+  LATERAL VIEW explode(split(trim(text), ' ')) t AS word
   WHERE word != ''),
 feat AS (
   SELECT doc_id,
@@ -1516,8 +1517,10 @@ def quality_classifier_linear(spark, sf_dir):
     Keep/drop at score ≥ 0. Scale shape: tokenize+hash are map-side,
     the weight join BROADCASTS (64 rows), and the only shuffle is the
     partial-aggregated per-doc sum — linear in corpus size, no text
-    ever shuffles."""
+    ever shuffles. r9: over the widened scan view (the per-word
+    md5-hash explosion ran single-task on single-file inputs)."""
     _load(spark, sf_dir, "documents")
+    _load_wide(spark, sf_dir)
     return spark.sql(_QCLS_SPARK_SQL)
 
 
@@ -1980,22 +1983,42 @@ FROM scores
 """
 
 _LANG_CORPUS = """
-corpus AS (SELECT doc_id, text FROM documents),
+corpus AS (SELECT doc_id, text FROM {src}),
 words AS (
   SELECT doc_id, pos, word
   FROM corpus {posexplode})
 """
 
 
+def _load_wide(spark, sf_dir) -> str:
+    """Register the conditionally-widened documents scan as the
+    ``documents_wide`` view and return its name (r9, guide §2.5 input
+    skew: the single-file testdata scans 1-task wide, so word/char
+    explosions otherwise run single-core; at real scale the probe sees
+    a wide scan and adds NO exchange — pipeline._documents_repartitioned
+    is conditional). The DuckDB oracles keep reading ``documents``, so
+    shared SQL templates take the source name as a {src} parameter and
+    the oracle TEXT is unchanged."""
+    from pdfspark.pipeline import _documents_repartitioned
+
+    _documents_repartitioned(spark, sf_dir) \
+        .createOrReplaceTempView("documents_wide")
+    return "documents_wide"
+
+
 @register(
     "text_lang_id",
-    oracle="WITH " + _LANG_CORPUS.format(posexplode=_POSEXPLODE_DUCK) + _LANGID_TAIL,
+    oracle="WITH " + _LANG_CORPUS.format(posexplode=_POSEXPLODE_DUCK,
+                                         src="documents") + _LANGID_TAIL,
 )
 def text_lang_id(spark, sf_dir):
-    """n-gram/stopword language-ID heuristic — pure SQL, one pass."""
+    """n-gram/stopword language-ID heuristic — pure SQL, one pass
+    (r9: over the widened scan view)."""
     _load(spark, sf_dir, "documents")
     return spark.sql(
-        "WITH " + _LANG_CORPUS.format(posexplode=_POSEXPLODE_SPARK) + _LANGID_TAIL
+        "WITH " + _LANG_CORPUS.format(posexplode=_POSEXPLODE_SPARK,
+                                      src=_load_wide(spark, sf_dir))
+        + _LANGID_TAIL
     )
 
 
@@ -4291,17 +4314,20 @@ FROM stats
 
 @register(
     "text_gopher_quality",
-    oracle="WITH " + _LANG_CORPUS.format(posexplode=_POSEXPLODE_DUCK)
+    oracle="WITH " + _LANG_CORPUS.format(posexplode=_POSEXPLODE_DUCK,
+                                         src="documents")
     + _GOPHER.format(alpha_match="regexp_full_match(word, '[A-Za-z]+')"),
 )
 def text_gopher_quality(spark, sf_dir):
     """Gopher-style quality signals (mean word length, alphabetic-word
     ratio, duplicate-word ratio) — the repetition/garbage filters a
     pretraining pipeline runs corpus-wide. One pass, integer basis
-    points, pure SQL in both engines."""
+    points, pure SQL in both engines (r9: over the widened scan
+    view)."""
     _load(spark, sf_dir, "documents")
     return spark.sql(
-        "WITH " + _LANG_CORPUS.format(posexplode=_POSEXPLODE_SPARK)
+        "WITH " + _LANG_CORPUS.format(posexplode=_POSEXPLODE_SPARK,
+                                      src=_load_wide(spark, sf_dir))
         + _GOPHER.format(alpha_match="word RLIKE '^[A-Za-z]+$'")
     )
 
@@ -4715,7 +4741,8 @@ FROM stats
 
 @register(
     "corpus_quality_filter",
-    oracle="WITH " + _LANG_CORPUS.format(posexplode=_POSEXPLODE_DUCK)
+    oracle="WITH " + _LANG_CORPUS.format(posexplode=_POSEXPLODE_DUCK,
+                                         src="documents")
     + _QUALITY_FILTER.format(
         alpha_match="regexp_full_match(word, '[A-Za-z]+')"),
 )
@@ -4724,10 +4751,12 @@ def corpus_quality_filter(spark, sf_dir):
     corpus-wide (Gopher-rule shape): length floor, mean-word-length
     band, alphabetic-word ratio, duplicate-word ceiling, stopword
     presence — all thresholds in integer cross-multiplied form so the
-    decision bit is engine-exact (no ratio floats anywhere)."""
+    decision bit is engine-exact (no ratio floats anywhere). r9: over
+    the widened scan view."""
     _load(spark, sf_dir, "documents")
     return spark.sql(
-        "WITH " + _LANG_CORPUS.format(posexplode=_POSEXPLODE_SPARK)
+        "WITH " + _LANG_CORPUS.format(posexplode=_POSEXPLODE_SPARK,
+                                      src=_load_wide(spark, sf_dir))
         + _QUALITY_FILTER.format(alpha_match="word RLIKE '^[A-Za-z]+$'")
     )
 
@@ -5471,14 +5500,19 @@ def dedup_substring_spans(spark, sf_dir):
     # gram hashing, keep-first dup detection, slot coverage and the
     # rebuild are the SAME code the streaming twins run (streaming.py
     # helpers; review r6.1 #3 + r7 keepfirst_dup_spans) — the
-    # incremental stream only ADDS accumulated-index hits on top
+    # incremental stream only ADDS accumulated-index hits on top.
+    # r9: the documents scan is WIDENED first — the ~60 gram-md5s per
+    # doc (~300 µs/doc of JVM expression work) previously all ran in
+    # the single-row-group scan task; interleaved A/B at sf1.0:
+    # 17.2 s narrow → 2.3 s widened (7.6×).
+    from pdfspark.pipeline import _documents_repartitioned
     from pdfspark.streaming import (
         covered_slots, excise_covered, gram_hash_grams,
         keepfirst_dup_spans)
 
     n = _SUBSTR_SPANS_N
     _load(spark, sf_dir, "documents")
-    docs = spark.table("documents")
+    docs = _documents_repartitioned(spark, sf_dir)
     g = docs.select("doc_id", F.split("text", " ").alias("ws"))
     spans = keepfirst_dup_spans(gram_hash_grams(docs, n))
     return excise_covered(g, covered_slots(spans, n))
@@ -5571,11 +5605,15 @@ def dedup_gram_takedown(spark, sf_dir):
     subtraction as one broadcast LeftAnti); the batch probe joins on the
     digest, covered slots fan out at most 20 rows per hit, and the
     rebuild shuffles once per doc_id. No driver collects."""
+    from pdfspark.pipeline import _documents_repartitioned
     from pdfspark.streaming import (gram_hash_grams,
                                     substring_excise_against_index)
 
     _load(spark, sf_dir, "documents")
-    docs = spark.table("documents")
+    # r9: widened scan — the history-index gram hashing is the same
+    # ~300 µs/doc JVM work as dedup_substring_spans (measured there:
+    # 7.6× from widening the single-row-group scan)
+    docs = _documents_repartitioned(spark, sf_dir)
     batch = docs.where(
         (F.col("doc_id") < 300) & (F.col("doc_id") % 3 == 0)
     ).select(
@@ -5684,7 +5722,7 @@ def boilerplate_line_removal(spark, sf_dir):
 # policy — engine-identical.
 _CHAR_ENTROPY_SQL = """
 WITH chars AS (
-  SELECT doc_id, c FROM documents
+  SELECT doc_id, c FROM {src}
   {explode}
   WHERE c <> ''),
 per_char AS (
@@ -5707,6 +5745,7 @@ FROM stats
     "text_char_entropy",
     oracle=_CHAR_ENTROPY_SQL.format(
         explode=", UNNEST(string_split(text, '')) t(c)",
+        src="documents",
     ),
 )
 def text_char_entropy(spark, sf_dir):
@@ -5717,10 +5756,12 @@ def text_char_entropy(spark, sf_dir):
     aggregations keyed by (doc_id, char): the char key space per doc is
     tiny, so partial aggregation collapses the stream before any
     shuffle; no UDF, no floats until the final pinned basis-point
-    floor."""
+    floor. r9: over the widened scan view (the per-char explosion is
+    the suite's heaviest map-side fan-out)."""
     _load(spark, sf_dir, "documents")
     return spark.sql(_CHAR_ENTROPY_SQL.format(
         explode="LATERAL VIEW explode(split(text, '')) t AS c",
+        src=_load_wide(spark, sf_dir),
     ))
 
 
