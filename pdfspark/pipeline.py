@@ -204,19 +204,29 @@ def _parquet_scan_width(path: str, max_partition_bytes: int) -> int:
         return 0
 
 
-def _documents_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.parquet widened to the session's shuffle parallelism
+def _table_repartitioned(spark: SparkSession, sf_dir: str, name: str,
+                         key: str) -> DataFrame:
+    """``<name>.parquet`` widened to the session's shuffle parallelism
     when the file's row-group layout would scan narrower (the driver's
-    testdata is a single row group ⇒ 1-task scans, BASELINE.md). The
-    shuffle moves only (doc_id, text, lang) rows — never PDF bytes."""
-    path = os.path.join(sf_dir, "documents.parquet")
-    docs = spark.read.parquet(path)
+    testdata is a single row group ⇒ 1-task scans, BASELINE.md).
+    CONDITIONAL: at real scale the footer probe sees a wide scan and no
+    exchange is added — the repartition only fires for narrow single-
+    file inputs, where the downstream per-row work would otherwise run
+    single-core (guide §2.5 input skew)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     mpb = _parse_bytes_conf(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
     if _parquet_scan_width(path, mpb) < nparts:
-        docs = docs.repartition(nparts, "doc_id")
-    return docs
+        df = df.repartition(nparts, key)
+    return df
+
+
+def _documents_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet widened (see _table_repartitioned). The
+    shuffle moves only (doc_id, text, lang) rows — never PDF bytes."""
+    return _table_repartitioned(spark, sf_dir, "documents", "doc_id")
 
 
 # ------------------------------------------------------------------- kernel

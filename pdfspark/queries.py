@@ -455,10 +455,18 @@ def events_daily_rollup(spark, sf_dir):
            " AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY event_type",
 )
 def events_json_extract(spark, sf_dir):
+    """r9: widened scan — the per-row JSON parse otherwise runs in the
+    single-row-group scan task (interleaved A/B at sf1.0: 1.93 s
+    narrow → 0.66 s widened; the repartition is conditional on a
+    narrow scan, see pipeline._table_repartitioned)."""
+    from pdfspark.pipeline import _table_repartitioned
+
     _load(spark, sf_dir, "events")
-    return spark.table("events").groupBy("event_type").agg(
-        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k")
-    )
+    return _table_repartitioned(spark, sf_dir, "events", "event_id") \
+        .groupBy("event_type").agg(
+            F.sum(F.get_json_object("props", "$.k").cast("long"))
+            .alias("sum_k")
+        )
 
 
 _SESSIONS_SPARK = """
