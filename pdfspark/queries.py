@@ -1004,7 +1004,10 @@ def _audio_meta_impl(spark, sf_dir):
     from pdfspark.multimodal import AUDIO_META_SCHEMA
 
     _load(spark, sf_dir, "documents")
-    docs = spark.table("documents").select("doc_id")
+    # r9: widened scan — the synth+parse kernel otherwise runs in the
+    # single-row-group scan task (conditional, see _table_repartitioned)
+    from pdfspark.pipeline import _documents_repartitioned
+    docs = _documents_repartitioned(spark, sf_dir).select("doc_id")
 
     def run(batches):
         import sys
@@ -1056,7 +1059,10 @@ def _video_meta_impl(spark, sf_dir):
     from pdfspark.multimodal import VIDEO_META_SCHEMA
 
     _load(spark, sf_dir, "documents")
-    docs = spark.table("documents").select("doc_id")
+    # r9: widened scan — the synth+parse kernel otherwise runs in the
+    # single-row-group scan task (conditional, see _table_repartitioned)
+    from pdfspark.pipeline import _documents_repartitioned
+    docs = _documents_repartitioned(spark, sf_dir).select("doc_id")
 
     def run(batches):
         import sys
@@ -1119,7 +1125,10 @@ def _image_meta_impl(spark, sf_dir):
     from pdfspark.multimodal import IMAGE_HEADER_SCHEMA
 
     _load(spark, sf_dir, "documents")
-    docs = spark.table("documents").select("doc_id")
+    # r9: widened scan — the synth+parse kernel otherwise runs in the
+    # single-row-group scan task (conditional, see _table_repartitioned)
+    from pdfspark.pipeline import _documents_repartitioned
+    docs = _documents_repartitioned(spark, sf_dir).select("doc_id")
 
     def run(batches):
         import sys
@@ -2299,9 +2308,10 @@ def multimodal_meta(spark, sf_dir):
     payloads; the Arrow-batched 'decode' is a deterministic stub (real
     codecs aren't in this container — see pdfspark/multimodal.py)."""
     from pdfspark.multimodal import decode_image_meta
+    from pdfspark.pipeline import _documents_repartitioned
 
     _load(spark, sf_dir, "documents")
-    binary = spark.table("documents").select(
+    binary = _documents_repartitioned(spark, sf_dir).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return decode_image_meta(binary)
@@ -4628,9 +4638,10 @@ def multimodal_frame_sample(spark, sf_dir):
     VARCHAR — byte-identical because the driver corpus is pure ASCII
     (payload = utf-8 of text)."""
     from pdfspark.multimodal import sample_frames
+    from pdfspark.pipeline import _documents_repartitioned
 
     _load(spark, sf_dir, "documents")
-    binary = spark.table("documents").select(
+    binary = _documents_repartitioned(spark, sf_dir).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return sample_frames(binary).select(
@@ -4661,10 +4672,11 @@ def multimodal_resize(spark, sf_dir):
     equal only when chars == bytes; the filter makes the oracle
     corpus-revision-proof rather than silently assuming ASCII)."""
     from pdfspark.multimodal import resize_images
+    from pdfspark.pipeline import _documents_repartitioned
 
     _load(spark, sf_dir, "documents")
     binary = (
-        spark.table("documents")
+        _documents_repartitioned(spark, sf_dir)
         .filter((F.length("text") > 0)
                 & (F.length("text") == F.octet_length("text")))
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
@@ -4796,9 +4808,10 @@ def multimodal_feature_extract(spark, sf_dir):
     (extract_byte_histogram) still returns array<bigint> for pipeline
     consumers; only the driver-facing projection flattens."""
     from pdfspark.multimodal import extract_byte_histogram
+    from pdfspark.pipeline import _documents_repartitioned
 
     _load(spark, sf_dir, "documents")
-    binary = spark.table("documents").select(
+    binary = _documents_repartitioned(spark, sf_dir).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     feats = extract_byte_histogram(binary)
