@@ -2111,6 +2111,7 @@ def text_token_count(spark, sf_dir):
 # offset, so the whole operator reduces to a global prefix sum.
 _SHARD_BUDGET = 2000
 _SHARD_BLOCK = 64
+_SHARD_TOK_LIVE: list = []
 
 _SHARD_PACK_DUCK = f"""
 WITH tok AS (
@@ -2141,15 +2142,29 @@ def _two_pass_shard_ids(spark, tok):
     oracles).
 
     The block size is CORPUS-DERIVED (r9, VERDICT r8 next #2): one
-    column-pruned count() sizes blocks as ceil(n_docs / 100_000), so
-    the driver-side sequential prefix stays ≤ ~100k rows at ANY corpus
-    size — the former fixed block=64 refused loudly past ~12.8M docs.
-    The block size never changes the output (shard_id depends only on
-    the exact global cumsum), so the oracles are unaffected; the
-    refusal below is kept as an invariant check but is unreachable for
-    dense or sparse id spaces alike (distinct blocks ≤ n_docs)."""
+    count() sizes blocks as ceil(n_docs / 100_000), so the driver-side
+    sequential prefix stays ≤ ~100k rows at ANY corpus size — the
+    former fixed block=64 refused loudly past ~12.8M docs. The block
+    size never changes the output (shard_id depends only on the exact
+    global cumsum), so the oracles are unaffected; the refusal below
+    is kept as an invariant check but is unreachable for dense or
+    sparse id spaces alike (distinct blocks ≤ n_docs).
+
+    ``tok`` has THREE consumers (count, block sums, final join) and in
+    curation_pipeline its lineage is the whole quality+dedup pipeline
+    — so it is persisted for the invocation (the CLAUDE.md r3
+    multi-consumer rule; same one-live-cache eviction pattern as
+    dedup_incremental_minhash — nothing survives across invocations,
+    every call rebuilds from the parquet inputs)."""
     from pyspark.sql import Window
 
+    while _SHARD_TOK_LIVE:
+        try:
+            _SHARD_TOK_LIVE.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+    tok = tok.persist()
+    _SHARD_TOK_LIVE.append(tok)
     n_docs = tok.count()
     block_sz = max(_SHARD_BLOCK, -(-n_docs // 100_000))
     tok = tok.withColumn(
@@ -2183,9 +2198,12 @@ def shard_pack_token_budget(spark, sf_dir):
     """Token-budget shard packing as a DISTRIBUTED prefix scan (the
     _two_pass_shard_ids helper). A naive global running sum is a
     single-task window (the oracle does exactly that — fine for
-    DuckDB, fatal at 10^12 docs)."""
+    DuckDB, fatal at 10^12 docs). r9: tokenization runs over the
+    widened scan (it was single-task on single-file inputs)."""
+    from pdfspark.pipeline import _documents_repartitioned
+
     _load(spark, sf_dir, "documents")
-    tok = spark.table("documents").select(
+    tok = _documents_repartitioned(spark, sf_dir).select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("long")
         .alias("n_tokens"),
