@@ -66,7 +66,10 @@ class PdfDocument:
     def resolve(self, obj, depth: int = 0):
         """Transparently chase references; dangling ⇒ None
         (reference: `src/resolve.rs:7-124`, `src/lib.rs:405`)."""
-        if type(obj) is not Reference:  # fast path: most calls non-ref
+        if not isinstance(obj, Reference):  # fast path: most calls
+            # non-ref (ADVICE r8 #2: isinstance, not exact-type — a
+            # Reference subclass must be chased, and CPython's
+            # isinstance fast-path makes the cost identical)
             return obj
         while isinstance(obj, Reference):
             if depth > _MAX_RESOLVE_DEPTH:

@@ -1830,6 +1830,11 @@ def embedding_cosine_neardup(spark, sf_dir):
 # product over the pinned ×1000 quantization (exact in both engines),
 # ties to the smaller vec_id, k=2 per query. A query whose cell holds
 # no live vector drops out in both engines (inner cell join).
+# INVARIANT (ADVICE r8 #4, oracle text frozen r9): the range(64) below
+# pins the 64-dim embedding width the whole ANN oracle family assumes
+# (same constant in _ANN_DUCK/_IVF_DUCK); a corpus with a different
+# width must update every ANN oracle together, in a round where those
+# oracles are in-window.
 _ANN_TAKEDOWN_DUCK = _V_DUCK + """
 , seeds AS (SELECT vec_id AS sid, qv AS sv FROM v WHERE vec_id < 8),
 assign AS (
@@ -1912,6 +1917,12 @@ def ann_index_takedown(spark, sf_dir):
 # SECOND copy of taken-down content drops with dup_of = the first
 # (batch keep-first). md5 is engine-identical; everything else is
 # integer MIN/CASE — exact by construction.
+# INVARIANT (ADVICE r8 #1, oracle text frozen r9): the Spark side
+# hashes md5(coalesce(text,'')) (streaming.build_digest_index) while
+# this oracle uses bare md5(text) — parity REQUIRES documents.text to
+# be non-NULL, which the corpus generator guarantees. If a nullable-
+# text corpus ever lands, change the oracle CTEs to md5(COALESCE(
+# text,'')) in a round where this query is in-window.
 _DIGEST_TAKEDOWN_DUCK = """
 WITH hist AS (
   SELECT md5(text) AS digest, MIN(doc_id) AS first_doc

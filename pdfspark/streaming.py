@@ -1431,6 +1431,13 @@ def ivf_recenter_seeds(live_index: DataFrame, seeds) -> list:
         if dims is None:
             out.append((int(sid), [int(x) for x in sv]))
         else:
+            # invariant (ADVICE r8 #3): a refreshed centroid must keep
+            # the seed's dimensionality — a short qv in the live view
+            # would silently shrink it and truncate later zip_with dots
+            if len(dims) != len(sv):
+                raise ValueError(
+                    f"ivf_recenter_seeds: cell {sid} refreshed to "
+                    f"{len(dims)} dims, seed has {len(sv)}")
             out.append((int(sid), [dims[d] for d in sorted(dims)]))
     return out
 
