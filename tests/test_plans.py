@@ -688,3 +688,44 @@ def test_digest_index_live_view_plan_shape(spark, tmp_path):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "HashAggregate(keys=[digest" not in plan, plan
+
+
+def test_table_repartitioned_is_conditional(spark, tmp_path):
+    """r9 scan widening must be CONDITIONAL (the 100 TB contract): a
+    single-row-group file narrower than the session parallelism gets
+    exactly one widening exchange, while an input already scanning at
+    least as wide as the session gets NONE — at real scale the footer
+    probe sees a wide scan and the helper must add zero cost."""
+    from pdfspark.pipeline import _table_repartitioned
+
+    narrow = str(tmp_path / "narrow")
+    spark.range(1000).selectExpr("id AS doc_id", "'x' AS text") \
+        .coalesce(1).write.parquet(f"{narrow}/t.parquet")
+    plan = plan_of(_table_repartitioned(spark, narrow, "t", "doc_id"))
+    assert "Exchange" in plan, plan
+
+    wide = str(tmp_path / "wide")
+    # 12 files ≥ the test session's 8 shuffle partitions ⇒ no widening
+    spark.range(1200).selectExpr("id AS doc_id", "'x' AS text") \
+        .repartition(12).write.parquet(f"{wide}/t.parquet")
+    plan = plan_of(_table_repartitioned(spark, wide, "t", "doc_id"))
+    assert "Exchange" not in plan, plan
+
+
+def test_ivf_recenter_refuses_short_centroid(spark):
+    """r9 invariant (ADVICE r8 #3): a refreshed centroid whose live
+    vectors carry fewer dims than the seed must raise loudly instead
+    of silently shrinking (later zip_with dots would truncate)."""
+    import pytest as _pytest
+
+    from pdfspark.streaming import ivf_recenter_seeds
+
+    live = spark.createDataFrame(
+        [(10, 0, [1, 2])],  # 2-dim live vector in cell 0
+        "vec_id long, cell int, qv array<long>")
+    seeds = [(0, [1, 2, 3])]  # 3-dim seed
+    with _pytest.raises(ValueError, match="refreshed to 2 dims"):
+        ivf_recenter_seeds(live, seeds)
+    # and an empty cell keeps its seed without raising
+    empty = spark.createDataFrame([], "vec_id long, cell int, qv array<long>")
+    assert ivf_recenter_seeds(empty, seeds) == [(0, [1, 2, 3])]
