@@ -204,6 +204,24 @@ def _parquet_scan_width(path: str, max_partition_bytes: int) -> int:
         return 0
 
 
+def _parquet_num_rows(path: str) -> int:
+    """Row count from parquet FOOTERS (no Spark job — same probe
+    discipline as ``_parquet_scan_width``). Unknown/unreadable layout
+    returns -1, which callers must treat as "assume large" (the
+    scale-safe side)."""
+    import pyarrow.parquet as pq
+
+    try:
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path) if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return -1
+
+
 def _table_repartitioned(spark: SparkSession, sf_dir: str, name: str,
                          key: str) -> DataFrame:
     """``<name>.parquet`` widened to the session's shuffle parallelism

@@ -729,3 +729,36 @@ def test_ivf_recenter_refuses_short_centroid(spark):
     # and an empty cell keeps its seed without raising
     empty = spark.createDataFrame([], "vec_id long, cell int, qv array<long>")
     assert ivf_recenter_seeds(empty, seeds) == [(0, [1, 2, 3])]
+
+
+def test_percentiles_exact_rank_branch_is_conditional_and_identical(
+        spark, tmp_path, monkeypatch):
+    """r9: percentiles_exact has two regimes, one result. At toy size
+    the single-buffer percentile() aggregate stays (cheapest measured);
+    above the footer-probe cutover the exact-rank two-pass plan takes
+    over — a range exchange instead of an all-values aggregation
+    buffer — and the rows must be identical (the interpolation mirrors
+    Percentile.getPercentile including its integral-position and
+    equal-neighbour fast paths)."""
+    from pdfspark.queries import QUERIES
+
+    small = QUERIES["percentiles_exact"](spark, SF_DIR)
+    assert "percentile" in plan_of(small), plan_of(small)
+
+    monkeypatch.setenv("SPARK_GRAFT_PCT_SINGLE_BUFFER_ROWS", "0")
+    big = QUERIES["percentiles_exact"](spark, SF_DIR)
+    big_plan = plan_of(big)
+    assert "rangepartitioning" in big_plan, big_plan
+    assert "percentile" not in big_plan, big_plan
+    assert small.collect() == big.collect()
+
+    # duplicate-heavy corpus with an integral median position (N=21):
+    # both regimes must still agree bit-for-bit
+    d = str(tmp_path / "dup")
+    vals = [5.5] * 9 + [7.25] * 7 + [9.0] * 5
+    spark.createDataFrame([(v,) for v in vals], "o_totalprice double") \
+        .coalesce(1).write.parquet(f"{d}/orders.parquet")
+    forced = QUERIES["percentiles_exact"](spark, d).collect()
+    monkeypatch.delenv("SPARK_GRAFT_PCT_SINGLE_BUFFER_ROWS")
+    buffered = QUERIES["percentiles_exact"](spark, d).collect()
+    assert forced == buffered
